@@ -1,0 +1,32 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Single place for engine session config (SURVEY.md §7.0).
+  *
+  * Scale notes: shuffle.partitions tracks local core count here; on a
+  * real cluster this would be set ~2-3× total executor cores (or left
+  * to AQE coalescing, which is enabled by default in Spark 4 and
+  * collapses the post-shuffle partition count to fit the data).
+  */
+object GraftSession {
+  def cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+
+  def build(appName: String): SparkSession = {
+    val spark = SparkSession.builder()
+      .appName(appName)
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      // events.ts is TIMESTAMP(NANOS) parquet, unsupported by Spark's
+      // reader; read as long nanos and convert in Tables.events.
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // AQE: runtime shuffle-partition coalescing + skew-join splitting,
+      // the scale path for 100 TB joins (SURVEY.md §4.1).
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

@@ -1,0 +1,289 @@
+package graft.queries
+
+import graft.{QueryDef, QueryGroup, Tables}
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Aggregation tier — SURVEY.md §2.4.
+  *
+  * Hash/global/distinct aggregation, FILTER clause, GROUPING SETS /
+  * ROLLUP / CUBE, ordered aggregates, statistical aggregates.
+  * All of these compile to HashAggregateExec with partial (map-side)
+  * aggregation before the shuffle — the same partial/final split
+  * Presto's PushPartialAggregationThroughExchange produces — so at
+  * 100 TB the shuffle carries one row per (partition × group), not
+  * per input row.
+  */
+object Aggregates extends QueryGroup {
+  private def r4(c: Column): Column = round(c, 4)
+
+  override def defs: Map[String, QueryDef] = Map(
+    // Global aggregation (no keys) over many aggregate functions.
+    "agg_global" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        Tables.lineitem(s, dir).agg(
+          count(lit(1)).as("n"),
+          count($"l_quantity").as("n_qty"),
+          r4(sum($"l_quantity")).as("sum_qty"),
+          r4(avg($"l_extendedprice")).as("avg_price"),
+          r4(min($"l_extendedprice")).as("min_price"),
+          r4(max($"l_extendedprice")).as("max_price"))
+      },
+      Some("""SELECT count(*) AS n, count(l_quantity) AS n_qty,
+             |  round(sum(l_quantity), 4) AS sum_qty,
+             |  round(avg(l_extendedprice), 4) AS avg_price,
+             |  round(min(l_extendedprice), 4) AS min_price,
+             |  round(max(l_extendedprice), 4) AS max_price
+             |FROM lineitem""".stripMargin)),
+
+    // DISTINCT aggregates (MarkDistinct in Presto; Catalyst expands natively).
+    "agg_distinct" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        Tables.lineitem(s, dir)
+          .groupBy($"l_returnflag")
+          .agg(
+            countDistinct($"l_suppkey").as("n_supp"),
+            countDistinct($"l_partkey").as("n_part"),
+            r4(sum_distinct($"l_quantity")).as("sum_dist_qty"))
+          .orderBy($"l_returnflag")
+      },
+      Some("""SELECT l_returnflag,
+             |  count(DISTINCT l_suppkey) AS n_supp,
+             |  count(DISTINCT l_partkey) AS n_part,
+             |  round(sum(DISTINCT l_quantity), 4) AS sum_dist_qty
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // FILTER clause on aggregates (ImplementFilteredAggregations).
+    "agg_filter_clause" -> QueryDef(
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        s.sql("""SELECT l_returnflag,
+                |  count(*) FILTER (WHERE l_quantity > 25.0) AS n_heavy,
+                |  round(sum(l_extendedprice) FILTER (WHERE l_discount > 0.05), 4) AS disc_price
+                |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+      },
+      Some("""SELECT l_returnflag,
+             |  count(*) FILTER (WHERE l_quantity > 25.0) AS n_heavy,
+             |  round(sum(l_extendedprice) FILTER (WHERE l_discount > 0.05), 4) AS disc_price
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // ROLLUP (GroupIdOperator / grouping sets expansion).
+    "agg_rollup" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        Tables.lineitem(s, dir)
+          .rollup($"l_returnflag", $"l_linestatus")
+          .agg(count(lit(1)).as("n"), r4(sum($"l_quantity")).as("qty"))
+          .orderBy($"l_returnflag".asc_nulls_last, $"l_linestatus".asc_nulls_last)
+      },
+      Some("""SELECT l_returnflag, l_linestatus, count(*) AS n,
+             |  round(sum(l_quantity), 4) AS qty
+             |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+             |ORDER BY l_returnflag NULLS LAST, l_linestatus NULLS LAST""".stripMargin)),
+
+    // CUBE with grouping_id() (Presto grouping()).
+    "agg_cube" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        Tables.orders(s, dir)
+          .cube($"o_orderstatus", $"o_orderpriority")
+          .agg(count(lit(1)).as("n"), grouping_id().as("gid"))
+          .orderBy($"gid", $"o_orderstatus".asc_nulls_last,
+            $"o_orderpriority".asc_nulls_last)
+      },
+      Some("""SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+             |  grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS gid
+             |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+             |ORDER BY gid, o_orderstatus NULLS LAST, o_orderpriority NULLS LAST""".stripMargin)),
+
+    // Explicit GROUPING SETS.
+    "agg_grouping_sets" -> QueryDef(
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        s.sql("""SELECT l_returnflag, l_linestatus, count(*) AS n
+                |FROM lineitem
+                |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+                |ORDER BY l_returnflag NULLS LAST, l_linestatus NULLS LAST""".stripMargin)
+      },
+      Some("""SELECT l_returnflag, l_linestatus, count(*) AS n
+             |FROM lineitem
+             |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+             |ORDER BY l_returnflag NULLS LAST, l_linestatus NULLS LAST""".stripMargin)),
+
+    // Ordered aggregate: array_agg(x ORDER BY y) — Presto buffers in a
+    // PagesIndex then sorts (GenericAccumulatorFactory); here the
+    // struct-sort rewrite keeps it fully distributed.
+    "agg_ordered_array" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        Tables.lineitem(s, dir)
+          .filter($"l_orderkey" <= 100)
+          .groupBy($"l_orderkey")
+          .agg(transform(
+            array_sort(collect_list(struct($"l_linenumber", $"l_quantity"))),
+            x => x.getField("l_quantity")).as("qtys"))
+          .orderBy($"l_orderkey")
+      },
+      // l_linenumber ties exist in the synthetic data; the struct sort
+      // tiebreaks on l_quantity, so the oracle must order the same way.
+      Some("""SELECT l_orderkey, list(l_quantity ORDER BY l_linenumber, l_quantity) AS qtys
+             |FROM lineitem WHERE l_orderkey <= 100
+             |GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin)),
+
+    // min_by / max_by (Presto minmaxby/).
+    "agg_min_max_by" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        Tables.orders(s, dir)
+          .groupBy($"o_orderstatus")
+          .agg(
+            min_by($"o_orderkey", $"o_totalprice").as("cheapest_order"),
+            max_by($"o_orderkey", $"o_totalprice").as("priciest_order"))
+          .orderBy($"o_orderstatus")
+      },
+      Some("""SELECT o_orderstatus,
+             |  min_by(o_orderkey, o_totalprice) AS cheapest_order,
+             |  max_by(o_orderkey, o_totalprice) AS priciest_order
+             |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
+
+    // Statistical aggregates (VarianceAggregation / CentralMoments / corr).
+    "agg_stats" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        Tables.lineitem(s, dir)
+          .groupBy($"l_returnflag")
+          .agg(
+            r4(var_samp($"l_quantity")).as("var_qty"),
+            r4(var_pop($"l_quantity")).as("varp_qty"),
+            r4(stddev_samp($"l_extendedprice")).as("std_price"),
+            r4(stddev_pop($"l_extendedprice")).as("stdp_price"),
+            r4(skewness($"l_discount")).as("skew_disc"),
+            r4(kurtosis($"l_discount")).as("kurt_disc"),
+            r4(corr($"l_quantity", $"l_extendedprice")).as("corr_qp"),
+            r4(covar_samp($"l_quantity", $"l_extendedprice")).as("cov_qp"),
+            r4(covar_pop($"l_quantity", $"l_extendedprice")).as("covp_qp"))
+          .orderBy($"l_returnflag")
+      },
+      // Spark (and Presto's CentralMomentsAggregation) return POPULATION
+      // skewness g1 = m3/m2^1.5 and excess kurtosis m4/m2^2 - 3, while
+      // DuckDB's skewness/kurtosis are sample-bias-corrected — so the
+      // oracle computes the population forms from centered moments.
+      Some("""WITH t AS (
+             |  SELECT l_returnflag, l_quantity, l_extendedprice,
+             |    l_discount - avg(l_discount) OVER (PARTITION BY l_returnflag) AS dd
+             |  FROM lineitem)
+             |SELECT l_returnflag,
+             |  round(var_samp(l_quantity), 4) AS var_qty,
+             |  round(var_pop(l_quantity), 4) AS varp_qty,
+             |  round(stddev_samp(l_extendedprice), 4) AS std_price,
+             |  round(stddev_pop(l_extendedprice), 4) AS stdp_price,
+             |  round(avg(dd*dd*dd) / power(avg(dd*dd), 1.5), 4) AS skew_disc,
+             |  round(avg(dd*dd*dd*dd) / power(avg(dd*dd), 2) - 3, 4) AS kurt_disc,
+             |  round(corr(l_quantity, l_extendedprice), 4) AS corr_qp,
+             |  round(covar_samp(l_quantity, l_extendedprice), 4) AS cov_qp,
+             |  round(covar_pop(l_quantity, l_extendedprice), 4) AS covp_qp
+             |FROM t GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // regr_slope / regr_intercept (DoubleRegressionAggregation).
+    "agg_regression" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        Tables.lineitem(s, dir).agg(
+          r4(regr_slope($"l_extendedprice", $"l_quantity")).as("slope"),
+          r4(regr_intercept($"l_extendedprice", $"l_quantity")).as("intercept"))
+      },
+      Some("""SELECT round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+             |  round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept
+             |FROM lineitem""".stripMargin)),
+
+    // bool_and / bool_or / count_if (Presto BooleanAndAggregation etc.).
+    "agg_bool" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        Tables.orders(s, dir)
+          .groupBy($"o_orderstatus")
+          .agg(
+            bool_and($"o_totalprice" > 1000.0).as("all_over_1k"),
+            bool_or($"o_totalprice" > 300000.0).as("any_over_300k"),
+            count_if($"o_orderpriority" === "1-URGENT").as("n_urgent"))
+          .orderBy($"o_orderstatus")
+      },
+      Some("""SELECT o_orderstatus,
+             |  bool_and(o_totalprice > 1000.0) AS all_over_1k,
+             |  bool_or(o_totalprice > 300000.0) AS any_over_300k,
+             |  count(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS n_urgent
+             |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
+
+    // bitwise_and_agg / bitwise_or_agg.
+    "agg_bitwise" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        Tables.lineitem(s, dir)
+          .groupBy($"l_returnflag")
+          .agg(bit_and($"l_orderkey").as("band"),
+            bit_or($"l_orderkey").as("bor"),
+            bit_xor($"l_orderkey").as("bxor"))
+          .orderBy($"l_returnflag")
+      },
+      Some("""SELECT l_returnflag, bit_and(l_orderkey) AS band,
+             |  bit_or(l_orderkey) AS bor, bit_xor(l_orderkey) AS bxor
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // geometric_mean (rewrite: exp(avg(ln x)) — Presto computes the same way).
+    "agg_geometric_mean" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        Tables.lineitem(s, dir)
+          .groupBy($"l_linestatus")
+          .agg(r4(exp(avg(log($"l_quantity")))).as("geo_mean_qty"))
+          .orderBy($"l_linestatus")
+      },
+      Some("""SELECT l_linestatus, round(exp(avg(ln(l_quantity))), 4) AS geo_mean_qty
+             |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin)),
+
+    // arbitrary() ≈ any deterministic pick; pinned to min for the oracle.
+    "agg_arbitrary" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        Tables.orders(s, dir)
+          .groupBy($"o_custkey")
+          .agg(min($"o_orderpriority").as("some_priority"))
+          .orderBy($"o_custkey")
+      },
+      Some("""SELECT o_custkey, min(o_orderpriority) AS some_priority
+             |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin)),
+
+    // histogram (Presto map<V,bigint>) — rewritten relationally as
+    // groupBy so it stays shuffle-partial-aggregated and oracle-checkable.
+    "agg_histogram" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        Tables.orders(s, dir)
+          .groupBy($"o_orderpriority")
+          .agg(count(lit(1)).as("freq"))
+          .orderBy($"o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, count(*) AS freq FROM orders
+             |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
+    // approx_percentile — Spark percentile_approx with high accuracy
+    // matches DuckDB's exact quantile on sf0.01-scale groups when the
+    // requested quantile lands on an exact data point; we use median of
+    // integers for a deterministic cross-engine compare.
+    "agg_percentile_exact" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        Tables.lineitem(s, dir)
+          .groupBy($"l_returnflag")
+          .agg(r4(expr("percentile(l_quantity, 0.5)")).as("median_qty"),
+            r4(expr("percentile(l_quantity, array(0.25, 0.75))[0]")).as("p25_qty"))
+          .orderBy($"l_returnflag")
+      },
+      Some("""SELECT l_returnflag,
+             |  round(quantile_cont(l_quantity, 0.5), 4) AS median_qty,
+             |  round(quantile_cont(l_quantity, 0.25), 4) AS p25_qty
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
+  )
+}
