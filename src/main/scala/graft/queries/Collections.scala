@@ -1,5 +1,174 @@
 package graft.queries
-import graft.{QueryDef, QueryGroup}
+
+import graft.{QueryDef, QueryGroup, Tables}
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Array / map / higher-order function tier — SURVEY.md §2.8 Array+Map
+  * rows (Presto Array*.java / Map*.java operator surface, ~60 files).
+  *
+  * All expressions are Catalyst higher-order functions (`transform`,
+  * `filter`, `aggregate`, `zip_with`, …) — lambdas are compiled into
+  * the plan, not UDF closures, so they stay codegen-adjacent and never
+  * serialize per row. This is the §2.8 FUNCTION-type (lambda) surface.
+  */
 object Collections extends QueryGroup {
-  override def defs: Map[String, QueryDef] = Map()
+  private def r4(c: Column): Column = round(c, 4)
+
+  override def defs: Map[String, QueryDef] = Map(
+    // Array basics: construction, cardinality, distinct, contains,
+    // element_at, slice, join, sort, reverse, min/max, position.
+    "coll_array_basic" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        Tables.part(s, dir)
+          .withColumn("words", split($"p_name", " "))
+          .select($"p_partkey",
+            size($"words").as("card"),
+            array_sort(array_distinct($"words")).as("dist_sorted"),
+            array_contains($"words", "green").as("has_green"),
+            element_at($"words", 1).as("first_w"),
+            element_at($"words", -1).as("last_w"),
+            slice($"words", 1, 2).as("first2"),
+            array_join($"words", "|").as("joined"),
+            reverse($"words").as("rev"),
+            array_min($"words").as("min_w"),
+            array_max($"words").as("max_w"),
+            array_position($"words", "green").cast("long").as("green_pos"))
+          .orderBy($"p_partkey")
+      },
+      Some("""WITH t AS (SELECT p_partkey, string_split(p_name, ' ') AS words FROM part)
+             |SELECT p_partkey,
+             |  len(words) AS card,
+             |  list_sort(list_distinct(words)) AS dist_sorted,
+             |  list_contains(words, 'green') AS has_green,
+             |  words[1] AS first_w,
+             |  words[-1] AS last_w,
+             |  words[1:2] AS first2,
+             |  array_to_string(words, '|') AS joined,
+             |  list_reverse(words) AS rev,
+             |  list_min(words) AS min_w,
+             |  list_max(words) AS max_w,
+             |  CAST(coalesce(list_position(words, 'green'), 0) AS BIGINT) AS green_pos
+             |FROM t ORDER BY p_partkey""".stripMargin)),
+
+    // Array set algebra: intersect/union/except/overlap.
+    "coll_array_setops" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        Tables.part(s, dir)
+          .withColumn("w1", array_sort(array_distinct(split($"p_name", " "))))
+          .withColumn("w2", array_sort(array_distinct(split(lower($"p_type"), " "))))
+          .select($"p_partkey",
+            array_sort(array_intersect($"w1", $"w2")).as("inter"),
+            array_sort(array_union($"w1", $"w2")).as("uni"),
+            array_sort(array_except($"w1", $"w2")).as("exc"),
+            arrays_overlap($"w1", $"w2").as("overlaps"))
+          .orderBy($"p_partkey")
+      },
+      Some("""WITH t AS (
+             |  SELECT p_partkey,
+             |    list_sort(list_distinct(string_split(p_name, ' '))) AS w1,
+             |    list_sort(list_distinct(string_split(lower(p_type), ' '))) AS w2
+             |  FROM part)
+             |SELECT p_partkey,
+             |  list_sort(list_intersect(w1, w2)) AS inter,
+             |  list_sort(list_distinct(list_concat(w1, w2))) AS uni,
+             |  list_sort(list_filter(w1, x -> NOT list_contains(w2, x))) AS exc,
+             |  len(list_intersect(w1, w2)) > 0 AS overlaps
+             |FROM t ORDER BY p_partkey""".stripMargin)),
+
+    // Higher-order lambdas: transform / filter / aggregate (reduce) /
+    // zip_with — Presto's FUNCTION-typed lambda surface.
+    "coll_higher_order" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        Tables.lineitem(s, dir)
+          .filter($"l_orderkey" <= 50)
+          .groupBy($"l_orderkey")
+          .agg(array_sort(collect_list($"l_quantity")).as("qtys"),
+            array_sort(collect_list($"l_extendedprice")).as("prices"))
+          .select($"l_orderkey",
+            transform($"qtys", q => r4(q * 2.0)).as("doubled"),
+            filter($"qtys", _ > 25.0).as("heavy"),
+            r4(aggregate($"qtys", lit(0.0), (acc, q) => acc + q)).as("total"),
+            transform(zip_with($"qtys", $"prices", (q, p) => q * p), r4(_))
+              .as("products"))
+          .orderBy($"l_orderkey")
+      },
+      Some("""WITH t AS (
+             |  SELECT l_orderkey,
+             |    list_sort(list(l_quantity)) AS qtys,
+             |    list_sort(list(l_extendedprice)) AS prices
+             |  FROM lineitem WHERE l_orderkey <= 50 GROUP BY l_orderkey)
+             |SELECT l_orderkey,
+             |  list_transform(qtys, q -> round(q * 2.0, 4)) AS doubled,
+             |  list_filter(qtys, q -> q > 25.0) AS heavy,
+             |  round(list_reduce(list_prepend(0.0, qtys), (acc, q) -> acc + q), 4) AS total,
+             |  list_transform(list_zip(qtys, prices),
+             |    p -> round(p[1] * p[2], 4)) AS products
+             |FROM t ORDER BY l_orderkey""".stripMargin)),
+
+    // sequence() + explode (Presto SequenceFunction + UNNEST).
+    "coll_sequence" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        Tables.nation(s, dir)
+          .select($"n_nationkey", explode(sequence(lit(1), ($"n_nationkey" % 4) + 1)).as("i"))
+          .orderBy($"n_nationkey", $"i")
+      },
+      Some("""SELECT n_nationkey, unnest(generate_series(1, (n_nationkey % 4) + 1)) AS i
+             |FROM nation ORDER BY n_nationkey, i""".stripMargin)),
+
+    // Maps: construction from entries, keys/values, element_at,
+    // map_concat, transform_values, map_filter.
+    "coll_map" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        Tables.lineitem(s, dir)
+          .groupBy($"l_returnflag", $"l_linestatus")
+          .agg(count(lit(1)).as("n"))
+          .groupBy($"l_returnflag")
+          .agg(map_from_entries(array_sort(collect_list(struct($"l_linestatus", $"n"))))
+            .as("m"))
+          .select($"l_returnflag",
+            array_sort(map_keys($"m")).as("statuses"),
+            array_sort(map_values($"m")).as("counts"),
+            element_at($"m", "O").as("n_open"))
+          .orderBy($"l_returnflag")
+      },
+      Some("""WITH c AS (
+             |  SELECT l_returnflag, l_linestatus, count(*) AS n
+             |  FROM lineitem GROUP BY 1, 2)
+             |SELECT l_returnflag,
+             |  list_sort(list(l_linestatus)) AS statuses,
+             |  list_sort(list(n)) AS counts,
+             |  max(CASE WHEN l_linestatus = 'O' THEN n END) AS n_open
+             |FROM c GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // map_zip_with + transform_values + explode back to rows — the
+    // Presto map-lambda surface, flattened so the oracle is plain SQL.
+    "coll_map_zip" -> QueryDef(
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        s.sql("""SELECT l_returnflag, entry.key AS status,
+                |  round(entry.value, 4) AS avg_price
+                |FROM (
+                |  SELECT l_returnflag,
+                |    explode(map_entries(map_zip_with(qty_map, price_map,
+                |      (k, q, p) -> p / q))) AS entry
+                |  FROM (
+                |    SELECT l_returnflag,
+                |      map_from_entries(collect_list(struct(l_linestatus, sq))) AS qty_map,
+                |      map_from_entries(collect_list(struct(l_linestatus, sp))) AS price_map
+                |    FROM (SELECT l_returnflag, l_linestatus,
+                |            sum(l_quantity) AS sq, sum(l_extendedprice) AS sp
+                |          FROM lineitem GROUP BY 1, 2)
+                |    GROUP BY l_returnflag))
+                |ORDER BY l_returnflag, status""".stripMargin)
+      },
+      Some("""SELECT l_returnflag, l_linestatus AS status,
+             |  round(sum(l_extendedprice) / sum(l_quantity), 4) AS avg_price
+             |FROM lineitem GROUP BY 1, 2 ORDER BY l_returnflag, status""".stripMargin))
+  )
 }

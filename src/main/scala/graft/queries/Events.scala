@@ -1,5 +1,140 @@
 package graft.queries
-import graft.{QueryDef, QueryGroup}
+
+import graft.{QueryDef, QueryGroup, Tables}
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-log analytics over the `events` table.
+  *
+  * The reference exposes message logs only as batch tables
+  * (SURVEY.md §2.10 — Kafka/Redis connectors are bounded scans), so
+  * these are batch queries; the same plans run unchanged as Structured
+  * Streaming with `readStream` + watermark (see StreamingSpec), which
+  * is the Spark-native scale path for continuous ingest.
+  *
+  * Scale notes: sessionization is one shuffle on user_id then a
+  * per-partition sort — the canonical "segment by key, order by time"
+  * pattern that scales linearly; at 100 TB you'd pre-bucket the log by
+  * user_id so the shuffle disappears.
+  */
 object Events extends QueryGroup {
-  override def defs: Map[String, QueryDef] = Map()
+  private def r4(c: Column): Column = round(c, 4)
+
+  override def defs: Map[String, QueryDef] = Map(
+    // Tumbling-window aggregation (batch analog of a streaming
+    // windowed agg): events per hour × type.
+    "events_tumbling" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        Tables.events(s, dir)
+          .groupBy(date_trunc("hour", $"ts").as("hour"), $"event_type")
+          .agg(count(lit(1)).as("n"), r4(sum($"value")).as("total_value"))
+          .orderBy($"hour", $"event_type")
+      },
+      Some("""SELECT date_trunc('hour', ts) AS hour, event_type,
+             |  count(*) AS n, round(sum(value), 4) AS total_value
+             |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin)),
+
+    // Gap-based sessionization: a session breaks after >30 min idle.
+    // lag + conditional cumulative sum over (user_id, ts) — Presto
+    // would express this identically with window functions.
+    "events_sessionize" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+        Tables.events(s, dir)
+          .withColumn("prev_ts", lag($"ts", 1).over(w))
+          .withColumn("new_session",
+            when($"prev_ts".isNull ||
+              unix_millis($"ts") - unix_millis($"prev_ts") > 1800000L, 1)
+              .otherwise(0))
+          .withColumn("session_id", sum($"new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)))
+          .groupBy($"user_id", $"session_id")
+          .agg(count(lit(1)).as("n_events"),
+            (unix_millis(max($"ts")) - unix_millis(min($"ts"))).as("duration_ms"))
+          .orderBy($"user_id", $"session_id")
+      },
+      // Millisecond epochs on both sides: Spark truncates ns→ms the same
+      // way DuckDB's epoch_ms does, so gap tests agree exactly.
+      Some("""WITH g AS (
+             |  SELECT user_id, ts, event_id,
+             |    CASE WHEN lag(ts) OVER w IS NULL
+             |           OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000
+             |         THEN 1 ELSE 0 END AS new_session
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+             |s AS (
+             |  SELECT user_id, ts,
+             |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |      ROWS UNBOUNDED PRECEDING) AS session_id
+             |  FROM g)
+             |SELECT user_id, session_id, count(*) AS n_events,
+             |  epoch_ms(max(ts)) - epoch_ms(min(ts)) AS duration_ms
+             |FROM s GROUP BY 1, 2 ORDER BY user_id, session_id""".stripMargin)),
+
+    // Funnel: users who signed up and later purchased.
+    "events_funnel" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val e = Tables.events(s, dir)
+        val signup = e.filter($"event_type" === "signup")
+          .groupBy($"user_id").agg(min($"ts").as("signup_ts"))
+        val purchase = e.filter($"event_type" === "purchase")
+          .groupBy($"user_id").agg(min($"ts").as("purchase_ts"))
+        signup.join(purchase, Seq("user_id"), "left")
+          .agg(count(lit(1)).as("n_signup"),
+            count(when($"purchase_ts" > $"signup_ts", 1)).as("n_converted"))
+      },
+      Some("""WITH su AS (SELECT user_id, min(ts) AS signup_ts FROM events
+             |            WHERE event_type = 'signup' GROUP BY 1),
+             |pu AS (SELECT user_id, min(ts) AS purchase_ts FROM events
+             |       WHERE event_type = 'purchase' GROUP BY 1)
+             |SELECT count(*) AS n_signup,
+             |  count(CASE WHEN purchase_ts > signup_ts THEN 1 END) AS n_converted
+             |FROM su LEFT JOIN pu USING (user_id)""".stripMargin)),
+
+    // Daily-cohort retention: for each user's first-seen day, how many
+    // distinct later day-offsets were they active on.
+    "events_retention" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val e = Tables.events(s, dir)
+          .select($"user_id", to_date($"ts").as("day"))
+        val first = e.groupBy($"user_id").agg(min($"day").as("cohort_day"))
+        e.join(first, Seq("user_id"))
+          .select($"user_id", $"cohort_day",
+            datediff($"day", $"cohort_day").as("day_offset"))
+          .groupBy($"cohort_day", $"day_offset")
+          .agg(countDistinct($"user_id").as("n_users"))
+          .orderBy($"cohort_day", $"day_offset")
+      },
+      Some("""WITH e AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+             |f AS (SELECT user_id, min(day) AS cohort_day FROM e GROUP BY 1)
+             |SELECT cohort_day, date_diff('day', cohort_day, day) AS day_offset,
+             |  count(DISTINCT e.user_id) AS n_users
+             |FROM e JOIN f ON e.user_id = f.user_id
+             |GROUP BY 1, 2 ORDER BY cohort_day, day_offset""".stripMargin)),
+
+    // Top event values per type via window + JSON prop extraction.
+    "events_top_per_type" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"event_type")
+          .orderBy($"value".desc_nulls_last, $"event_id")
+        Tables.events(s, dir)
+          .withColumn("rn", row_number().over(w))
+          .filter($"rn" <= 5)
+          .select($"event_type", $"rn", $"event_id", r4($"value").as("value"),
+            get_json_object($"props", "$.k").cast("long").as("k"))
+          .orderBy($"event_type", $"rn")
+      },
+      Some("""SELECT event_type, rn, event_id, round(value, 4) AS value,
+             |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+             |FROM (SELECT *, row_number() OVER (
+             |        PARTITION BY event_type ORDER BY value DESC, event_id) AS rn
+             |      FROM events) t
+             |WHERE rn <= 5 ORDER BY event_type, rn""".stripMargin))
+  )
 }

@@ -1,5 +1,354 @@
 package graft.queries
-import graft.{QueryDef, QueryGroup}
+
+import graft.{QueryDef, QueryGroup, Tables}
+import graft.functions.PrestoDatetime
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scalar-function tier — SURVEY.md §2.8.
+  *
+  * Math / string / regex / datetime / conditional / URL / hash /
+  * bitwise / JSON / TRY-cast families, each exercised over the
+  * testdata tables with a value-matched DuckDB oracle. Everything here
+  * is `org.apache.spark.sql.functions._` (whole-stage-codegen'd);
+  * no UDFs, so the 100 TB scan cost per row is a handful of codegen
+  * instructions, never a JVM call boundary.
+  */
 object ScalarFns extends QueryGroup {
-  override def defs: Map[String, QueryDef] = Map()
+  private def r4(c: Column): Column = round(c, 4)
+
+  override def defs: Map[String, QueryDef] = Map(
+    // Math functions (MathFunctions.java surface).
+    "fn_math" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        Tables.lineitem(s, dir)
+          .filter($"l_orderkey" <= 200)
+          .select($"l_orderkey", $"l_linenumber",
+            abs(-$"l_quantity").as("abs_q"),
+            ceil($"l_extendedprice" / 1000.0).as("ceil_p"),
+            floor($"l_extendedprice" / 1000.0).as("floor_p"),
+            r4(sqrt($"l_quantity")).as("sqrt_q"),
+            r4(pow($"l_discount", 2.0)).as("pow_d"),
+            r4(exp($"l_discount")).as("exp_d"),
+            r4(log($"l_quantity")).as("ln_q"),
+            r4(log(10.0, $"l_quantity")).as("log10_q"),
+            signum($"l_quantity" - 25.0).cast("int").as("sign_q"),
+            ($"l_orderkey" % 7).as("mod_k"),
+            r4(sin($"l_discount")).as("sin_d"),
+            r4(atan2($"l_quantity", $"l_extendedprice" / 1000.0)).as("atan2_qp"),
+            r4(degrees($"l_discount")).as("deg_d"),
+            greatest($"l_quantity", $"l_tax" * 100).as("gr"),
+            least($"l_quantity", $"l_tax" * 100).as("le"))
+          .orderBy($"l_orderkey", $"l_linenumber", $"abs_q")
+      },
+      Some("""SELECT l_orderkey, l_linenumber,
+             |  abs(-l_quantity) AS abs_q,
+             |  ceil(l_extendedprice / 1000.0) AS ceil_p,
+             |  floor(l_extendedprice / 1000.0) AS floor_p,
+             |  round(sqrt(l_quantity), 4) AS sqrt_q,
+             |  round(power(l_discount, 2.0), 4) AS pow_d,
+             |  round(exp(l_discount), 4) AS exp_d,
+             |  round(ln(l_quantity), 4) AS ln_q,
+             |  round(log10(l_quantity), 4) AS log10_q,
+             |  CAST(sign(l_quantity - 25.0) AS INT) AS sign_q,
+             |  l_orderkey % 7 AS mod_k,
+             |  round(sin(l_discount), 4) AS sin_d,
+             |  round(atan2(l_quantity, l_extendedprice / 1000.0), 4) AS atan2_qp,
+             |  round(degrees(l_discount), 4) AS deg_d,
+             |  greatest(l_quantity, l_tax * 100) AS gr,
+             |  least(l_quantity, l_tax * 100) AS le
+             |FROM lineitem WHERE l_orderkey <= 200
+             |ORDER BY l_orderkey, l_linenumber, abs_q""".stripMargin)),
+
+    // width_bucket (Presto MathFunctions) — expressed as the closed-form
+    // floor arithmetic so it stays codegen'd; oracle uses the same form.
+    "fn_width_bucket" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        Tables.orders(s, dir)
+          .select($"o_orderkey",
+            (floor(($"o_totalprice" - 0.0) / (500000.0 / 20)) + 1)
+              .cast("long").as("bucket"))
+          .groupBy($"bucket").agg(count(lit(1)).as("n"))
+          .orderBy($"bucket")
+      },
+      Some("""SELECT CAST(floor(o_totalprice / (500000.0 / 20)) + 1 AS BIGINT) AS bucket,
+             |  count(*) AS n
+             |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin)),
+
+    // String functions (StringFunctions.java surface).
+    "fn_string" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        Tables.part(s, dir)
+          .select($"p_partkey",
+            length($"p_name").as("len"),
+            lower($"p_name").as("lo"),
+            upper($"p_brand").as("up"),
+            trim(lit("  pad  ")).as("trimmed"),
+            lpad($"p_brand", 12, "*").as("lp"),
+            rpad($"p_brand", 12, "*").as("rp"),
+            reverse($"p_brand").as("rev"),
+            regexp_replace($"p_name", lit(" "), lit("_")).as("repl"),
+            substring($"p_name", 1, 8).as("sub"),
+            instr($"p_name", "a").as("pos_a"),
+            concat($"p_brand", lit("#"), $"p_type").as("cat"),
+            concat_ws("-", $"p_brand", $"p_type").as("catws"),
+            split_part($"p_name", lit(" "), lit(1)).as("first_word"),
+            levenshtein($"p_brand", $"p_type").as("lev"),
+            translate($"p_brand", "Br", "Xy").as("tr"),
+            repeat($"p_brand", 2).as("rep"),
+            ascii($"p_brand").as("cp"))
+          .orderBy($"p_partkey")
+      },
+      Some("""SELECT p_partkey,
+             |  length(p_name) AS len, lower(p_name) AS lo, upper(p_brand) AS up,
+             |  trim('  pad  ') AS trimmed,
+             |  lpad(p_brand, 12, '*') AS lp, rpad(p_brand, 12, '*') AS rp,
+             |  reverse(p_brand) AS rev,
+             |  replace(p_name, ' ', '_') AS repl,
+             |  substring(p_name, 1, 8) AS sub,
+             |  instr(p_name, 'a') AS pos_a,
+             |  concat(p_brand, '#', p_type) AS cat,
+             |  concat_ws('-', p_brand, p_type) AS catws,
+             |  split_part(p_name, ' ', 1) AS first_word,
+             |  levenshtein(p_brand, p_type) AS lev,
+             |  translate(p_brand, 'Br', 'Xy') AS tr,
+             |  repeat(p_brand, 2) AS rep,
+             |  unicode(p_brand) AS cp
+             |FROM part ORDER BY p_partkey""".stripMargin)),
+
+    // Regex family (JoniRegexpFunctions surface; java.util.regex here).
+    "fn_regex" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        Tables.part(s, dir)
+          .select($"p_partkey",
+            $"p_name".rlike("^[a-m]").as("starts_early"),
+            regexp_extract($"p_name", "([a-z]+)", 1).as("first_token"),
+            regexp_replace($"p_name", "[aeiou]", "").as("no_vowels"),
+            size(split($"p_name", "\\s+")).as("n_tokens"))
+          .orderBy($"p_partkey")
+      },
+      Some("""SELECT p_partkey,
+             |  regexp_matches(p_name, '^[a-m]') AS starts_early,
+             |  regexp_extract(p_name, '([a-z]+)', 1) AS first_token,
+             |  regexp_replace(p_name, '[aeiou]', '', 'g') AS no_vowels,
+             |  len(string_split_regex(p_name, '\s+')) AS n_tokens
+             |FROM part ORDER BY p_partkey""".stripMargin)),
+
+    // Datetime extraction (DateTimeFunctions.java surface). Presto
+    // day_of_week is ISO (1=Mon..7=Sun) — Spark dayofweek is 1=Sun, so
+    // the shim recomputes the ISO form explicitly.
+    "fn_datetime" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        Tables.lineitem(s, dir)
+          .filter($"l_orderkey" <= 100)
+          .select($"l_orderkey", $"l_linenumber",
+            year($"l_shipdate").as("yr"),
+            quarter($"l_shipdate").as("qtr"),
+            month($"l_shipdate").as("mo"),
+            weekofyear($"l_shipdate").as("wk"),
+            dayofmonth($"l_shipdate").as("dom"),
+            (((dayofweek($"l_shipdate") + 5) % 7) + 1).as("iso_dow"),
+            dayofyear($"l_shipdate").as("doy"),
+            date_trunc("month", $"l_shipdate").cast("date").as("month_start"),
+            date_add($"l_shipdate".cast("date"), 30).as("plus30"),
+            datediff(lit("1998-12-01").cast("date"), $"l_shipdate".cast("date")).as("days_to_end"),
+            unix_timestamp($"l_shipdate").as("epoch_s"))
+          .orderBy($"l_orderkey", $"l_linenumber", $"epoch_s")
+      },
+      Some("""SELECT l_orderkey, l_linenumber,
+             |  year(l_shipdate) AS yr, quarter(l_shipdate) AS qtr,
+             |  month(l_shipdate) AS mo, weekofyear(l_shipdate) AS wk,
+             |  dayofmonth(l_shipdate) AS dom,
+             |  isodow(l_shipdate) AS iso_dow,
+             |  dayofyear(l_shipdate) AS doy,
+             |  CAST(date_trunc('month', l_shipdate) AS DATE) AS month_start,
+             |  CAST(l_shipdate AS DATE) + INTERVAL 30 DAY AS plus30,
+             |  date_diff('day', CAST(l_shipdate AS DATE), DATE '1998-12-01') AS days_to_end,
+             |  CAST(epoch(l_shipdate) AS BIGINT) AS epoch_s
+             |FROM lineitem WHERE l_orderkey <= 100
+             |ORDER BY l_orderkey, l_linenumber, epoch_s""".stripMargin)),
+
+    // Presto date_format('%Y-%m-%d %H:%i') — MySQL patterns translated
+    // at plan time by PrestoDatetime.translateFormat; oracle uses the
+    // strftime equivalent of the same Presto pattern.
+    "fn_datetime_format" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        Tables.orders(s, dir)
+          .filter($"o_orderkey" <= 100)
+          .select($"o_orderkey",
+            date_format($"o_orderdate",
+              PrestoDatetime.translateFormat("%Y-%m-%d %H:%i:%s")).as("fmt_full"),
+            date_format($"o_orderdate",
+              PrestoDatetime.translateFormat("%d/%c/%y")).as("fmt_dmy"),
+            date_format($"o_orderdate",
+              PrestoDatetime.translateFormat("%j")).as("fmt_doy"))
+          .orderBy($"o_orderkey")
+      },
+      Some("""SELECT o_orderkey,
+             |  strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS fmt_full,
+             |  strftime(o_orderdate, '%d/%-m/%y') AS fmt_dmy,
+             |  strftime(o_orderdate, '%j') AS fmt_doy
+             |FROM orders WHERE o_orderkey <= 100 ORDER BY o_orderkey""".stripMargin)),
+
+    // Conditional family: CASE / if / coalesce / nullif.
+    "fn_conditional" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        Tables.orders(s, dir)
+          .select($"o_orderkey",
+            when($"o_totalprice" > 200000, "big")
+              .when($"o_totalprice" > 50000, "mid")
+              .otherwise("small").as("size_class"),
+            coalesce(nullif($"o_orderstatus", lit("O")), lit("open")).as("status2"),
+            when($"o_orderpriority" === "1-URGENT", 1).otherwise(0).as("is_urgent"))
+          .orderBy($"o_orderkey")
+      },
+      Some("""SELECT o_orderkey,
+             |  CASE WHEN o_totalprice > 200000 THEN 'big'
+             |       WHEN o_totalprice > 50000 THEN 'mid'
+             |       ELSE 'small' END AS size_class,
+             |  coalesce(nullif(o_orderstatus, 'O'), 'open') AS status2,
+             |  CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS is_urgent
+             |FROM orders ORDER BY o_orderkey""".stripMargin)),
+
+    // URL functions (UrlFunctions.java) — parse_url on synthesized URLs.
+    "fn_url" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        Tables.supplier(s, dir)
+          .withColumn("url",
+            concat(lit("https://supplier-"), $"s_suppkey", lit(".example.com:8443/cat/"),
+              regexp_replace(lower($"s_name"), "[^a-z0-9]", "-"),
+              lit("?nation="), $"s_nationkey", lit("&v=1#top")))
+          .select($"s_suppkey",
+            parse_url($"url", lit("PROTOCOL")).as("proto"),
+            parse_url($"url", lit("HOST")).as("host"),
+            parse_url($"url", lit("PATH")).as("path"),
+            parse_url($"url", lit("QUERY")).as("query"),
+            parse_url($"url", lit("QUERY"), lit("nation")).as("nation_param"),
+            parse_url($"url", lit("REF")).as("fragment"))
+          .orderBy($"s_suppkey")
+      },
+      Some("""WITH u AS (
+             |  SELECT s_suppkey,
+             |    'https://supplier-' || s_suppkey || '.example.com:8443/cat/' ||
+             |    regexp_replace(lower(s_name), '[^a-z0-9]', '-', 'g') ||
+             |    '?nation=' || s_nationkey || '&v=1#top' AS url
+             |  FROM supplier)
+             |SELECT s_suppkey,
+             |  regexp_extract(url, '^([a-z]+)://', 1) AS proto,
+             |  regexp_extract(url, '://([^/:?#]+)', 1) AS host,
+             |  regexp_extract(url, '://[^/?#]+(/[^?#]*)', 1) AS path,
+             |  regexp_extract(url, '\?([^#]*)', 1) AS query,
+             |  regexp_extract(url, '[?&]nation=([^&#]*)', 1) AS nation_param,
+             |  regexp_extract(url, '#(.*)$', 1) AS fragment
+             |FROM u ORDER BY s_suppkey""".stripMargin)),
+
+    // Hash/binary functions (VarbinaryFunctions.java).
+    "fn_hash" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        Tables.nation(s, dir)
+          .select($"n_nationkey",
+            md5($"n_name").as("md5_name"),
+            sha2($"n_name", 256).as("sha256_name"),
+            lower(hex($"n_name")).as("hex_name"),
+            base64($"n_name".cast("binary")).as("b64_name"),
+            crc32($"n_name").as("crc_name"),
+            xxhash64($"n_name").as("xx_name"))
+          .orderBy($"n_nationkey")
+      },
+      // crc32/xxhash64 have no DuckDB equivalent → rows-only check;
+      // fn_hash_oracle value-checks the DuckDB-computable subset.
+      None),
+
+    "fn_hash_oracle" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        Tables.nation(s, dir)
+          .select($"n_nationkey",
+            md5($"n_name").as("md5_name"),
+            sha2($"n_name", 256).as("sha256_name"),
+            lower(hex($"n_name")).as("hex_name"),
+            base64($"n_name".cast("binary")).as("b64_name"))
+          .orderBy($"n_nationkey")
+      },
+      Some("""SELECT n_nationkey,
+             |  md5(n_name) AS md5_name,
+             |  sha256(n_name) AS sha256_name,
+             |  lower(hex(n_name)) AS hex_name,
+             |  to_base64(encode(n_name)) AS b64_name
+             |FROM nation ORDER BY n_nationkey""".stripMargin)),
+
+    // Bitwise functions (BitwiseFunctions.java).
+    "fn_bitwise" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        Tables.orders(s, dir)
+          .filter($"o_orderkey" <= 500)
+          .select($"o_orderkey",
+            ($"o_orderkey".bitwiseAND($"o_custkey")).as("band"),
+            ($"o_orderkey".bitwiseOR($"o_custkey")).as("bor"),
+            ($"o_orderkey".bitwiseXOR($"o_custkey")).as("bxor"),
+            bitwise_not($"o_orderkey").as("bnot"),
+            bit_count($"o_orderkey").as("bcnt"),
+            shiftleft($"o_orderkey", 2).as("shl"),
+            shiftright($"o_orderkey", 1).as("shr"))
+          .orderBy($"o_orderkey")
+      },
+      Some("""SELECT o_orderkey,
+             |  o_orderkey & o_custkey AS band,
+             |  o_orderkey | o_custkey AS bor,
+             |  xor(o_orderkey, o_custkey) AS bxor,
+             |  ~o_orderkey AS bnot,
+             |  CAST(bit_count(o_orderkey) AS INT) AS bcnt,
+             |  o_orderkey << 2 AS shl,
+             |  o_orderkey >> 1 AS shr
+             |FROM orders WHERE o_orderkey <= 500 ORDER BY o_orderkey""".stripMargin)),
+
+    // JSON functions (JsonFunctions.java) over events.props.
+    "fn_json" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        Tables.events(s, dir)
+          .filter($"event_id" <= 200)
+          .select($"event_id",
+            get_json_object($"props", "$.k").cast("long").as("k_val"),
+            get_json_object($"props", "$.missing").as("missing_val"),
+            from_json($"props", lit("k LONG")).getField("k").as("k_typed"))
+          .orderBy($"event_id")
+      },
+      Some("""SELECT event_id,
+             |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+             |  json_extract_string(props, '$.missing') AS missing_val,
+             |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_typed
+             |FROM events WHERE event_id <= 200 ORDER BY event_id""".stripMargin)),
+
+    // TRY semantics (TryFunction.java / TryCastFunction.java): NULL on
+    // malformed input instead of failure.
+    "fn_try_cast" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        Tables.part(s, dir)
+          .select($"p_partkey",
+            expr("try_cast(p_brand AS INT)").as("bad_int"),
+            expr("try_cast(p_size AS STRING)").as("size_str"),
+            expr("try_cast(substring(p_name, 1, 2) AS DOUBLE)").as("bad_dbl"),
+            expr("try_divide(p_retailprice, p_size - p_size)").as("div_zero"))
+          .orderBy($"p_partkey")
+      },
+      Some("""SELECT p_partkey,
+             |  try_cast(p_brand AS INT) AS bad_int,
+             |  try_cast(p_size AS VARCHAR) AS size_str,
+             |  try_cast(substring(p_name, 1, 2) AS DOUBLE) AS bad_dbl,
+             |  CASE WHEN p_size - p_size = 0 THEN NULL
+             |       ELSE p_retailprice / (p_size - p_size) END AS div_zero
+             |FROM part ORDER BY p_partkey""".stripMargin))
+  )
 }
