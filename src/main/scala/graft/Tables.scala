@@ -31,8 +31,9 @@ object Tables {
   def region(s: SparkSession, d: String): DataFrame = table(s, d, "region")
   def events(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    eventsRaw(s, d).withColumn(
-      "ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+    // `div` (integer division) — a double division here would lose
+    // precision above 2^53 ns and shift timestamps by ±1 µs.
+    eventsRaw(s, d).withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")

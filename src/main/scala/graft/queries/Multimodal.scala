@@ -1,5 +1,141 @@
 package graft.queries
-import graft.{QueryDef, QueryGroup}
+
+import graft.{QueryDef, QueryGroup, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: image/audio/video as opaque `binary`
+  * columns with typed metadata structs.
+  *
+  * No media codecs exist in this environment, so the *decode* step is a
+  * clearly-marked deterministic stub (bytes → pseudo-features derived
+  * from the payload itself); everything around it — the binary column,
+  * the metadata struct schema, partition-friendly batch shape, frame
+  * sampling, feature vectors feeding the [[Similarity]] tier — is real
+  * and oracle-checked. Swapping the stub for a real
+  * decoder (e.g. a `mapInPandas`/`mapPartitions` batch over the binary
+  * column) changes one projection, not the pipeline.
+  */
 object Multimodal extends QueryGroup {
-  override def defs: Map[String, QueryDef] = Map()
+
+  /** documents → synthetic media table: payload blob + typed metadata.
+    * Deterministic: media kind, duration, resolution all derive from
+    * doc_id arithmetic, payload is the utf-8 text bytes.
+    */
+  private def media(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir).select(
+      $"doc_id".as("media_id"),
+      $"text".cast("binary").as("payload"),
+      struct(
+        element_at(array(lit("image"), lit("audio"), lit("video")),
+          ($"doc_id" % 3 + 1).cast("int")).as("kind"),
+        (($"doc_id" % 30) + 1).cast("int").as("duration_s"),
+        ((($"doc_id" % 8) + 1) * 160).cast("int").as("width"),
+        ((($"doc_id" % 8) + 1) * 90).cast("int").as("height")).as("meta"))
+  }
+
+  private val duckMedia =
+    """SELECT doc_id AS media_id, encode(text) AS payload,
+      |  ['image', 'audio', 'video'][CAST(doc_id % 3 + 1 AS INT)] AS kind,
+      |  CAST(doc_id % 30 + 1 AS INT) AS duration_s,
+      |  CAST((doc_id % 8 + 1) * 160 AS INT) AS width,
+      |  CAST((doc_id % 8 + 1) * 90 AS INT) AS height
+      |FROM documents""".stripMargin
+
+  override def defs: Map[String, QueryDef] = Map(
+    // Binary columns + metadata: payload sizes and shape stats per kind.
+    "mm_binary_meta" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        media(s, dir)
+          .select($"media_id", $"meta.kind".as("kind"),
+            octet_length($"payload").as("n_bytes"),
+            ($"meta.width" * $"meta.height").as("pixels"),
+            $"meta.duration_s".as("duration_s"))
+          .groupBy($"kind")
+          .agg(count(lit(1)).as("n"),
+            sum($"n_bytes").as("total_bytes"),
+            max($"pixels").as("max_pixels"),
+            round(avg($"duration_s"), 4).as("avg_duration"))
+          .orderBy($"kind")
+      },
+      Some(s"""WITH m AS ($duckMedia)
+             |SELECT kind, count(*) AS n,
+             |  sum(octet_length(payload)) AS total_bytes,
+             |  max(width * height) AS max_pixels,
+             |  round(avg(duration_s), 4) AS avg_duration
+             |FROM m GROUP BY kind ORDER BY kind""".stripMargin)),
+
+    // Frame sampling: one row per sampled frame (every 5 s of the fake
+    // duration) — the batch shape a video pipeline fans out to.
+    "mm_frame_sample" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        media(s, dir)
+          .filter($"meta.kind" === "video" && $"media_id" < 300)
+          .select($"media_id", $"meta.duration_s".as("dur"),
+            explode(sequence(lit(0), $"meta.duration_s" - 1, lit(5))).as("frame_ts"))
+          .select($"media_id", $"frame_ts",
+            ($"frame_ts" * 100 / $"dur").as("progress_pct"))
+          .orderBy($"media_id", $"frame_ts")
+      },
+      Some(s"""WITH m AS ($duckMedia)
+             |SELECT media_id, unnest(generate_series(0, duration_s - 1, 5)) AS frame_ts,
+             |  unnest(generate_series(0, duration_s - 1, 5)) * 100 / duration_s AS progress_pct
+             |FROM m WHERE kind = 'video' AND media_id < 300
+             |ORDER BY media_id, frame_ts""".stripMargin)),
+
+    // DECODE STUB: payload bytes → 8-dim pseudo-feature vector (byte
+    // codepoints / 255.0). A real system decodes pixels here; the
+    // Spark-side contract (binary in, fixed-dim array<double> out,
+    // normalized via graft's codegen VecNorm) is exactly what a
+    // mapInPandas/mapPartitions decoder would produce.
+    "mm_feature_stub" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        media(s, dir)
+          .filter($"media_id" < 300)
+          .withColumn("txt", $"payload".cast("string"))
+          .withColumn("feat",
+            transform(sequence(lit(1), lit(8)),
+              i => ascii(substring($"txt", i, lit(1))).cast("double") / 255.0))
+          .select($"media_id",
+            round(expr("vec_norm(feat)"), 4).as("feat_norm"),
+            round(element_at($"feat", 1), 4).as("f1"),
+            round(element_at($"feat", 8), 4).as("f8"))
+          .orderBy($"media_id")
+      },
+      Some(s"""WITH m AS ($duckMedia),
+             |f AS (
+             |  SELECT media_id,
+             |    list_transform(generate_series(1, 8),
+             |      i -> unicode(substring(decode(payload), i, 1)) / 255.0) AS feat
+             |  FROM m WHERE media_id < 300)
+             |SELECT media_id,
+             |  round(sqrt(list_dot_product(feat, feat)), 4) AS feat_norm,
+             |  round(feat[1], 4) AS f1,
+             |  round(feat[8], 4) AS f8
+             |FROM f ORDER BY media_id""".stripMargin)),
+
+    // Resize stub: metadata-only transform (image pipelines routinely
+    // run metadata passes without touching payloads — verify Spark
+    // prunes the payload column away entirely; see MultimodalSpec).
+    "mm_resize_meta" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        media(s, dir)
+          .filter($"meta.kind" === "image")
+          .select($"media_id",
+            $"meta.width".as("w0"), $"meta.height".as("h0"),
+            (($"meta.width" + 1) / 2).cast("int").as("w1"),
+            (($"meta.height" + 1) / 2).cast("int").as("h1"))
+          .orderBy($"media_id")
+      },
+      Some(s"""WITH m AS ($duckMedia)
+             |SELECT media_id, width AS w0, height AS h0,
+             |  CAST(floor((width + 1) / 2) AS INT) AS w1,
+             |  CAST(floor((height + 1) / 2) AS INT) AS h1
+             |FROM m WHERE kind = 'image' ORDER BY media_id""".stripMargin))
+  )
 }

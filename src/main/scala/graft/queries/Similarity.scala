@@ -1,5 +1,162 @@
 package graft.queries
-import graft.{QueryDef, QueryGroup}
+
+import graft.{QueryDef, QueryGroup, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (64-dim float).
+  *
+  * - Brute-force cosine top-k: broadcast the query vectors, scan the
+  *   corpus once, score with graft's codegen'd [[graft.functions.VecDot]]
+  *   / [[graft.functions.VecNorm]] expressions, WindowGroupLimit top-k.
+  *   At 100 TB this is the "exact rescore" stage: one corpus scan per
+  *   query batch, no shuffle of the corpus itself.
+  * - IVF-style ANN: restrict search to the query's coarse cell (the
+  *   `label` column stands in for a k-means cell id — the train step
+  *   of a real IVF index), cutting scanned rows by the cell fanout.
+  * - Embedding near-dup: all-pairs cosine ≥ threshold on a bounded
+  *   prefix (the oracle pattern; the LSH/IVF variants are the scale path).
+  */
 object Similarity extends QueryGroup {
-  override def defs: Map[String, QueryDef] = Map()
+
+  /** embeddings with the float vector cast to array<double> + L2 norm. */
+  private def vecs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.embeddings(s, dir)
+      .select($"vec_id", $"label",
+        $"embedding".cast("array<double>").as("v"))
+      .withColumn("nrm", expr("vec_norm(v)"))
+  }
+
+  private val duckVecs =
+    """SELECT vec_id, label,
+      |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |FROM embeddings""".stripMargin
+
+  override def defs: Map[String, QueryDef] = Map(
+    // Brute-force cosine top-5 for 10 query vectors.
+    "sim_cosine_topk" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val corpus = vecs(s, dir)
+        val queries = corpus.filter($"vec_id" < 10)
+          .select($"vec_id".as("q_id"), $"v".as("qv"), $"nrm".as("qn"))
+        val w = Window.partitionBy($"q_id")
+          .orderBy($"cos".desc_nulls_last, $"vec_id")
+        corpus.crossJoin(broadcast(queries))
+          .filter($"vec_id" =!= $"q_id")
+          .withColumn("cos", expr("vec_dot(v, qv)") / ($"nrm" * $"qn"))
+          .withColumn("rk", row_number().over(w))
+          .filter($"rk" <= 5)
+          .select($"q_id", $"rk", $"vec_id", round($"cos", 4).as("cos"))
+          .orderBy($"q_id", $"rk")
+      },
+      Some(s"""WITH c AS ($duckVecs),
+             |q AS (SELECT vec_id AS q_id, v AS qv FROM c WHERE vec_id < 10),
+             |scored AS (
+             |  SELECT q.q_id, c.vec_id,
+             |    list_dot_product(c.v, q.qv) /
+             |      (sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(q.qv, q.qv))) AS cos
+             |  FROM c, q WHERE c.vec_id <> q.q_id),
+             |r AS (SELECT q_id, vec_id, cos,
+             |        row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rk
+             |      FROM scored)
+             |SELECT q_id, rk, vec_id, round(cos, 4) AS cos
+             |FROM r WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin)),
+
+    // IVF-cell ANN: search only the query's coarse cell.
+    "sim_ann_ivf" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val corpus = vecs(s, dir)
+        val queries = corpus.filter($"vec_id" < 10)
+          .select($"vec_id".as("q_id"), $"label".as("q_label"),
+            $"v".as("qv"), $"nrm".as("qn"))
+        val w = Window.partitionBy($"q_id")
+          .orderBy($"cos".desc_nulls_last, $"vec_id")
+        corpus.join(broadcast(queries), $"label" === $"q_label" && $"vec_id" =!= $"q_id")
+          .withColumn("cos", expr("vec_dot(v, qv)") / ($"nrm" * $"qn"))
+          .withColumn("rk", row_number().over(w))
+          .filter($"rk" <= 3)
+          .select($"q_id", $"rk", $"vec_id", round($"cos", 4).as("cos"))
+          .orderBy($"q_id", $"rk")
+      },
+      Some(s"""WITH c AS ($duckVecs),
+             |q AS (SELECT vec_id AS q_id, label AS q_label, v AS qv FROM c WHERE vec_id < 10),
+             |scored AS (
+             |  SELECT q.q_id, c.vec_id,
+             |    list_dot_product(c.v, q.qv) /
+             |      (sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(q.qv, q.qv))) AS cos
+             |  FROM c JOIN q ON c.label = q.q_label AND c.vec_id <> q.q_id),
+             |r AS (SELECT q_id, vec_id, cos,
+             |        row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rk
+             |      FROM scored)
+             |SELECT q_id, rk, vec_id, round(cos, 4) AS cos
+             |FROM r WHERE rk <= 3 ORDER BY q_id, rk""".stripMargin)),
+
+    // Embedding-cosine near-dup pairs on a bounded prefix.
+    "sim_embed_neardup" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val t = vecs(s, dir).filter($"vec_id" < 300)
+        val a = t.select($"vec_id".as("id_a"), $"v".as("va"), $"nrm".as("na"))
+        val b = t.select($"vec_id".as("id_b"), $"v".as("vb"), $"nrm".as("nb"))
+        a.crossJoin(b).filter($"id_a" < $"id_b")
+          .withColumn("cos", expr("vec_dot(va, vb)") / ($"na" * $"nb"))
+          .filter($"cos" >= 0.99)
+          .select($"id_a", $"id_b", round($"cos", 4).as("cos"))
+          .orderBy($"id_a", $"id_b")
+      },
+      Some(s"""WITH c AS ($duckVecs)
+             |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             |  round(list_dot_product(a.v, b.v) /
+             |    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) AS cos
+             |FROM c a JOIN c b ON a.vec_id < b.vec_id
+             |WHERE a.vec_id < 300 AND b.vec_id < 300
+             |  AND list_dot_product(a.v, b.v) /
+             |    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.99
+             |ORDER BY id_a, id_b""".stripMargin)),
+
+    // Centroid stats per cell — the "train" side of IVF: mean vector
+    // per label computed DISTRIBUTED (posexplode → per-dimension avg →
+    // reassemble), never collecting a cell's vectors into one buffer,
+    // then each member's squared distance to its own centroid.
+    "sim_centroids" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val t = vecs(s, dir)
+        val cent = t
+          .select($"label", $"vec_id", posexplode($"v").as(Seq("i", "x")))
+          .groupBy($"label", $"i")
+          .agg(avg($"x").as("m"), countDistinct($"vec_id").as("n"))
+          .groupBy($"label")
+          .agg(max($"n").as("n"),
+            transform(array_sort(collect_list(struct($"i", $"m"))),
+              e => e.getField("m")).as("centroid"))
+        t.join(broadcast(cent), Seq("label"))
+          .withColumn("dist2",
+            aggregate(zip_with($"v", $"centroid", (a, b) => (a - b) * (a - b)),
+              lit(0.0), (acc, x) => acc + x))
+          .groupBy($"label")
+          .agg(max($"n").as("n"), round(avg($"dist2"), 4).as("avg_dist2"))
+          .orderBy($"label")
+      },
+      Some(s"""WITH c AS ($duckVecs),
+             |byel AS (
+             |  SELECT label, u.i AS i, avg(v[u.i]) AS m, count(*) AS cnt
+             |  FROM c, LATERAL (SELECT unnest(generate_series(1, 64)) AS i) u
+             |  GROUP BY label, u.i),
+             |cent AS (
+             |  SELECT label, list(m ORDER BY i) AS centroid, max(cnt) AS n
+             |  FROM byel GROUP BY label),
+             |d AS (
+             |  SELECT c.label,
+             |    list_reduce(list_prepend(0.0, list_transform(list_zip(c.v, cent.centroid),
+             |      p -> (p[1] - p[2]) * (p[1] - p[2]))), (a, b) -> a + b) AS dist2
+             |  FROM c JOIN cent ON c.label = cent.label)
+             |SELECT d.label, max(cent.n) AS n, round(avg(d.dist2), 4) AS avg_dist2
+             |FROM d JOIN cent ON d.label = cent.label
+             |GROUP BY d.label ORDER BY d.label""".stripMargin))
+  )
 }

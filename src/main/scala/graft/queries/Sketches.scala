@@ -1,5 +1,136 @@
 package graft.queries
-import graft.{QueryDef, QueryGroup}
+
+import graft.{QueryDef, QueryGroup, Tables}
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Sketch / approximate-aggregate tier — SURVEY.md §2.4 sketch rows +
+  * §7.3 custom-Catalyst list.
+  *
+  * - approx_distinct → `approx_count_distinct` (HLL++).
+  * - approx_set / merge / cardinality (mergeable HLL round-trip) →
+  *   Spark's DataSketches-backed `hll_sketch_agg` / `hll_union_agg` /
+  *   `hll_sketch_estimate` — binary sketches, exactly Presto's
+  *   HyperLogLogType surface.
+  * - checksum → `bit_xor(xxhash64(...))`: order-independent, mergeable.
+  * - max_n / min_n → graft's BoundedTopNAgg (TypedImperativeAggregate,
+  *   O(n) state per group).
+  * - approx_percentile → `percentile_approx`.
+  * - numeric_histogram → fixed-width bucket groupBy rewrite.
+  *
+  * Estimates are engine-specific, so oracle checks assert exact
+  * *properties* (merge-consistency, error bounds, order-independence)
+  * that evaluate to literal booleans DuckDB can also produce; exact
+  * operators (max_n, histogram) get value-matched oracles.
+  */
 object Sketches extends QueryGroup {
-  override def defs: Map[String, QueryDef] = Map()
+  private def r4(c: Column): Column = round(c, 4)
+
+  override def defs: Map[String, QueryDef] = Map(
+    // approx_count_distinct error-bound property per group + globally.
+    "sketch_approx_distinct" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        Tables.lineitem(s, dir)
+          .groupBy($"l_returnflag")
+          .agg(approx_count_distinct($"l_partkey").as("approx"),
+            countDistinct($"l_partkey").as("exact"))
+          .select($"l_returnflag",
+            (abs($"approx" - $"exact") <= $"exact" * 0.05).as("within_5pct"))
+          .orderBy($"l_returnflag")
+      },
+      Some("""SELECT l_returnflag, true AS within_5pct
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // Mergeable HLL: the approx_set/merge/cardinality round-trip —
+    // per-group sketches union-merged into a global estimate. (The
+    // merged estimate need not be bit-identical to a single-pass
+    // sketch — DataSketches HLL mode transitions differ — so both
+    // paths are checked against the exact count instead.)
+    "sketch_hll_mergeable" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val li = Tables.lineitem(s, dir)
+        val perGroup = li.groupBy($"l_returnflag")
+          .agg(hll_sketch_agg($"l_partkey").as("sketch"))
+        val merged = perGroup.agg(
+          hll_sketch_estimate(hll_union_agg($"sketch")).as("est_merged"))
+        val global = li.agg(
+          hll_sketch_estimate(hll_sketch_agg($"l_partkey")).as("est_global"),
+          countDistinct($"l_partkey").as("exact"))
+        merged.crossJoin(global)
+          .select((abs($"est_merged" - $"exact") <= $"exact" * 0.05)
+            .as("merged_within_5pct"),
+            (abs($"est_global" - $"exact") <= $"exact" * 0.05)
+              .as("global_within_5pct"))
+      },
+      Some("SELECT true AS merged_within_5pct, true AS global_within_5pct")),
+
+    // checksum (ChecksumAggregationFunction): order-independent xor of
+    // row hashes; must be invariant under reordering and sensitive to
+    // content changes.
+    "sketch_checksum" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val li = Tables.lineitem(s, dir)
+        def checksumOf(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+          df.agg(bit_xor(xxhash64($"l_orderkey", $"l_linenumber", $"l_quantity"))
+            .as("cs"))
+        val a = checksumOf(li).withColumnRenamed("cs", "cs_natural")
+        val b = checksumOf(li.orderBy($"l_extendedprice".desc))
+          .withColumnRenamed("cs", "cs_reordered")
+        val c = checksumOf(li.filter($"l_linenumber" =!= 1))
+          .withColumnRenamed("cs", "cs_subset")
+        a.crossJoin(b).crossJoin(c)
+          .select(($"cs_natural" === $"cs_reordered").as("order_independent"),
+            ($"cs_natural" =!= $"cs_subset").as("content_sensitive"))
+      },
+      Some("SELECT true AS order_independent, true AS content_sensitive")),
+
+    // max_n / min_n custom TypedImperativeAggregate — exact oracle.
+    "sketch_max_n" -> QueryDef(
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        s.sql("""SELECT l_returnflag,
+                |  transform(max_n(l_extendedprice, 3), x -> round(x, 4)) AS top3,
+                |  transform(min_n(l_extendedprice, 3), x -> round(x, 4)) AS bottom3
+                |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+      },
+      Some("""SELECT l_returnflag,
+             |  list_transform((list(l_extendedprice ORDER BY l_extendedprice DESC))[1:3],
+             |    x -> round(x, 4)) AS top3,
+             |  list_transform((list(l_extendedprice ORDER BY l_extendedprice ASC))[1:3],
+             |    x -> round(x, 4)) AS bottom3
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // approx_percentile error-bound property (qdigest analog).
+    "sketch_approx_percentile" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        Tables.lineitem(s, dir)
+          .groupBy($"l_linestatus")
+          .agg(percentile_approx($"l_extendedprice", lit(0.5), lit(10000)).as("approx_med"),
+            expr("percentile(l_extendedprice, 0.5)").as("exact_med"))
+          .select($"l_linestatus",
+            (abs($"approx_med" - $"exact_med") <= $"exact_med" * 0.01 + 1.0)
+              .as("within_1pct"))
+          .orderBy($"l_linestatus")
+      },
+      Some("""SELECT l_linestatus, true AS within_1pct
+             |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin)),
+
+    // numeric_histogram (DoubleHistogramAggregation) as fixed-width
+    // buckets — fully distributed, exact oracle.
+    "sketch_numeric_histogram" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        Tables.lineitem(s, dir)
+          .select((floor($"l_quantity" / 5.0) * 5.0).as("bucket_lo"))
+          .groupBy($"bucket_lo")
+          .agg(count(lit(1)).as("freq"))
+          .orderBy($"bucket_lo")
+      },
+      Some("""SELECT floor(l_quantity / 5.0) * 5.0 AS bucket_lo, count(*) AS freq
+             |FROM lineitem GROUP BY 1 ORDER BY bucket_lo""".stripMargin))
+  )
 }

@@ -1,5 +1,297 @@
 package graft.queries
-import graft.{QueryDef, QueryGroup}
+
+import graft.{QueryDef, QueryGroup, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-data text pipeline over `documents` — deduplication
+  * (exact, MinHash+LSH, SimHash, n-gram Jaccard), language ID, quality
+  * scoring, token counting, fingerprinting.
+  *
+  * Scale notes (100 TB corpus):
+  *  - exact dedup = one hash shuffle on the normalized-text hash;
+  *  - MinHash+LSH = band signatures explode ×NBANDS then one shuffle
+  *    on (band, signature) — candidate generation never compares
+  *    cross-bucket, so cost is O(docs × bands + bucket_pairs), not
+  *    O(docs²);
+  *  - the all-pairs Jaccard queries are deliberately bounded to a
+  *    fixed doc_id prefix — they are the correctness oracle for the
+  *    LSH path, not the scale path.
+  * All hashing is xxhash64 (codegen'd, no UDF).
+  */
 object TextPipeline extends QueryGroup {
-  override def defs: Map[String, QueryDef] = Map()
+  private def r4(c: Column): Column = round(c, 4)
+
+  /** lower/trim/collapse-whitespace normalization, shared by dedup ops. */
+  private def normText(c: Column): Column =
+    regexp_replace(trim(lower(c)), "\\s+", " ")
+
+  private def wordSet(c: Column): Column =
+    array_sort(array_distinct(split(normText(c), " ")))
+
+  override def defs: Map[String, QueryDef] = Map(
+    // Quality metrics: length, token stats, stopword + distinct ratios.
+    "text_quality" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val stop = array(Seq("the", "a", "of", "and", "to").map(lit): _*)
+        Tables.documents(s, dir)
+          .withColumn("toks", split(normText($"text"), " "))
+          .select($"doc_id",
+            length($"text").as("n_chars_actual"),
+            size($"toks").as("n_tokens"),
+            size(array_distinct($"toks")).as("n_distinct"),
+            r4(size(array_distinct($"toks")).cast("double") / size($"toks"))
+              .as("distinct_ratio"),
+            r4(aggregate($"toks", lit(0L), (acc, t) => acc + length(t))
+              .cast("double") / size($"toks")).as("avg_tok_len"),
+            r4(size(filter($"toks", t => array_contains(stop, t)))
+              .cast("double") / size($"toks")).as("stopword_ratio"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id, text,
+             |    string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS toks
+             |  FROM documents)
+             |SELECT doc_id,
+             |  length(text) AS n_chars_actual,
+             |  len(toks) AS n_tokens,
+             |  len(list_distinct(toks)) AS n_distinct,
+             |  round(len(list_distinct(toks)) * 1.0 / len(toks), 4) AS distinct_ratio,
+             |  round(list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |    list_transform(toks, t -> CAST(length(t) AS BIGINT))),
+             |    (a, b) -> a + b) * 1.0 / len(toks), 4) AS avg_tok_len,
+             |  round(len(list_filter(toks,
+             |    t -> list_contains(['the','a','of','and','to'], t))) * 1.0 / len(toks), 4)
+             |    AS stopword_ratio
+             |FROM t ORDER BY doc_id""".stripMargin)),
+
+    // Token counting with a BPE-ish regex (words + punctuation marks).
+    "text_token_count" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        Tables.documents(s, dir)
+          .select($"doc_id",
+            size(split(normText($"text"), " ")).as("ws_tokens"),
+            size(expr("regexp_extract_all(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9\\\\s]', 0)"))
+              .as("bpeish_tokens"))
+          .orderBy($"doc_id")
+      },
+      Some("""SELECT doc_id,
+             |  len(string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' '))
+             |    AS ws_tokens,
+             |  len(regexp_extract_all(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9\s]')) AS bpeish_tokens
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Language ID by stopword-seed overlap (n-gram heuristic tier):
+    // deterministic argmax over per-language seed vocabularies.
+    "text_langid" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val seeds = Map(
+          "en" -> Seq("the", "and", "of", "fast", "query"),
+          "es" -> Seq("el", "la", "de", "rapido", "consulta"),
+          "fr" -> Seq("le", "la", "de", "vite", "requete"),
+          "de" -> Seq("der", "und", "von", "schnell", "abfrage"),
+          "zh" -> Seq("chaxun", "kuai", "shuju", "biao", "hang"))
+        val toks = wordSet($"text")
+        val scores = seeds.toSeq.sortBy(_._1).map { case (lang, ws) =>
+          struct(
+            size(array_intersect(toks, array(ws.map(lit): _*))).as("score"),
+            lit(lang).as("lang"))
+        }
+        Tables.documents(s, dir)
+          .select($"doc_id", $"lang".as("labeled_lang"),
+            greatest(scores: _*).getField("lang").as("predicted_lang"),
+            greatest(scores: _*).getField("score").as("score"))
+          .orderBy($"doc_id")
+      },
+      // greatest(struct(score, lang)) picks max score, ties broken by
+      // lang string desc; the oracle unnests candidates and replicates
+      // that ordering with row_number.
+      Some("""WITH t AS (
+             |  SELECT doc_id, lang AS labeled_lang,
+             |    list_distinct(string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ')) AS toks
+             |  FROM documents),
+             |sc AS (
+             |  SELECT doc_id, labeled_lang, c.lang AS cand_lang, c.score AS cand_score
+             |  FROM t, LATERAL (
+             |    SELECT unnest([
+             |      {'score': len(list_intersect(toks, ['the','and','of','fast','query'])), 'lang': 'en'},
+             |      {'score': len(list_intersect(toks, ['el','la','de','rapido','consulta'])), 'lang': 'es'},
+             |      {'score': len(list_intersect(toks, ['le','la','de','vite','requete'])), 'lang': 'fr'},
+             |      {'score': len(list_intersect(toks, ['der','und','von','schnell','abfrage'])), 'lang': 'de'},
+             |      {'score': len(list_intersect(toks, ['chaxun','kuai','shuju','biao','hang'])), 'lang': 'zh'}],
+             |      recursive := true)) c),
+             |r AS (
+             |  SELECT doc_id, labeled_lang, cand_lang, cand_score,
+             |    row_number() OVER (PARTITION BY doc_id
+             |      ORDER BY cand_score DESC, cand_lang DESC) AS rn
+             |  FROM sc)
+             |SELECT doc_id, labeled_lang, cand_lang AS predicted_lang,
+             |  cand_score AS score
+             |FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin)),
+
+    // Document fingerprinting: 64-bit content hash of normalized text.
+    // Property: fingerprints are injective on this corpus (collision
+    // count == exact-duplicate count) — engine-portable boolean check.
+    "text_fingerprint" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        Tables.documents(s, dir)
+          .select(xxhash64(normText($"text")).as("fp"), normText($"text").as("nt"))
+          .agg(countDistinct($"fp").as("n_fp"), countDistinct($"nt").as("n_text"))
+          .select(($"n_fp" === $"n_text").as("collision_free"))
+      },
+      Some("SELECT true AS collision_free")),
+
+    // Exact dedup: union a replayed prefix (simulating duplicate
+    // ingest), keep min doc_id per normalized text.
+    "dedup_exact" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val d = Tables.documents(s, dir)
+        val replayed = d.filter($"doc_id" < 50)
+          .withColumn("doc_id", $"doc_id" + 1000000)
+        d.unionAll(replayed)
+          .groupBy(normText($"text").as("nt"))
+          .agg(min($"doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+          .groupBy()
+          .agg(count(lit(1)).as("n_unique"),
+            sum(when($"n_copies" > 1, 1).otherwise(0)).as("n_dup_groups"))
+      },
+      Some("""WITH all_docs AS (
+             |  SELECT doc_id, text FROM documents
+             |  UNION ALL
+             |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 50),
+             |g AS (
+             |  SELECT regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS nt,
+             |    min(doc_id) AS keep_id, count(*) AS n_copies
+             |  FROM all_docs GROUP BY 1)
+             |SELECT count(*) AS n_unique,
+             |  sum(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END) AS n_dup_groups
+             |FROM g""".stripMargin)),
+
+    // n-gram (word-set) Jaccard near-dup on a bounded prefix — the
+    // exact all-pairs oracle for the LSH path below.
+    "dedup_ngram_jaccard" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val t = Tables.documents(s, dir).filter($"doc_id" < 500)
+          .select($"doc_id", wordSet($"text").as("w"))
+        val a = t.select($"doc_id".as("id_a"), $"w".as("wa"))
+        val b = t.select($"doc_id".as("id_b"), $"w".as("wb"))
+        a.crossJoin(b).filter($"id_a" < $"id_b")
+          .withColumn("j",
+            size(array_intersect($"wa", $"wb")).cast("double") /
+              size(array_union($"wa", $"wb")))
+          .filter($"j" >= 0.8)
+          .select($"id_a", $"id_b", r4($"j").as("jaccard"))
+          .orderBy($"id_a", $"id_b")
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id,
+             |    list_distinct(string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ')) AS w
+             |  FROM documents WHERE doc_id < 500)
+             |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             |  round(len(list_intersect(a.w, b.w)) * 1.0 /
+             |        len(list_distinct(list_concat(a.w, b.w))), 4) AS jaccard
+             |FROM t a JOIN t b ON a.doc_id < b.doc_id
+             |WHERE len(list_intersect(a.w, b.w)) * 1.0 /
+             |      len(list_distinct(list_concat(a.w, b.w))) >= 0.8
+             |ORDER BY id_a, id_b""".stripMargin)),
+
+    // MinHash + LSH near-dup: 64 minhashes (xxhash64 with seed salt),
+    // 16 bands × 4 rows, bucket-join candidates, exact-Jaccard rescore
+    // ≥ 0.9. Per-pair miss probability at j=0.9 is (1-0.9^4)^16 ≈ 4e-8,
+    // so the candidate set deterministically equals the all-pairs
+    // result on this corpus; the oracle is the bounded all-pairs query.
+    "dedup_minhash_lsh" -> QueryDef(
+      (s, dir) => minhashLsh(s, dir, Some(500)),
+      Some("""WITH t AS (
+             |  SELECT doc_id,
+             |    list_distinct(string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ')) AS w
+             |  FROM documents WHERE doc_id < 500)
+             |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             |  round(len(list_intersect(a.w, b.w)) * 1.0 /
+             |        len(list_distinct(list_concat(a.w, b.w))), 4) AS jaccard
+             |FROM t a JOIN t b ON a.doc_id < b.doc_id
+             |WHERE len(list_intersect(a.w, b.w)) * 1.0 /
+             |      len(list_distinct(list_concat(a.w, b.w))) >= 0.9
+             |ORDER BY id_a, id_b""".stripMargin)),
+
+    // Full-corpus MinHash+LSH (the scale path, no doc_id bound): output
+    // is the candidate-pair count after rescoring — rows-only check.
+    "dedup_minhash_lsh_full" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        minhashLsh(s, dir, None)
+          .agg(count(lit(1)).as("n_neardup_pairs"))
+      },
+      None),
+
+    // SimHash near-dup: 64-bit signature from token hashes; property:
+    // high-Jaccard pairs sit strictly closer in Hamming space than the
+    // average unrelated pair (deterministic given fixed hashing).
+    "dedup_simhash" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.documents(s, dir).filter($"doc_id" < 500)
+          .select($"doc_id", wordSet($"text").as("w"))
+          .withColumn("hashes", transform($"w", t => xxhash64(t)))
+          .withColumn("simhash",
+            aggregate(sequence(lit(0), lit(63)), lit(0L),
+              (acc, i) => acc.bitwiseOR(
+                when(
+                  size(filter($"hashes",
+                    h => call_function("shiftright", h, i).bitwiseAND(lit(1L)) === 1L)) * 2
+                    > size($"hashes"),
+                  call_function("shiftleft", lit(1L), i)).otherwise(0L))))
+          .select($"doc_id", $"w", $"simhash")
+        val a = docs.select($"doc_id".as("id_a"), $"w".as("wa"), $"simhash".as("sh_a"))
+        val b = docs.select($"doc_id".as("id_b"), $"w".as("wb"), $"simhash".as("sh_b"))
+        val pairs = a.crossJoin(b).filter($"id_a" < $"id_b")
+          .withColumn("j",
+            size(array_intersect($"wa", $"wb")).cast("double") /
+              size(array_union($"wa", $"wb")))
+          .withColumn("hamming", bit_count($"sh_a".bitwiseXOR($"sh_b")))
+        pairs.agg(
+          avg(when($"j" >= 0.9, $"hamming")).as("avg_ham_neardup"),
+          avg(when($"j" < 0.3, $"hamming")).as("avg_ham_far"))
+          .select(($"avg_ham_neardup" < $"avg_ham_far").as("simhash_separates"))
+      },
+      Some("SELECT true AS simhash_separates"))
+  )
+
+  /** Shared MinHash+LSH pipeline: 64 perms, 16 bands × 4 rows. */
+  private def minhashLsh(s: SparkSession, dir: String, bound: Option[Int]): DataFrame = {
+    import s.implicits._
+    val nHashes = 64
+    val rowsPerBand = 4
+    val base = Tables.documents(s, dir)
+    val docs = bound.fold(base)(b => base.filter($"doc_id" < b))
+      .select($"doc_id", wordSet($"text").as("w"))
+    // minhash_i(doc) = min over tokens of xxhash64(token, i)
+    val sigs = docs.withColumn("sig",
+      transform(sequence(lit(0), lit(nHashes - 1)),
+        i => array_min(transform($"w", t => xxhash64(t, i)))))
+    // band signature = hash of the band's slice of the signature
+    val banded = sigs.select($"doc_id", $"w",
+      posexplode(transform(sequence(lit(0), lit(nHashes / rowsPerBand - 1)),
+        b => xxhash64(concat_ws(",", call_function("slice", $"sig", b * rowsPerBand + 1, lit(rowsPerBand))), b)))
+        .as(Seq("band", "band_sig")))
+    val candidates = banded.as("x").join(banded.as("y"),
+        $"x.band" === $"y.band" && $"x.band_sig" === $"y.band_sig" &&
+          $"x.doc_id" < $"y.doc_id")
+      .select($"x.doc_id".as("id_a"), $"y.doc_id".as("id_b"),
+        $"x.w".as("wa"), $"y.w".as("wb"))
+      .distinct()
+    candidates
+      .withColumn("j",
+        size(array_intersect($"wa", $"wb")).cast("double") /
+          size(array_union($"wa", $"wb")))
+      .filter($"j" >= 0.9)
+      .select($"id_a", $"id_b", round($"j", 4).as("jaccard"))
+      .orderBy($"id_a", $"id_b")
+  }
 }
