@@ -1,0 +1,63 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** Plan-shape assertions — the 100 TB design contract (SURVEY.md §4):
+  * filters reach the parquet scan, dimension joins broadcast, top-k
+  * per group uses the bounded WindowGroupLimit, metadata passes prune
+  * unused columns, and hot paths stay inside WholeStageCodegen.
+  */
+class PlanShapeSpec extends AnyFunSuite with SparkFixture with Matchers {
+
+  private def planOf(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sfDir)
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("scan_filter_project pushes predicates into the parquet scan") {
+    val plan = planOf("scan_filter_project")
+    plan should include("PushedFilters: [")
+    plan should include("GreaterThan(l_quantity")
+  }
+
+  test("tpch_q3 broadcasts the customer dimension") {
+    planOf("tpch_q3") should include("BroadcastHashJoin")
+  }
+
+  test("tpch_q5 star join broadcasts all dimensions") {
+    val plan = planOf("tpch_q5")
+    plan should include("BroadcastHashJoin")
+    // the only shuffle join permitted is lineitem⋈orders
+    plan.sliding("SortMergeJoin".length).count(_ == "SortMergeJoin") +
+      plan.sliding("ShuffledHashJoin".length).count(_ == "ShuffledHashJoin") should be <= 1
+  }
+
+  test("window_topk_per_group uses WindowGroupLimit (bounded per-group state)") {
+    planOf("window_topk_per_group") should include("WindowGroupLimit")
+  }
+
+  test("limit_topn compiles to TakeOrderedAndProject (no full sort)") {
+    planOf("limit_topn") should include("TakeOrderedAndProject")
+  }
+
+  test("metadata-only multimodal pass prunes the payload column") {
+    val plan = planOf("mm_resize_meta")
+    // payload derives from `text`; a metadata resize must not read it
+    plan should include("ReadSchema")
+    plan should not include "text"
+  }
+
+  test("tpch_q1 uses map-side partial aggregation before the shuffle") {
+    val plan = planOf("tpch_q1")
+    plan should include("partial_sum")
+    // partial + final HashAggregate around one hash exchange
+    plan.sliding("HashAggregate".length).count(_ == "HashAggregate") should be >= 2
+  }
+
+  test("tpch_q6 projects only needed lineitem columns") {
+    val plan = planOf("tpch_q6")
+    plan should include("ReadSchema")
+    plan should not include "l_orderkey"
+  }
+}

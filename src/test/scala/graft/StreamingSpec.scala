@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** Structured Streaming surface: the events table processed as a
+  * stream (file source → watermarked tumbling window → memory sink,
+  * Trigger.AvailableNow). The reference has no streaming runtime
+  * (SURVEY.md §2.10 — Kafka is a bounded batch scan there); this is
+  * the Spark-native continuous path for the same event analytics as
+  * the batch `events_tumbling` query.
+  */
+class StreamingSpec extends AnyFunSuite with SparkFixture with Matchers {
+
+  test("streaming tumbling-window counts equal the batch result") {
+    import spark.implicits._
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+
+    // the file stream source requires a directory to monitor
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      streamDir.resolve("events.parquet"))
+
+    val stream = spark.readStream.schema(schema)
+      .parquet(streamDir.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ts", "1 hour")
+      .groupBy(window($"ts", "1 hour"), $"event_type")
+      .agg(count(lit(1)).as("n"))
+
+    val q = stream.writeStream
+      .format("memory").queryName("ev_counts")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    val streamed = spark.table("ev_counts")
+      .select($"window.start".as("hour"), $"event_type", $"n")
+      .as[(java.sql.Timestamp, String, Long)].collect().toSet
+
+    val batch = Tables.events(spark, sfDir)
+      .groupBy(date_trunc("hour", $"ts").as("hour"), $"event_type")
+      .agg(count(lit(1)).as("n"))
+      .as[(java.sql.Timestamp, String, Long)].collect().toSet
+
+    streamed shouldBe batch
+    streamed.nonEmpty shouldBe true
+  }
+}
