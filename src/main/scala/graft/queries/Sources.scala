@@ -1,0 +1,100 @@
+package graft.queries
+
+import graft.{QueryDef, QueryGroup, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Source/sink tier — SURVEY.md §2.1.
+  *
+  * The reference's Hive connector supports ORC/PARQUET/JSON/TEXT/CSV
+  * storage formats plus CTAS/INSERT DML; Spark's built-in DataSource
+  * framework covers the same surface. These queries exercise write →
+  * read round-trips and verify content equality via order-independent
+  * checksums, so the oracle reduces to deterministic literals/counts.
+  * (DWRF/RC* are obsolete and skipped per SURVEY §2.1.)
+  */
+object Sources extends QueryGroup {
+
+  private def ioDir = "/tmp/graft_io"
+
+  /** Deterministic sample slice used for round-trips. */
+  private def sample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .filter($"l_orderkey" <= 2000)
+      .select($"l_orderkey", $"l_linenumber", $"l_quantity",
+        $"l_extendedprice", $"l_returnflag", $"l_shipdate")
+  }
+
+  private def checksum(df: DataFrame): DataFrame = {
+    import df.sparkSession.implicits._
+    df.agg(
+      count(lit(1)).as("n"),
+      bit_xor(xxhash64($"l_orderkey", $"l_linenumber", $"l_quantity",
+        $"l_extendedprice", $"l_returnflag",
+        date_format($"l_shipdate", "yyyy-MM-dd HH:mm:ss"))).as("cs"))
+  }
+
+  override def defs: Map[String, QueryDef] = Map(
+    // Write the same slice as parquet/orc/json/csv, read each back, and
+    // require identical order-independent checksums across all formats.
+    "source_format_roundtrip" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val src = sample(s, dir)
+        val base = checksum(src)
+          .select($"n".as("n0"), $"cs".as("cs0"))
+        val results = Seq("parquet", "orc", "json", "csv").map { fmt =>
+          val path = s"$ioDir/roundtrip_$fmt"
+          val w = src.write.mode("overwrite").format(fmt)
+          (if (fmt == "csv") w.option("header", "true") else w).save(path)
+          val r = s.read.format(fmt)
+          val back = (if (fmt == "csv")
+            r.option("header", "true").schema(src.schema)
+          else if (fmt == "json") r.schema(src.schema)
+          else r).load(path)
+          checksum(back).select(lit(fmt).as("fmt"), $"n", $"cs")
+        }.reduce(_ unionAll _)
+        results.crossJoin(base)
+          .select($"fmt", ($"n" === $"n0" && $"cs" === $"cs0").as("roundtrip_ok"))
+          .orderBy($"fmt")
+      },
+      Some("""SELECT fmt, true AS roundtrip_ok FROM (VALUES ('csv'), ('json'),
+             |  ('orc'), ('parquet')) t(fmt) ORDER BY fmt""".stripMargin)),
+
+    // CTAS + INSERT INTO over an external parquet table (the DML tier:
+    // SqlBase.g4 CTAS :41-44, INSERT :50 → TableWriterOperator).
+    "ddl_ctas_insert" -> QueryDef(
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        s.sql("DROP TABLE IF EXISTS graft_ctas")
+        s.sql(s"""CREATE TABLE graft_ctas USING parquet
+                 |LOCATION '$ioDir/ctas_tbl'
+                 |AS SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+                 |   WHERE o_orderstatus = 'F'""".stripMargin)
+        s.sql("""INSERT INTO graft_ctas
+                |SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+                |WHERE o_orderstatus = 'O'""".stripMargin)
+        s.sql("""SELECT count(*) AS n, count(DISTINCT o_orderkey) AS n_keys
+                |FROM graft_ctas""".stripMargin)
+      },
+      // INSERT INTO an overwritten CTAS table → F + O orders exactly once.
+      Some("""SELECT count(*) AS n, count(DISTINCT o_orderkey) AS n_keys
+             |FROM orders WHERE o_orderstatus IN ('F', 'O')""".stripMargin)),
+
+    // Views + cached in-memory relation (the `memory` connector analog).
+    "ddl_view_cache" -> QueryDef(
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        s.sql("""CREATE OR REPLACE TEMP VIEW big_orders AS
+                |SELECT o_custkey, sum(o_totalprice) AS total
+                |FROM orders WHERE o_totalprice > 50000.0 GROUP BY o_custkey""".stripMargin)
+        s.sql("CACHE TABLE big_orders")
+        s.sql("""SELECT count(*) AS n_cust, round(sum(total), 4) AS grand_total
+                |FROM big_orders""".stripMargin)
+      },
+      Some("""SELECT count(*) AS n_cust, round(sum(total), 4) AS grand_total
+             |FROM (SELECT o_custkey, sum(o_totalprice) AS total
+             |      FROM orders WHERE o_totalprice > 50000.0 GROUP BY o_custkey) t""".stripMargin))
+  )
+}
