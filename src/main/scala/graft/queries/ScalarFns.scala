@@ -330,6 +330,52 @@ object ScalarFns extends QueryGroup {
              |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_typed
              |FROM events WHERE event_id <= 200 ORDER BY event_id""".stripMargin)),
 
+    // Interval types & arithmetic (SURVEY §1.2 INTERVAL rows):
+    // month arithmetic clamps end-of-month identically in both engines.
+    "fn_interval" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        Tables.orders(s, dir)
+          .filter($"o_orderkey" <= 200)
+          .select($"o_orderkey",
+            add_months($"o_orderdate".cast("date"), 3).as("plus_3mo"),
+            ($"o_orderdate".cast("date") - expr("INTERVAL 45 DAYS"))
+              .cast("date").as("minus_45d"),
+            (months_between($"o_orderdate".cast("date"), lit("1995-01-01").cast("date"))
+              / 12.0).cast("int").as("years_since_95"),
+            last_day($"o_orderdate".cast("date")).as("eom"))
+          .orderBy($"o_orderkey")
+      },
+      Some("""SELECT o_orderkey,
+             |  CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS plus_3mo,
+             |  CAST(CAST(o_orderdate AS DATE) - INTERVAL 45 DAY AS DATE) AS minus_45d,
+             |  CAST(floor(date_diff('month', DATE '1995-01-01',
+             |    CAST(o_orderdate AS DATE)) / 12.0) AS INT) AS years_since_95,
+             |  last_day(CAST(o_orderdate AS DATE)) AS eom
+             |FROM orders WHERE o_orderkey <= 200 ORDER BY o_orderkey""".stripMargin)),
+
+    // hamming_distance / normalize / to_base (Presto StringFunctions /
+    // MathFunctions rows without direct Spark builtins) — composed from
+    // codegen'd primitives: zip_with char arrays, conv() for bases.
+    "fn_string_extra" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        Tables.nation(s, dir)
+          .select($"n_nationkey", $"n_name",
+            size(filter(
+              zip_with(split($"n_name", ""), split(reverse($"n_name"), ""),
+                (x, y) => x =!= y),
+              b => b)).as("hamming_to_reverse"),
+            lower(conv($"n_nationkey".cast("string"), 10, 16)).as("hex_key"),
+            conv($"n_nationkey".cast("string"), 10, 2).as("bin_key"))
+          .orderBy($"n_nationkey")
+      },
+      Some("""SELECT n_nationkey, n_name,
+             |  hamming(n_name, reverse(n_name)) AS hamming_to_reverse,
+             |  lower(to_base(n_nationkey, 16)) AS hex_key,
+             |  to_base(n_nationkey, 2) AS bin_key
+             |FROM nation ORDER BY n_nationkey""".stripMargin)),
+
     // TRY semantics (TryFunction.java / TryCastFunction.java): NULL on
     // malformed input instead of failure.
     "fn_try_cast" -> QueryDef(

@@ -68,6 +68,11 @@ object Sources extends QueryGroup {
       (s, dir) => {
         Tables.registerAll(s, dir)
         s.sql("DROP TABLE IF EXISTS graft_ctas")
+        // CTAS refuses a non-empty location; make the query re-runnable
+        val loc = new java.io.File(s"$ioDir/ctas_tbl")
+        if (loc.exists()) {
+          loc.listFiles().foreach(_.delete()); loc.delete()
+        }
         s.sql(s"""CREATE TABLE graft_ctas USING parquet
                  |LOCATION '$ioDir/ctas_tbl'
                  |AS SELECT o_orderkey, o_custkey, o_totalprice FROM orders

