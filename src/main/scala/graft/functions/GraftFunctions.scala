@@ -3,7 +3,8 @@ package graft.functions
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo}
+import org.apache.spark.sql.types.DoubleType
 
 /** Registration of graft's custom Catalyst expressions, mirroring the
   * reference's plugin function SPI (presto-spi Plugin.getFunctions →
@@ -30,7 +31,25 @@ object GraftFunctions {
       (args: Seq[Expression]) => VecDot(args(0), args(1))),
     ("vec_norm",
       new ExpressionInfo(classOf[VecNorm].getName, "vec_norm"),
-      (args: Seq[Expression]) => VecNorm(args(0)))
+      (args: Seq[Expression]) => VecNorm(args(0))),
+    ("erf",
+      new ExpressionInfo(classOf[Erf].getName, "erf"),
+      (args: Seq[Expression]) => Erf(Cast(args(0), DoubleType))),
+    ("probit",
+      new ExpressionInfo(classOf[Probit].getName, "probit"),
+      (args: Seq[Expression]) => Probit(Cast(args(0), DoubleType))),
+    ("hmac_md5",
+      new ExpressionInfo(classOf[Hmac].getName, "hmac_md5"),
+      (args: Seq[Expression]) => Hmac(args(0), args(1), "HmacMD5")),
+    ("hmac_sha1",
+      new ExpressionInfo(classOf[Hmac].getName, "hmac_sha1"),
+      (args: Seq[Expression]) => Hmac(args(0), args(1), "HmacSHA1")),
+    ("hmac_sha256",
+      new ExpressionInfo(classOf[Hmac].getName, "hmac_sha256"),
+      (args: Seq[Expression]) => Hmac(args(0), args(1), "HmacSHA256")),
+    ("hmac_sha512",
+      new ExpressionInfo(classOf[Hmac].getName, "hmac_sha512"),
+      (args: Seq[Expression]) => Hmac(args(0), args(1), "HmacSHA512"))
   )
 
   def register(spark: SparkSession): Unit = {

@@ -1,0 +1,82 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types._
+
+/** Gauss error function — the scalar core of Presto's `normal_cdf` /
+  * `inverse_normal_cdf` (reference: presto-main MathFunctions.java,
+  * which delegates to Apache commons-math Erf). Spark has no erf
+  * builtin, so this is a codegen'd expression using the
+  * Abramowitz–Stegun 7.1.26 rational approximation (|ε| ≤ 1.5e-7 —
+  * well inside the 4-decimal oracle tolerance).
+  *
+  * normal_cdf(mean, sd, v) ≡ 0.5 * (1 + erf((v - mean) / (sd * √2)))
+  * composes from this plus built-in arithmetic (see fn_normal_cdf).
+  */
+case class Erf(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "erf"
+
+  override def nullSafeEval(a: Any): Any = Erf.compute(a.asInstanceOf[Double])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, x => s"graft.functions.Erf.compute($x)")
+
+  override protected def withNewChildInternal(c: Expression): Erf = copy(child = c)
+}
+
+object Erf {
+  /** Abramowitz–Stegun 7.1.26. */
+  def compute(x: Double): Double = {
+    val sign = if (x < 0) -1.0 else 1.0
+    val ax = math.abs(x)
+    val t = 1.0 / (1.0 + 0.3275911 * ax)
+    val y = 1.0 - (((((1.061405429 * t - 1.453152027) * t) + 1.421413741) * t
+      - 0.284496736) * t + 0.254829592) * t * math.exp(-ax * ax)
+    sign * y
+  }
+
+  /** Rational approximation of the probit (inverse normal CDF),
+    * Acklam's algorithm (|ε| < 1.15e-9) — powers inverse_normal_cdf.
+    */
+  def probit(p: Double): Double = {
+    if (p <= 0.0 || p >= 1.0) return Double.NaN
+    val a = Array(-3.969683028665376e+01, 2.209460984245205e+02,
+      -2.759285104469687e+02, 1.383577518672690e+02,
+      -3.066479806614716e+01, 2.506628277459239e+00)
+    val b = Array(-5.447609879822406e+01, 1.615858368580409e+02,
+      -1.556989798598866e+02, 6.680131188771972e+01, -1.328068155288572e+01)
+    val c = Array(-7.784894002430293e-03, -3.223964580411365e-01,
+      -2.400758277161838e+00, -2.549732539343734e+00,
+      4.374664141464968e+00, 2.938163982698783e+00)
+    val d = Array(7.784695709041462e-03, 3.224671290700398e-01,
+      2.445134137142996e+00, 3.754408661907416e+00)
+    val pLow = 0.02425
+    if (p < pLow) {
+      val q = math.sqrt(-2 * math.log(p))
+      (((((c(0) * q + c(1)) * q + c(2)) * q + c(3)) * q + c(4)) * q + c(5)) /
+        ((((d(0) * q + d(1)) * q + d(2)) * q + d(3)) * q + 1)
+    } else if (p <= 1 - pLow) {
+      val q = p - 0.5
+      val r = q * q
+      (((((a(0) * r + a(1)) * r + a(2)) * r + a(3)) * r + a(4)) * r + a(5)) * q /
+        (((((b(0) * r + b(1)) * r + b(2)) * r + b(3)) * r + b(4)) * r + 1)
+    } else {
+      val q = math.sqrt(-2 * math.log(1 - p))
+      -(((((c(0) * q + c(1)) * q + c(2)) * q + c(3)) * q + c(4)) * q + c(5)) /
+        ((((d(0) * q + d(1)) * q + d(2)) * q + d(3)) * q + 1)
+    }
+  }
+}
+
+/** Probit as an expression (inverse_normal_cdf composes from it). */
+case class Probit(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "probit"
+  override def nullSafeEval(a: Any): Any = Erf.probit(a.asInstanceOf[Double])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, x => s"graft.functions.Erf.probit($x)")
+  override protected def withNewChildInternal(c: Expression): Probit = copy(child = c)
+}

@@ -146,6 +146,67 @@ object Collections extends QueryGroup {
              |  max(CASE WHEN l_linestatus = 'O' THEN n END) AS n_open
              |FROM c GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
+    // multimap_agg (Presto MultimapAggregationFunction): key → all
+    // values; built as map_from_entries over grouped collect_list,
+    // then exploded back to verifiable rows.
+    "coll_multimap" -> QueryDef(
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        s.sql("""SELECT o_custkey, e.key AS status, e.value AS orderkeys
+                |FROM (
+                |  SELECT o_custkey,
+                |    explode(map_entries(map_from_entries(
+                |      collect_list(struct(o_orderstatus, keys))))) AS e
+                |  FROM (
+                |    SELECT o_custkey, o_orderstatus,
+                |      sort_array(collect_list(o_orderkey)) AS keys
+                |    FROM orders WHERE o_custkey <= 50 GROUP BY 1, 2)
+                |  GROUP BY o_custkey)
+                |ORDER BY o_custkey, status""".stripMargin)
+      },
+      Some("""SELECT o_custkey, o_orderstatus AS status,
+             |  list_sort(list(o_orderkey)) AS orderkeys
+             |FROM orders WHERE o_custkey <= 50
+             |GROUP BY 1, 2 ORDER BY o_custkey, status""".stripMargin)),
+
+    // cosine_similarity on sparse map vectors (Presto MathFunctions
+    // cosine_similarity(map<varchar,double>, map<varchar,double>)):
+    // term-frequency maps of p_name vs p_type, dot product via
+    // map_zip_with + aggregate over entries.
+    "coll_map_cosine" -> QueryDef(
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        s.sql("""WITH tf AS (
+                |  SELECT p_partkey,
+                |    map_from_entries(collect_list(struct(w, cast(c AS double)))) AS m1,
+                |    first(m2) AS m2
+                |  FROM (
+                |    SELECT p_partkey, w, count(*) AS c,
+                |      map_from_entries(array(struct('type_' || lower(p_type), 1.0d))) AS m2
+                |    FROM (SELECT p_partkey, p_type,
+                |            explode(split(lower(p_name), ' ')) AS w FROM part)
+                |    GROUP BY p_partkey, w, p_type)
+                |  GROUP BY p_partkey)
+                |SELECT p_partkey,
+                |  round(aggregate(map_values(map_zip_with(m1, m1, (k, a, b) -> a * b)),
+                |          0.0d, (acc, x) -> acc + x), 4) AS self_dot,
+                |  round(sqrt(aggregate(map_values(m1), 0.0d, (acc, x) -> acc + x * x)), 4)
+                |    AS norm1,
+                |  cardinality(map_zip_with(m1, m2, (k, a, b) -> coalesce(a, 0.0d)))
+                |    AS merged_keys
+                |FROM tf ORDER BY p_partkey""".stripMargin)
+      },
+      Some("""WITH w AS (
+             |  SELECT p_partkey, wd, count(*) AS c
+             |  FROM (SELECT p_partkey, unnest(string_split(lower(p_name), ' ')) AS wd,
+             |        FROM part)
+             |  GROUP BY 1, 2)
+             |SELECT w.p_partkey,
+             |  round(sum(c * c * 1.0), 4) AS self_dot,
+             |  round(sqrt(sum(c * c * 1.0)), 4) AS norm1,
+             |  count(*) + 1 AS merged_keys
+             |FROM w GROUP BY 1 ORDER BY p_partkey""".stripMargin)),
+
     // map_zip_with + transform_values + explode back to rows — the
     // Presto map-lambda surface, flattened so the oracle is plain SQL.
     "coll_map_zip" -> QueryDef(

@@ -117,6 +117,40 @@ object Events extends QueryGroup {
              |FROM e JOIN f ON e.user_id = f.user_id
              |GROUP BY 1, 2 ORDER BY cohort_day, day_offset""".stripMargin)),
 
+    // As-of join: each purchase joined to the user's most recent
+    // signup at-or-before it. Spark has no ASOF JOIN operator; the
+    // scalable pattern is union the two streams, sort within user, and
+    // carry the last signup ts forward with last_value(ignoreNulls) —
+    // one shuffle + per-partition sort, no join explosion, no range
+    // predicate fallback to broadcast-nested-loop. (DuckDB's native
+    // ASOF LEFT JOIN is the oracle.)
+    "events_asof_join" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val e = Tables.events(s, dir)
+        val signups = e.filter($"event_type" === "signup")
+          .select($"user_id", $"ts", lit(0).as("kind"), lit(null).cast("long").as("event_id"))
+        val purchases = e.filter($"event_type" === "purchase")
+          .select($"user_id", $"ts", lit(1).as("kind"), $"event_id")
+        val w = Window.partitionBy($"user_id")
+          .orderBy($"ts", $"kind")
+          .rowsBetween(Window.unboundedPreceding, 0)
+        signups.unionAll(purchases)
+          .withColumn("last_signup_ts",
+            last(when($"kind" === 0, $"ts"), ignoreNulls = true).over(w))
+          .filter($"kind" === 1)
+          .select($"event_id", $"user_id",
+            unix_millis($"ts").as("purchase_ms"),
+            unix_millis($"last_signup_ts").as("signup_ms"))
+          .orderBy($"event_id")
+      },
+      Some("""SELECT p.event_id, p.user_id,
+             |  epoch_ms(p.ts) AS purchase_ms, epoch_ms(s.ts) AS signup_ms
+             |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+             |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+             |  ON p.user_id = s.user_id AND p.ts >= s.ts
+             |ORDER BY p.event_id""".stripMargin)),
+
     // Top event values per type via window + JSON prop extraction.
     "events_top_per_type" -> QueryDef(
       (s, dir) => {

@@ -376,6 +376,42 @@ object ScalarFns extends QueryGroup {
              |  to_base(n_nationkey, 2) AS bin_key
              |FROM nation ORDER BY n_nationkey""".stripMargin)),
 
+    // normal_cdf / inverse_normal_cdf via graft's codegen'd erf/probit
+    // expressions. Pinned literals check absolute values; the
+    // roundtrip property probit(cdf(x)) ≈ x checks the whole column.
+    "fn_normal_cdf" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        Tables.orders(s, dir)
+          .select($"o_totalprice",
+            (lit(0.5) * (lit(1.0) +
+              expr("erf(((o_totalprice - 100000.0) / 150000.0) / sqrt(2.0))")))
+              .as("cdf"))
+          .withColumn("x_back", expr("probit(cdf)") * 150000.0 + 100000.0)
+          .agg(bool_and(abs($"x_back" - $"o_totalprice") < 200.0).as("roundtrip_ok"))
+          .select($"roundtrip_ok",
+            round(lit(0.5) * (lit(1.0) + expr("erf(0.0)")), 4).as("cdf_at_mean"),
+            round(lit(0.5) * (lit(1.0) + expr("erf(1.96 / sqrt(2.0))")), 4).as("cdf_at_196"),
+            round(expr("probit(0.975)"), 2).as("probit_975"))
+      },
+      Some("""SELECT true AS roundtrip_ok, 0.5 AS cdf_at_mean,
+             |  0.975 AS cdf_at_196, 1.96 AS probit_975""".stripMargin)),
+
+    // HMAC family against RFC 2202 / RFC 4231 test-case-2 vectors
+    // (key='Jefe', msg='what do ya want for nothing?').
+    "fn_hmac" -> QueryDef(
+      (s, _) => {
+        import s.implicits._
+        Seq(("what do ya want for nothing?", "Jefe")).toDF("msg", "key")
+          .select(
+            expr("hmac_md5(msg, key)").as("h_md5"),
+            expr("hmac_sha1(msg, key)").as("h_sha1"),
+            expr("hmac_sha256(msg, key)").as("h_sha256"))
+      },
+      Some("""SELECT '750c783e6ab0b503eaa86e310a5db738' AS h_md5,
+             |  'effcdf6ae5eb2fa2d27416d5f184df9c259a7c79' AS h_sha1,
+             |  '5bdcc146bf60754e6a042426089575c75a003f089d2739839dec58b964ec3843' AS h_sha256""".stripMargin)),
+
     // TRY semantics (TryFunction.java / TryCastFunction.java): NULL on
     // malformed input instead of failure.
     "fn_try_cast" -> QueryDef(
