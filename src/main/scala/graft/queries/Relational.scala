@@ -305,6 +305,151 @@ object Relational extends QueryGroup {
              |  AND l_shipdate < TIMESTAMP '1995-01-01 00:00:00'
              |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24.0""".stripMargin)),
 
+    // TPC-H Q10 shape: revenue per customer, top 20 (agg + topN).
+    "tpch_q10" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val o = Tables.orders(s, dir)
+          .filter($"o_orderdate" >= to_timestamp(lit("1994-01-01")) &&
+            $"o_orderdate" < to_timestamp(lit("1995-01-01")))
+        Tables.lineitem(s, dir).filter($"l_returnflag" === "R")
+          .join(o, $"l_orderkey" === $"o_orderkey")
+          .join(broadcast(Tables.customer(s, dir)), $"o_custkey" === $"c_custkey")
+          .join(broadcast(Tables.nation(s, dir)), $"c_nationkey" === $"n_nationkey")
+          .groupBy($"c_custkey", $"c_name", $"n_name")
+          .agg(r4(sum($"l_extendedprice" * (lit(1.0) - $"l_discount"))).as("revenue"))
+          .orderBy($"revenue".desc_nulls_last, $"c_custkey")
+          .limit(20)
+      },
+      Some("""SELECT c_custkey, c_name, n_name,
+             |  round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue
+             |FROM lineitem
+             |JOIN orders ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |JOIN nation ON c_nationkey = n_nationkey
+             |WHERE l_returnflag = 'R'
+             |  AND o_orderdate >= TIMESTAMP '1994-01-01 00:00:00'
+             |  AND o_orderdate < TIMESTAMP '1995-01-01 00:00:00'
+             |GROUP BY 1, 2, 3 ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin)),
+
+    // TPC-H Q14 shape: conditional-sum ratio (promo revenue share).
+    "tpch_q14" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        Tables.lineitem(s, dir)
+          .filter($"l_shipdate" >= to_timestamp(lit("1995-09-01")) &&
+            $"l_shipdate" < to_timestamp(lit("1995-10-01")))
+          .join(broadcast(Tables.part(s, dir)), $"l_partkey" === $"p_partkey")
+          .agg(r4(
+            sum(when($"p_type".startsWith("PROMO"),
+              $"l_extendedprice" * (lit(1.0) - $"l_discount")).otherwise(0.0)) * 100.0 /
+              sum($"l_extendedprice" * (lit(1.0) - $"l_discount")))
+            .as("promo_revenue_pct"))
+      },
+      Some("""SELECT round(100.0 * sum(CASE WHEN p_type LIKE 'PROMO%'
+             |    THEN l_extendedprice * (1.0 - l_discount) ELSE 0 END) /
+             |  sum(l_extendedprice * (1.0 - l_discount)), 4) AS promo_revenue_pct
+             |FROM lineitem JOIN part ON l_partkey = p_partkey
+             |WHERE l_shipdate >= TIMESTAMP '1995-09-01 00:00:00'
+             |  AND l_shipdate < TIMESTAMP '1995-10-01 00:00:00'""".stripMargin)),
+
+    // TPC-H Q18 shape: HAVING over a fact aggregate, semi-joined back.
+    "tpch_q18" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val big = Tables.lineitem(s, dir)
+          .groupBy($"l_orderkey")
+          .agg(sum($"l_quantity").as("total_qty"))
+          .filter($"total_qty" > 150.0)
+        Tables.orders(s, dir)
+          .join(big, $"o_orderkey" === big("l_orderkey"))
+          .join(broadcast(Tables.customer(s, dir)), $"o_custkey" === $"c_custkey")
+          .select($"c_custkey", $"o_orderkey", r4($"o_totalprice").as("price"),
+            r4($"total_qty").as("total_qty"))
+          .orderBy($"total_qty".desc_nulls_last, $"o_orderkey")
+          .limit(100)
+      },
+      Some("""SELECT c_custkey, o_orderkey, round(o_totalprice, 4) AS price,
+             |  round(total_qty, 4) AS total_qty
+             |FROM orders
+             |JOIN (SELECT l_orderkey, sum(l_quantity) AS total_qty
+             |      FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 150.0) t
+             |  ON o_orderkey = t.l_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |ORDER BY total_qty DESC, o_orderkey LIMIT 100""".stripMargin)),
+
+    // TPC-H Q19 shape: OR-of-ANDs predicate — Catalyst pushes the
+    // common l_partkey=p_partkey up and evaluates the disjunction
+    // inside the broadcast join.
+    "tpch_q19" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        Tables.lineitem(s, dir)
+          .join(broadcast(Tables.part(s, dir)), $"l_partkey" === $"p_partkey" &&
+            (($"p_brand" === "Brand#1" && $"p_size".between(1, 15) && $"l_quantity".between(1, 21)) ||
+             ($"p_brand" === "Brand#2" && $"p_size".between(1, 30) && $"l_quantity".between(10, 30)) ||
+             ($"p_brand" === "Brand#3" && $"p_size".between(1, 45) && $"l_quantity".between(20, 40))))
+          .agg(r4(sum($"l_extendedprice" * (lit(1.0) - $"l_discount"))).as("revenue"))
+      },
+      Some("""SELECT round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue
+             |FROM lineitem JOIN part ON l_partkey = p_partkey
+             |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 21)
+             |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 30 AND l_quantity BETWEEN 10 AND 30)
+             |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 45 AND l_quantity BETWEEN 20 AND 40)""".stripMargin)),
+
+    // TPC-H Q22 shape: scalar avg subquery + NOT EXISTS anti join.
+    "tpch_q22" -> QueryDef(
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        s.sql("""SELECT substring(c_name, 1, 10) AS cntrycode_proxy,
+                |  count(*) AS numcust, round(sum(c_acctbal), 4) AS totacctbal
+                |FROM customer c
+                |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
+                |  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+                |GROUP BY 1 ORDER BY cntrycode_proxy""".stripMargin)
+      },
+      Some("""SELECT substring(c_name, 1, 10) AS cntrycode_proxy,
+             |  count(*) AS numcust, round(sum(c_acctbal), 4) AS totacctbal
+             |FROM customer c
+             |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
+             |  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+             |GROUP BY 1 ORDER BY cntrycode_proxy""".stripMargin)),
+
+    // Exact DECIMAL(12,2) aggregation (SURVEY §1.2 decimal row): sums
+    // must match the oracle bit-exactly, no float rounding involved.
+    "agg_decimal_exact" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        Tables.lineitem(s, dir)
+          .select($"l_returnflag",
+            $"l_extendedprice".cast("decimal(12,2)").as("price_dec"))
+          .groupBy($"l_returnflag")
+          .agg(sum($"price_dec").cast("decimal(38,2)").as("sum_exact"),
+            count(lit(1)).as("n"))
+          .orderBy($"l_returnflag")
+      },
+      Some("""SELECT l_returnflag,
+             |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_exact,
+             |  count(*) AS n
+             |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin)),
+
+    // §2.9 inline (array-of-structs UNNEST → ArrayOfRowsUnnester).
+    "unnest_inline" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        Tables.nation(s, dir)
+          .select($"n_nationkey",
+            inline(array(
+              struct(lit("first").as("tag"), $"n_nationkey".as("v")),
+              struct(lit("double").as("tag"), ($"n_nationkey" * 2).as("v")))))
+          .orderBy($"n_nationkey", $"tag")
+      },
+      Some("""SELECT n_nationkey, u.tag AS tag, u.v AS v
+             |FROM nation, LATERAL (SELECT unnest([
+             |  {'tag': 'first', 'v': n_nationkey},
+             |  {'tag': 'double', 'v': n_nationkey * 2}], recursive := true) ) u(tag, v)
+             |ORDER BY n_nationkey, tag""".stripMargin)),
+
     // §2.6 multi-key sort with Presto null ordering (ASC → NULLS LAST).
     "sort_multi" -> QueryDef(
       (s, dir) => {
