@@ -120,6 +120,69 @@ object Collections extends QueryGroup {
       Some("""SELECT n_nationkey, unnest(generate_series(1, (n_nationkey % 4) + 1)) AS i
              |FROM nation ORDER BY n_nationkey, i""".stripMargin)),
 
+    // JSON ↔ structural casts (Presto JsonToArrayCast / JsonToMapCast /
+    // JsonToRowCast): from_json into array/map/row, to_json back.
+    "coll_json_cast" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        Tables.nation(s, dir)
+          .withColumn("j_arr", concat(lit("[1, 2, "), $"n_nationkey", lit("]")))
+          .withColumn("j_obj", concat(lit("{\"key\": "), $"n_nationkey",
+            lit(", \"name\": \""), $"n_name", lit("\"}")))
+          .select($"n_nationkey",
+            from_json($"j_arr", lit("array<bigint>")).as("arr"),
+            from_json($"j_obj", lit("map<string,string>")).as("m"),
+            from_json($"j_obj", lit("struct<key:bigint,name:string>"))
+              .getField("name").as("row_name"),
+            to_json(array($"n_nationkey", $"n_nationkey" * 2)).as("back_to_json"))
+          .select($"n_nationkey", $"arr",
+            element_at($"m", "name").as("m_name"), $"row_name", $"back_to_json")
+          .orderBy($"n_nationkey")
+      },
+      Some("""SELECT n_nationkey,
+             |  [1, 2, n_nationkey] AS arr,
+             |  n_name AS m_name,
+             |  n_name AS row_name,
+             |  '[' || n_nationkey || ',' || (n_nationkey * 2) || ']' AS back_to_json
+             |FROM nation ORDER BY n_nationkey""".stripMargin)),
+
+    // Date-stepped sequence (Presto SequenceFunction with INTERVAL step).
+    "coll_sequence_dates" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        Tables.orders(s, dir)
+          .filter($"o_orderkey" <= 30)
+          .select($"o_orderkey",
+            explode(sequence(
+              $"o_orderdate".cast("date"),
+              add_months($"o_orderdate".cast("date"), 3),
+              expr("INTERVAL 1 MONTH"))).as("month_d"))
+          .orderBy($"o_orderkey", $"month_d")
+      },
+      Some("""SELECT o_orderkey,
+             |  CAST(unnest(generate_series(CAST(o_orderdate AS DATE),
+             |    CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH,
+             |    INTERVAL 1 MONTH)) AS DATE) AS month_d
+             |FROM orders WHERE o_orderkey <= 30
+             |ORDER BY o_orderkey, month_d""".stripMargin)),
+
+    // Comparator-lambda array_sort (Presto "array_sort(a, (l, r) -> …)"):
+    // sort words by length desc, then lexicographic desc.
+    "coll_array_sort_lambda" -> QueryDef(
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        s.sql("""SELECT p_partkey,
+                |  array_sort(split(p_name, ' '),
+                |    (l, r) -> CASE WHEN length(l) > length(r) THEN -1
+                |                   WHEN length(l) < length(r) THEN 1
+                |                   WHEN l > r THEN -1 WHEN l < r THEN 1
+                |                   ELSE 0 END) AS by_len_desc
+                |FROM part ORDER BY p_partkey""".stripMargin)
+      },
+      Some("""SELECT p_partkey, list(w ORDER BY length(w) DESC, w DESC) AS by_len_desc
+             |FROM (SELECT p_partkey, unnest(string_split(p_name, ' ')) AS w FROM part)
+             |GROUP BY p_partkey ORDER BY p_partkey""".stripMargin)),
+
     // Maps: construction from entries, keys/values, element_at,
     // map_concat, transform_values, map_filter.
     "coll_map" -> QueryDef(

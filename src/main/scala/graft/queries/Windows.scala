@@ -73,6 +73,37 @@ object Windows extends QueryGroup {
              |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
              |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
 
+    // IGNORE NULLS value functions (Presto FirstValueFunction etc.
+    // all accept IGNORE NULLS; Spark exposes the same modifier).
+    "window_ignore_nulls" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"o_custkey").orderBy($"o_orderkey")
+        val wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        Tables.orders(s, dir)
+          .filter($"o_custkey" <= 30)
+          .withColumn("sparse",
+            when($"o_orderstatus" === "O", $"o_totalprice"))
+          .select($"o_custkey", $"o_orderkey",
+            round(lag($"sparse", 1, null, ignoreNulls = true).over(w), 4)
+              .as("prev_open_price"),
+            round(first($"sparse", ignoreNulls = true).over(wf), 4)
+              .as("first_open_price"),
+            round(last($"sparse", ignoreNulls = true).over(wf), 4)
+              .as("last_open_price"))
+          .orderBy($"o_custkey", $"o_orderkey")
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+             |  round(lag(sparse, 1 IGNORE NULLS) OVER w, 4) AS prev_open_price,
+             |  round(first_value(sparse IGNORE NULLS) OVER wf, 4) AS first_open_price,
+             |  round(last_value(sparse IGNORE NULLS) OVER wf, 4) AS last_open_price
+             |FROM (SELECT *, CASE WHEN o_orderstatus = 'O' THEN o_totalprice END AS sparse
+             |      FROM orders WHERE o_custkey <= 30)
+             |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey),
+             |  wf AS (PARTITION BY o_custkey ORDER BY o_orderkey
+             |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             |ORDER BY o_custkey, o_orderkey""".stripMargin)),
+
     // Aggregates over ROWS frames (running sum, sliding avg).
     "window_agg_frames" -> QueryDef(
       (s, dir) => {
