@@ -28,6 +28,7 @@ object GraftSession {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.functions.GraftFunctions.register(spark)
+    graft.functions.PrestoCatalog.register(spark)
     spark
   }
 }

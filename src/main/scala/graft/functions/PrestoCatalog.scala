@@ -1,0 +1,111 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+
+/** Presto-name compatibility catalog (SURVEY.md §2.8, §7.4 #4): a user
+  * of the reference can call the Presto spelling in `spark.sql` and
+  * get the Spark implementation. Two mechanisms, both zero-overhead at
+  * execution time:
+  *
+  *  - scalar names → SQL macros (`CREATE TEMPORARY FUNCTION … RETURN
+  *    expr`): inlined into the plan by the analyzer, fully codegen'd;
+  *  - aggregate names → FunctionRegistry aliases of the built-in
+  *    builders.
+  *
+  * Only names Spark does NOT already provide under the same spelling
+  * are shimmed; everything else (abs, concat, approx_percentile,
+  * array_distinct, …) is already name-compatible.
+  */
+object PrestoCatalog {
+
+  /** name(params) -> body; Presto semantics documented per entry. */
+  private val sqlMacros: Seq[(String, String, String)] = Seq(
+    // StringFunctions.java
+    ("strpos", "(s STRING, sub STRING) RETURNS INT", "instr(s, sub)"),
+    ("codepoint", "(s STRING) RETURNS INT", "ascii(s)"),
+    ("from_utf8", "(b BINARY) RETURNS STRING", "cast(b AS STRING)"),
+    ("to_utf8", "(s STRING) RETURNS BINARY", "cast(s AS BINARY)"),
+    // MathFunctions.java
+    ("truncate", "(x DOUBLE) RETURNS DOUBLE", "cast(cast(x AS BIGINT) AS DOUBLE)"),
+    ("is_nan", "(x DOUBLE) RETURNS BOOLEAN", "isnan(x)"),
+    ("is_finite", "(x DOUBLE) RETURNS BOOLEAN",
+      "NOT isnan(x) AND abs(x) <> cast('Infinity' AS DOUBLE)"),
+    ("is_infinite", "(x DOUBLE) RETURNS BOOLEAN",
+      "abs(x) = cast('Infinity' AS DOUBLE)"),
+    ("infinity", "() RETURNS DOUBLE", "cast('Infinity' AS DOUBLE)"),
+    ("nan", "() RETURNS DOUBLE", "cast('NaN' AS DOUBLE)"),
+    ("from_base", "(s STRING, b INT) RETURNS BIGINT", "cast(conv(s, b, 10) AS BIGINT)"),
+    ("to_base", "(x BIGINT, b INT) RETURNS STRING", "lower(conv(cast(x AS STRING), 10, b))"),
+    ("normal_cdf", "(mean DOUBLE, sd DOUBLE, v DOUBLE) RETURNS DOUBLE",
+      "0.5 * (1.0 + erf((v - mean) / (sd * sqrt(2.0))))"),
+    ("inverse_normal_cdf", "(mean DOUBLE, sd DOUBLE, p DOUBLE) RETURNS DOUBLE",
+      "mean + sd * probit(p)"),
+    ("width_bucket_fn", "(x DOUBLE, lo DOUBLE, hi DOUBLE, n INT) RETURNS BIGINT",
+      "CASE WHEN x < lo THEN 0 WHEN x >= hi THEN n + 1 " +
+        "ELSE cast(floor((x - lo) / ((hi - lo) / n)) + 1 AS BIGINT) END"),
+    // DateTimeFunctions.java — Presto day_of_week is ISO (1=Mon..7=Sun)
+    ("day_of_week", "(t TIMESTAMP) RETURNS INT", "((dayofweek(t) + 5) % 7) + 1"),
+    ("dow", "(t TIMESTAMP) RETURNS INT", "((dayofweek(t) + 5) % 7) + 1"),
+    ("day_of_year", "(t TIMESTAMP) RETURNS INT", "dayofyear(t)"),
+    ("doy", "(t TIMESTAMP) RETURNS INT", "dayofyear(t)"),
+    ("day_of_month", "(t TIMESTAMP) RETURNS INT", "dayofmonth(t)"),
+    ("week_of_year", "(t TIMESTAMP) RETURNS INT", "weekofyear(t)"),
+    ("year_of_week", "(t TIMESTAMP) RETURNS INT",
+      "year(date_add(cast(t AS DATE), 4 - (((dayofweek(t) + 5) % 7) + 1)))"),
+    ("yow", "(t TIMESTAMP) RETURNS INT",
+      "year(date_add(cast(t AS DATE), 4 - (((dayofweek(t) + 5) % 7) + 1)))"),
+    ("to_unixtime", "(t TIMESTAMP) RETURNS DOUBLE", "cast(unix_micros(t) AS DOUBLE) / 1e6"),
+    ("millisecond", "(t TIMESTAMP) RETURNS INT", "cast((unix_millis(t) % 1000) AS INT)"),
+    // JsonFunctions.java
+    ("json_extract_scalar", "(j STRING, p STRING) RETURNS STRING",
+      "get_json_object(j, p)"),
+    ("is_json_scalar", "(j STRING) RETURNS BOOLEAN",
+      "j IS NOT NULL AND NOT (j LIKE '[%' OR j LIKE '{%')"),
+    // UrlFunctions.java
+    ("url_extract_protocol", "(u STRING) RETURNS STRING", "parse_url(u, 'PROTOCOL')"),
+    ("url_extract_host", "(u STRING) RETURNS STRING", "parse_url(u, 'HOST')"),
+    ("url_extract_path", "(u STRING) RETURNS STRING", "parse_url(u, 'PATH')"),
+    ("url_extract_query", "(u STRING) RETURNS STRING", "parse_url(u, 'QUERY')"),
+    ("url_extract_fragment", "(u STRING) RETURNS STRING", "parse_url(u, 'REF')"),
+    ("url_extract_parameter", "(u STRING, k STRING) RETURNS STRING",
+      "parse_url(u, 'QUERY', k)"),
+    // VarbinaryFunctions.java
+    ("to_hex", "(b BINARY) RETURNS STRING", "upper(hex(b))"),
+    ("from_hex", "(s STRING) RETURNS BINARY", "unhex(s)"),
+    ("to_base64", "(b BINARY) RETURNS STRING", "base64(b)"),
+    ("from_base64", "(s STRING) RETURNS BINARY", "unbase64(s)"),
+    // Conditional / misc
+    ("if_fn", "(c BOOLEAN, a DOUBLE, b DOUBLE) RETURNS DOUBLE", "if(c, a, b)"),
+    ("cosine_distance", "(a ARRAY<DOUBLE>, b ARRAY<DOUBLE>) RETURNS DOUBLE",
+      "1.0 - vec_dot(a, b) / (vec_norm(a) * vec_norm(b))"),
+    ("cosine_similarity_arr", "(a ARRAY<DOUBLE>, b ARRAY<DOUBLE>) RETURNS DOUBLE",
+      "vec_dot(a, b) / (vec_norm(a) * vec_norm(b))")
+  )
+
+  /** Presto aggregate name → Spark builtin it aliases.
+    * (geometric_mean has no one-builtin equivalent; use the
+    * exp(avg(ln x)) rewrite shown in agg_geometric_mean.)
+    */
+  private val aggAliases: Seq[(String, String)] = Seq(
+    "approx_distinct" -> "approx_count_distinct",
+    "arbitrary" -> "any_value")
+
+  def register(spark: SparkSession): Unit = {
+    sqlMacros.foreach { case (name, sig, body) =>
+      spark.sql(s"CREATE OR REPLACE TEMPORARY FUNCTION $name $sig RETURN $body")
+    }
+    val registry = spark.sessionState.functionRegistry
+    aggAliases.foreach { case (prestoName, sparkName) =>
+      org.apache.spark.sql.catalyst.analysis.FunctionRegistry.builtin
+        .lookupFunctionBuilder(FunctionIdentifier(sparkName))
+        .foreach { builder =>
+          registry.registerFunction(
+            FunctionIdentifier(prestoName),
+            new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+              getClass.getName, prestoName),
+            builder)
+        }
+    }
+  }
+}

@@ -412,6 +412,35 @@ object ScalarFns extends QueryGroup {
              |  'effcdf6ae5eb2fa2d27416d5f184df9c259a7c79' AS h_sha1,
              |  '5bdcc146bf60754e6a042426089575c75a003f089d2739839dec58b964ec3843' AS h_sha256""".stripMargin)),
 
+    // Presto-name catalog (PrestoCatalog SQL macros + agg aliases):
+    // the reference's spellings running unchanged through spark.sql.
+    "fn_presto_names" -> QueryDef(
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        s.sql("""SELECT l_returnflag,
+                |  approx_distinct(l_suppkey) > 0 AS has_suppliers,
+                |  arbitrary(l_linestatus) IN ('O', 'F') AS status_valid,
+                |  max(strpos(l_returnflag, 'A')) AS strpos_a,
+                |  max(day_of_week(l_shipdate)) AS max_iso_dow,
+                |  min(doy(l_shipdate)) AS min_doy,
+                |  max(truncate(l_extendedprice / 1000.0)) AS max_trunc_k,
+                |  bool_and(is_finite(l_discount)) AS all_finite,
+                |  max(to_base(l_orderkey, 16)) AS max_hex,
+                |  max(json_extract_scalar('{"a": 7}', '$.a')) AS json_a
+                |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+      },
+      Some("""SELECT l_returnflag,
+             |  count(DISTINCT l_suppkey) > 0 AS has_suppliers,
+             |  true AS status_valid,
+             |  max(instr(l_returnflag, 'A')) AS strpos_a,
+             |  max(isodow(l_shipdate)) AS max_iso_dow,
+             |  min(dayofyear(l_shipdate)) AS min_doy,
+             |  max(trunc(l_extendedprice / 1000.0)) AS max_trunc_k,
+             |  bool_and(isfinite(l_discount)) AS all_finite,
+             |  max(lower(to_base(l_orderkey, 16))) AS max_hex,
+             |  max(json_extract_string('{"a": 7}', '$.a')) AS json_a
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
     // TRY semantics (TryFunction.java / TryCastFunction.java): NULL on
     // malformed input instead of failure.
     "fn_try_cast" -> QueryDef(
