@@ -268,6 +268,27 @@ object Aggregates extends QueryGroup {
       Some("""SELECT o_orderpriority, count(*) AS freq FROM orders
              |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
 
+    // Skew-handling pattern: salted two-stage aggregation. Stage 1
+    // spreads each hot key over 8 salt shards (map-side partial sums
+    // shuffle on (key, salt)); stage 2 merges shards per key. Results
+    // are identical to the direct group-by — the point is that no
+    // single reducer ever receives a whole hot key at 100 TB. (Spark's
+    // AQE skew-join split covers joins; this is the agg-side analog.)
+    "agg_salted_twostage" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        Tables.lineitem(s, dir)
+          .withColumn("salt", pmod(xxhash64($"l_orderkey", $"l_linenumber"), lit(8)))
+          .groupBy($"l_suppkey", $"salt")
+          .agg(sum($"l_quantity").as("partial_qty"), count(lit(1)).as("partial_n"))
+          .groupBy($"l_suppkey")
+          .agg(r4(sum($"partial_qty")).as("total_qty"), sum($"partial_n").as("n"))
+          .orderBy($"l_suppkey")
+      },
+      Some("""SELECT l_suppkey, round(sum(l_quantity), 4) AS total_qty,
+             |  count(*) AS n
+             |FROM lineitem GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin)),
+
     // approx_percentile — Spark percentile_approx with high accuracy
     // matches DuckDB's exact quantile on sf0.01-scale groups when the
     // requested quantile lands on an exact data point; we use median of

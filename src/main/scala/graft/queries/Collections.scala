@@ -120,6 +120,27 @@ object Collections extends QueryGroup {
       Some("""SELECT n_nationkey, unnest(generate_series(1, (n_nationkey % 4) + 1)) AS i
              |FROM nation ORDER BY n_nationkey, i""".stripMargin)),
 
+    // ngrams(arr, n) (Presto ArrayNgramsFunction): sliding windows via
+    // transform(sequence) + slice — no UDF.
+    "coll_ngrams" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        Tables.part(s, dir)
+          .withColumn("words", split($"p_name", " "))
+          .filter(size($"words") >= 2)
+          .select($"p_partkey",
+            transform(sequence(lit(1), size($"words") - 1),
+              i => call_function("slice", $"words", i, lit(2))).as("bigrams"))
+          .select($"p_partkey", explode($"bigrams").as("bigram"))
+          .select($"p_partkey", concat_ws(" ", $"bigram").as("bigram"))
+          .orderBy($"p_partkey", $"bigram")
+      },
+      Some("""SELECT p_partkey, w[i] || ' ' || w[i + 1] AS bigram
+             |FROM (SELECT p_partkey, string_split(p_name, ' ') AS w FROM part),
+             |  LATERAL (SELECT unnest(generate_series(1, len(w) - 1)) AS i) t
+             |WHERE len(w) >= 2
+             |ORDER BY p_partkey, bigram""".stripMargin)),
+
     // JSON ↔ structural casts (Presto JsonToArrayCast / JsonToMapCast /
     // JsonToRowCast): from_json into array/map/row, to_json back.
     "coll_json_cast" -> QueryDef(

@@ -1,0 +1,71 @@
+package graft
+
+import graft.functions.{Erf, PrestoDatetime, TopNBuffer}
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** Randomized-property checks (seeded, deterministic) over the
+  * pure-Scala cores of graft's custom expressions. The reference has
+  * no property tests (SURVEY §5.9); these are cheap insurance for
+  * heap/merge/format edge cases.
+  */
+class PropertySpec extends AnyFunSuite with Matchers {
+  private val rng = new scala.util.Random(42)
+
+  test("TopNBuffer(largest/smallest) equals sorted take(n) on random input") {
+    for (_ <- 1 to 300) {
+      val xs = List.fill(rng.nextInt(60))(rng.nextDouble() * 2e9 - 1e9)
+      val n = rng.nextInt(20) + 1
+      val maxBuf = new TopNBuffer(n, wantLargest = true)
+      val minBuf = new TopNBuffer(n, wantLargest = false)
+      xs.foreach { v => maxBuf.add(v); minBuf.add(v) }
+      maxBuf.values.toSeq shouldBe xs.sorted(Ordering[Double].reverse).take(n)
+      minBuf.values.toSeq shouldBe xs.sorted.take(n)
+    }
+  }
+
+  test("TopNBuffer merge equals one combined buffer") {
+    for (_ <- 1 to 300) {
+      val a = List.fill(rng.nextInt(40))(rng.nextDouble() * 2e6 - 1e6)
+      val b = List.fill(rng.nextInt(40))(rng.nextDouble() * 2e6 - 1e6)
+      val one = new TopNBuffer(5, wantLargest = true)
+      (a ++ b).foreach(one.add)
+      val left = new TopNBuffer(5, wantLargest = true)
+      a.foreach(left.add)
+      val right = new TopNBuffer(5, wantLargest = true)
+      b.foreach(right.add)
+      right.values.foreach(left.add)
+      left.values.toSeq shouldBe one.values.toSeq
+    }
+  }
+
+  test("erf is odd, bounded in [-1,1], and monotone") {
+    val pts = List.fill(500)(rng.nextDouble() * 12 - 6).sorted
+    pts.foreach { x =>
+      Erf.compute(x) should (be >= -1.0 and be <= 1.0)
+      (Erf.compute(-x) + Erf.compute(x)) shouldBe 0.0 +- 1e-6
+    }
+    pts.sliding(2).foreach {
+      case List(x, y) => Erf.compute(x) should be <= Erf.compute(y) + 1e-9
+      case _ =>
+    }
+  }
+
+  test("probit/cdf roundtrip over the open unit interval") {
+    for (_ <- 1 to 500) {
+      val p = rng.nextDouble() * 0.998 + 0.001
+      val x = Erf.probit(p)
+      0.5 * (1.0 + Erf.compute(x / math.sqrt(2.0))) shouldBe p +- 2e-4
+    }
+  }
+
+  test("translateFormat is total over random %-pattern strings") {
+    val atoms = Seq("%Y", "%y", "%m", "%c", "%d", "%e", "%H", "%k", "%h", "%i",
+      "%s", "%f", "%p", "%M", "%b", "%W", "%a", "%j", "%T", "%%",
+      "-", "/", ":", " ", ".", "abc", "T", "%", "%q")
+    for (_ <- 1 to 500) {
+      val fmt = List.fill(rng.nextInt(12))(atoms(rng.nextInt(atoms.length))).mkString
+      noException should be thrownBy PrestoDatetime.translateFormat(fmt)
+    }
+  }
+}
