@@ -169,20 +169,22 @@ object Collections extends QueryGroup {
 
     // Date-stepped sequence (Presto SequenceFunction with INTERVAL step).
     "coll_sequence_dates" -> QueryDef(
+      // anchored to month START: stepping from an end-of-month date
+      // diverges across engines (Spark re-anchors to the original day;
+      // DuckDB compounds the clamp: Jul 31 → … → Oct 30 vs Oct 31).
       (s, dir) => {
         import s.implicits._
         Tables.orders(s, dir)
           .filter($"o_orderkey" <= 30)
+          .withColumn("m0", date_trunc("month", $"o_orderdate").cast("date"))
           .select($"o_orderkey",
-            explode(sequence(
-              $"o_orderdate".cast("date"),
-              add_months($"o_orderdate".cast("date"), 3),
+            explode(sequence($"m0", add_months($"m0", 3),
               expr("INTERVAL 1 MONTH"))).as("month_d"))
           .orderBy($"o_orderkey", $"month_d")
       },
       Some("""SELECT o_orderkey,
-             |  CAST(unnest(generate_series(CAST(o_orderdate AS DATE),
-             |    CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH,
+             |  CAST(unnest(generate_series(CAST(date_trunc('month', o_orderdate) AS DATE),
+             |    CAST(date_trunc('month', o_orderdate) AS DATE) + INTERVAL 3 MONTH,
              |    INTERVAL 1 MONTH)) AS DATE) AS month_d
              |FROM orders WHERE o_orderkey <= 30
              |ORDER BY o_orderkey, month_d""".stripMargin)),
