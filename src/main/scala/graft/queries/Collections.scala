@@ -120,6 +120,29 @@ object Collections extends QueryGroup {
       Some("""SELECT n_nationkey, unnest(generate_series(1, (n_nationkey % 4) + 1)) AS i
              |FROM nation ORDER BY n_nationkey, i""".stripMargin)),
 
+    // flatten / zip (arrays_zip) / transform_keys / transform_values —
+    // the remaining §2.8 array/map rows.
+    "coll_flatten_zip" -> QueryDef(
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        s.sql("""SELECT n_nationkey,
+                |  flatten(array(array(n_nationkey), array(n_regionkey, n_nationkey + 1)))
+                |    AS flat,
+                |  transform(arrays_zip(array(1, 2), array(n_nationkey, n_regionkey)),
+                |    p -> p['0'] * 10 + p['1']) AS zipped_enc,
+                |  map_keys(transform_keys(map('a', n_nationkey), (k, v) -> upper(k)))
+                |    AS upper_keys,
+                |  map_values(transform_values(map('a', n_nationkey), (k, v) -> v * 2))
+                |    AS doubled_vals
+                |FROM nation ORDER BY n_nationkey""".stripMargin)
+      },
+      Some("""SELECT n_nationkey,
+             |  [n_nationkey, n_regionkey, n_nationkey + 1] AS flat,
+             |  [10 + n_nationkey, 20 + n_regionkey] AS zipped_enc,
+             |  ['A'] AS upper_keys,
+             |  [n_nationkey * 2] AS doubled_vals
+             |FROM nation ORDER BY n_nationkey""".stripMargin)),
+
     // ngrams(arr, n) (Presto ArrayNgramsFunction): sliding windows via
     // transform(sequence) + slice — no UDF.
     "coll_ngrams" -> QueryDef(
