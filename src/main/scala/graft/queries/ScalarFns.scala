@@ -77,6 +77,61 @@ object ScalarFns extends QueryGroup {
              |  count(*) AS n
              |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin)),
 
+    // Extended math: cbrt, inverse trig, hyperbolic (DuckDB lacks
+    // sinh/cosh/tanh — oracle uses the exp identities), log2, cot,
+    // pi/e constants, factorial.
+    "fn_math_extra" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        Tables.lineitem(s, dir)
+          .filter($"l_orderkey" <= 100)
+          .select($"l_orderkey", $"l_linenumber",
+            r4(cbrt($"l_quantity")).as("cbrt_q"),
+            r4(asin($"l_discount")).as("asin_d"),
+            r4(acos($"l_discount")).as("acos_d"),
+            r4(atan($"l_discount")).as("atan_d"),
+            r4(sinh($"l_discount")).as("sinh_d"),
+            r4(cosh($"l_discount")).as("cosh_d"),
+            r4(tanh($"l_discount")).as("tanh_d"),
+            r4(log2($"l_quantity")).as("log2_q"),
+            r4(cot($"l_quantity")).as("cot_q"),
+            r4(lit(math.Pi)).as("pi_c"),
+            r4(exp(lit(1.0))).as("e_c"),
+            factorial($"l_linenumber".cast("int") % 6).as("fact_ln"))
+          .orderBy($"l_orderkey", $"l_linenumber", $"cbrt_q")
+      },
+      Some("""SELECT l_orderkey, l_linenumber,
+             |  round(cbrt(l_quantity), 4) AS cbrt_q,
+             |  round(asin(l_discount), 4) AS asin_d,
+             |  round(acos(l_discount), 4) AS acos_d,
+             |  round(atan(l_discount), 4) AS atan_d,
+             |  round((exp(l_discount) - exp(-l_discount)) / 2, 4) AS sinh_d,
+             |  round((exp(l_discount) + exp(-l_discount)) / 2, 4) AS cosh_d,
+             |  round((exp(l_discount) - exp(-l_discount)) /
+             |        (exp(l_discount) + exp(-l_discount)), 4) AS tanh_d,
+             |  round(log2(l_quantity), 4) AS log2_q,
+             |  round(cot(l_quantity), 4) AS cot_q,
+             |  round(pi(), 4) AS pi_c,
+             |  round(exp(1.0), 4) AS e_c,
+             |  factorial(l_linenumber % 6) AS fact_ln
+             |FROM lineitem WHERE l_orderkey <= 100
+             |ORDER BY l_orderkey, l_linenumber, cbrt_q""".stripMargin)),
+
+    // regexp_extract_all returning the match lists themselves.
+    "fn_regex_all" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        Tables.part(s, dir)
+          .select($"p_partkey",
+            expr("regexp_extract_all(p_name, '[aeiou]+', 0)").as("vowel_runs"),
+            expr("regexp_extract_all(p_brand, '[0-9]', 0)").as("digits"))
+          .orderBy($"p_partkey")
+      },
+      Some("""SELECT p_partkey,
+             |  regexp_extract_all(p_name, '[aeiou]+') AS vowel_runs,
+             |  regexp_extract_all(p_brand, '[0-9]') AS digits
+             |FROM part ORDER BY p_partkey""".stripMargin)),
+
     // String functions (StringFunctions.java surface).
     "fn_string" -> QueryDef(
       (s, dir) => {
