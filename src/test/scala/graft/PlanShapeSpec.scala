@@ -55,6 +55,17 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture with Matchers {
     plan.sliding("HashAggregate".length).count(_ == "HashAggregate") should be >= 2
   }
 
+  test("full-corpus LSH dedup has no quadratic operator") {
+    val plan = planOf("dedup_minhash_lsh_full")
+    plan should not include "CartesianProduct"
+    plan should not include "BroadcastNestedLoopJoin"
+  }
+
+  test("salted two-stage agg produces two aggregation levels") {
+    val plan = planOf("agg_salted_twostage")
+    plan.sliding("HashAggregate".length).count(_ == "HashAggregate") should be >= 3
+  }
+
   test("tpch_q6 projects only needed lineitem columns") {
     val plan = planOf("tpch_q6")
     plan should include("ReadSchema")
