@@ -74,6 +74,36 @@ object Events extends QueryGroup {
              |  epoch_ms(max(ts)) - epoch_ms(min(ts)) AS duration_ms
              |FROM s GROUP BY 1, 2 ORDER BY user_id, session_id""".stripMargin)),
 
+    // Native session windows (Spark session_window, 30-min gap) — the
+    // built-in operator computing exactly what events_sessionize
+    // hand-rolls; the oracle is the same windowed-CTE sessionization.
+    "events_session_window" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        Tables.events(s, dir)
+          .groupBy($"user_id", session_window($"ts", "30 minutes").as("sw"))
+          .agg(count(lit(1)).as("n_events"))
+          .select($"user_id", unix_millis($"sw.start").as("session_start_ms"),
+            $"n_events")
+          .orderBy($"user_id", $"session_start_ms")
+      },
+      Some("""WITH g AS (
+             |  SELECT user_id, ts, event_id,
+             |    CASE WHEN lag(ts) OVER w IS NULL
+             |           OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000
+             |         THEN 1 ELSE 0 END AS new_session
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+             |s AS (
+             |  SELECT user_id, ts,
+             |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |      ROWS UNBOUNDED PRECEDING) AS session_id
+             |  FROM g)
+             |SELECT user_id, epoch_ms(min(ts)) AS session_start_ms,
+             |  count(*) AS n_events
+             |FROM s GROUP BY user_id, session_id
+             |ORDER BY user_id, session_start_ms""".stripMargin)),
+
     // Funnel: users who signed up and later purchased.
     "events_funnel" -> QueryDef(
       (s, dir) => {

@@ -55,6 +55,10 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture with Matchers {
     plan.sliding("HashAggregate".length).count(_ == "HashAggregate") should be >= 2
   }
 
+  test("global sort uses range partitioning (distributed sort shape)") {
+    planOf("sort_multi") should include("rangepartitioning")
+  }
+
   test("full-corpus LSH dedup has no quadratic operator") {
     val plan = planOf("dedup_minhash_lsh_full")
     plan should not include "CartesianProduct"
