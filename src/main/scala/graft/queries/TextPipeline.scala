@@ -153,6 +153,44 @@ object TextPipeline extends QueryGroup {
       },
       Some("SELECT true AS collision_free")),
 
+    // Char 5-gram shingle Jaccard (the classic shingling alternative
+    // to word sets) on a small prefix — shingles built declaratively
+    // via transform(sequence)+substring, distinct'd, then set overlap.
+    "dedup_char_shingles" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val t = Tables.documents(s, dir).filter($"doc_id" < 120)
+          .withColumn("nt", normText($"text"))
+          .filter(length($"nt") >= 5)
+          .select($"doc_id",
+            array_distinct(transform(sequence(lit(1), length($"nt") - 4),
+              i => call_function("substring", $"nt", i, lit(5)))).as("sh"))
+        val a = t.select($"doc_id".as("id_a"), $"sh".as("sa"))
+        val b = t.select($"doc_id".as("id_b"), $"sh".as("sb"))
+        a.crossJoin(b).filter($"id_a" < $"id_b")
+          .withColumn("ni", size(array_intersect($"sa", $"sb")))
+          .withColumn("j", $"ni".cast("double") / (size($"sa") + size($"sb") - $"ni"))
+          .filter($"j" >= 0.5)
+          .select($"id_a", $"id_b", round($"j", 4).as("jaccard"))
+          .orderBy($"id_a", $"id_b")
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id,
+             |    list_distinct(list_transform(
+             |      generate_series(1, length(nt) - 4),
+             |      i -> substring(nt, i, 5))) AS sh
+             |  FROM (SELECT doc_id,
+             |          regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS nt
+             |        FROM documents WHERE doc_id < 120)
+             |  WHERE length(nt) >= 5)
+             |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             |  round(len(list_intersect(a.sh, b.sh)) * 1.0 /
+             |    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4) AS jaccard
+             |FROM t a JOIN t b ON a.doc_id < b.doc_id
+             |WHERE len(list_intersect(a.sh, b.sh)) * 1.0 /
+             |    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5
+             |ORDER BY id_a, id_b""".stripMargin)),
+
     // Rolling-hash fingerprint: polynomial hash h = h*31 + codepoint
     // mod (2^31-1) over the normalized text — integer arithmetic that
     // both engines compute bit-identically (unlike xxhash64, which has
