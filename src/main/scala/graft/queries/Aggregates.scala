@@ -121,14 +121,18 @@ object Aggregates extends QueryGroup {
         Tables.lineitem(s, dir)
           .filter($"l_orderkey" <= 100)
           .groupBy($"l_orderkey")
-          .agg(transform(
+          .agg(array_join(transform(
             array_sort(collect_list(struct($"l_linenumber", $"l_quantity"))),
-            x => x.getField("l_quantity")).as("qtys"))
+            x => format_string("%.4f", x.getField("l_quantity"))), ",").as("qtys"))
           .orderBy($"l_orderkey")
       },
       // l_linenumber ties exist in the synthetic data; the struct sort
       // tiebreaks on l_quantity, so the oracle must order the same way.
-      Some("""SELECT l_orderkey, list(l_quantity ORDER BY l_linenumber, l_quantity) AS qtys
+      // Joined to one string so the driver's oracle can sort/hash it.
+      Some("""SELECT l_orderkey,
+             |  coalesce(array_to_string(list_transform(
+             |    list(l_quantity ORDER BY l_linenumber, l_quantity),
+             |    x -> printf('%.4f', x)), ','), '') AS qtys
              |FROM lineitem WHERE l_orderkey <= 100
              |GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin)),
 

@@ -25,13 +25,13 @@ object Collections extends QueryGroup {
           .withColumn("words", split($"p_name", " "))
           .select($"p_partkey",
             size($"words").as("card"),
-            array_sort(array_distinct($"words")).as("dist_sorted"),
+            array_join(array_sort(array_distinct($"words")), "|").as("dist_sorted"),
             array_contains($"words", "green").as("has_green"),
             element_at($"words", 1).as("first_w"),
             element_at($"words", -1).as("last_w"),
-            slice($"words", 1, 2).as("first2"),
+            array_join(slice($"words", 1, 2), "|").as("first2"),
             array_join($"words", "|").as("joined"),
-            reverse($"words").as("rev"),
+            array_join(reverse($"words"), "|").as("rev"),
             array_min($"words").as("min_w"),
             array_max($"words").as("max_w"),
             array_position($"words", "green").cast("long").as("green_pos"))
@@ -40,13 +40,13 @@ object Collections extends QueryGroup {
       Some("""WITH t AS (SELECT p_partkey, string_split(p_name, ' ') AS words FROM part)
              |SELECT p_partkey,
              |  len(words) AS card,
-             |  list_sort(list_distinct(words)) AS dist_sorted,
+             |  coalesce(array_to_string(list_sort(list_distinct(words)), '|'), '') AS dist_sorted,
              |  list_contains(words, 'green') AS has_green,
              |  words[1] AS first_w,
              |  words[-1] AS last_w,
-             |  words[1:2] AS first2,
+             |  coalesce(array_to_string(words[1:2], '|'), '') AS first2,
              |  array_to_string(words, '|') AS joined,
-             |  list_reverse(words) AS rev,
+             |  coalesce(array_to_string(list_reverse(words), '|'), '') AS rev,
              |  list_min(words) AS min_w,
              |  list_max(words) AS max_w,
              |  CAST(coalesce(list_position(words, 'green'), 0) AS BIGINT) AS green_pos
@@ -60,9 +60,9 @@ object Collections extends QueryGroup {
           .withColumn("w1", array_sort(array_distinct(split($"p_name", " "))))
           .withColumn("w2", array_sort(array_distinct(split(lower($"p_type"), " "))))
           .select($"p_partkey",
-            array_sort(array_intersect($"w1", $"w2")).as("inter"),
-            array_sort(array_union($"w1", $"w2")).as("uni"),
-            array_sort(array_except($"w1", $"w2")).as("exc"),
+            array_join(array_sort(array_intersect($"w1", $"w2")), "|").as("inter"),
+            array_join(array_sort(array_union($"w1", $"w2")), "|").as("uni"),
+            array_join(array_sort(array_except($"w1", $"w2")), "|").as("exc"),
             arrays_overlap($"w1", $"w2").as("overlaps"))
           .orderBy($"p_partkey")
       },
@@ -72,9 +72,9 @@ object Collections extends QueryGroup {
              |    list_sort(list_distinct(string_split(lower(p_type), ' '))) AS w2
              |  FROM part)
              |SELECT p_partkey,
-             |  list_sort(list_intersect(w1, w2)) AS inter,
-             |  list_sort(list_distinct(list_concat(w1, w2))) AS uni,
-             |  list_sort(list_filter(w1, x -> NOT list_contains(w2, x))) AS exc,
+             |  coalesce(array_to_string(list_sort(list_intersect(w1, w2)), '|'), '') AS inter,
+             |  coalesce(array_to_string(list_sort(list_distinct(list_concat(w1, w2))), '|'), '') AS uni,
+             |  coalesce(array_to_string(list_sort(list_filter(w1, x -> NOT list_contains(w2, x))), '|'), '') AS exc,
              |  len(list_intersect(w1, w2)) > 0 AS overlaps
              |FROM t ORDER BY p_partkey""".stripMargin)),
 
@@ -89,11 +89,13 @@ object Collections extends QueryGroup {
           .agg(array_sort(collect_list($"l_quantity")).as("qtys"),
             array_sort(collect_list($"l_extendedprice")).as("prices"))
           .select($"l_orderkey",
-            transform($"qtys", q => r4(q * 2.0)).as("doubled"),
-            filter($"qtys", _ > 25.0).as("heavy"),
+            array_join(transform($"qtys", q => format_string("%.4f", r4(q * 2.0))), ",")
+              .as("doubled"),
+            array_join(transform(filter($"qtys", _ > 25.0),
+              q => format_string("%.4f", q)), ",").as("heavy"),
             r4(aggregate($"qtys", lit(0.0), (acc, q) => acc + q)).as("total"),
-            transform(zip_with($"qtys", $"prices", (q, p) => q * p), r4(_))
-              .as("products"))
+            array_join(transform(zip_with($"qtys", $"prices", (q, p) => q * p),
+              x => format_string("%.4f", r4(x))), ",").as("products"))
           .orderBy($"l_orderkey")
       },
       Some("""WITH t AS (
@@ -102,11 +104,13 @@ object Collections extends QueryGroup {
              |    list_sort(list(l_extendedprice)) AS prices
              |  FROM lineitem WHERE l_orderkey <= 50 GROUP BY l_orderkey)
              |SELECT l_orderkey,
-             |  list_transform(qtys, q -> round(q * 2.0, 4)) AS doubled,
-             |  list_filter(qtys, q -> q > 25.0) AS heavy,
+             |  coalesce(array_to_string(list_transform(qtys,
+             |    q -> printf('%.4f', round(q * 2.0, 4))), ','), '') AS doubled,
+             |  coalesce(array_to_string(list_transform(list_filter(qtys, q -> q > 25.0),
+             |    q -> printf('%.4f', q)), ','), '') AS heavy,
              |  round(list_reduce(list_prepend(0.0, qtys), (acc, q) -> acc + q), 4) AS total,
-             |  list_transform(list_zip(qtys, prices),
-             |    p -> round(p[1] * p[2], 4)) AS products
+             |  coalesce(array_to_string(list_transform(list_zip(qtys, prices),
+             |    p -> printf('%.4f', round(p[1] * p[2], 4))), ','), '') AS products
              |FROM t ORDER BY l_orderkey""".stripMargin)),
 
     // sequence() + explode (Presto SequenceFunction + UNNEST).
@@ -126,21 +130,23 @@ object Collections extends QueryGroup {
       (s, dir) => {
         Tables.registerAll(s, dir)
         s.sql("""SELECT n_nationkey,
-                |  flatten(array(array(n_nationkey), array(n_regionkey, n_nationkey + 1)))
-                |    AS flat,
-                |  transform(arrays_zip(array(1, 2), array(n_nationkey, n_regionkey)),
-                |    p -> p['0'] * 10 + p['1']) AS zipped_enc,
-                |  map_keys(transform_keys(map('a', n_nationkey), (k, v) -> upper(k)))
+                |  array_join(transform(
+                |    flatten(array(array(n_nationkey), array(n_regionkey, n_nationkey + 1))),
+                |    x -> cast(x AS STRING)), ',') AS flat,
+                |  array_join(transform(arrays_zip(array(1, 2), array(n_nationkey, n_regionkey)),
+                |    p -> cast(p['0'] * 10 + p['1'] AS STRING)), ',') AS zipped_enc,
+                |  array_join(map_keys(transform_keys(map('a', n_nationkey), (k, v) -> upper(k))), ',')
                 |    AS upper_keys,
-                |  map_values(transform_values(map('a', n_nationkey), (k, v) -> v * 2))
-                |    AS doubled_vals
+                |  array_join(transform(
+                |    map_values(transform_values(map('a', n_nationkey), (k, v) -> v * 2)),
+                |    v -> cast(v AS STRING)), ',') AS doubled_vals
                 |FROM nation ORDER BY n_nationkey""".stripMargin)
       },
       Some("""SELECT n_nationkey,
-             |  [n_nationkey, n_regionkey, n_nationkey + 1] AS flat,
-             |  [10 + n_nationkey, 20 + n_regionkey] AS zipped_enc,
-             |  ['A'] AS upper_keys,
-             |  [n_nationkey * 2] AS doubled_vals
+             |  n_nationkey || ',' || n_regionkey || ',' || (n_nationkey + 1) AS flat,
+             |  (10 + n_nationkey) || ',' || (20 + n_regionkey) AS zipped_enc,
+             |  'A' AS upper_keys,
+             |  CAST(n_nationkey * 2 AS VARCHAR) AS doubled_vals
              |FROM nation ORDER BY n_nationkey""".stripMargin)),
 
     // ngrams(arr, n) (Presto ArrayNgramsFunction): sliding windows via
@@ -174,7 +180,8 @@ object Collections extends QueryGroup {
           .withColumn("j_obj", concat(lit("{\"key\": "), $"n_nationkey",
             lit(", \"name\": \""), $"n_name", lit("\"}")))
           .select($"n_nationkey",
-            from_json($"j_arr", lit("array<bigint>")).as("arr"),
+            array_join(transform(from_json($"j_arr", lit("array<bigint>")),
+              x => x.cast("string")), ",").as("arr"),
             from_json($"j_obj", lit("map<string,string>")).as("m"),
             from_json($"j_obj", lit("struct<key:bigint,name:string>"))
               .getField("name").as("row_name"),
@@ -184,7 +191,7 @@ object Collections extends QueryGroup {
           .orderBy($"n_nationkey")
       },
       Some("""SELECT n_nationkey,
-             |  [1, 2, n_nationkey] AS arr,
+             |  '1,2,' || n_nationkey AS arr,
              |  n_name AS m_name,
              |  n_name AS row_name,
              |  '[' || n_nationkey || ',' || (n_nationkey * 2) || ']' AS back_to_json
@@ -218,14 +225,16 @@ object Collections extends QueryGroup {
       (s, dir) => {
         Tables.registerAll(s, dir)
         s.sql("""SELECT p_partkey,
-                |  array_sort(split(p_name, ' '),
+                |  array_join(array_sort(split(p_name, ' '),
                 |    (l, r) -> CASE WHEN length(l) > length(r) THEN -1
                 |                   WHEN length(l) < length(r) THEN 1
                 |                   WHEN l > r THEN -1 WHEN l < r THEN 1
-                |                   ELSE 0 END) AS by_len_desc
+                |                   ELSE 0 END), '|') AS by_len_desc
                 |FROM part ORDER BY p_partkey""".stripMargin)
       },
-      Some("""SELECT p_partkey, list(w ORDER BY length(w) DESC, w DESC) AS by_len_desc
+      Some("""SELECT p_partkey,
+             |  coalesce(array_to_string(list(w ORDER BY length(w) DESC, w DESC), '|'), '')
+             |    AS by_len_desc
              |FROM (SELECT p_partkey, unnest(string_split(p_name, ' ')) AS w FROM part)
              |GROUP BY p_partkey ORDER BY p_partkey""".stripMargin)),
 
@@ -241,8 +250,9 @@ object Collections extends QueryGroup {
           .agg(map_from_entries(array_sort(collect_list(struct($"l_linestatus", $"n"))))
             .as("m"))
           .select($"l_returnflag",
-            array_sort(map_keys($"m")).as("statuses"),
-            array_sort(map_values($"m")).as("counts"),
+            array_join(array_sort(map_keys($"m")), "|").as("statuses"),
+            array_join(transform(array_sort(map_values($"m")),
+              x => x.cast("string")), ",").as("counts"),
             element_at($"m", "O").as("n_open"))
           .orderBy($"l_returnflag")
       },
@@ -250,8 +260,8 @@ object Collections extends QueryGroup {
              |  SELECT l_returnflag, l_linestatus, count(*) AS n
              |  FROM lineitem GROUP BY 1, 2)
              |SELECT l_returnflag,
-             |  list_sort(list(l_linestatus)) AS statuses,
-             |  list_sort(list(n)) AS counts,
+             |  coalesce(array_to_string(list_sort(list(l_linestatus)), '|'), '') AS statuses,
+             |  coalesce(array_to_string(list_sort(list(n)), ','), '') AS counts,
              |  max(CASE WHEN l_linestatus = 'O' THEN n END) AS n_open
              |FROM c GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
@@ -261,7 +271,8 @@ object Collections extends QueryGroup {
     "coll_multimap" -> QueryDef(
       (s, dir) => {
         Tables.registerAll(s, dir)
-        s.sql("""SELECT o_custkey, e.key AS status, e.value AS orderkeys
+        s.sql("""SELECT o_custkey, e.key AS status,
+                |  array_join(transform(e.value, x -> cast(x AS STRING)), ',') AS orderkeys
                 |FROM (
                 |  SELECT o_custkey,
                 |    explode(map_entries(map_from_entries(
@@ -274,7 +285,7 @@ object Collections extends QueryGroup {
                 |ORDER BY o_custkey, status""".stripMargin)
       },
       Some("""SELECT o_custkey, o_orderstatus AS status,
-             |  list_sort(list(o_orderkey)) AS orderkeys
+             |  coalesce(array_to_string(list_sort(list(o_orderkey)), ','), '') AS orderkeys
              |FROM orders WHERE o_custkey <= 50
              |GROUP BY 1, 2 ORDER BY o_custkey, status""".stripMargin)),
 

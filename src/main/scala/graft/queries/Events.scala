@@ -67,8 +67,8 @@ object Events extends QueryGroup {
              |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
              |s AS (
              |  SELECT user_id, ts,
-             |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-             |      ROWS UNBOUNDED PRECEDING) AS session_id
+             |    CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
              |  FROM g)
              |SELECT user_id, session_id, count(*) AS n_events,
              |  epoch_ms(max(ts)) - epoch_ms(min(ts)) AS duration_ms
@@ -96,8 +96,8 @@ object Events extends QueryGroup {
              |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
              |s AS (
              |  SELECT user_id, ts,
-             |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-             |      ROWS UNBOUNDED PRECEDING) AS session_id
+             |    CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
              |  FROM g)
              |SELECT user_id, epoch_ms(min(ts)) AS session_start_ms,
              |  count(*) AS n_events

