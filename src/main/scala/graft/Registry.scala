@@ -23,6 +23,7 @@ object Registry {
   /** All query groups; order is cosmetic (Map merge). */
   def groups: Seq[QueryGroup] = Seq(
     queries.Relational,
+    queries.TpchExtra,
     queries.Sources,
     queries.Aggregates,
     queries.Windows,

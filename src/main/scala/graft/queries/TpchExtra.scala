@@ -1,0 +1,482 @@
+package graft.queries
+
+import graft.{QueryDef, QueryGroup, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The 13 TPC-H query shapes not covered in [[Relational]] — q2, q4, q7,
+  * q8, q9, q11, q12, q13, q15, q16, q17, q20, q21. The reference
+  * benchmarks all 22 (presto-benchto-benchmarks/src/main/resources/
+  * benchmarks/presto/tpch.yaml:1-6) and presto-tests/.../
+  * AbstractTestQueries.java exercises their plan shapes.
+  *
+  * The driver's testdata has no `partsupp` table and a reduced column
+  * set (no l_commitdate/l_receiptdate/l_shipmode, no o_comment, no
+  * p_mfgr/p_container), so each query is a SHAPE-faithful adaptation:
+  *   - `partsupp` is derived deterministically from lineitem
+  *     (min unit price as supplycost, 10× line count as availqty) —
+  *     a single map-side-combinable hash aggregation, so at 100 TB it
+  *     is one shuffle on (partkey, suppkey) and reusable across q2/q9/
+  *     q11/q16/q20.
+  *   - "receipt later than commit" lateness becomes
+  *     l_shipdate > o_orderdate + 30/60 days.
+  *   - o_comment / s_comment / p_container filters map to available
+  *     attributes with the same selectivity role.
+  *
+  * Scale notes: dimensions (part, supplier, nation, region, customer)
+  * are broadcast; only fact⋈fact edges (lineitem⋈orders,
+  * lineitem⋈partsupp) shuffle, each on its natural key. Correlated
+  * subquery shapes (q4/q17/q20/q21) go through spark.sql so Catalyst's
+  * DecorrelateInnerQuery + RewriteCorrelatedScalarSubquery turn them
+  * into the same aggregate/join plans Presto's optimizer produces.
+  */
+object TpchExtra extends QueryGroup {
+  private def r4(c: Column): Column = round(c, 4)
+
+  /** Derived partsupp: deterministic on both engines (min of identical
+    * doubles is order-independent; count is exact). */
+  private def partsupp(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .groupBy($"l_partkey", $"l_suppkey")
+      .agg(min($"l_extendedprice" / $"l_quantity").as("ps_supplycost"),
+        (count(lit(1)) * 10).as("ps_availqty"))
+      .select($"l_partkey".as("ps_partkey"), $"l_suppkey".as("ps_suppkey"),
+        $"ps_supplycost", $"ps_availqty")
+  }
+
+  /** DuckDB CTE mirroring [[partsupp]]. */
+  private val psCte =
+    """partsupp AS (
+      |  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+      |         min(l_extendedprice / l_quantity) AS ps_supplycost,
+      |         CAST(count(*) * 10 AS BIGINT) AS ps_availqty
+      |  FROM lineitem GROUP BY 1, 2)""".stripMargin
+
+  private def registerWithPartsupp(s: SparkSession, dir: String): Unit = {
+    Tables.registerAll(s, dir)
+    partsupp(s, dir).createOrReplaceTempView("partsupp")
+  }
+
+  override def defs: Map[String, QueryDef] = Map(
+    // Q2: min-cost supplier per part in a region. The correlated-min
+    // subquery becomes a partition window min — one pass, no re-join
+    // of partsupp against itself.
+    "tpch_q2" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val euro = partsupp(s, dir)
+          .join(broadcast(Tables.supplier(s, dir)), $"ps_suppkey" === $"s_suppkey")
+          .join(broadcast(Tables.nation(s, dir)), $"s_nationkey" === $"n_nationkey")
+          .join(broadcast(Tables.region(s, dir).filter($"r_name" === "EUROPE")),
+            $"n_regionkey" === $"r_regionkey")
+        euro
+          .withColumn("min_cost",
+            min($"ps_supplycost").over(Window.partitionBy($"ps_partkey")))
+          .filter($"ps_supplycost" === $"min_cost")
+          .join(broadcast(Tables.part(s, dir)
+            .filter($"p_size" <= 15 && $"p_type" === "LARGE")),
+            $"p_partkey" === $"ps_partkey")
+          .select(r4($"s_acctbal").as("s_acctbal"), $"s_name", $"n_name",
+            $"p_partkey", $"p_brand", r4($"ps_supplycost").as("supplycost"))
+          .orderBy($"s_acctbal".desc_nulls_last, $"n_name", $"s_name", $"p_partkey")
+          .limit(100)
+      },
+      Some(s"""WITH $psCte,
+             |cost AS (
+             |  SELECT ps_partkey, ps_suppkey, ps_supplycost,
+             |    min(ps_supplycost) OVER (PARTITION BY ps_partkey) AS min_cost
+             |  FROM partsupp
+             |  JOIN supplier ON ps_suppkey = s_suppkey
+             |  JOIN nation ON s_nationkey = n_nationkey
+             |  JOIN region ON n_regionkey = r_regionkey
+             |  WHERE r_name = 'EUROPE')
+             |SELECT round(s_acctbal, 4) AS s_acctbal, s_name, n_name, p_partkey,
+             |  p_brand, round(ps_supplycost, 4) AS supplycost
+             |FROM cost
+             |JOIN part ON p_partkey = ps_partkey
+             |JOIN supplier ON s_suppkey = ps_suppkey
+             |JOIN nation ON s_nationkey = n_nationkey
+             |WHERE p_size <= 15 AND p_type = 'LARGE' AND ps_supplycost = min_cost
+             |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100""".stripMargin)),
+
+    // Q4: order-priority checking — EXISTS semi join against lineitem
+    // with a correlated lateness predicate.
+    "tpch_q4" -> QueryDef(
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        s.sql("""SELECT o_orderpriority, count(*) AS order_count
+                |FROM orders
+                |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+                |  AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+                |  AND EXISTS (SELECT 1 FROM lineitem
+                |              WHERE l_orderkey = o_orderkey
+                |                AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
+                |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+      },
+      Some("""SELECT o_orderpriority, count(*) AS order_count
+             |FROM orders
+             |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+             |  AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+             |  AND EXISTS (SELECT 1 FROM lineitem
+             |              WHERE l_orderkey = o_orderkey
+             |                AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
+             |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
+    // Q7: volume shipping between two nations, by year and direction.
+    "tpch_q7" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val n1 = Tables.nation(s, dir)
+          .select($"n_nationkey".as("s_nk"), $"n_name".as("supp_nation"))
+        val n2 = Tables.nation(s, dir)
+          .select($"n_nationkey".as("c_nk"), $"n_name".as("cust_nation"))
+        Tables.lineitem(s, dir)
+          .filter($"l_shipdate".between(
+            to_timestamp(lit("1996-01-01")), to_timestamp(lit("1997-12-31"))))
+          .join(Tables.orders(s, dir), $"l_orderkey" === $"o_orderkey")
+          .join(broadcast(Tables.customer(s, dir)), $"o_custkey" === $"c_custkey")
+          .join(broadcast(Tables.supplier(s, dir)), $"l_suppkey" === $"s_suppkey")
+          .join(broadcast(n1), $"s_nationkey" === $"s_nk")
+          .join(broadcast(n2), $"c_nationkey" === $"c_nk")
+          .filter(($"supp_nation" === "NATION_1" && $"cust_nation" === "NATION_2") ||
+            ($"supp_nation" === "NATION_2" && $"cust_nation" === "NATION_1"))
+          .groupBy($"supp_nation", $"cust_nation",
+            year($"l_shipdate").cast("long").as("l_year"))
+          .agg(r4(sum($"l_extendedprice" * (lit(1.0) - $"l_discount"))).as("revenue"))
+          .orderBy($"supp_nation", $"cust_nation", $"l_year")
+      },
+      Some("""SELECT supp_nation, cust_nation, l_year, round(sum(volume), 4) AS revenue
+             |FROM (
+             |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             |    CAST(year(l_shipdate) AS BIGINT) AS l_year,
+             |    l_extendedprice * (1.0 - l_discount) AS volume
+             |  FROM supplier
+             |  JOIN lineitem ON s_suppkey = l_suppkey
+             |  JOIN orders ON o_orderkey = l_orderkey
+             |  JOIN customer ON c_custkey = o_custkey
+             |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+             |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+             |  WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+             |      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+             |    AND l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+             |                       AND TIMESTAMP '1997-12-31 00:00:00') shipping
+             |GROUP BY supp_nation, cust_nation, l_year
+             |ORDER BY supp_nation, cust_nation, l_year""".stripMargin)),
+
+    // Q8: national market share within a region for one part type.
+    "tpch_q8" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val n1 = Tables.nation(s, dir)
+          .select($"n_nationkey".as("c_nk"), $"n_regionkey".as("c_rk"))
+        val n2 = Tables.nation(s, dir)
+          .select($"n_nationkey".as("s_nk"), $"n_name".as("nation"))
+        Tables.lineitem(s, dir)
+          .join(broadcast(Tables.part(s, dir).filter($"p_type" === "PROMO")),
+            $"l_partkey" === $"p_partkey")
+          .join(Tables.orders(s, dir)
+            .filter($"o_orderdate".between(
+              to_timestamp(lit("1995-01-01")), to_timestamp(lit("1996-12-31")))),
+            $"l_orderkey" === $"o_orderkey")
+          .join(broadcast(Tables.customer(s, dir)), $"o_custkey" === $"c_custkey")
+          .join(broadcast(n1), $"c_nationkey" === $"c_nk")
+          .join(broadcast(Tables.region(s, dir).filter($"r_name" === "AMERICA")),
+            $"c_rk" === $"r_regionkey")
+          .join(broadcast(Tables.supplier(s, dir)), $"l_suppkey" === $"s_suppkey")
+          .join(broadcast(n2), $"s_nationkey" === $"s_nk")
+          .withColumn("volume", $"l_extendedprice" * (lit(1.0) - $"l_discount"))
+          .groupBy(year($"o_orderdate").cast("long").as("o_year"))
+          .agg(r4(sum(when($"nation" === "NATION_3", $"volume").otherwise(0.0)) /
+            sum($"volume")).as("mkt_share"))
+          .orderBy($"o_year")
+      },
+      Some("""SELECT o_year,
+             |  round(sum(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END)
+             |    / sum(volume), 4) AS mkt_share
+             |FROM (
+             |  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+             |    l_extendedprice * (1.0 - l_discount) AS volume, n2.n_name AS nation
+             |  FROM part
+             |  JOIN lineitem ON p_partkey = l_partkey
+             |  JOIN supplier ON s_suppkey = l_suppkey
+             |  JOIN orders ON l_orderkey = o_orderkey
+             |  JOIN customer ON o_custkey = c_custkey
+             |  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+             |  JOIN region ON n1.n_regionkey = r_regionkey
+             |  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+             |  WHERE r_name = 'AMERICA' AND p_type = 'PROMO'
+             |    AND o_orderdate BETWEEN TIMESTAMP '1995-01-01 00:00:00'
+             |                        AND TIMESTAMP '1996-12-31 00:00:00') all_nations
+             |GROUP BY o_year ORDER BY o_year""".stripMargin)),
+
+    // Q9: product-type profit by nation and year. lineitem⋈partsupp is
+    // the one fact⋈fact edge — shuffles on (partkey, suppkey).
+    "tpch_q9" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        Tables.lineitem(s, dir)
+          .join(broadcast(Tables.part(s, dir).filter($"p_name".contains("red"))),
+            $"l_partkey" === $"p_partkey")
+          .join(partsupp(s, dir),
+            $"l_suppkey" === $"ps_suppkey" && $"l_partkey" === $"ps_partkey")
+          .join(Tables.orders(s, dir), $"l_orderkey" === $"o_orderkey")
+          .join(broadcast(Tables.supplier(s, dir)), $"l_suppkey" === $"s_suppkey")
+          .join(broadcast(Tables.nation(s, dir)), $"s_nationkey" === $"n_nationkey")
+          .groupBy($"n_name".as("nation"),
+            year($"o_orderdate").cast("long").as("o_year"))
+          .agg(r4(sum($"l_extendedprice" * (lit(1.0) - $"l_discount") -
+            $"ps_supplycost" * $"l_quantity")).as("sum_profit"))
+          .orderBy($"nation", $"o_year".desc)
+      },
+      Some(s"""WITH $psCte
+             |SELECT nation, o_year, round(sum(amount), 4) AS sum_profit
+             |FROM (
+             |  SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+             |    l_extendedprice * (1.0 - l_discount) - ps_supplycost * l_quantity
+             |      AS amount
+             |  FROM part
+             |  JOIN lineitem ON p_partkey = l_partkey
+             |  JOIN supplier ON s_suppkey = l_suppkey
+             |  JOIN partsupp ON ps_suppkey = l_suppkey AND ps_partkey = l_partkey
+             |  JOIN orders ON o_orderkey = l_orderkey
+             |  JOIN nation ON s_nationkey = n_nationkey
+             |  WHERE p_name LIKE '%red%') profit
+             |GROUP BY nation, o_year ORDER BY nation, o_year DESC""".stripMargin)),
+
+    // Q11: important stock per part for a nation group, HAVING above a
+    // fraction of the global value (scalar subquery threshold).
+    "tpch_q11" -> QueryDef(
+      (s, dir) => {
+        registerWithPartsupp(s, dir)
+        s.sql("""SELECT ps_partkey, round(sum(ps_supplycost * ps_availqty), 4) AS value
+                |FROM partsupp
+                |JOIN supplier ON ps_suppkey = s_suppkey
+                |JOIN nation ON s_nationkey = n_nationkey
+                |WHERE n_name IN ('NATION_1', 'NATION_6', 'NATION_11')
+                |GROUP BY ps_partkey
+                |HAVING sum(ps_supplycost * ps_availqty) > (
+                |  SELECT sum(ps_supplycost * ps_availqty) * 0.001
+                |  FROM partsupp
+                |  JOIN supplier ON ps_suppkey = s_suppkey
+                |  JOIN nation ON s_nationkey = n_nationkey
+                |  WHERE n_name IN ('NATION_1', 'NATION_6', 'NATION_11'))
+                |ORDER BY value DESC, ps_partkey""".stripMargin)
+      },
+      Some(s"""WITH $psCte
+             |SELECT ps_partkey, round(sum(ps_supplycost * ps_availqty), 4) AS value
+             |FROM partsupp
+             |JOIN supplier ON ps_suppkey = s_suppkey
+             |JOIN nation ON s_nationkey = n_nationkey
+             |WHERE n_name IN ('NATION_1', 'NATION_6', 'NATION_11')
+             |GROUP BY ps_partkey
+             |HAVING sum(ps_supplycost * ps_availqty) > (
+             |  SELECT sum(ps_supplycost * ps_availqty) * 0.001
+             |  FROM partsupp
+             |  JOIN supplier ON ps_suppkey = s_suppkey
+             |  JOIN nation ON s_nationkey = n_nationkey
+             |  WHERE n_name IN ('NATION_1', 'NATION_6', 'NATION_11'))
+             |ORDER BY value DESC, ps_partkey""".stripMargin)),
+
+    // Q12: shipping-mode / priority split — conditional counts per
+    // class; l_returnflag stands in for the missing l_shipmode.
+    "tpch_q12" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        Tables.lineitem(s, dir)
+          .filter($"l_shipdate" >= to_timestamp(lit("1996-01-01")) &&
+            $"l_shipdate" < to_timestamp(lit("1997-01-01")))
+          .join(Tables.orders(s, dir), $"l_orderkey" === $"o_orderkey")
+          .filter($"l_shipdate" > $"o_orderdate" + expr("INTERVAL 30 DAY"))
+          .groupBy($"l_returnflag".as("shipmode"))
+          .agg(
+            sum(when($"o_orderpriority".isin("1-URGENT", "2-HIGH"), 1L).otherwise(0L))
+              .as("high_line_count"),
+            sum(when(!$"o_orderpriority".isin("1-URGENT", "2-HIGH"), 1L).otherwise(0L))
+              .as("low_line_count"))
+          .orderBy($"shipmode")
+      },
+      Some("""SELECT l_returnflag AS shipmode,
+             |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+             |                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+             |  CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+             |                THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+             |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+             |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+             |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+             |  AND l_shipdate > o_orderdate + INTERVAL 30 DAY
+             |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // Q13: distribution of per-customer order counts — left join with
+    // an extra ON predicate, double aggregation.
+    "tpch_q13" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        Tables.customer(s, dir)
+          .join(Tables.orders(s, dir).filter($"o_orderpriority" =!= "1-URGENT"),
+            $"c_custkey" === $"o_custkey", "left")
+          .groupBy($"c_custkey")
+          .agg(count($"o_orderkey").as("c_count"))
+          .groupBy($"c_count")
+          .agg(count(lit(1)).as("custdist"))
+          .orderBy($"custdist".desc, $"c_count".desc)
+      },
+      Some("""SELECT c_count, count(*) AS custdist
+             |FROM (
+             |  SELECT c_custkey, count(o_orderkey) AS c_count
+             |  FROM customer LEFT JOIN orders
+             |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+             |  GROUP BY c_custkey) c_orders
+             |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin)),
+
+    // Q15: top supplier by quarterly revenue — revenue CTE + scalar max.
+    // Per-group sums are rounded to cents BEFORE the max compare so the
+    // float tie-break is engine-stable.
+    "tpch_q15" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val revenue = Tables.lineitem(s, dir)
+          .filter($"l_shipdate" >= to_timestamp(lit("1996-01-01")) &&
+            $"l_shipdate" < to_timestamp(lit("1996-04-01")))
+          .groupBy($"l_suppkey".as("supplier_no"))
+          .agg(round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2)
+            .as("total_revenue"))
+        val maxRev = revenue.agg(max($"total_revenue").as("max_revenue"))
+        Tables.supplier(s, dir)
+          .join(revenue, $"s_suppkey" === $"supplier_no")
+          .join(broadcast(maxRev), $"total_revenue" === $"max_revenue")
+          .select($"s_suppkey", $"s_name", $"total_revenue")
+          .orderBy($"s_suppkey")
+      },
+      Some("""WITH revenue AS (
+             |  SELECT l_suppkey AS supplier_no,
+             |    round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS total_revenue
+             |  FROM lineitem
+             |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+             |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+             |  GROUP BY l_suppkey)
+             |SELECT s_suppkey, s_name, total_revenue
+             |FROM supplier JOIN revenue ON s_suppkey = supplier_no
+             |WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+             |ORDER BY s_suppkey""".stripMargin)),
+
+    // Q16: supplier count per part attribute group, excluding a
+    // supplier set via NOT IN (s_acctbal stands in for the complaints
+    // comment filter).
+    "tpch_q16" -> QueryDef(
+      (s, dir) => {
+        registerWithPartsupp(s, dir)
+        s.sql("""SELECT p_brand, p_type, p_size,
+                |  count(DISTINCT ps_suppkey) AS supplier_cnt
+                |FROM partsupp JOIN part ON p_partkey = ps_partkey
+                |WHERE p_brand <> 'Brand#1' AND p_type NOT LIKE 'PROMO%'
+                |  AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+                |  AND ps_suppkey NOT IN
+                |    (SELECT s_suppkey FROM supplier WHERE s_acctbal < 1500.0)
+                |GROUP BY p_brand, p_type, p_size
+                |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin)
+      },
+      Some(s"""WITH $psCte
+             |SELECT p_brand, p_type, p_size, count(DISTINCT ps_suppkey) AS supplier_cnt
+             |FROM partsupp JOIN part ON p_partkey = ps_partkey
+             |WHERE p_brand <> 'Brand#1' AND p_type NOT LIKE 'PROMO%'
+             |  AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+             |  AND ps_suppkey NOT IN
+             |    (SELECT s_suppkey FROM supplier WHERE s_acctbal < 1500.0)
+             |GROUP BY p_brand, p_type, p_size
+             |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin)),
+
+    // Q17: small-quantity-order revenue — correlated scalar avg
+    // subquery per part (RewriteCorrelatedScalarSubquery → aggregate
+    // + join, no per-row re-scan).
+    "tpch_q17" -> QueryDef(
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        s.sql("""SELECT round(sum(l_extendedprice) / 7.0, 4) AS avg_yearly
+                |FROM lineitem JOIN part ON p_partkey = l_partkey
+                |WHERE p_brand = 'Brand#3' AND p_size <= 25
+                |  AND l_quantity < (SELECT 0.2 * avg(l_quantity) FROM lineitem
+                |                    WHERE l_partkey = p_partkey)""".stripMargin)
+      },
+      Some("""SELECT round(sum(l_extendedprice) / 7.0, 4) AS avg_yearly
+             |FROM lineitem JOIN part ON p_partkey = l_partkey
+             |WHERE p_brand = 'Brand#3' AND p_size <= 25
+             |  AND l_quantity < (SELECT 0.2 * avg(l_quantity) FROM lineitem
+             |                    WHERE l_partkey = p_partkey)""".stripMargin)),
+
+    // Q20: suppliers with excess stock of a part family — IN subquery
+    // whose inner query carries a two-column correlated scalar sum.
+    "tpch_q20" -> QueryDef(
+      (s, dir) => {
+        registerWithPartsupp(s, dir)
+        s.sql("""SELECT s_name, round(s_acctbal, 4) AS acctbal
+                |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+                |WHERE s_suppkey IN (
+                |  SELECT ps_suppkey FROM partsupp
+                |  WHERE ps_partkey IN
+                |      (SELECT p_partkey FROM part WHERE p_name LIKE '%red%')
+                |    AND ps_availqty > (
+                |      SELECT 0.5 * sum(l_quantity) FROM lineitem
+                |      WHERE l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+                |        AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+                |        AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'))
+                |  AND n_regionkey <= 2
+                |ORDER BY s_name""".stripMargin)
+      },
+      Some(s"""WITH $psCte
+             |SELECT s_name, round(s_acctbal, 4) AS acctbal
+             |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+             |WHERE s_suppkey IN (
+             |  SELECT ps_suppkey FROM partsupp
+             |  WHERE ps_partkey IN
+             |      (SELECT p_partkey FROM part WHERE p_name LIKE '%red%')
+             |    AND ps_availqty > (
+             |      SELECT 0.5 * sum(l_quantity) FROM lineitem
+             |      WHERE l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+             |        AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+             |        AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'))
+             |  AND n_regionkey <= 2
+             |ORDER BY s_name""".stripMargin)),
+
+    // Q21: suppliers who kept orders waiting — the multi-EXISTS shape:
+    // another supplier contributed to the order (EXISTS) but none of
+    // the others were late (NOT EXISTS).
+    "tpch_q21" -> QueryDef(
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        s.sql("""SELECT s_name, count(*) AS numwait
+                |FROM supplier
+                |JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+                |JOIN orders ON o_orderkey = l1.l_orderkey
+                |JOIN nation ON s_nationkey = n_nationkey
+                |WHERE o_orderstatus = 'F'
+                |  AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+                |  AND EXISTS (SELECT 1 FROM lineitem l2
+                |              WHERE l2.l_orderkey = l1.l_orderkey
+                |                AND l2.l_suppkey <> l1.l_suppkey)
+                |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                |                  WHERE l3.l_orderkey = l1.l_orderkey
+                |                    AND l3.l_suppkey <> l1.l_suppkey
+                |                    AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+                |  AND n_regionkey <= 2
+                |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin)
+      },
+      Some("""SELECT s_name, count(*) AS numwait
+             |FROM supplier
+             |JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+             |JOIN orders ON o_orderkey = l1.l_orderkey
+             |JOIN nation ON s_nationkey = n_nationkey
+             |WHERE o_orderstatus = 'F'
+             |  AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+             |  AND EXISTS (SELECT 1 FROM lineitem l2
+             |              WHERE l2.l_orderkey = l1.l_orderkey
+             |                AND l2.l_suppkey <> l1.l_suppkey)
+             |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+             |                  WHERE l3.l_orderkey = l1.l_orderkey
+             |                    AND l3.l_suppkey <> l1.l_suppkey
+             |                    AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+             |  AND n_regionkey <= 2
+             |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin))
+  )
+}
