@@ -24,6 +24,9 @@ object GraftSession {
       // AQE: runtime shuffle-partition coalescing + skew-join splitting,
       // the scale path for 100 TB joins (SURVEY.md §4.1).
       .config("spark.sql.adaptive.enabled", "true")
+      // map_agg/map_union keep one value per duplicate key (Presto
+      // MapAggregationFunction behavior) instead of erroring.
+      .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -3,7 +3,8 @@ package graft.functions
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{ArrayAggregate, Cast, CreateStruct, Expression, ExpressionInfo, Flatten, LambdaFunction, MapEntries, MapFromEntries, TryEval, UnresolvedNamedLambdaVariable}
+import org.apache.spark.sql.catalyst.expressions.aggregate.CollectList
 import org.apache.spark.sql.types.DoubleType
 
 /** Registration of graft's custom Catalyst expressions, mirroring the
@@ -49,7 +50,80 @@ object GraftFunctions {
       (args: Seq[Expression]) => Hmac(args(0), args(1), "HmacSHA256")),
     ("hmac_sha512",
       new ExpressionInfo(classOf[Hmac].getName, "hmac_sha512"),
-      (args: Seq[Expression]) => Hmac(args(0), args(1), "HmacSHA512"))
+      (args: Seq[Expression]) => Hmac(args(0), args(1), "HmacSHA512")),
+
+    // MapAggregationFunction.java / MapUnionAggregation.java /
+    // ReduceAggregationFunction.java (FunctionRegistry.java:606-649):
+    // expressed as compositions of Catalyst aggregates so partial/final
+    // split and codegen stay intact. Key dedup follows the session's
+    // mapKeyDedupPolicy (GraftSession sets LAST_WIN, matching Presto's
+    // keep-one behavior).
+    ("map_agg",
+      new ExpressionInfo(classOf[MapFromEntries].getName, "map_agg"),
+      (args: Seq[Expression]) =>
+        MapFromEntries(CollectList(CreateStruct(Seq(args(0), args(1))))
+          .toAggregateExpression())),
+    ("map_union",
+      new ExpressionInfo(classOf[MapFromEntries].getName, "map_union"),
+      (args: Seq[Expression]) =>
+        MapFromEntries(Flatten(CollectList(MapEntries(args(0)))
+          .toAggregateExpression()))),
+    ("reduce_agg",
+      new ExpressionInfo(classOf[ArrayAggregate].getName, "reduce_agg"),
+      (args: Seq[Expression]) => {
+        // reduce_agg(x, s0, input_fn, combine_fn): Presto requires
+        // input_fn commutative/associative, under which folding the
+        // collected group with input_fn alone is equivalent; the
+        // combine_fn argument is accepted for surface parity.
+        val st = UnresolvedNamedLambdaVariable(Seq("graft_reduce_state"))
+        val identity = LambdaFunction(st, Seq(st))
+        ArrayAggregate(
+          CollectList(args(0)).toAggregateExpression(),
+          args(1), args(2), identity)
+      }),
+
+    // QuantileDigestAggregationFunction.java surface (KLL-backed).
+    ("qdigest_agg",
+      new ExpressionInfo(classOf[QdigestAgg].getName, "qdigest_agg"),
+      (args: Seq[Expression]) =>
+        QdigestAgg(Cast(args(0), DoubleType)).toAggregateExpression()),
+    ("merge_qdigest",
+      new ExpressionInfo(classOf[QdigestMergeAgg].getName, "merge_qdigest"),
+      (args: Seq[Expression]) => QdigestMergeAgg(args(0)).toAggregateExpression()),
+    ("value_at_quantile",
+      new ExpressionInfo(classOf[ValueAtQuantile].getName, "value_at_quantile"),
+      (args: Seq[Expression]) => ValueAtQuantile(args(0), args(1))),
+
+    // General TRY(expr) (operator/scalar/TryFunction.java, grammar
+    // SqlBase.g4:296): evaluate, null on runtime error. Spark's TryEval
+    // is the exact engine mechanism (it powers try_add/try_divide).
+    ("try",
+      new ExpressionInfo(classOf[TryEval].getName, "try"),
+      (args: Seq[Expression]) => TryEval(args(0))),
+
+    // VarbinaryFunctions.java ieee754 plumbing + StringFunctions
+    // normalize + the MySQL-pattern translator.
+    ("double_to_bits",
+      new ExpressionInfo(classOf[DoubleToBits].getName, "double_to_bits"),
+      (args: Seq[Expression]) => DoubleToBits(Cast(args(0), DoubleType))),
+    ("bits_to_double",
+      new ExpressionInfo(classOf[BitsToDouble].getName, "bits_to_double"),
+      (args: Seq[Expression]) => BitsToDouble(args(0))),
+    ("float_to_bits",
+      new ExpressionInfo(classOf[FloatToBits].getName, "float_to_bits"),
+      (args: Seq[Expression]) => FloatToBits(args(0))),
+    ("bits_to_float",
+      new ExpressionInfo(classOf[BitsToFloat].getName, "bits_to_float"),
+      (args: Seq[Expression]) => BitsToFloat(args(0))),
+    ("normalize",
+      new ExpressionInfo(classOf[NormalizeString].getName, "normalize"),
+      (args: Seq[Expression]) =>
+        if (args.length >= 2) NormalizeString(args(0), args(1))
+        else NormalizeString(args(0),
+          org.apache.spark.sql.catalyst.expressions.Literal("NFC"))),
+    ("presto_pattern",
+      new ExpressionInfo(classOf[PrestoPatternExpr].getName, "presto_pattern"),
+      (args: Seq[Expression]) => PrestoPatternExpr(args(0)))
   )
 
   def register(spark: SparkSession): Unit = {

@@ -70,7 +70,37 @@ object PrestoCatalog {
     ("url_extract_fragment", "(u STRING) RETURNS STRING", "parse_url(u, 'REF')"),
     ("url_extract_parameter", "(u STRING, k STRING) RETURNS STRING",
       "parse_url(u, 'QUERY', k)"),
-    // VarbinaryFunctions.java
+    // DateTimeFunctions.java MySQL-dialect formatting: the pattern is
+    // translated by the foldable presto_pattern expression, so literal
+    // formats constant-fold to plain codegen'd to_timestamp/date_format.
+    // (Spark's builtin date_format keeps its java.time spelling;
+    // date_parse has no builtin conflict and gets the Presto name.)
+    ("date_parse", "(s STRING, f STRING) RETURNS TIMESTAMP",
+      "to_timestamp(s, presto_pattern(f))"),
+    ("presto_date_format", "(t TIMESTAMP, f STRING) RETURNS STRING",
+      "date_format(t, presto_pattern(f))"),
+    // VarbinaryFunctions.java big-endian + ieee754 round-trips.
+    // conv(hex, 16, -10) interprets the 64-bit value as signed.
+    ("to_big_endian_64", "(x BIGINT) RETURNS BINARY",
+      "unhex(lpad(hex(x), 16, '0'))"),
+    ("from_big_endian_64", "(b BINARY) RETURNS BIGINT",
+      "cast(conv(hex(b), 16, -10) AS BIGINT)"),
+    ("to_big_endian_32", "(x INT) RETURNS BINARY",
+      "unhex(lpad(hex(x & 4294967295), 8, '0'))"),
+    ("from_big_endian_32", "(b BINARY) RETURNS INT",
+      "cast(CASE WHEN cast(conv(hex(b), 16, 10) AS BIGINT) > 2147483647 " +
+        "THEN cast(conv(hex(b), 16, 10) AS BIGINT) - 4294967296 " +
+        "ELSE cast(conv(hex(b), 16, 10) AS BIGINT) END AS INT)"),
+    ("to_ieee754_64", "(x DOUBLE) RETURNS BINARY",
+      "unhex(lpad(hex(double_to_bits(x)), 16, '0'))"),
+    ("from_ieee754_64", "(b BINARY) RETURNS DOUBLE",
+      "bits_to_double(cast(conv(hex(b), 16, -10) AS BIGINT))"),
+    ("to_ieee754_32", "(x FLOAT) RETURNS BINARY",
+      "unhex(lpad(hex(cast(float_to_bits(x) AS BIGINT) & 4294967295), 8, '0'))"),
+    ("from_ieee754_32", "(b BINARY) RETURNS FLOAT",
+      "bits_to_float(cast(CASE WHEN cast(conv(hex(b), 16, 10) AS BIGINT) > 2147483647 " +
+        "THEN cast(conv(hex(b), 16, 10) AS BIGINT) - 4294967296 " +
+        "ELSE cast(conv(hex(b), 16, 10) AS BIGINT) END AS INT))"),
     ("to_hex", "(b BINARY) RETURNS STRING", "upper(hex(b))"),
     ("from_hex", "(s STRING) RETURNS BINARY", "unhex(s)"),
     ("to_base64", "(b BINARY) RETURNS STRING", "base64(b)"),

@@ -136,6 +136,24 @@ object Aggregates extends QueryGroup {
              |FROM lineitem WHERE l_orderkey <= 100
              |GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin)),
 
+    // reduce_agg(x, s0, input_fn, combine_fn) as a callable aggregate
+    // (ReduceAggregationFunction.java): registered in GraftFunctions as
+    // an ArrayAggregate fold over the collected group.
+    "agg_reduce_agg" -> QueryDef(
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        s.sql("""SELECT l_returnflag,
+                |  round(reduce_agg(l_quantity, 0.0D,
+                |    (s, x) -> s + x, (a, b) -> a + b), 4) AS total_qty,
+                |  reduce_agg(cast(1 AS BIGINT), cast(0 AS BIGINT),
+                |    (s, x) -> s + x, (a, b) -> a + b) AS n_rows
+                |FROM lineitem GROUP BY l_returnflag
+                |ORDER BY l_returnflag""".stripMargin)
+      },
+      Some("""SELECT l_returnflag, round(sum(l_quantity), 4) AS total_qty,
+             |  count(*) AS n_rows
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
     // min_by / max_by (Presto minmaxby/).
     "agg_min_max_by" -> QueryDef(
       (s, dir) => {

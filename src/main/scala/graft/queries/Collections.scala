@@ -289,6 +289,44 @@ object Collections extends QueryGroup {
              |FROM orders WHERE o_custkey <= 50
              |GROUP BY 1, 2 ORDER BY o_custkey, status""".stripMargin)),
 
+    // map_agg(k, v) as a CALLABLE aggregate (MapAggregationFunction.java,
+    // registry FunctionRegistry.java:606) — registered in GraftFunctions
+    // as MapFromEntries∘CollectList so partial aggregation stays intact.
+    "coll_map_agg" -> QueryDef(
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        s.sql("""SELECT l_returnflag,
+                |  array_join(transform(array_sort(map_entries(
+                |    map_agg(l_linestatus, cnt))),
+                |    e -> concat(e.key, ':', cast(e.value AS STRING))), ',') AS m
+                |FROM (SELECT l_returnflag, l_linestatus, count(*) AS cnt
+                |      FROM lineitem GROUP BY 1, 2)
+                |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+      },
+      Some("""SELECT l_returnflag,
+             |  string_agg(l_linestatus || ':' || cnt, ',' ORDER BY l_linestatus) AS m
+             |FROM (SELECT l_returnflag, l_linestatus, count(*) AS cnt
+             |      FROM lineitem GROUP BY 1, 2)
+             |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // map_union(m) as a callable aggregate (MapUnionAggregation.java).
+    "coll_map_union" -> QueryDef(
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        s.sql("""SELECT o_orderstatus,
+                |  array_join(transform(array_sort(map_entries(map_union(m))),
+                |    e -> concat(e.key, ':', cast(e.value AS STRING))), ',') AS merged
+                |FROM (SELECT o_orderstatus, map(o_orderpriority, count(*)) AS m
+                |      FROM orders GROUP BY o_orderstatus, o_orderpriority)
+                |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+      },
+      Some("""SELECT o_orderstatus,
+             |  string_agg(o_orderpriority || ':' || n, ',' ORDER BY o_orderpriority)
+             |    AS merged
+             |FROM (SELECT o_orderstatus, o_orderpriority, count(*) AS n
+             |      FROM orders GROUP BY 1, 2)
+             |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
+
     // cosine_similarity on sparse map vectors (Presto MathFunctions
     // cosine_similarity(map<varchar,double>, map<varchar,double>)):
     // term-frequency maps of p_name vs p_type, dot product via

@@ -348,6 +348,86 @@ object ScalarFns extends QueryGroup {
              |  to_base64(encode(n_name)) AS b64_name
              |FROM nation ORDER BY n_nationkey""".stripMargin)),
 
+    // Presto-dialect MySQL %-patterns as SQL-callable functions:
+    // date_parse (exact Presto name) + presto_date_format, both macro-
+    // wired through the foldable presto_pattern translator
+    // (DateTimeFunctions.java's MySQL formatter surface).
+    "fn_datetime_mysql" -> QueryDef(
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        s.sql("""SELECT o_orderkey,
+                |  presto_date_format(o_orderdate, '%Y-%m-%d') AS ymd,
+                |  presto_date_format(o_orderdate, '%d/%m/%Y %H:%i:%s') AS dmy,
+                |  presto_date_format(o_orderdate, '%M %d, %Y') AS longform,
+                |  date_parse(concat('2000-',
+                |    lpad(cast(o_orderkey % 12 + 1 AS STRING), 2, '0'), '-15'),
+                |    '%Y-%m-%d') AS parsed
+                |FROM orders WHERE o_orderkey <= 100 ORDER BY o_orderkey""".stripMargin)
+      },
+      Some("""SELECT o_orderkey,
+             |  strftime(o_orderdate, '%Y-%m-%d') AS ymd,
+             |  strftime(o_orderdate, '%d/%m/%Y %H:%M:%S') AS dmy,
+             |  strftime(o_orderdate, '%B %d, %Y') AS longform,
+             |  strptime('2000-' || lpad(cast(o_orderkey % 12 + 1 AS VARCHAR), 2, '0')
+             |    || '-15', '%Y-%m-%d') AS parsed
+             |FROM orders WHERE o_orderkey <= 100 ORDER BY o_orderkey""".stripMargin)),
+
+    // General TRY(expr) (TryFunction.java, SqlBase.g4:296): runtime
+    // errors → NULL; successful evaluation passes through.
+    "fn_try_general" -> QueryDef(
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        s.sql("""SELECT p_partkey,
+                |  try(element_at(split(p_name, ' '), 0)) AS bad_index,
+                |  try(element_at(split(p_name, ' '), 1)) AS first_word,
+                |  try(cast(p_brand AS INT)) AS bad_cast,
+                |  try(1 div 0) AS div0,
+                |  try(cast(substring(p_brand, 7) AS INT)) AS brand_num
+                |FROM part ORDER BY p_partkey""".stripMargin)
+      },
+      Some("""SELECT p_partkey,
+             |  CAST(NULL AS VARCHAR) AS bad_index,
+             |  string_split(p_name, ' ')[1] AS first_word,
+             |  CAST(NULL AS INT) AS bad_cast,
+             |  CAST(NULL AS BIGINT) AS div0,
+             |  CAST(substring(p_brand, 7) AS INT) AS brand_num
+             |FROM part ORDER BY p_partkey""".stripMargin)),
+
+    // Binary-function tail (VarbinaryFunctions.java): big-endian and
+    // ieee754 encode/decode round-trips + NFC normalize. The oracle
+    // computes the expected plain values, so a broken encoder cannot
+    // cancel itself out except by bit-exact accident.
+    "fn_binary_extra" -> QueryDef(
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        s.sql("""SELECT n_nationkey,
+                |  from_big_endian_64(to_big_endian_64(
+                |    cast(n_nationkey AS BIGINT) * 1000000007)) AS be64_rt,
+                |  from_big_endian_64(to_big_endian_64(
+                |    cast(-n_nationkey AS BIGINT) * 97)) AS be64_neg_rt,
+                |  from_big_endian_32(to_big_endian_32(cast(n_nationkey * 13 AS INT)))
+                |    AS be32_rt,
+                |  from_big_endian_32(to_big_endian_32(cast(-n_nationkey AS INT)))
+                |    AS be32_neg_rt,
+                |  round(from_ieee754_64(to_ieee754_64(n_nationkey * 1.5)), 4)
+                |    AS ieee64_rt,
+                |  cast(from_ieee754_32(to_ieee754_32(
+                |    cast(n_nationkey * 0.25 AS FLOAT))) AS DOUBLE) AS ieee32_rt,
+                |  lower(hex(to_big_endian_32(cast(n_nationkey AS INT)))) AS be32_hex,
+                |  normalize(concat('Amélie', n_nationkey)) AS norm_nfc
+                |FROM nation ORDER BY n_nationkey""".stripMargin)
+      },
+      Some("""SELECT n_nationkey,
+             |  CAST(n_nationkey AS BIGINT) * 1000000007 AS be64_rt,
+             |  CAST(-n_nationkey AS BIGINT) * 97 AS be64_neg_rt,
+             |  CAST(n_nationkey * 13 AS INT) AS be32_rt,
+             |  CAST(-n_nationkey AS INT) AS be32_neg_rt,
+             |  round(n_nationkey * 1.5, 4) AS ieee64_rt,
+             |  n_nationkey * 0.25 AS ieee32_rt,
+             |  lower(lpad(hex(n_nationkey), 8, '0')) AS be32_hex,
+             |  'Amélie' || n_nationkey AS norm_nfc
+             |FROM nation ORDER BY n_nationkey""".stripMargin)),
+
     // Bitwise functions (BitwiseFunctions.java).
     "fn_bitwise" -> QueryDef(
       (s, dir) => {

@@ -107,6 +107,38 @@ object Sketches extends QueryGroup {
              |    x -> printf('%.4f', round(x, 4))), ','), '') AS bottom3
              |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
+    // qdigest round-trip (QuantileDigestAggregationFunction.java +
+    // QuantileDigestFunctions.java): per-group mergeable sketches,
+    // merged to a global digest, value_at_quantile checked against the
+    // exact percentile within the sketch's rank-error bound (KLL k=200
+    // → ±1.7% rank; the window here is ±6%/±10%, >3σ). n_groups and
+    // n_orders are real DuckDB-checkable values.
+    "sketch_qdigest_merge" -> QueryDef(
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        s.sql("""WITH g AS (
+                |  SELECT o_orderstatus, qdigest_agg(o_totalprice) AS sk,
+                |    percentile(o_totalprice, 0.4) AS g_lo,
+                |    percentile(o_totalprice, 0.6) AS g_hi
+                |  FROM orders GROUP BY o_orderstatus),
+                |m AS (SELECT merge_qdigest(sk) AS msk, count(*) AS n_groups,
+                |        bool_and(value_at_quantile(sk, 0.5D) BETWEEN g_lo AND g_hi)
+                |          AS group_medians_ok
+                |      FROM g),
+                |e AS (SELECT percentile(o_totalprice, 0.44) AS lo,
+                |        percentile(o_totalprice, 0.56) AS hi, count(*) AS n_orders
+                |      FROM orders)
+                |SELECT m.n_groups, e.n_orders,
+                |  value_at_quantile(m.msk, 0.5D) BETWEEN e.lo AND e.hi
+                |    AS merged_median_ok,
+                |  m.group_medians_ok
+                |FROM m CROSS JOIN e""".stripMargin)
+      },
+      Some("""SELECT count(DISTINCT o_orderstatus) AS n_groups,
+             |  count(*) AS n_orders, true AS merged_median_ok,
+             |  true AS group_medians_ok
+             |FROM orders""".stripMargin)),
+
     // approx_percentile error-bound property (qdigest analog).
     "sketch_approx_percentile" -> QueryDef(
       (s, dir) => {

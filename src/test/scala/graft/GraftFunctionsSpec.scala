@@ -55,4 +55,82 @@ class GraftFunctionsSpec extends AnyFunSuite with SparkFixture with Matchers {
     r._1 shouldBe 0.842701 +- 1e-5
     r._2 shouldBe 0.0 +- 1e-9
   }
+
+  test("map_agg collects key-value pairs; map_union merges maps") {
+    import spark.implicits._
+    Seq(("a", "x", 1L), ("a", "y", 2L), ("b", "z", 3L))
+      .toDF("g", "k", "v").createOrReplaceTempView("mat")
+    val m = spark.sql(
+      """SELECT g, map_agg(k, v) AS m FROM mat GROUP BY g ORDER BY g""")
+      .as[(String, Map[String, Long])].collect()
+    m(0) shouldBe ("a", Map("x" -> 1L, "y" -> 2L))
+    m(1) shouldBe ("b", Map("z" -> 3L))
+    val u = spark.sql(
+      """SELECT map_union(m) AS u FROM (
+        |  SELECT map(k, v) AS m FROM mat WHERE g = 'a')""".stripMargin)
+      .as[Map[String, Long]].head()
+    u shouldBe Map("x" -> 1L, "y" -> 2L)
+  }
+
+  test("reduce_agg folds with the input lambda") {
+    import spark.implicits._
+    Seq(1L, 2L, 3L, 4L).toDF("x").createOrReplaceTempView("rat")
+    spark.sql(
+      """SELECT reduce_agg(x, CAST(1 AS BIGINT),
+        |  (s, v) -> s * v, (a, b) -> a * b) AS p FROM rat""".stripMargin)
+      .as[Long].head() shouldBe 24L
+  }
+
+  test("qdigest: group sketches merge to the global quantile within error") {
+    import spark.implicits._
+    (1 to 10000).map(i => (i % 7, i.toDouble)).toDF("g", "x")
+      .createOrReplaceTempView("qdt")
+    val med = spark.sql(
+      """SELECT value_at_quantile(merge_qdigest(sk), 0.5D) AS m FROM (
+        |  SELECT g, qdigest_agg(x) AS sk FROM qdt GROUP BY g)""".stripMargin)
+      .as[Double].head()
+    // KLL k=200 → ±1.7% rank error at 99%; median of 1..10000 is 5000
+    med shouldBe 5000.0 +- 400.0
+  }
+
+  test("try returns NULL on runtime error, value on success") {
+    import spark.implicits._
+    val r = spark.sql(
+      """SELECT try(1 div 0) AS a, try(CAST('zz' AS INT)) AS b,
+        |  try(element_at(array(7), 0)) AS c, try(2 + 3) AS d""".stripMargin)
+      .select($"a".isNull, $"b".isNull, $"c".isNull, $"d")
+      .as[(Boolean, Boolean, Boolean, Long)].head()
+    r shouldBe ((true, true, true, 5L))
+  }
+
+  test("big-endian and ieee754 round-trips are exact, bytes are big-endian") {
+    import spark.implicits._
+    val r = spark.sql(
+      """SELECT from_big_endian_64(to_big_endian_64(-123456789012345678L)) AS a,
+        |  from_big_endian_32(to_big_endian_32(-42)) AS b,
+        |  from_ieee754_64(to_ieee754_64(3.14159265358979D)) AS c,
+        |  hex(to_big_endian_32(1)) AS d,
+        |  hex(to_ieee754_64(1.0D)) AS e""".stripMargin)
+      .as[(Long, Int, Double, String, String)].head()
+    r._1 shouldBe -123456789012345678L
+    r._2 shouldBe -42
+    r._3 shouldBe 3.14159265358979
+    r._4 shouldBe "00000001"
+    r._5 shouldBe "3FF0000000000000" // IEEE754 bits of 1.0, big-endian
+  }
+
+  test("normalize composes NFC and date_parse uses MySQL patterns") {
+    import spark.implicits._
+    val r = spark.sql(
+      """SELECT normalize('Amélie') AS n,
+        |  length(normalize('Amélie')) AS ln,
+        |  presto_date_format(TIMESTAMP '2001-08-22 03:04:05', '%Y/%m/%d %H:%i:%s') AS f,
+        |  cast(date_parse('2001-08-22 03:04:05', '%Y-%m-%d %H:%i:%s') AS STRING) AS p
+        |""".stripMargin)
+      .as[(String, Int, String, String)].head()
+    r._1 shouldBe "Amélie"
+    r._2 shouldBe 6
+    r._3 shouldBe "2001/08/22 03:04:05"
+    r._4 shouldBe "2001-08-22 03:04:05"
+  }
 }
