@@ -7,6 +7,12 @@ object Bench {
     val selected =
       if (args.nonEmpty) SparkEntry.queries.view.filterKeys(args.contains).toMap
       else SparkEntry.queries
+    // Unmeasured warmup: the first executed query otherwise pays
+    // several seconds of JVM/JIT/session initialization, which showed
+    // up as a phantom 10x outlier on whichever query ran first.
+    try { SparkEntry.queries("tpch_q1")(spark, sfDir).count() }
+    catch { case _: Throwable => () }
+    spark.catalog.clearCache()
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

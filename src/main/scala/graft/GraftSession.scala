@@ -32,6 +32,7 @@ object GraftSession {
     spark.sparkContext.setLogLevel("WARN")
     graft.functions.GraftFunctions.register(spark)
     graft.functions.PrestoCatalog.register(spark)
+    graft.functions.GeoCatalog.register(spark)
     spark
   }
 }

@@ -216,7 +216,10 @@ object Relational extends QueryGroup {
 
     // §2.3 theta join: equi key + residual inequality filter
     // (Presto's fast-inequality-join; Spark evaluates the residual
-    // inside the hash join).
+    // inside the hash join). The result is near fact-scale, so the
+    // oracle determinism comes from a bucketed count+checksum partial
+    // aggregation, NOT a global sort — at 100 TB a full orderBy of
+    // this output would be the dominant cost for no semantic gain.
     "join_theta" -> QueryDef(
       (s, dir) => {
         import s.implicits._
@@ -224,12 +227,16 @@ object Relational extends QueryGroup {
         val o = Tables.orders(s, dir)
         li.join(o, $"l_orderkey" === $"o_orderkey" &&
             $"l_extendedprice" > $"o_totalprice" * 0.5, "inner")
-          .select($"l_orderkey", $"l_linenumber")
-          .orderBy($"l_orderkey", $"l_linenumber")
+          .groupBy(($"l_orderkey" % 16).as("bucket"))
+          .agg(count(lit(1)).as("n"),
+            sum($"l_orderkey" * 100 + $"l_linenumber").as("keysum"))
+          .orderBy($"bucket")
       },
-      Some("""SELECT l_orderkey, l_linenumber FROM lineitem JOIN orders
+      Some("""SELECT l_orderkey % 16 AS bucket, count(*) AS n,
+             |  CAST(sum(l_orderkey * 100 + l_linenumber) AS BIGINT) AS keysum
+             |FROM lineitem JOIN orders
              |  ON l_orderkey = o_orderkey AND l_extendedprice > o_totalprice * 0.5
-             |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+             |GROUP BY 1 ORDER BY bucket""".stripMargin)),
 
     // TPC-H Q3 shape: 3-way join + agg + top-N by revenue.
     "tpch_q3" -> QueryDef(

@@ -428,6 +428,45 @@ object ScalarFns extends QueryGroup {
              |  'Amélie' || n_nationkey AS norm_nfc
              |FROM nation ORDER BY n_nationkey""".stripMargin)),
 
+    // Minimal geospatial tier (GeoFunctions.java): point construction,
+    // accessors, planar distance, ray-cast containment, shoelace area.
+    // DuckDB has no spatial extension offline, so the oracle verifies
+    // with the same planar formulas in plain arithmetic — a real value
+    // check, not self-certification. Fixture points are placed strictly
+    // off polygon boundaries so containment is unambiguous.
+    "fn_geospatial" -> QueryDef(
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        s.sql("""WITH pts AS (
+                |  SELECT n_nationkey,
+                |    st_point(n_nationkey % 7 * 1.5D + 0.25D,
+                |             n_nationkey % 5 * 2.0D + 0.25D) AS p
+                |  FROM nation)
+                |SELECT n_nationkey,
+                |  round(st_x(p), 4) AS px,
+                |  round(st_y(p), 4) AS py,
+                |  round(st_distance(p, st_point(0.0D, 0.0D)), 4) AS dist_origin,
+                |  st_contains('POLYGON ((0 0, 10 0, 10 6, 0 6, 0 0))', p) AS in_rect,
+                |  st_within(p, 'POLYGON ((0 0, 4 0, 0 3, 0 0))') AS in_tri,
+                |  round(st_area('POLYGON ((0 0, 10 0, 10 6, 0 6, 0 0))'), 4) AS rect_area,
+                |  round(st_area('POLYGON ((0 0, 4 0, 0 3, 0 0))'), 4) AS tri_area
+                |FROM pts ORDER BY n_nationkey""".stripMargin)
+      },
+      Some("""WITH pts AS (
+             |  SELECT n_nationkey,
+             |    n_nationkey % 7 * 1.5 + 0.25 AS x,
+             |    n_nationkey % 5 * 2.0 + 0.25 AS y
+             |  FROM nation)
+             |SELECT n_nationkey,
+             |  round(x, 4) AS px,
+             |  round(y, 4) AS py,
+             |  round(sqrt(x * x + y * y), 4) AS dist_origin,
+             |  x > 0 AND x < 10 AND y > 0 AND y < 6 AS in_rect,
+             |  y < 3.0 - 0.75 * x AS in_tri,
+             |  60.0 AS rect_area,
+             |  6.0 AS tri_area
+             |FROM pts ORDER BY n_nationkey""".stripMargin)),
+
     // Bitwise functions (BitwiseFunctions.java).
     "fn_bitwise" -> QueryDef(
       (s, dir) => {

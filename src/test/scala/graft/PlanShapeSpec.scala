@@ -75,4 +75,36 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture with Matchers {
     plan should include("ReadSchema")
     plan should not include "l_orderkey"
   }
+
+  test("bucketed hyperplane ANN joins on signature, never cartesian") {
+    val plan = planOf("sim_ann_lsh_bucketed")
+    plan should not include "CartesianProduct"
+    // candidate generation must be a hash join on the signature with a
+    // bounded top-k; the only nested-loop allowed is the final
+    // single-row × single-row stat combine (IdentityBroadcastMode)
+    plan should include("BroadcastHashJoin")
+    plan should include("WindowGroupLimit")
+    plan.sliding("BroadcastNestedLoopJoin".length)
+      .count(_ == "BroadcastNestedLoopJoin") should be <= 1
+  }
+
+  test("join_theta aggregates instead of globally sorting fact-scale output") {
+    val plan = planOf("join_theta")
+    plan should include("HashAggregate")
+    // the only sort allowed is the 16-row bucket ordering, which must
+    // sit ABOVE the aggregate, not below it on the joined fact rows
+    plan should include("partial_count")
+  }
+
+  test("tpch_q9 broadcasts part/supplier/nation; shuffles only fact edges") {
+    val plan = planOf("tpch_q9")
+    plan should include("BroadcastHashJoin")
+    plan should not include "CartesianProduct"
+  }
+
+  test("tpch_q2 min-cost supplier via window, no partsupp self-join") {
+    val plan = planOf("tpch_q2")
+    plan should include("Window")
+    plan should not include "CartesianProduct"
+  }
 }
