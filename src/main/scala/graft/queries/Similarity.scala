@@ -162,11 +162,17 @@ object Similarity extends QueryGroup {
         pairs.agg(
           avg(when($"same_bucket", $"cos")).as("avg_cos_bucket"),
           avg($"cos").as("avg_cos_all"),
-          count(when($"same_bucket", 1)).as("n_bucket_pairs"))
+          count(when($"same_bucket", 1)).as("n_bucket_pairs"),
+          count(lit(1)).as("n_pairs"))
           .select(($"avg_cos_bucket" > $"avg_cos_all").as("bucket_pairs_closer"),
-            ($"n_bucket_pairs" > 0).as("buckets_nonempty"))
+            ($"n_bucket_pairs" > 0).as("buckets_nonempty"),
+            $"n_pairs")
       },
-      Some("SELECT true AS bucket_pairs_closer, true AS buckets_nonempty")),
+      // n_pairs = C(n,2) over the bounded prefix — a real value pinning
+      // the population the statistical property is computed over.
+      Some("""SELECT true AS bucket_pairs_closer, true AS buckets_nonempty,
+             |  CAST(count(*) * (count(*) - 1) // 2 AS BIGINT) AS n_pairs
+             |FROM embeddings WHERE vec_id < 300""".stripMargin)),
 
     // Bucketed hyperplane-ANN — the SCALE path for cosine ANN, exactly
     // parallel to dedup_minhash_lsh_full: candidates come from an

@@ -36,10 +36,14 @@ object Sketches extends QueryGroup {
           .agg(approx_count_distinct($"l_partkey").as("approx"),
             countDistinct($"l_partkey").as("exact"))
           .select($"l_returnflag",
-            (abs($"approx" - $"exact") <= $"exact" * 0.05).as("within_5pct"))
+            (abs($"approx" - $"exact") <= $"exact" * 0.05).as("within_5pct"),
+            $"exact")
           .orderBy($"l_returnflag")
       },
-      Some("""SELECT l_returnflag, true AS within_5pct
+      // `exact` is a real value check — the error-bound boolean cannot
+      // pass vacuously against a wrong cardinality.
+      Some("""SELECT l_returnflag, true AS within_5pct,
+             |  count(DISTINCT l_partkey) AS exact
              |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
     // Mergeable HLL: the approx_set/merge/cardinality round-trip —
@@ -62,9 +66,11 @@ object Sketches extends QueryGroup {
           .select((abs($"est_merged" - $"exact") <= $"exact" * 0.05)
             .as("merged_within_5pct"),
             (abs($"est_global" - $"exact") <= $"exact" * 0.05)
-              .as("global_within_5pct"))
+              .as("global_within_5pct"),
+            $"exact")
       },
-      Some("SELECT true AS merged_within_5pct, true AS global_within_5pct")),
+      Some("""SELECT true AS merged_within_5pct, true AS global_within_5pct,
+             |  count(DISTINCT l_partkey) AS exact FROM lineitem""".stripMargin)),
 
     // checksum (ChecksumAggregationFunction): order-independent xor of
     // row hashes; must be invariant under reordering and sensitive to
@@ -81,11 +87,14 @@ object Sketches extends QueryGroup {
           .withColumnRenamed("cs", "cs_reordered")
         val c = checksumOf(li.filter($"l_linenumber" =!= 1))
           .withColumnRenamed("cs", "cs_subset")
-        a.crossJoin(b).crossJoin(c)
+        val n = li.agg(count(lit(1)).as("n_rows"))
+        a.crossJoin(b).crossJoin(c).crossJoin(n)
           .select(($"cs_natural" === $"cs_reordered").as("order_independent"),
-            ($"cs_natural" =!= $"cs_subset").as("content_sensitive"))
+            ($"cs_natural" =!= $"cs_subset").as("content_sensitive"),
+            $"n_rows")
       },
-      Some("SELECT true AS order_independent, true AS content_sensitive")),
+      Some("""SELECT true AS order_independent, true AS content_sensitive,
+             |  count(*) AS n_rows FROM lineitem""".stripMargin)),
 
     // max_n / min_n custom TypedImperativeAggregate — exact oracle.
     "sketch_max_n" -> QueryDef(

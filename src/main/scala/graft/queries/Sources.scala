@@ -56,11 +56,17 @@ object Sources extends QueryGroup {
           checksum(back).select(lit(fmt).as("fmt"), $"n", $"cs")
         }.reduce(_ unionAll _)
         results.crossJoin(base)
-          .select($"fmt", ($"n" === $"n0" && $"cs" === $"cs0").as("roundtrip_ok"))
+          .select($"fmt", ($"n" === $"n0" && $"cs" === $"cs0").as("roundtrip_ok"),
+            $"n")
           .orderBy($"fmt")
       },
-      Some("""SELECT fmt, true AS roundtrip_ok FROM (VALUES ('csv'), ('json'),
-             |  ('orc'), ('parquet')) t(fmt) ORDER BY fmt""".stripMargin)),
+      // `n` is the written-and-read-back row count per format — DuckDB
+      // recomputes it from the source slice, so a lossy round-trip
+      // cannot cancel out in the checksum comparison alone.
+      Some("""SELECT fmt, true AS roundtrip_ok,
+             |  (SELECT count(*) FROM lineitem WHERE l_orderkey <= 2000) AS n
+             |FROM (VALUES ('csv'), ('json'), ('orc'), ('parquet')) t(fmt)
+             |ORDER BY fmt""".stripMargin)),
 
     // CTAS + INSERT INTO over an external parquet table (the DML tier:
     // SqlBase.g4 CTAS :41-44, INSERT :50 → TableWriterOperator).

@@ -149,9 +149,14 @@ object TextPipeline extends QueryGroup {
         Tables.documents(s, dir)
           .select(xxhash64(normText($"text")).as("fp"), normText($"text").as("nt"))
           .agg(countDistinct($"fp").as("n_fp"), countDistinct($"nt").as("n_text"))
-          .select(($"n_fp" === $"n_text").as("collision_free"))
+          .select(($"n_fp" === $"n_text").as("collision_free"), $"n_fp", $"n_text")
       },
-      Some("SELECT true AS collision_free")),
+      // n_text is DuckDB-recomputable, and collision-freeness pins
+      // n_fp to the same number — both are real value checks.
+      Some("""SELECT true AS collision_free,
+             |  count(DISTINCT regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS n_fp,
+             |  count(DISTINCT regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS n_text
+             |FROM documents""".stripMargin)),
 
     // Char 5-gram shingle Jaccard (the classic shingling alternative
     // to word sets) on a small prefix — shingles built declaratively
@@ -349,10 +354,27 @@ object TextPipeline extends QueryGroup {
           .withColumn("hamming", bit_count($"sh_a".bitwiseXOR($"sh_b")))
         pairs.agg(
           avg(when($"j" >= 0.9, $"hamming")).as("avg_ham_neardup"),
-          avg(when($"j" < 0.3, $"hamming")).as("avg_ham_far"))
-          .select(($"avg_ham_neardup" < $"avg_ham_far").as("simhash_separates"))
+          avg(when($"j" < 0.3, $"hamming")).as("avg_ham_far"),
+          count(when($"j" >= 0.9, 1)).as("n_neardup"),
+          count(when($"j" < 0.3, 1)).as("n_far"))
+          .select(($"avg_ham_neardup" < $"avg_ham_far").as("simhash_separates"),
+            $"n_neardup", $"n_far")
       },
-      Some("SELECT true AS simhash_separates"))
+      // The Jaccard pair counts are exact set arithmetic DuckDB
+      // recomputes independently — real value checks on the inputs the
+      // Hamming property is averaged over.
+      Some("""WITH t AS (
+             |  SELECT doc_id,
+             |    list_distinct(string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ')) AS w
+             |  FROM documents WHERE doc_id < 500),
+             |p AS (
+             |  SELECT len(list_intersect(a.w, b.w)) * 1.0 /
+             |    (len(a.w) + len(b.w) - len(list_intersect(a.w, b.w))) AS j
+             |  FROM t a JOIN t b ON a.doc_id < b.doc_id)
+             |SELECT true AS simhash_separates,
+             |  CAST(sum(CASE WHEN j >= 0.9 THEN 1 ELSE 0 END) AS BIGINT) AS n_neardup,
+             |  CAST(sum(CASE WHEN j < 0.3 THEN 1 ELSE 0 END) AS BIGINT) AS n_far
+             |FROM p""".stripMargin))
   )
 
   /** Shared MinHash+LSH pipeline: 64 perms, 16 bands × 4 rows. */
