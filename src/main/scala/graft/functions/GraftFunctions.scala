@@ -3,8 +3,8 @@ package graft.functions
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{ArrayAggregate, Cast, CreateStruct, Expression, ExpressionInfo, Flatten, LambdaFunction, MapEntries, MapFromEntries, TryEval, UnresolvedNamedLambdaVariable}
-import org.apache.spark.sql.catalyst.expressions.aggregate.CollectList
+import org.apache.spark.sql.catalyst.expressions.{ArrayAggregate, Cast, CreateStruct, Exp, Expression, ExpressionInfo, Flatten, LambdaFunction, Log, MapEntries, MapFromEntries, TryEval, UnresolvedNamedLambdaVariable, XxHash64}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{Average, BitXorAgg, CollectList}
 import org.apache.spark.sql.types.DoubleType
 
 /** Registration of graft's custom Catalyst expressions, mirroring the
@@ -123,7 +123,27 @@ object GraftFunctions {
           org.apache.spark.sql.catalyst.expressions.Literal("NFC"))),
     ("presto_pattern",
       new ExpressionInfo(classOf[PrestoPatternExpr].getName, "presto_pattern"),
-      (args: Seq[Expression]) => PrestoPatternExpr(args(0)))
+      (args: Seq[Expression]) => PrestoPatternExpr(args(0))),
+
+    // (Presto's 3-arg date_add/date_diff(unit, …) are covered by
+    // Spark's builtin 3-arg forms with unquoted units — the analyzer
+    // resolves those names to its own TimestampAdd/TimestampDiff
+    // builders before session registrations, so they cannot be shimmed
+    // for quoted unit strings.)
+
+    // checksum(x) (ChecksumAggregationFunction.java): order-independent
+    // xor of 64-bit row hashes, as a callable aggregate.
+    ("checksum",
+      new ExpressionInfo(classOf[BitXorAgg].getName, "checksum"),
+      (args: Seq[Expression]) =>
+        BitXorAgg(XxHash64(args, 42L)).toAggregateExpression()),
+
+    // geometric_mean(x) (GeometricMeanAggregations.java): exp∘avg∘ln —
+    // numerically stable in log space, partial-agg friendly.
+    ("geometric_mean",
+      new ExpressionInfo(classOf[Average].getName, "geometric_mean"),
+      (args: Seq[Expression]) =>
+        Exp(Average(Log(Cast(args(0), DoubleType))).toAggregateExpression()))
   )
 
   def register(spark: SparkSession): Unit = {

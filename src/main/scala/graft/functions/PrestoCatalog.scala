@@ -105,6 +105,42 @@ object PrestoCatalog {
     ("from_hex", "(s STRING) RETURNS BINARY", "unhex(s)"),
     ("to_base64", "(b BINARY) RETURNS STRING", "base64(b)"),
     ("from_base64", "(s STRING) RETURNS BINARY", "unbase64(s)"),
+    // StringFunctions.java tail
+    ("levenshtein_distance", "(a STRING, b STRING) RETURNS INT", "levenshtein(a, b)"),
+    ("starts_with", "(s STRING, p STRING) RETURNS BOOLEAN", "startswith(s, p)"),
+    ("split_to_map", "(s STRING, ed STRING, kvd STRING) RETURNS MAP<STRING, STRING>",
+      "str_to_map(s, ed, kvd)"),
+    // DateTimeFunctions.java tail
+    ("week", "(t TIMESTAMP) RETURNS INT", "weekofyear(t)"),
+    ("last_day_of_month", "(t TIMESTAMP) RETURNS DATE", "last_day(cast(t AS DATE))"),
+    ("parse_datetime", "(s STRING, f STRING) RETURNS TIMESTAMP",
+      "to_timestamp(s, f)"),
+    // (current_timezone is already a Spark builtin with Presto's name)
+    // JsonFunctions.java tail: json values travel as strings (Presto's
+    // JSON type is also a text representation at the API boundary)
+    ("json_array_get", "(j STRING, i BIGINT) RETURNS STRING",
+      "get_json_object(j, concat('$[', cast(i AS STRING), ']'))"),
+    ("json_parse", "(s STRING) RETURNS STRING", "s"),
+    ("json_format", "(j STRING) RETURNS STRING", "j"),
+    // ArrayFunctions: Presto zip → arrays_zip (fields '0','1' vs
+    // Presto's field0/field1; positional access works the same)
+    ("zip", "(a ARRAY<STRING>, b ARRAY<STRING>) RETURNS ARRAY<STRUCT<`0`: STRING, `1`: STRING>>",
+      "arrays_zip(a, b)"),
+    // DataSizeFunctions.java: '64MB' → bytes (binary powers of 1024)
+    ("parse_data_size", "(s STRING) RETURNS DECIMAL(38,0)",
+      "cast(cast(regexp_extract(s, '^([0-9.]+)', 1) AS DOUBLE) * " +
+        "CASE regexp_extract(s, '([a-zA-Z]+)$', 1) " +
+        "WHEN 'B' THEN 1.0 WHEN 'kB' THEN 1024.0 WHEN 'MB' THEN power(1024, 2) " +
+        "WHEN 'GB' THEN power(1024, 3) WHEN 'TB' THEN power(1024, 4) " +
+        "WHEN 'PB' THEN power(1024, 5) WHEN 'EB' THEN power(1024, 6) " +
+        "ELSE cast(NULL AS DOUBLE) END AS DECIMAL(38,0))"),
+    // parse_duration('2.5m') → day-time interval
+    ("parse_duration", "(s STRING) RETURNS INTERVAL DAY TO SECOND",
+      "make_dt_interval(0, 0, 0, cast(regexp_extract(s, '^([0-9.]+)', 1) AS DOUBLE) * " +
+        "CASE regexp_extract(s, '([a-z]+)$', 1) " +
+        "WHEN 'ns' THEN 1e-9 WHEN 'us' THEN 1e-6 WHEN 'ms' THEN 1e-3 " +
+        "WHEN 's' THEN 1.0 WHEN 'm' THEN 60.0 WHEN 'h' THEN 3600.0 " +
+        "WHEN 'd' THEN 86400.0 ELSE cast(NULL AS DOUBLE) END)"),
     // Conditional / misc
     ("if_fn", "(c BOOLEAN, a DOUBLE, b DOUBLE) RETURNS DOUBLE", "if(c, a, b)"),
     ("cosine_distance", "(a ARRAY<DOUBLE>, b ARRAY<DOUBLE>) RETURNS DOUBLE",
@@ -119,7 +155,9 @@ object PrestoCatalog {
     */
   private val aggAliases: Seq[(String, String)] = Seq(
     "approx_distinct" -> "approx_count_distinct",
-    "arbitrary" -> "any_value")
+    "arbitrary" -> "any_value",
+    "bitwise_and_agg" -> "bit_and",
+    "bitwise_or_agg" -> "bit_or")
 
   def register(spark: SparkSession): Unit = {
     sqlMacros.foreach { case (name, sig, body) =>

@@ -622,6 +622,74 @@ object ScalarFns extends QueryGroup {
              |  max(json_extract_string('{"a": 7}', '$.a')) AS json_a
              |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
+    // Presto-name catalog, second tier: unit-string date arithmetic,
+    // split_to_map, json_array_get, data-size/duration parsing,
+    // checksum/geometric_mean as callable aggregates. Timestamps here
+    // are midnight-aligned so Spark's complete-unit date_diff and
+    // DuckDB's boundary-crossing date_diff agree exactly.
+    "fn_presto_names2" -> QueryDef(
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        // the constant scalars live in a one-row CTE: SQL-macro bodies
+        // containing lambdas mis-resolve when inlined directly under an
+        // aggregate rewrite, and the cross join sidesteps that
+        s.sql("""WITH c AS (SELECT
+                |  array_join(transform(array_sort(map_entries(
+                |    split_to_map('a=1,b=2', ',', '='))),
+                |    e -> concat(e.key, '>', e.value)), '|') AS kv,
+                |  json_array_get('[10,20,30]', 1) AS j1,
+                |  cast(parse_data_size('64MB') AS BIGINT) AS mb64,
+                |  parse_duration('150s') = make_dt_interval(0, 0, 2, 30)
+                |    AS dur_ok)
+                |SELECT o_orderkey,
+                |  cast(date_add(DAY, 5, o_orderdate) AS STRING) AS plus5d,
+                |  cast(date_add(MONTH, 2, o_orderdate) AS STRING) AS plus2mo,
+                |  date_diff(DAY, o_orderdate,
+                |    TIMESTAMP '2000-01-01 00:00:00') AS days_to_y2k,
+                |  week(o_orderdate) AS wk,
+                |  cast(last_day_of_month(o_orderdate) AS STRING) AS eom,
+                |  max(kv) AS kv,
+                |  max(j1) AS j1,
+                |  levenshtein_distance(o_orderstatus, 'OF') AS lev,
+                |  starts_with(o_orderpriority, '1') AS is_urgent,
+                |  max(mb64) AS mb64,
+                |  max(dur_ok) AS dur_ok,
+                |  checksum(o_orderkey) IS NOT NULL AS cs_ok
+                |FROM orders CROSS JOIN c WHERE o_orderkey <= 100
+                |GROUP BY o_orderkey, o_orderdate, o_orderstatus, o_orderpriority
+                |ORDER BY o_orderkey""".stripMargin)
+      },
+      Some("""SELECT o_orderkey,
+             |  cast(o_orderdate + INTERVAL 5 DAY AS VARCHAR) AS plus5d,
+             |  cast(o_orderdate + INTERVAL 2 MONTH AS VARCHAR) AS plus2mo,
+             |  date_diff('day', o_orderdate,
+             |    TIMESTAMP '2000-01-01 00:00:00') AS days_to_y2k,
+             |  CAST(weekofyear(o_orderdate) AS INT) AS wk,
+             |  cast(last_day(o_orderdate) AS VARCHAR) AS eom,
+             |  'a>1|b>2' AS kv,
+             |  '20' AS j1,
+             |  levenshtein(o_orderstatus, 'OF') AS lev,
+             |  starts_with(o_orderpriority, '1') AS is_urgent,
+             |  CAST(67108864 AS BIGINT) AS mb64,
+             |  true AS dur_ok,
+             |  true AS cs_ok
+             |FROM orders WHERE o_orderkey <= 100
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    // geometric_mean as a callable aggregate, value-matched against
+    // the exp∘avg∘ln rewrite in DuckDB.
+    "agg_geomean_callable" -> QueryDef(
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        s.sql("""SELECT l_returnflag,
+                |  round(geometric_mean(l_quantity), 4) AS gm
+                |FROM lineitem WHERE l_quantity > 0
+                |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+      },
+      Some("""SELECT l_returnflag, round(exp(avg(ln(l_quantity))), 4) AS gm
+             |FROM lineitem WHERE l_quantity > 0
+             |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
     // TRY semantics (TryFunction.java / TryCastFunction.java): NULL on
     // malformed input instead of failure.
     "fn_try_cast" -> QueryDef(
