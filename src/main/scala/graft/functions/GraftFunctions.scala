@@ -143,7 +143,15 @@ object GraftFunctions {
     ("geometric_mean",
       new ExpressionInfo(classOf[Average].getName, "geometric_mean"),
       (args: Seq[Expression]) =>
-        Exp(Average(Log(Cast(args(0), DoubleType))).toAggregateExpression()))
+        Exp(Average(Log(Cast(args(0), DoubleType))).toAggregateExpression())),
+
+    // approx_most_frequent(buckets, value, capacity)
+    // (ApproximateMostFrequentFunction.java) — Misra-Gries heavy
+    // hitters with bounded per-group memory.
+    ("approx_most_frequent",
+      new ExpressionInfo(classOf[ApproxMostFrequentAgg].getName, "approx_most_frequent"),
+      (args: Seq[Expression]) =>
+        ApproxMostFrequentAgg(args(0), args(1), args(2)).toAggregateExpression())
   )
 
   def register(spark: SparkSession): Unit = {

@@ -141,6 +141,8 @@ object PrestoCatalog {
         "WHEN 'ns' THEN 1e-9 WHEN 'us' THEN 1e-6 WHEN 'ms' THEN 1e-3 " +
         "WHEN 's' THEN 1.0 WHEN 'm' THEN 60.0 WHEN 'h' THEN 3600.0 " +
         "WHEN 'd' THEN 86400.0 ELSE cast(NULL AS DOUBLE) END)"),
+    // HyperLogLogFunctions.java: cardinality(hll) under a non-conflicting name
+    ("hll_cardinality", "(sk BINARY) RETURNS BIGINT", "hll_sketch_estimate(sk)"),
     // Conditional / misc
     ("if_fn", "(c BOOLEAN, a DOUBLE, b DOUBLE) RETURNS DOUBLE", "if(c, a, b)"),
     ("cosine_distance", "(a ARRAY<DOUBLE>, b ARRAY<DOUBLE>) RETURNS DOUBLE",
@@ -157,7 +159,12 @@ object PrestoCatalog {
     "approx_distinct" -> "approx_count_distinct",
     "arbitrary" -> "any_value",
     "bitwise_and_agg" -> "bit_and",
-    "bitwise_or_agg" -> "bit_or")
+    "bitwise_or_agg" -> "bit_or",
+    // Presto approx_set(x) → HLL sketch; cardinality(hll) is covered by
+    // the hll_cardinality macro (Spark's `cardinality` builtin is the
+    // collection-size function and cannot be overridden)
+    "approx_set" -> "hll_sketch_agg",
+    "merge_hll" -> "hll_union_agg")
 
   def register(spark: SparkSession): Unit = {
     sqlMacros.foreach { case (name, sig, body) =>

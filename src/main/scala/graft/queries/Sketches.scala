@@ -148,6 +148,49 @@ object Sketches extends QueryGroup {
              |  true AS group_medians_ok
              |FROM orders""".stripMargin)),
 
+    // approx_most_frequent (ApproximateMostFrequentFunction.java):
+    // heavy hitters per group. o_orderpriority has 5 distinct values
+    // and the sketch capacity is 64, so the Misra-Gries counts are
+    // EXACT and the oracle can value-match the full map.
+    "sketch_approx_most_frequent" -> QueryDef(
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        s.sql("""SELECT o_orderstatus,
+                |  array_join(transform(array_sort(map_entries(
+                |    approx_most_frequent(3, o_orderpriority, 64))),
+                |    e -> concat(e.key, ':', cast(e.value AS STRING))), ',') AS top3
+                |FROM orders GROUP BY o_orderstatus
+                |ORDER BY o_orderstatus""".stripMargin)
+      },
+      Some("""WITH c AS (
+             |  SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+             |    row_number() OVER (PARTITION BY o_orderstatus
+             |      ORDER BY count(*) DESC, o_orderpriority) AS rk
+             |  FROM orders GROUP BY 1, 2)
+             |SELECT o_orderstatus,
+             |  string_agg(o_orderpriority || ':' || n, ',' ORDER BY o_orderpriority)
+             |    AS top3
+             |FROM c WHERE rk <= 3 GROUP BY o_orderstatus
+             |ORDER BY o_orderstatus""".stripMargin)),
+
+    // approx_set / merge_hll / hll_cardinality under the Presto
+    // spellings — per-group sketches merged to a global estimate,
+    // value-anchored by the exact distinct count.
+    "sketch_approx_set_names" -> QueryDef(
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        s.sql("""WITH g AS (
+                |  SELECT o_orderstatus, approx_set(o_custkey) AS sk
+                |  FROM orders GROUP BY o_orderstatus),
+                |m AS (SELECT hll_cardinality(merge_hll(sk)) AS est FROM g),
+                |e AS (SELECT count(DISTINCT o_custkey) AS exact FROM orders)
+                |SELECT abs(m.est - e.exact) <= e.exact * 0.05 AS within_5pct,
+                |  e.exact
+                |FROM m CROSS JOIN e""".stripMargin)
+      },
+      Some("""SELECT true AS within_5pct, count(DISTINCT o_custkey) AS exact
+             |FROM orders""".stripMargin)),
+
     // approx_percentile error-bound property (qdigest analog).
     "sketch_approx_percentile" -> QueryDef(
       (s, dir) => {
