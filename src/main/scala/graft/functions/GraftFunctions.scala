@@ -93,6 +93,12 @@ object GraftFunctions {
     ("value_at_quantile",
       new ExpressionInfo(classOf[ValueAtQuantile].getName, "value_at_quantile"),
       (args: Seq[Expression]) => ValueAtQuantile(args(0), args(1))),
+    ("values_at_quantiles",
+      new ExpressionInfo(classOf[ValuesAtQuantiles].getName, "values_at_quantiles"),
+      (args: Seq[Expression]) => ValuesAtQuantiles(args(0), args(1))),
+    ("quantile_at_value",
+      new ExpressionInfo(classOf[QuantileAtValue].getName, "quantile_at_value"),
+      (args: Seq[Expression]) => QuantileAtValue(args(0), args(1))),
 
     // General TRY(expr) (operator/scalar/TryFunction.java, grammar
     // SqlBase.g4:296): evaluate, null on runtime error. Spark's TryEval

@@ -123,3 +123,50 @@ case class ValueAtQuantile(left: Expression, right: Expression)
       newLeft: Expression, newRight: Expression): ValueAtQuantile =
     copy(left = newLeft, right = newRight)
 }
+
+/** values_at_quantiles(sketch, array(q…)) → array of quantile values
+  * (QuantileDigestFunctions.valuesAtQuantiles). */
+case class ValuesAtQuantiles(left: Expression, right: Expression)
+  extends BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "values_at_quantiles"
+
+  override def nullSafeEval(sketchBytes: Any, qs: Any): Any = {
+    val sk = KllDoublesSketch.heapify(
+      Memory.wrap(sketchBytes.asInstanceOf[Array[Byte]]))
+    if (sk.isEmpty) null
+    else {
+      val arr = qs.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        .toDoubleArray()
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        arr.map(sk.getQuantile))
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ValuesAtQuantiles =
+    copy(left = newLeft, right = newRight)
+}
+
+/** quantile_at_value(sketch, v) → the value's normalized rank in [0,1]
+  * (QuantileDigestFunctions.quantileAtValue). */
+case class QuantileAtValue(left: Expression, right: Expression)
+  extends BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "quantile_at_value"
+
+  override def nullSafeEval(sketchBytes: Any, v: Any): Any = {
+    val sk = KllDoublesSketch.heapify(
+      Memory.wrap(sketchBytes.asInstanceOf[Array[Byte]]))
+    if (sk.isEmpty) null
+    else sk.getRank(v.asInstanceOf[Number].doubleValue())
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): QuantileAtValue =
+    copy(left = newLeft, right = newRight)
+}

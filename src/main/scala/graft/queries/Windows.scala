@@ -150,6 +150,29 @@ object Windows extends QueryGroup {
              |FROM orders WHERE o_custkey <= 20
              |ORDER BY o_orderkey""".stripMargin)),
 
+    // RANGE frame with NUMERIC OFFSET bounds (Presto RANGE x PRECEDING,
+    // WindowOperator value-based frames): every peer within ±5000 of
+    // the current row's price.
+    "window_range_offset" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"o_orderstatus").orderBy($"o_totalprice")
+          .rangeBetween(-5000L, 5000L)
+        Tables.orders(s, dir)
+          .filter($"o_custkey" <= 20)
+          .select($"o_orderkey", $"o_orderstatus",
+            count(lit(1)).over(w).as("n_near"),
+            r4(avg($"o_totalprice").over(w)).as("avg_near"))
+          .orderBy($"o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_orderstatus,
+             |  count(*) OVER w AS n_near,
+             |  round(avg(o_totalprice) OVER w, 4) AS avg_near
+             |FROM orders WHERE o_custkey <= 20
+             |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice
+             |  RANGE BETWEEN 5000 PRECEDING AND 5000 FOLLOWING)
+             |ORDER BY o_orderkey""".stripMargin)),
+
     // Top-k per group via row_number filter (TopNRowNumberOperator /
     // WindowGroupLimitExec — verify with .explain that the group-limit
     // kicks in, so no full per-group sort at scale).

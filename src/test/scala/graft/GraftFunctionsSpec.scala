@@ -91,6 +91,15 @@ class GraftFunctionsSpec extends AnyFunSuite with SparkFixture with Matchers {
       .as[Double].head()
     // KLL k=200 → ±1.7% rank error at 99%; median of 1..10000 is 5000
     med shouldBe 5000.0 +- 400.0
+
+    val (qs, rank) = spark.sql(
+      """SELECT values_at_quantiles(sk, array(0.1D, 0.9D)) AS v,
+        |  quantile_at_value(sk, 2500.0D) AS r
+        |FROM (SELECT qdigest_agg(x) AS sk FROM qdt)""".stripMargin)
+      .as[(Seq[Double], Double)].head()
+    qs(0) shouldBe 1000.0 +- 400.0
+    qs(1) shouldBe 9000.0 +- 400.0
+    rank shouldBe 0.25 +- 0.04
   }
 
   test("try returns NULL on runtime error, value on success") {
