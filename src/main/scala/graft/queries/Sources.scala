@@ -93,6 +93,25 @@ object Sources extends QueryGroup {
       Some("""SELECT count(*) AS n, count(DISTINCT o_orderkey) AS n_keys
              |FROM orders WHERE o_orderstatus IN ('F', 'O')""".stripMargin)),
 
+    // Hive-style partitioned layout + partition pruning — THE layout
+    // lever at 100 TB (reference: Hive connector partitioned tables,
+    // HivePartitionManager pruning). Writes orders partitioned by
+    // status, reads back with a partition filter; the scan must list
+    // only the matching directory (PartitionFilters in the plan,
+    // asserted in PlanShapeSpec via source_partition_pruning).
+    "source_partitioned_pruning" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val path = s"$ioDir/orders_by_status"
+        Tables.orders(s, dir)
+          .write.mode("overwrite").partitionBy("o_orderstatus").parquet(path)
+        val back = s.read.parquet(path).filter($"o_orderstatus" === "F")
+        back.agg(count(lit(1)).as("n_filled"),
+          countDistinct($"o_custkey").as("n_cust"))
+      },
+      Some("""SELECT count(*) AS n_filled, count(DISTINCT o_custkey) AS n_cust
+             |FROM orders WHERE o_orderstatus = 'F'""".stripMargin)),
+
     // Views + cached in-memory relation (the `memory` connector analog).
     "ddl_view_cache" -> QueryDef(
       (s, dir) => {

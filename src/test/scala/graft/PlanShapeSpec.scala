@@ -102,6 +102,12 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture with Matchers {
     plan should not include "CartesianProduct"
   }
 
+  test("partitioned source read prunes to the matching partition") {
+    val plan = planOf("source_partitioned_pruning")
+    plan should include("PartitionFilters: [")
+    plan should include("o_orderstatus")
+  }
+
   test("tpch_q2 min-cost supplier via window, no partsupp self-join") {
     val plan = planOf("tpch_q2")
     plan should include("Window")
