@@ -27,6 +27,16 @@ object GraftFunctions {
       new ExpressionInfo(classOf[BoundedTopNAgg].getName, "min_n"),
       (args: Seq[Expression]) =>
         BoundedTopNAgg(args(0), args(1), wantLargest = false).toAggregateExpression()),
+    ("max_by_n",
+      new ExpressionInfo(classOf[KeyedTopNAgg].getName, "max_by_n"),
+      (args: Seq[Expression]) =>
+        KeyedTopNAgg(args(0), args(1), args(2), wantLargest = true)
+          .toAggregateExpression()),
+    ("min_by_n",
+      new ExpressionInfo(classOf[KeyedTopNAgg].getName, "min_by_n"),
+      (args: Seq[Expression]) =>
+        KeyedTopNAgg(args(0), args(1), args(2), wantLargest = false)
+          .toAggregateExpression()),
     ("vec_dot",
       new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
       (args: Seq[Expression]) => VecDot(args(0), args(1))),

@@ -148,6 +148,32 @@ object Sketches extends QueryGroup {
              |  true AS group_medians_ok
              |FROM orders""".stripMargin)),
 
+    // min_by/max_by N-variants (minmaxby/ MaxByNAggregationFunction +
+    // TypedKeyValueHeap): values for the n extreme keys, bounded-heap
+    // per group. Registered as min_by_n/max_by_n (Spark's builtin
+    // 2-arg min_by name can't be arity-overloaded). Exact oracle via
+    // ordered-list slicing; both sides tie-break on the value.
+    "sketch_min_max_by_n" -> QueryDef(
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        s.sql("""SELECT o_orderstatus,
+                |  array_join(transform(max_by_n(o_orderkey, o_totalprice, 3),
+                |    x -> cast(x AS STRING)), ',') AS top3_orders,
+                |  array_join(transform(min_by_n(o_orderkey, o_totalprice, 3),
+                |    x -> cast(x AS STRING)), ',') AS bottom3_orders
+                |FROM orders GROUP BY o_orderstatus
+                |ORDER BY o_orderstatus""".stripMargin)
+      },
+      Some("""SELECT o_orderstatus,
+             |  coalesce(array_to_string(
+             |    (list(o_orderkey ORDER BY o_totalprice DESC, o_orderkey))[1:3], ','), '')
+             |    AS top3_orders,
+             |  coalesce(array_to_string(
+             |    (list(o_orderkey ORDER BY o_totalprice ASC, o_orderkey))[1:3], ','), '')
+             |    AS bottom3_orders
+             |FROM orders GROUP BY o_orderstatus
+             |ORDER BY o_orderstatus""".stripMargin)),
+
     // approx_most_frequent (ApproximateMostFrequentFunction.java):
     // heavy hitters per group. o_orderpriority has 5 distinct values
     // and the sketch capacity is 64, so the Misra-Gries counts are
