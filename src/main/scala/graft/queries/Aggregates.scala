@@ -112,6 +112,30 @@ object Aggregates extends QueryGroup {
              |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
              |ORDER BY l_returnflag NULLS LAST, l_linestatus NULLS LAST""".stripMargin)),
 
+    // GROUPING()/GROUPING_ID() metadata functions over grouping sets
+    // (Presto GroupIdOperator + grouping() rewrite,
+    // presto-main/.../scalar/GroupingOperationFunction.java).
+    "agg_grouping_fn" -> QueryDef(
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        s.sql("""SELECT l_returnflag, l_linestatus,
+                |  grouping(l_returnflag) AS g_rf,
+                |  grouping(l_linestatus) AS g_ls,
+                |  cast(grouping_id(l_returnflag, l_linestatus) AS INT) AS gid,
+                |  count(*) AS n
+                |FROM lineitem
+                |GROUP BY CUBE (l_returnflag, l_linestatus)
+                |ORDER BY gid, l_returnflag NULLS LAST, l_linestatus NULLS LAST""".stripMargin)
+      },
+      Some("""SELECT l_returnflag, l_linestatus,
+             |  CAST(grouping(l_returnflag) AS TINYINT) AS g_rf,
+             |  CAST(grouping(l_linestatus) AS TINYINT) AS g_ls,
+             |  CAST(grouping_id(l_returnflag, l_linestatus) AS INT) AS gid,
+             |  count(*) AS n
+             |FROM lineitem
+             |GROUP BY CUBE (l_returnflag, l_linestatus)
+             |ORDER BY gid, l_returnflag NULLS LAST, l_linestatus NULLS LAST""".stripMargin)),
+
     // Ordered aggregate: array_agg(x ORDER BY y) — Presto buffers in a
     // PagesIndex then sorts (GenericAccumulatorFactory); here the
     // struct-sort rewrite keeps it fully distributed.

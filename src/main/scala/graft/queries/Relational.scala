@@ -563,6 +563,29 @@ object Relational extends QueryGroup {
              |         generate_subscripts(string_split(p_name, ' '), 1) AS pos) ord
              |ORDER BY p_partkey, pos""".stripMargin)),
 
+    // §2.9 multi-array UNNEST (Presto UNNEST(a, b) zips arrays of
+    // different lengths, null-padding the shorter — arrays_zip +
+    // inline reproduces exactly that).
+    "unnest_multi" -> QueryDef(
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        s.sql("""SELECT n_nationkey, z.`0` AS w, z.`1` AS num
+                |FROM nation
+                |LATERAL VIEW explode(arrays_zip(split(n_name, '_'),
+                |  array(n_nationkey, n_regionkey, n_nationkey + n_regionkey))) zt AS z
+                |ORDER BY n_nationkey, num NULLS LAST, w NULLS LAST""".stripMargin)
+      },
+      Some("""WITH t AS (
+             |  SELECT n_nationkey, string_split(n_name, '_') AS ws,
+             |    [n_nationkey, n_regionkey, n_nationkey + n_regionkey] AS nums
+             |  FROM nation)
+             |SELECT n_nationkey,
+             |  CASE WHEN i <= len(ws) THEN ws[i] END AS w,
+             |  CASE WHEN i <= len(nums) THEN nums[i] END AS num
+             |FROM t, LATERAL (SELECT unnest(generate_series(1,
+             |  greatest(len(ws), len(nums)))) AS i) u
+             |ORDER BY n_nationkey, num, w""".stripMargin)),
+
     // §2.9 TABLESAMPLE as deterministic filter (Presto rewrites
     // BERNOULLI to a filter; here keyed on orderkey so the oracle
     // agrees — real random sample is ds.sample(), tested in specs).
