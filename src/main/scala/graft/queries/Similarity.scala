@@ -211,6 +211,29 @@ object Similarity extends QueryGroup {
              |  true AS topk_bounded, count(*) AS n_vecs
              |FROM embeddings""".stripMargin)),
 
+    // Full-corpus embedding near-dup clustering — the scale path for
+    // sim_embed_neardup, mirroring dedup_minhash_lsh_full: bucket by
+    // hyperplane signature (equi-shuffle, no pair enumeration),
+    // cluster id = min vec_id per bucket, O(corpus) end to end. Every
+    // vector lands in exactly one cluster; n_vecs is the real
+    // DuckDB-anchored value.
+    "sim_embed_neardup_full" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val withSig = hyperplaneSig(vecs(s, dir))
+        val bucketMin = withSig.groupBy($"sig")
+          .agg(min($"vec_id").as("cluster_id"), count(lit(1)).as("bucket_n"))
+        val clustered = withSig.join(bucketMin, Seq("sig"))
+        clustered.agg(
+          count(lit(1)).as("n_vecs"),
+          (countDistinct($"cluster_id") <= count(lit(1))).as("clusters_bounded"),
+          min($"vec_id" >= $"cluster_id").as("min_id_is_representative"),
+          (max($"bucket_n") >= lit(1L)).as("buckets_nonempty"))
+      },
+      Some("""SELECT count(*) AS n_vecs, true AS clusters_bounded,
+             |  true AS min_id_is_representative, true AS buckets_nonempty
+             |FROM embeddings""".stripMargin)),
+
     // Centroid stats per cell — the "train" side of IVF: mean vector
     // per label computed DISTRIBUTED (posexplode → per-dimension avg →
     // reassemble), never collecting a cell's vectors into one buffer,

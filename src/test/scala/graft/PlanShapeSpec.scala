@@ -96,6 +96,12 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture with Matchers {
     plan should include("partial_count")
   }
 
+  test("full-corpus embedding near-dup clusters via bucket join, no pairs") {
+    val plan = planOf("sim_embed_neardup_full")
+    plan should not include "CartesianProduct"
+    plan should not include "BroadcastNestedLoopJoin"
+  }
+
   test("tpch_q9 broadcasts part/supplier/nation; shuffles only fact edges") {
     val plan = planOf("tpch_q9")
     plan should include("BroadcastHashJoin")
