@@ -599,6 +599,21 @@ object Relational extends QueryGroup {
       Some("""SELECT count(*) AS n, round(sum(l_quantity), 4) AS qty
              |FROM lineitem WHERE l_orderkey % 97 < 10""".stripMargin)),
 
+    // §2.9 real TABLESAMPLE syntax (Presto BERNOULLI sampling): sample
+    // membership is engine-specific, so the oracle anchors the total
+    // count as a real value and checks the sample fraction statistical
+    // bound (10% ±4 percentage points over 6k+ rows, >5σ).
+    "sample_tablesample" -> QueryDef(
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        s.sql("""SELECT (SELECT count(*) FROM lineitem) AS n_total,
+                |  (SELECT count(*) FROM lineitem TABLESAMPLE (10 PERCENT)
+                |     REPEATABLE (42)) * 1.0
+                |    / (SELECT count(*) FROM lineitem) BETWEEN 0.06 AND 0.14
+                |    AS ratio_ok""".stripMargin)
+      },
+      Some("""SELECT count(*) AS n_total, true AS ratio_ok FROM lineitem""".stripMargin)),
+
     // §2.2 scalar subquery (EnforceSingleRow semantics).
     "subquery_scalar" -> QueryDef(
       (s, dir) => {

@@ -68,4 +68,28 @@ class PrestoCatalogSpec extends AnyFunSuite with SparkFixture with Matchers {
     one[Double]("round(cosine_similarity_arr(array(1.0d, 0.0d), array(1.0d, 0.0d)), 6)") shouldBe 1.0
     one[Double]("round(cosine_distance(array(1.0d, 0.0d), array(0.0d, 1.0d)), 6)") shouldBe 1.0
   }
+
+  test("a realistic Presto-dialect query runs unchanged") {
+    import spark.implicits._
+    Tables.registerAll(spark, sfDir)
+    // mixes Presto spellings end to end: strpos, date_parse, try,
+    // approx_distinct, arbitrary, split_to_map inputs, checksum
+    val rows = spark.sql(
+      """SELECT o_orderstatus,
+        |  approx_distinct(o_custkey) AS nc,
+        |  arbitrary(o_orderpriority) AS any_prio,
+        |  count_if(strpos(o_orderpriority, 'URGENT') > 0) AS n_urgent,
+        |  checksum(o_orderkey) AS cs,
+        |  max(date_diff(DAY, o_orderdate,
+        |    date_parse('2001-12-31', '%Y-%m-%d'))) AS max_days_left,
+        |  max(try(1 div (o_orderkey - o_orderkey))) AS safe_null
+        |FROM orders
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin).collect()
+    rows.length shouldBe 3
+    rows.foreach { r =>
+      r.getAs[Long]("nc") should be > 0L
+      r.getAs[Long]("max_days_left") should be > 0L
+      assert(r.isNullAt(r.fieldIndex("safe_null")))
+    }
+  }
 }
