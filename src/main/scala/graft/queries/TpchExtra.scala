@@ -35,7 +35,12 @@ object TpchExtra extends QueryGroup {
   private def r4(c: Column): Column = round(c, 4)
 
   /** Derived partsupp: deterministic on both engines (min of identical
-    * doubles is order-independent; count is exact). */
+    * doubles is order-independent; count is exact). Deliberately NOT
+    * cached: columnar cache encoding costs more than the map-side-
+    * combined recompute at bench scale, and Presto 0.216 inlines WITH
+    * bodies the same way (each reference re-executes). At a real
+    * 100 TB deployment this would be a materialized table instead.
+    */
   private def partsupp(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables.lineitem(s, dir)
