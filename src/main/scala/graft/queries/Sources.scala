@@ -44,7 +44,7 @@ object Sources extends QueryGroup {
         val src = sample(s, dir)
         val base = checksum(src)
           .select($"n".as("n0"), $"cs".as("cs0"))
-        val results = Seq("parquet", "orc", "json", "csv").map { fmt =>
+        val structured = Seq("parquet", "orc", "json", "csv").map { fmt =>
           val path = s"$ioDir/roundtrip_$fmt"
           val w = src.write.mode("overwrite").format(fmt)
           (if (fmt == "csv") w.option("header", "true") else w).save(path)
@@ -54,7 +54,25 @@ object Sources extends QueryGroup {
           else if (fmt == "json") r.schema(src.schema)
           else r).load(path)
           checksum(back).select(lit(fmt).as("fmt"), $"n", $"cs")
-        }.reduce(_ unionAll _)
+        }
+        // TEXT format (Hive TEXTFILE analog): single-string lines out,
+        // split + cast back to the original schema on read
+        val textPath = s"$ioDir/roundtrip_text"
+        src.select(concat_ws("|", $"l_orderkey", $"l_linenumber",
+          $"l_quantity", $"l_extendedprice", $"l_returnflag",
+          date_format($"l_shipdate", "yyyy-MM-dd HH:mm:ss")).as("value"))
+          .write.mode("overwrite").text(textPath)
+        val textBack = s.read.text(textPath)
+          .select(split($"value", "\\|").as("f"))
+          .select($"f".getItem(0).cast("long").as("l_orderkey"),
+            $"f".getItem(1).cast("int").as("l_linenumber"),
+            $"f".getItem(2).cast("double").as("l_quantity"),
+            $"f".getItem(3).cast("double").as("l_extendedprice"),
+            $"f".getItem(4).as("l_returnflag"),
+            to_timestamp($"f".getItem(5)).as("l_shipdate"))
+        val results = (structured :+
+          checksum(textBack).select(lit("text").as("fmt"), $"n", $"cs"))
+          .reduce(_ unionAll _)
         results.crossJoin(base)
           .select($"fmt", ($"n" === $"n0" && $"cs" === $"cs0").as("roundtrip_ok"),
             $"n")
@@ -65,7 +83,7 @@ object Sources extends QueryGroup {
       // cannot cancel out in the checksum comparison alone.
       Some("""SELECT fmt, true AS roundtrip_ok,
              |  (SELECT count(*) FROM lineitem WHERE l_orderkey <= 2000) AS n
-             |FROM (VALUES ('csv'), ('json'), ('orc'), ('parquet')) t(fmt)
+             |FROM (VALUES ('csv'), ('json'), ('orc'), ('parquet'), ('text')) t(fmt)
              |ORDER BY fmt""".stripMargin)),
 
     // CTAS + INSERT INTO over an external parquet table (the DML tier:
