@@ -74,6 +74,84 @@ object Events extends QueryGroup {
              |  epoch_ms(max(ts)) - epoch_ms(min(ts)) AS duration_ms
              |FROM s GROUP BY 1, 2 ORDER BY user_id, session_id""".stripMargin)),
 
+    // Three-step conversion funnel (view → click → purchase, strictly
+    // ordered per user) — complements the 2-step signup funnel below
+    // with the chained-ordering shape. Each step is a min-timestamp
+    // aggregation joined to the previous step: three hash shuffles on
+    // user_id, no window over the raw event stream, scale-transparent.
+    "events_funnel3" -> QueryDef(
+      (s, dir) => {
+        Tables.events(s, dir).createOrReplaceTempView("events")
+        s.sql("""WITH v AS (
+                |  SELECT user_id, min(ts) AS t1 FROM events
+                |  WHERE event_type = 'view' GROUP BY user_id),
+                |c AS (
+                |  SELECT e.user_id, min(e.ts) AS t2
+                |  FROM events e JOIN v ON e.user_id = v.user_id
+                |  WHERE e.event_type = 'click' AND e.ts > v.t1
+                |  GROUP BY e.user_id),
+                |p AS (
+                |  SELECT e.user_id, min(e.ts) AS t3
+                |  FROM events e JOIN c ON e.user_id = c.user_id
+                |  WHERE e.event_type = 'purchase' AND e.ts > c.t2
+                |  GROUP BY e.user_id)
+                |SELECT (SELECT count(*) FROM v) AS n_view,
+                |  (SELECT count(*) FROM c) AS n_view_click,
+                |  (SELECT count(*) FROM p) AS n_view_click_purchase""".stripMargin)
+      },
+      Some("""WITH v AS (
+             |  SELECT user_id, min(ts) AS t1 FROM events
+             |  WHERE event_type = 'view' GROUP BY user_id),
+             |c AS (
+             |  SELECT e.user_id, min(e.ts) AS t2
+             |  FROM events e JOIN v ON e.user_id = v.user_id
+             |  WHERE e.event_type = 'click' AND e.ts > v.t1
+             |  GROUP BY e.user_id),
+             |p AS (
+             |  SELECT e.user_id, min(e.ts) AS t3
+             |  FROM events e JOIN c ON e.user_id = c.user_id
+             |  WHERE e.event_type = 'purchase' AND e.ts > c.t2
+             |  GROUP BY e.user_id)
+             |SELECT (SELECT count(*) FROM v) AS n_view,
+             |  (SELECT count(*) FROM c) AS n_view_click,
+             |  (SELECT count(*) FROM p) AS n_view_click_purchase""".stripMargin)),
+
+    // Week-1 cohort retention: users grouped by first-activity day,
+    // measured for any activity in the day-7..14 window — the bounded-
+    // window variant of the day-offset retention below.
+    "events_retention_wk1" -> QueryDef(
+      (s, dir) => {
+        Tables.events(s, dir).createOrReplaceTempView("events")
+        s.sql("""WITH first AS (
+                |  SELECT user_id, date_trunc('DAY', min(ts)) AS d0
+                |  FROM events GROUP BY user_id),
+                |r AS (
+                |  SELECT f.user_id, f.d0,
+                |    max(CASE WHEN e.ts >= f.d0 + INTERVAL 7 DAY
+                |              AND e.ts < f.d0 + INTERVAL 14 DAY
+                |             THEN 1 ELSE 0 END) AS retained
+                |  FROM first f JOIN events e ON f.user_id = e.user_id
+                |  GROUP BY f.user_id, f.d0)
+                |SELECT cast(d0 AS DATE) AS cohort_day,
+                |  count(*) AS n_users,
+                |  cast(sum(retained) AS BIGINT) AS n_retained_wk1
+                |FROM r GROUP BY d0 ORDER BY cohort_day""".stripMargin)
+      },
+      Some("""WITH first AS (
+             |  SELECT user_id, date_trunc('day', min(ts)) AS d0
+             |  FROM events GROUP BY user_id),
+             |r AS (
+             |  SELECT f.user_id, f.d0,
+             |    max(CASE WHEN e.ts >= f.d0 + INTERVAL 7 DAY
+             |              AND e.ts < f.d0 + INTERVAL 14 DAY
+             |             THEN 1 ELSE 0 END) AS retained
+             |  FROM first f JOIN events e ON f.user_id = e.user_id
+             |  GROUP BY f.user_id, f.d0)
+             |SELECT cast(d0 AS DATE) AS cohort_day,
+             |  count(*) AS n_users,
+             |  cast(sum(retained) AS BIGINT) AS n_retained_wk1
+             |FROM r GROUP BY d0 ORDER BY cohort_day""".stripMargin)),
+
     // Native session windows (Spark session_window, 30-min gap) — the
     // built-in operator computing exactly what events_sessionize
     // hand-rolls; the oracle is the same windowed-CTE sessionization.
