@@ -14,13 +14,18 @@ object Bench {
     catch { case _: Throwable => () }
     spark.catalog.clearCache()
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      val dt = (System.nanoTime() - t0) / 1e9
+      // min of two runs: single-shot timings at this scale carry up to
+      // ±50% JIT/GC noise, which would read as phantom regressions
+      val dt = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        val d = (System.nanoTime() - t0) / 1e9
+        // bench hygiene: queries that CACHE tables or register views
+        // must not bleed storage/GC pressure into later measurements
+        spark.catalog.clearCache()
+        d
+      }.min
       System.err.println(f"[bench] $name%-30s $dt%8.2fs")
-      // bench hygiene: queries that CACHE tables or register views must
-      // not bleed executor storage/GC pressure into later measurements
-      spark.catalog.clearCache()
       name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
