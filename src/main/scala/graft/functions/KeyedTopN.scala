@@ -51,6 +51,11 @@ final class KeyedTopNBuffer(val n: Int, val wantLargest: Boolean) {
     }
   }
 
+  def mergeFrom(other: KeyedTopNBuffer): Unit = {
+    val it = other.heap.iterator()
+    while (it.hasNext) { val (k, v) = it.next(); add(k, v) }
+  }
+
   /** values ordered by key desc (max) / asc (min), ties by value asc. */
   def values: Array[Any] = {
     val arr = new Array[(Double, Any)](heap.size)
@@ -102,8 +107,7 @@ case class KeyedTopNAgg(
   }
 
   override def merge(buf: KeyedTopNBuffer, other: KeyedTopNBuffer): KeyedTopNBuffer = {
-    val it = other.heap.iterator()
-    while (it.hasNext) { val (k, v) = it.next(); buf.add(k, v) }
+    buf.mergeFrom(other)
     buf
   }
 

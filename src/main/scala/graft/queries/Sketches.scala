@@ -233,6 +233,26 @@ object Sketches extends QueryGroup {
       Some("""SELECT l_linestatus, true AS within_1pct
              |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin)),
 
+    // approx_percentile(x, ARRAY[p...]) vector form (Presto returns all
+    // requested quantiles from one sketch pass). Error-bound booleans
+    // per element, anchored by the exact interpolated median value.
+    "sketch_approx_percentile_array" -> QueryDef(
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        s.sql("""SELECT l_linestatus,
+                |  aggregate(zip_with(
+                |      percentile_approx(l_extendedprice, array(0.25D, 0.5D, 0.75D), 10000),
+                |      percentile(l_extendedprice, array(0.25D, 0.5D, 0.75D)),
+                |      (a, e) -> abs(a - e) <= e * 0.01 + 1.0D),
+                |    true, (acc, x) -> acc AND x) AS all_within_1pct,
+                |  round(percentile(l_extendedprice, 0.5D), 4) AS exact_med
+                |FROM lineitem GROUP BY l_linestatus
+                |ORDER BY l_linestatus""".stripMargin)
+      },
+      Some("""SELECT l_linestatus, true AS all_within_1pct,
+             |  round(quantile_cont(l_extendedprice, 0.5), 4) AS exact_med
+             |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin)),
+
     // numeric_histogram (DoubleHistogramAggregation) as fixed-width
     // buckets — fully distributed, exact oracle.
     "sketch_numeric_histogram" -> QueryDef(

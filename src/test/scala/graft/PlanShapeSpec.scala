@@ -119,4 +119,14 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture with Matchers {
     plan should include("Window")
     plan should not include "CartesianProduct"
   }
+
+  test("correlated-subquery TPC-H shapes decorrelate to hash joins") {
+    for (q <- Seq("tpch_q4", "tpch_q17", "tpch_q20", "tpch_q21")) {
+      withClue(q) {
+        val plan = planOf(q)
+        plan should not include "CartesianProduct"
+        plan should not include "BroadcastNestedLoopJoin"
+      }
+    }
+  }
 }

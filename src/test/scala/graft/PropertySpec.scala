@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{Erf, PrestoDatetime, TopNBuffer}
+import graft.functions.{Erf, KeyedTopNBuffer, PrestoDatetime, TopNBuffer}
 import org.scalatest.funsuite.AnyFunSuite
 import org.scalatest.matchers.should.Matchers
 
@@ -35,6 +35,36 @@ class PropertySpec extends AnyFunSuite with Matchers {
       val right = new TopNBuffer(5, wantLargest = true)
       b.foreach(right.add)
       right.values.foreach(left.add)
+      left.values.toSeq shouldBe one.values.toSeq
+    }
+  }
+
+  test("KeyedTopNBuffer equals key-sorted take(n) with value tie-break") {
+    for (_ <- 1 to 300) {
+      val xs = List.fill(rng.nextInt(60))(
+        (rng.nextInt(10).toDouble, rng.nextInt(1000).toLong)) // key ties likely
+      val n = rng.nextInt(10) + 1
+      val maxBuf = new KeyedTopNBuffer(n, wantLargest = true)
+      val minBuf = new KeyedTopNBuffer(n, wantLargest = false)
+      xs.foreach { case (k, v) => maxBuf.add(k, v); minBuf.add(k, v) }
+      val refMax = xs.sortBy { case (k, v) => (-k, v) }.take(n).map(_._2)
+      val refMin = xs.sortBy { case (k, v) => (k, v) }.take(n).map(_._2)
+      maxBuf.values.toSeq shouldBe refMax
+      minBuf.values.toSeq shouldBe refMin
+    }
+  }
+
+  test("KeyedTopNBuffer merge equals one combined buffer") {
+    for (_ <- 1 to 300) {
+      val a = List.fill(rng.nextInt(40))((rng.nextInt(8).toDouble, rng.nextInt(100).toLong))
+      val b = List.fill(rng.nextInt(40))((rng.nextInt(8).toDouble, rng.nextInt(100).toLong))
+      val one = new KeyedTopNBuffer(4, wantLargest = true)
+      (a ++ b).foreach { case (k, v) => one.add(k, v) }
+      val left = new KeyedTopNBuffer(4, wantLargest = true)
+      a.foreach { case (k, v) => left.add(k, v) }
+      val right = new KeyedTopNBuffer(4, wantLargest = true)
+      b.foreach { case (k, v) => right.add(k, v) }
+      left.mergeFrom(right)
       left.values.toSeq shouldBe one.values.toSeq
     }
   }
