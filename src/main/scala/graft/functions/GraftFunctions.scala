@@ -161,6 +161,33 @@ object GraftFunctions {
       (args: Seq[Expression]) =>
         Exp(Average(Log(Cast(args(0), DoubleType))).toAggregateExpression())),
 
+    // SpookyHash V2 (VarbinaryFunctions.java:280-297).
+    ("spooky_hash_v2_32",
+      new ExpressionInfo(classOf[SpookyHash32].getName, "spooky_hash_v2_32"),
+      (args: Seq[Expression]) => SpookyHash32(args(0))),
+    ("spooky_hash_v2_64",
+      new ExpressionInfo(classOf[SpookyHash64].getName, "spooky_hash_v2_64"),
+      (args: Seq[Expression]) => SpookyHash64(args(0))),
+
+    // word_stem(word[, lang]) — WordStemFunction.java. English
+    // (Porter2/Snowball) only; other language codes raise like the
+    // reference's INVALID_FUNCTION_ARGUMENT.
+    ("word_stem",
+      new ExpressionInfo(classOf[WordStem].getName, "word_stem"),
+      (args: Seq[Expression]) => {
+        if (args.length >= 2) {
+          val lang = args(1) match {
+            case org.apache.spark.sql.catalyst.expressions.Literal(v, _) if v != null =>
+              v.toString
+            case other => other.toString
+          }
+          if (lang != "en")
+            throw new IllegalArgumentException(
+              s"word_stem: unsupported language [$lang] (only 'en' is implemented)")
+        }
+        WordStem(args(0))
+      }),
+
     // approx_most_frequent(buckets, value, capacity)
     // (ApproximateMostFrequentFunction.java) — Misra-Gries heavy
     // hitters with bounded per-group memory.

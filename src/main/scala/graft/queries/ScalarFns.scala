@@ -428,6 +428,60 @@ object ScalarFns extends QueryGroup {
              |  'Amélie' || n_nationkey AS norm_nfc
              |FROM nation ORDER BY n_nationkey""".stripMargin)),
 
+    // word_stem (WordStemFunction.java, Porter2/Snowball English).
+    // DuckDB has no stemmer offline, so the oracle carries the expected
+    // stems as literals — expectations come from the reference's own
+    // test vectors (TestWordStemFunction.java) plus the published
+    // snowball sample vocabulary; a real value match per row.
+    "fn_word_stem" -> QueryDef(
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        s.sql("""SELECT word, word_stem(word) AS stem,
+                |  word_stem(word, 'en') = word_stem(word) AS en_same
+                |FROM VALUES
+                |  ('generally'), ('useful'), ('runs'), ('authorized'),
+                |  ('accessories'), ('intensifying'), ('skies'), ('dying'),
+                |  ('early'), ('news'), ('proceed'), ('hopping'), ('hoping'),
+                |  ('knitting'), ('ties'), ('cries'), ('gaps'), ('gas'),
+                |  ('kiwis'), ('cry'), ('luxuriated'), ('conditional'),
+                |  ('rational'), ('decisiveness') AS t(word)
+                |ORDER BY word""".stripMargin)
+      },
+      Some("""SELECT word, stem, true AS en_same FROM (VALUES
+             |  ('generally', 'general'), ('useful', 'use'), ('runs', 'run'),
+             |  ('authorized', 'author'), ('accessories', 'accessori'),
+             |  ('intensifying', 'intensifi'), ('skies', 'sky'),
+             |  ('dying', 'die'), ('early', 'earli'), ('news', 'news'),
+             |  ('proceed', 'proceed'), ('hopping', 'hop'), ('hoping', 'hope'),
+             |  ('knitting', 'knit'), ('ties', 'tie'), ('cries', 'cri'),
+             |  ('gaps', 'gap'), ('gas', 'gas'), ('kiwis', 'kiwi'),
+             |  ('cry', 'cri'), ('luxuriated', 'luxuri'),
+             |  ('conditional', 'condit'), ('rational', 'ration'),
+             |  ('decisiveness', 'decis')) AS t(word, stem)
+             |ORDER BY word""".stripMargin)),
+
+    // spooky_hash_v2_32/64 (VarbinaryFunctions.java:280-297). The two
+    // reference vectors are value-checked as literals; the corpus leg
+    // checks injectivity+determinism over documents (texts are >192
+    // bytes, so the long-path code is exercised): distinct 64-bit
+    // hashes must equal distinct texts, which DuckDB computes exactly.
+    "fn_spooky" -> QueryDef(
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        s.sql("""SELECT
+                |  hex(spooky_hash_v2_32(CAST('' AS BINARY))) AS h32_empty,
+                |  hex(spooky_hash_v2_64(CAST('' AS BINARY))) AS h64_empty,
+                |  hex(spooky_hash_v2_32(CAST('hello' AS BINARY))) AS h32_hello,
+                |  hex(spooky_hash_v2_64(CAST('hello' AS BINARY))) AS h64_hello,
+                |  (SELECT count(DISTINCT spooky_hash_v2_64(CAST(text AS BINARY)))
+                |   FROM documents) AS n_h64,
+                |  (SELECT count(DISTINCT text) FROM documents) AS n_text""".stripMargin)
+      },
+      Some("""SELECT '6BF50919' AS h32_empty, '232706FC6BF50919' AS h64_empty,
+             |  'D382E6CA' AS h32_hello, '3768826AD382E6CA' AS h64_hello,
+             |  (SELECT count(DISTINCT text) FROM documents) AS n_h64,
+             |  (SELECT count(DISTINCT text) FROM documents) AS n_text""".stripMargin)),
+
     // Minimal geospatial tier (GeoFunctions.java): point construction,
     // accessors, planar distance, ray-cast containment, shoelace area.
     // DuckDB has no spatial extension offline, so the oracle verifies

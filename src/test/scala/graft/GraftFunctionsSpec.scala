@@ -145,6 +145,23 @@ class GraftFunctionsSpec extends AnyFunSuite with SparkFixture with Matchers {
     r shouldBe ((3.5, -2.0, 5.0, true, false, 16.0, 6.0))
   }
 
+  test("word_stem and spooky_hash_v2 resolve through SQL with codegen") {
+    import spark.implicits._
+    val r = spark.sql(
+      """SELECT word_stem('authorized') AS a,
+        |  word_stem('intensifying', 'en') AS b,
+        |  hex(spooky_hash_v2_32(CAST('hello' AS BINARY))) AS h32,
+        |  hex(spooky_hash_v2_64(CAST('' AS BINARY))) AS h64
+        |""".stripMargin)
+      .as[(String, String, String, String)].head()
+    r shouldBe (("author", "intensifi", "D382E6CA", "232706FC6BF50919"))
+  }
+
+  test("word_stem rejects unsupported languages") {
+    val e = intercept[Exception](spark.sql("SELECT word_stem('x', 'fr')"))
+    e.getMessage should include("unsupported language")
+  }
+
   test("normalize composes NFC and date_parse uses MySQL patterns") {
     import spark.implicits._
     val r = spark.sql(

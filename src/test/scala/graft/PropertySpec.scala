@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{Erf, KeyedTopNBuffer, PrestoDatetime, TopNBuffer}
+import graft.functions.{Erf, KeyedTopNBuffer, Porter2, PrestoDatetime, SpookyHashV2, TopNBuffer}
 import org.scalatest.funsuite.AnyFunSuite
 import org.scalatest.matchers.should.Matchers
 
@@ -67,6 +67,52 @@ class PropertySpec extends AnyFunSuite with Matchers {
       left.mergeFrom(right)
       left.values.toSeq shouldBe one.values.toSeq
     }
+  }
+
+  test("Porter2 matches the reference word_stem vectors") {
+    // TestWordStemFunction.java:26-35
+    val vectors = Seq(
+      "" -> "", "x" -> "x", "abc" -> "abc",
+      "generally" -> "general", "useful" -> "use", "runs" -> "run",
+      "run" -> "run", "authorized" -> "author",
+      "accessories" -> "accessori", "intensifying" -> "intensifi")
+    vectors.foreach { case (w, e) => withClue(w)(Porter2.stem(w) shouldBe e) }
+  }
+
+  test("Porter2 handles exceptional forms and step interactions") {
+    val vectors = Seq(
+      // exception lists
+      "skis" -> "ski", "skies" -> "sky", "dying" -> "die", "lying" -> "lie",
+      "early" -> "earli", "only" -> "onli", "news" -> "news", "sky" -> "sky",
+      "bias" -> "bias", "proceed" -> "proceed", "exceed" -> "exceed",
+      "inning" -> "inning",
+      // 1a/1b/1c shapes
+      "hopping" -> "hop", "hoping" -> "hope", "knitting" -> "knit",
+      "ties" -> "tie", "cries" -> "cri", "gaps" -> "gap", "gas" -> "gas",
+      "kiwis" -> "kiwi", "cry" -> "cri", "say" -> "say", "by" -> "by",
+      "feed" -> "feed",
+      // step 2/3/4 chains (snowball sample vocabulary)
+      "luxuriated" -> "luxuri", "conditional" -> "condit",
+      "rational" -> "ration", "decisiveness" -> "decis")
+    vectors.foreach { case (w, e) => withClue(w)(Porter2.stem(w) shouldBe e) }
+  }
+
+  test("SpookyHashV2 matches the reference vectors and is length-sensitive") {
+    def hex(b: Array[Byte]): String = b.map("%02X".format(_)).mkString
+    // TestVarbinaryFunctions.java:338-341
+    hex(SpookyHashV2.hash32Bytes(Array.emptyByteArray)) shouldBe "6BF50919"
+    hex(SpookyHashV2.hash64Bytes(Array.emptyByteArray)) shouldBe "232706FC6BF50919"
+    hex(SpookyHashV2.hash32Bytes("hello".getBytes("UTF-8"))) shouldBe "D382E6CA"
+    hex(SpookyHashV2.hash64Bytes("hello".getBytes("UTF-8"))) shouldBe "3768826AD382E6CA"
+    // every length 0..300 (crosses the 16/32-byte short chunks and the
+    // 192-byte short→long boundary) yields a distinct, stable hash
+    val hashes = (0 to 300).map { n =>
+      val data = Array.tabulate[Byte](n)(i => (i * 131 + 7).toByte)
+      val h = SpookyHashV2.hash64(data, 0L)
+      SpookyHashV2.hash64(data, 0L) shouldBe h // deterministic
+      h
+    }
+    hashes.distinct.size shouldBe hashes.size
   }
 
   test("erf is odd, bounded in [-1,1], and monotone") {
