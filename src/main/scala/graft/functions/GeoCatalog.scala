@@ -28,6 +28,14 @@ object GeoCatalog {
        |    'x', cast(split(trim(c), ' ')[0] AS DOUBLE),
        |    'y', cast(split(trim(c), ' ')[1] AS DOUBLE)))""".stripMargin
 
+  /** Expression fragment: any single-part WKT (POINT / LINESTRING /
+    * single-ring POLYGON) → array<struct<x,y>> of its coordinates. */
+  private def coords(g: String): String =
+    s"""transform(split(regexp_replace($g, '^[A-Z]+ ?\\\\(+|\\\\)+$$', ''), ','),
+       |  c -> named_struct(
+       |    'x', cast(split(trim(c), ' ')[0] AS DOUBLE),
+       |    'y', cast(split(trim(c), ' ')[1] AS DOUBLE)))""".stripMargin
+
   private val macros: Seq[(String, String, String)] = Seq(
     ("st_point", "(x DOUBLE, y DOUBLE) RETURNS STRING",
       "concat('POINT (', cast(x AS STRING), ' ', cast(y AS STRING), ')')"),
@@ -52,7 +60,120 @@ object GeoCatalog {
          |        / (e.r[i + 1].y - e.r[i].y) + e.r[i].x), 1, 0)) % 2) = 1
          |)[0]""".stripMargin),
     ("st_within", "(pt STRING, poly STRING) RETURNS BOOLEAN",
-      "st_contains(poly, pt)")
+      "st_contains(poly, pt)"),
+
+    // --- tier 2 (GeoFunctions.java surface continued) ---
+
+    // geometry IS its WKT text in this tier
+    ("st_geometry_from_text", "(t STRING) RETURNS STRING", "t"),
+    ("st_astext", "(g STRING) RETURNS STRING", "g"),
+    ("st_geometry_type", "(g STRING) RETURNS STRING",
+      """CASE WHEN g LIKE 'POINT%' THEN 'ST_Point'
+        |     WHEN g LIKE 'LINESTRING%' THEN 'ST_LineString'
+        |     WHEN g LIKE 'POLYGON%' THEN 'ST_Polygon' END""".stripMargin),
+
+    // bounding-box accessors over any geometry
+    ("st_xmin", "(g STRING) RETURNS DOUBLE",
+      s"array_min(transform(${coords("g")}, p -> p.x))"),
+    ("st_xmax", "(g STRING) RETURNS DOUBLE",
+      s"array_max(transform(${coords("g")}, p -> p.x))"),
+    ("st_ymin", "(g STRING) RETURNS DOUBLE",
+      s"array_min(transform(${coords("g")}, p -> p.y))"),
+    ("st_ymax", "(g STRING) RETURNS DOUBLE",
+      s"array_max(transform(${coords("g")}, p -> p.y))"),
+    ("st_envelope", "(g STRING) RETURNS STRING",
+      """concat('POLYGON ((',
+        |  st_xmin(g), ' ', st_ymin(g), ', ', st_xmax(g), ' ', st_ymin(g), ', ',
+        |  st_xmax(g), ' ', st_ymax(g), ', ', st_xmin(g), ' ', st_ymax(g), ', ',
+        |  st_xmin(g), ' ', st_ymin(g), '))')""".stripMargin),
+
+    // vertex count; the Esri-backed reference does not count a
+    // polygon's repeated closing vertex (GeoFunctions.java:764-769)
+    ("st_npoints", "(g STRING) RETURNS BIGINT",
+      s"size(${coords("g")}) - IF(g LIKE 'POLYGON%', 1, 0)"),
+    // NOTE for every macro below: a SQL macro invoked with a lambda
+    // variable as argument does not inline (the substituted Project
+    // can't see the lambda binding), so inside transform/aggregate/
+    // exists bodies the point-concat and orientation arithmetic are
+    // written out inline rather than via st_point/graft_ccw.
+    ("st_startpoint", "(g STRING) RETURNS STRING",
+      s"""st_point(${coords("g")}[0].x, ${coords("g")}[0].y)"""),
+    ("st_endpoint", "(g STRING) RETURNS STRING",
+      s"""st_point(element_at(${coords("g")}, -1).x,
+         |         element_at(${coords("g")}, -1).y)""".stripMargin),
+    ("st_isclosed", "(g STRING) RETURNS BOOLEAN",
+      s"""transform(array(${coords("g")}), r ->
+         |  r[0].x = element_at(r, -1).x AND r[0].y = element_at(r, -1).y)[0]""".stripMargin),
+
+    // polyline length (polygon input yields its perimeter)
+    ("st_length", "(g STRING) RETURNS DOUBLE",
+      s"""transform(array(${coords("g")}), r ->
+         |  aggregate(sequence(0, size(r) - 2), 0.0D, (acc, i) -> acc +
+         |    sqrt(power(r[i + 1].x - r[i].x, 2) + power(r[i + 1].y - r[i].y, 2)))
+         |)[0]""".stripMargin),
+
+    // centroid: point → itself; linestring → length-weighted segment
+    // midpoints (GeoFunctions.java computeLineCentroid:1298); polygon →
+    // area-weighted shoelace centroid (getPolygonSansHolesCentroid)
+    ("st_centroid", "(g STRING) RETURNS STRING",
+      s"""CASE WHEN g LIKE 'POINT%' THEN g
+         |WHEN g LIKE 'LINESTRING%' THEN
+         |  transform(array(transform(array(${coords("g")}), r ->
+         |    aggregate(sequence(0, size(r) - 2),
+         |      named_struct('w', 0.0D, 'x', 0.0D, 'y', 0.0D),
+         |      (acc, i) -> named_struct(
+         |        'w', acc.w + sqrt(power(r[i + 1].x - r[i].x, 2)
+         |                        + power(r[i + 1].y - r[i].y, 2)),
+         |        'x', acc.x + (r[i].x + r[i + 1].x) / 2.0D
+         |          * sqrt(power(r[i + 1].x - r[i].x, 2) + power(r[i + 1].y - r[i].y, 2)),
+         |        'y', acc.y + (r[i].y + r[i + 1].y) / 2.0D
+         |          * sqrt(power(r[i + 1].x - r[i].x, 2) + power(r[i + 1].y - r[i].y, 2))))
+         |  )[0]), s -> concat('POINT (', cast(s.x / s.w AS STRING), ' ',
+         |                     cast(s.y / s.w AS STRING), ')'))[0]
+         |ELSE
+         |  transform(array(transform(array(${coords("g")}), r ->
+         |    aggregate(sequence(0, size(r) - 2),
+         |      named_struct('cr', 0.0D, 'cx', 0.0D, 'cy', 0.0D),
+         |      (acc, i) -> named_struct(
+         |        'cr', acc.cr + (r[i].x * r[i + 1].y - r[i + 1].x * r[i].y),
+         |        'cx', acc.cx + (r[i].x + r[i + 1].x)
+         |          * (r[i].x * r[i + 1].y - r[i + 1].x * r[i].y),
+         |        'cy', acc.cy + (r[i].y + r[i + 1].y)
+         |          * (r[i].x * r[i + 1].y - r[i + 1].x * r[i].y)))
+         |  )[0]), s -> concat('POINT (', cast(s.cx / (3.0D * s.cr) AS STRING), ' ',
+         |                     cast(s.cy / (3.0D * s.cr) AS STRING), ')'))[0]
+         |END""".stripMargin),
+
+    // st_intersects over the point/polygon subset of this tier:
+    // point-point equality, point-polygon containment, and
+    // polygon-polygon via proper edge crossing (double counter-
+    // clockwise orientation test, written inline per the macro/lambda
+    // note above) or mutual vertex containment. Collinear-touching
+    // edges are implementation-defined, as in any float geometry kernel.
+    ("st_intersects", "(a STRING, b STRING) RETURNS BOOLEAN",
+      s"""CASE
+         |WHEN a LIKE 'POINT%' AND b LIKE 'POINT%' THEN
+         |  st_x(a) = st_x(b) AND st_y(a) = st_y(b)
+         |WHEN a LIKE 'POINT%' THEN st_contains(b, a)
+         |WHEN b LIKE 'POINT%' THEN st_contains(a, b)
+         |ELSE transform(array(named_struct(
+         |    'ra', ${coords("a")}, 'rb', ${coords("b")})), e ->
+         |  exists(sequence(0, size(e.ra) - 2), i ->
+         |    exists(sequence(0, size(e.rb) - 2), j ->
+         |      ((((e.rb[j].x - e.ra[i].x) * (e.rb[j + 1].y - e.ra[i].y)
+         |        - (e.rb[j].y - e.ra[i].y) * (e.rb[j + 1].x - e.ra[i].x)) > 0.0D)
+         |       != (((e.rb[j].x - e.ra[i + 1].x) * (e.rb[j + 1].y - e.ra[i + 1].y)
+         |        - (e.rb[j].y - e.ra[i + 1].y) * (e.rb[j + 1].x - e.ra[i + 1].x)) > 0.0D))
+         |      AND
+         |      ((((e.ra[i + 1].x - e.ra[i].x) * (e.rb[j].y - e.ra[i].y)
+         |        - (e.ra[i + 1].y - e.ra[i].y) * (e.rb[j].x - e.ra[i].x)) > 0.0D)
+         |       != (((e.ra[i + 1].x - e.ra[i].x) * (e.rb[j + 1].y - e.ra[i].y)
+         |        - (e.ra[i + 1].y - e.ra[i].y) * (e.rb[j + 1].x - e.ra[i].x)) > 0.0D)))))[0]
+         |  OR st_contains(b, st_point(${coords("a")}[0].x, ${coords("a")}[0].y))
+         |  OR st_contains(a, st_point(${coords("b")}[0].x, ${coords("b")}[0].y))
+         |END""".stripMargin),
+    ("st_disjoint", "(a STRING, b STRING) RETURNS BOOLEAN",
+      "NOT st_intersects(a, b)")
   )
 
   def register(spark: SparkSession): Unit =

@@ -521,6 +521,56 @@ object ScalarFns extends QueryGroup {
              |  6.0 AS tri_area
              |FROM pts ORDER BY n_nationkey""".stripMargin)),
 
+    // Geospatial tier 2 (GeoFunctions.java): bbox accessors, length,
+    // centroid, npoints, envelope, intersects/disjoint. Geometries are
+    // constructed per-row from nation keys; the oracle computes every
+    // expected value with plain arithmetic (closed forms of the same
+    // planar formulas) — real value checks throughout.
+    "fn_geospatial2" -> QueryDef(
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        s.sql("""WITH base AS (
+                |  SELECT n_nationkey, n_nationkey % 7 + 1 AS k FROM nation),
+                |geo AS (
+                |  SELECT n_nationkey, k,
+                |    concat('LINESTRING (0 0, ', k, ' 0, ', k, ' ', k, ')') AS ln,
+                |    concat('POLYGON ((0 0, ', k, ' 0, ', k, ' ', k,
+                |           ', 0 ', k, ', 0 0))') AS sq,
+                |    concat('POLYGON ((', n_nationkey + 0.25D, ' 0, ',
+                |           n_nationkey + 0.75D, ' 0, ', n_nationkey + 0.75D,
+                |           ' 10, ', n_nationkey + 0.25D, ' 10, ',
+                |           n_nationkey + 0.25D, ' 0))') AS strip
+                |  FROM base)
+                |SELECT n_nationkey,
+                |  st_geometry_type(ln) AS gt,
+                |  round(st_length(ln), 4) AS len,
+                |  st_npoints(ln) AS np_ln,
+                |  st_npoints(sq) AS np_sq,
+                |  round(st_xmax(ln), 4) AS xmax,
+                |  round(st_area(st_envelope(ln)), 4) AS env_area,
+                |  round(st_x(st_centroid(sq)), 4) AS cx,
+                |  round(st_y(st_centroid(ln)), 4) AS cy_ln,
+                |  st_isclosed(sq) AS closed,
+                |  st_intersects('POLYGON ((0 4, 10 4, 10 6, 0 6, 0 4))', strip) AS hits,
+                |  st_disjoint('POLYGON ((0 4, 10 4, 10 6, 0 6, 0 4))', strip) AS missed
+                |FROM geo ORDER BY n_nationkey""".stripMargin)
+      },
+      Some("""WITH base AS (
+             |  SELECT n_nationkey, n_nationkey % 7 + 1 AS k FROM nation)
+             |SELECT n_nationkey,
+             |  'ST_LineString' AS gt,
+             |  round(2.0 * k, 4) AS len,
+             |  CAST(3 AS BIGINT) AS np_ln,
+             |  CAST(4 AS BIGINT) AS np_sq,
+             |  round(CAST(k AS DOUBLE), 4) AS xmax,
+             |  round(CAST(k * k AS DOUBLE), 4) AS env_area,
+             |  round(k / 2.0, 4) AS cx,
+             |  round(k / 4.0, 4) AS cy_ln,
+             |  true AS closed,
+             |  n_nationkey <= 9 AS hits,
+             |  n_nationkey > 9 AS missed
+             |FROM base ORDER BY n_nationkey""".stripMargin)),
+
     // Bitwise functions (BitwiseFunctions.java).
     "fn_bitwise" -> QueryDef(
       (s, dir) => {

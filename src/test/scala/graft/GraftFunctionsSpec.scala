@@ -145,6 +145,52 @@ class GraftFunctionsSpec extends AnyFunSuite with SparkFixture with Matchers {
     r shouldBe ((3.5, -2.0, 5.0, true, false, 16.0, 6.0))
   }
 
+  test("geo tier 2: bbox, length, centroid, npoints, envelope, type") {
+    import spark.implicits._
+    val r = spark.sql(
+      """SELECT st_xmin('LINESTRING (1 2, 5 9)') AS xmin,
+        |  st_xmax('LINESTRING (1 2, 5 9)') AS xmax,
+        |  st_ymin('POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))') AS ymin,
+        |  st_ymax('POINT (3 7)') AS ymax,
+        |  st_length('LINESTRING (0 0, 3 4, 3 10)') AS len,
+        |  st_npoints('POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))') AS np_poly,
+        |  st_npoints('LINESTRING (0 0, 3 4, 3 10)') AS np_ls,
+        |  st_x(st_centroid('POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))')) AS pcx,
+        |  st_y(st_centroid('LINESTRING (0 0, 10 0)')) AS lcy,
+        |  st_x(st_centroid('POINT (8 9)')) AS ptx,
+        |  st_area(st_envelope('LINESTRING (1 2, 5 9)')) AS env_area,
+        |  st_isclosed('POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))') AS closed,
+        |  st_isclosed('LINESTRING (0 0, 3 4)') AS open,
+        |  st_geometry_type('POINT (1 1)') AS t1,
+        |  st_geometry_type('LINESTRING (0 0, 1 1)') AS t2,
+        |  st_geometry_type('POLYGON ((0 0, 1 0, 1 1, 0 0))') AS t3
+        |""".stripMargin)
+      .as[(Double, Double, Double, Double, Double, Long, Long, Double,
+           Double, Double, Double, Boolean, Boolean, String, String, String)].head()
+    r shouldBe ((1.0, 5.0, 0.0, 7.0, 11.0, 4L, 3L, 2.0, 0.0, 8.0, 28.0,
+      true, false, "ST_Point", "ST_LineString", "ST_Polygon"))
+  }
+
+  test("geo tier 2: st_intersects covers crossing, containment, disjoint") {
+    import spark.implicits._
+    val r = spark.sql(
+      """SELECT
+        |  st_intersects('POLYGON ((0 4, 10 4, 10 6, 0 6, 0 4))',
+        |                'POLYGON ((4 0, 6 0, 6 10, 4 10, 4 0))') AS crossing,
+        |  st_intersects('POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))',
+        |                'POLYGON ((4 4, 6 4, 6 6, 4 6, 4 4))') AS contained,
+        |  st_intersects('POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))',
+        |                'POLYGON ((5 5, 7 5, 7 7, 5 7, 5 5))') AS apart,
+        |  st_intersects('POINT (5 5)',
+        |                'POLYGON ((4 4, 6 4, 6 6, 4 6, 4 4))') AS pt_in,
+        |  st_intersects('POINT (3 3)', 'POINT (3 3)') AS pt_eq,
+        |  st_disjoint('POINT (9 9)',
+        |              'POLYGON ((4 4, 6 4, 6 6, 4 6, 4 4))') AS pt_out
+        |""".stripMargin)
+      .as[(Boolean, Boolean, Boolean, Boolean, Boolean, Boolean)].head()
+    r shouldBe ((true, true, false, true, true, true))
+  }
+
   test("word_stem and spooky_hash_v2 resolve through SQL with codegen") {
     import spark.implicits._
     val r = spark.sql(
