@@ -5,7 +5,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{ArrayAggregate, Cast, CreateStruct, Exp, Expression, ExpressionInfo, Flatten, LambdaFunction, Log, MapEntries, MapFromEntries, TryEval, UnresolvedNamedLambdaVariable, XxHash64}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{Average, BitXorAgg, CollectList}
-import org.apache.spark.sql.types.DoubleType
+import org.apache.spark.sql.types.{DoubleType, LongType}
 
 /** Registration of graft's custom Catalyst expressions, mirroring the
   * reference's plugin function SPI (presto-spi Plugin.getFunctions →
@@ -140,6 +140,10 @@ object GraftFunctions {
     ("presto_pattern",
       new ExpressionInfo(classOf[PrestoPatternExpr].getName, "presto_pattern"),
       (args: Seq[Expression]) => PrestoPatternExpr(args(0))),
+    ("combine_hash",
+      new ExpressionInfo(classOf[CombineHash].getName, "combine_hash"),
+      (args: Seq[Expression]) =>
+        CombineHash(Cast(args(0), LongType), Cast(args(1), LongType))),
 
     // (Presto's 3-arg date_add/date_diff(unit, …) are covered by
     // Spark's builtin 3-arg forms with unquoted units — the analyzer

@@ -62,6 +62,21 @@ case class BitsToFloat(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** combine_hash(h1, h2) = 31*h1 + h2 with Java wrap-around semantics
+  * (CombineHashFunction.java / HashGenerationOptimizer) — ANSI-mode SQL
+  * arithmetic would raise on overflow, so this is a native expression. */
+case class CombineHash(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "combine_hash"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    31L * a.asInstanceOf[Long] + b.asInstanceOf[Long]
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"31L * $a + $b")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CombineHash =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Unicode normalization (Presto StringFunctions.normalize — NFC default,
   * NFD/NFKC/NFKD via the form argument). */
 case class NormalizeString(left: Expression, right: Expression)

@@ -141,6 +141,55 @@ object PrestoCatalog {
         "WHEN 'ns' THEN 1e-9 WHEN 'us' THEN 1e-6 WHEN 'ms' THEN 1e-3 " +
         "WHEN 's' THEN 1.0 WHEN 'm' THEN 60.0 WHEN 'h' THEN 3600.0 " +
         "WHEN 'd' THEN 86400.0 ELSE cast(NULL AS DOUBLE) END)"),
+    ("parse_presto_data_size", "(s STRING) RETURNS DECIMAL(38,0)",
+      "parse_data_size(s)"),
+    // DateTimeFunctions.java ISO8601 surface. Spark's string↔timestamp
+    // casts accept ISO8601, so the from_* directions are plain casts.
+    ("to_iso8601", "(t TIMESTAMP) RETURNS STRING",
+      "date_format(t, 'yyyy-MM-dd''T''HH:mm:ss.SSS')"),
+    ("from_iso8601_timestamp", "(s STRING) RETURNS TIMESTAMP",
+      "cast(s AS TIMESTAMP)"),
+    ("from_iso8601_date", "(s STRING) RETURNS DATE", "cast(s AS DATE)"),
+    // to_milliseconds(interval) — IntervalDayTimeFunctions.java
+    ("to_milliseconds", "(d INTERVAL DAY TO SECOND) RETURNS BIGINT",
+      "cast(extract(DAY FROM d) * 86400000 + extract(HOUR FROM d) * 3600000 + " +
+        "extract(MINUTE FROM d) * 60000 + extract(SECOND FROM d) * 1000 AS BIGINT)"),
+    // at_timezone(t, zone) — same instant re-expressed in another zone
+    ("at_timezone", "(t TIMESTAMP, z STRING) RETURNS TIMESTAMP",
+      "convert_timezone(current_timezone(), z, t)"),
+    // MapFunctions.java: split_to_multimap / multimap_from_entries
+    // group duplicate keys into value arrays. The outer
+    // transform(array(…), e -> …)[0] is the let-binding trick — the
+    // entry list is parsed once and reused across the three lambdas.
+    ("split_to_multimap",
+      "(s STRING, ed STRING, kvd STRING) RETURNS MAP<STRING, ARRAY<STRING>>",
+      """transform(array(transform(split(s, ed), p -> named_struct(
+        |    'k', split(p, kvd)[0], 'v', split(p, kvd)[1]))), e ->
+        |  map_from_arrays(
+        |    array_distinct(transform(e, x -> x.k)),
+        |    transform(array_distinct(transform(e, x -> x.k)),
+        |      g -> transform(filter(e, x -> x.k = g), x -> x.v))))[0]""".stripMargin),
+    ("multimap_from_entries",
+      "(en ARRAY<STRUCT<k: STRING, v: STRING>>) RETURNS MAP<STRING, ARRAY<STRING>>",
+      """map_from_arrays(
+        |  array_distinct(transform(en, x -> x.k)),
+        |  transform(array_distinct(transform(en, x -> x.k)),
+        |    g -> transform(filter(en, x -> x.k = g), x -> x.v)))""".stripMargin),
+    // JsonFunctions.java tail: membership and path-size. Arrays travel
+    // as array<string> (JSON scalars coerce to their text form).
+    ("json_array_contains", "(j STRING, v STRING) RETURNS BOOLEAN",
+      "array_contains(from_json(j, 'array<string>'), v)"),
+    ("json_size", "(j STRING, p STRING) RETURNS INT",
+      """CASE WHEN get_json_object(j, p) LIKE '[%'
+        |  THEN cast(json_array_length(get_json_object(j, p)) AS INT)
+        |WHEN get_json_object(j, p) LIKE '{%'
+        |  THEN size(json_object_keys(get_json_object(j, p)))
+        |WHEN get_json_object(j, p) IS NULL THEN cast(NULL AS INT)
+        |ELSE 0 END""".stripMargin),
+    // (combine_hash needs wrapping 64-bit arithmetic, which ANSI-mode
+    // SQL forbids — it lives in MiscExpressions as a codegen expression)
+    // FailureFunction.java: fail(msg) raises a runtime error
+    ("fail", "(msg STRING) RETURNS STRING", "cast(raise_error(msg) AS STRING)"),
     // HyperLogLogFunctions.java: cardinality(hll) under a non-conflicting name
     ("hll_cardinality", "(sk BINARY) RETURNS BIGINT", "hll_sketch_estimate(sk)"),
     // Conditional / misc

@@ -780,6 +780,44 @@ object ScalarFns extends QueryGroup {
              |FROM orders WHERE o_orderkey <= 100
              |ORDER BY o_orderkey""".stripMargin)),
 
+    // Third Presto-name tranche: ISO8601 round-trips, interval→millis,
+    // multimap split, json membership/size, wrap-around combine_hash.
+    // All value-checked by DuckDB closed forms (o_orderdate casts to a
+    // midnight timestamp, so the ISO millis are a constant '.000').
+    "fn_presto_names3" -> QueryDef(
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        s.sql("""SELECT o_orderkey,
+                |  to_iso8601(cast(o_orderdate AS TIMESTAMP)) AS iso,
+                |  cast(from_iso8601_timestamp(
+                |    to_iso8601(cast(o_orderdate AS TIMESTAMP))) AS STRING) AS ts_rt,
+                |  cast(from_iso8601_date(substr(to_iso8601(
+                |    cast(o_orderdate AS TIMESTAMP)), 1, 10)) AS STRING) AS d_rt,
+                |  to_milliseconds(parse_duration(
+                |    concat(cast(o_orderkey % 90 AS STRING), 's'))) AS dur_ms,
+                |  to_json(split_to_multimap(concat('a=', o_orderkey % 3,
+                |    ',b=2,a=', o_orderkey % 5), ',', '=')) AS mm,
+                |  json_array_contains(concat('[1,4,', o_orderkey % 7, ']'), '3')
+                |    AS has3,
+                |  json_size('{"a":{"b":1,"c":[1,2]}}', '$.a') AS jsz,
+                |  json_size('{"a":[1,2,3,4]}', '$.a') AS jsz_arr,
+                |  combine_hash(o_orderkey, o_custkey) AS ch
+                |FROM orders WHERE o_orderkey <= 500 ORDER BY o_orderkey""".stripMargin)
+      },
+      Some("""SELECT o_orderkey,
+             |  strftime(CAST(o_orderdate AS TIMESTAMP),
+             |    '%Y-%m-%dT%H:%M:%S') || '.000' AS iso,
+             |  CAST(CAST(o_orderdate AS TIMESTAMP) AS VARCHAR) AS ts_rt,
+             |  CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS d_rt,
+             |  CAST(o_orderkey % 90 AS BIGINT) * 1000 AS dur_ms,
+             |  '{"a":["' || CAST(o_orderkey % 3 AS VARCHAR) || '","' ||
+             |    CAST(o_orderkey % 5 AS VARCHAR) || '"],"b":["2"]}' AS mm,
+             |  o_orderkey % 7 = 3 AS has3,
+             |  CAST(2 AS INT) AS jsz,
+             |  CAST(4 AS INT) AS jsz_arr,
+             |  CAST(31 AS BIGINT) * o_orderkey + o_custkey AS ch
+             |FROM orders WHERE o_orderkey <= 500 ORDER BY o_orderkey""".stripMargin)),
+
     // geometric_mean as a callable aggregate, value-matched against
     // the exp∘avg∘ln rewrite in DuckDB.
     "agg_geomean_callable" -> QueryDef(

@@ -69,6 +69,38 @@ class PrestoCatalogSpec extends AnyFunSuite with SparkFixture with Matchers {
     one[Double]("round(cosine_distance(array(1.0d, 0.0d), array(0.0d, 1.0d)), 6)") shouldBe 1.0
   }
 
+  test("iso8601, durations, multimaps, json tail, combine_hash, fail") {
+    one[String]("to_iso8601(TIMESTAMP '2001-08-22 03:04:05.321')") shouldBe
+      "2001-08-22T03:04:05.321"
+    one[String]("cast(from_iso8601_timestamp('2001-08-22T03:04:05') AS STRING)") shouldBe
+      "2001-08-22 03:04:05"
+    one[String]("cast(from_iso8601_date('2001-08-22') AS STRING)") shouldBe "2001-08-22"
+    one[Long]("to_milliseconds(parse_duration('90s'))") shouldBe 90000L
+    one[Long]("to_milliseconds(INTERVAL '1 02:00:00' DAY TO SECOND)") shouldBe
+      (26L * 3600 * 1000)
+    one[String]("to_json(split_to_multimap('a=1,b=2,a=3', ',', '='))") shouldBe
+      """{"a":["1","3"],"b":["2"]}"""
+    one[String](
+      """to_json(multimap_from_entries(array(
+        |  named_struct('k', 'a', 'v', 'x'),
+        |  named_struct('k', 'b', 'v', 'y'),
+        |  named_struct('k', 'a', 'v', 'z'))))""".stripMargin) shouldBe
+      """{"a":["x","z"],"b":["y"]}"""
+    one[Boolean]("json_array_contains('[1,2,3]', '2')") shouldBe true
+    one[Boolean]("json_array_contains('[\"a\",\"b\"]', 'c')") shouldBe false
+    one[Int]("json_size('{\"a\":1,\"b\":{\"c\":2,\"d\":3}}', '$.b')") shouldBe 2
+    one[Int]("json_size('{\"a\":[1,2,3]}', '$.a')") shouldBe 3
+    one[Int]("json_size('{\"a\":1}', '$.a')") shouldBe 0
+    one[Long]("combine_hash(7L, 11L)") shouldBe (31L * 7 + 11)
+    // wraps instead of raising at the 64-bit boundary
+    one[Long]("combine_hash(9223372036854775807L, 1L)") shouldBe
+      (31L * Long.MaxValue + 1L)
+    one[String]("cast(at_timezone(TIMESTAMP '2021-01-15 12:00:00', " +
+      "'America/Los_Angeles') AS STRING)") shouldBe "2021-01-15 04:00:00"
+    val e = intercept[Exception](spark.sql("SELECT fail('boom')").collect())
+    e.getMessage should include("boom")
+  }
+
   test("a realistic Presto-dialect query runs unchanged") {
     import spark.implicits._
     Tables.registerAll(spark, sfDir)
