@@ -28,10 +28,22 @@ object Bench {
       System.err.println(f"[bench] $name%-30s $dt%8.2fs")
       name -> dt
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    def jsonOf(rs: Seq[(String, Double)]): String = rs
+      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = f"${results.map(_._2).sum}%.3f"
+    // Full per-query detail: the one-line form blows past the driver's
+    // ~1.7 KB stdout-tail window at 169 queries (BENCH_r02 "parsed":
+    // null), so it goes to a file the driver/judge can read whole.
+    val full =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonOf(results)},"sf":"$sfDir"}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get("bench_full.json"),
+      full.getBytes("UTF-8"))
+    // stdout line stays within the tail window: total over ALL queries,
+    // per-query detail limited to the TPC-H headline set.
+    val headline = results.filter(_._1.startsWith("tpch_"))
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonOf(headline)},"sf":"$sfDir","n_queries":${results.size},"detail":"bench_full.json"}""")
+    System.out.flush()
     spark.stop()
   }
 }

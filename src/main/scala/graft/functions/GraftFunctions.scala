@@ -43,6 +43,9 @@ object GraftFunctions {
     ("vec_norm",
       new ExpressionInfo(classOf[VecNorm].getName, "vec_norm"),
       (args: Seq[Expression]) => VecNorm(args(0))),
+    ("hyperplane_sigs",
+      new ExpressionInfo(classOf[HyperplaneSigs].getName, "hyperplane_sigs"),
+      (args: Seq[Expression]) => HyperplaneSigs(args(0))),
     ("erf",
       new ExpressionInfo(classOf[Erf].getName, "erf"),
       (args: Seq[Expression]) => Erf(Cast(args(0), DoubleType))),

@@ -1,0 +1,69 @@
+package graft.queries
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Connected components over a bipartite (id, bucket) edge list by
+  * min-label propagation — the clustering stage shared by the LSH dedup
+  * scale paths (`dedup_minhash_lsh_full`, `sim_embed_neardup_full`).
+  *
+  * An LSH bucket links every pair of its members, so near-dup CLUSTERS
+  * are the connected components of the id↔bucket graph. One propagation
+  * round (id → min over its buckets → min over each bucket's members)
+  * collapses stars but not chains (A~B~C with A,C never sharing a
+  * bucket); iterating to a fixpoint makes dedup transitive. Each round
+  * is two hash shuffles (groupBy bucket, groupBy id) — O(edges), never
+  * quadratic — and labels only decrease, so the label SUM is stationary
+  * exactly at the fixpoint: convergence costs one scalar action per
+  * round. Chain diameter bounds the round count (near-dup components
+  * are shallow in practice; `maxIters` is a safety valve).
+  *
+  * Reference semantics: presto-ads has no clustering operator — this is
+  * the dedup completion the 100 TB pipeline needs (VERDICT r2 §3).
+  * At cluster scale each round's result would be checkpointed to
+  * truncate lineage; here persist() is enough for ≤maxIters rounds.
+  */
+object Clustering {
+
+  /** One propagation round: label(id) ← min over id's buckets of the
+    * bucket's member-label minimum. Monotone non-increasing per id. */
+  def propagateRound(edges: DataFrame, labels: DataFrame): DataFrame = {
+    val bucketMin = edges.join(labels, "id")
+      .groupBy("bucket").agg(min("cluster").as("bmin"))
+    edges.join(bucketMin, "bucket")
+      .groupBy("id").agg(min("bmin").as("cluster"))
+  }
+
+  /** Lazily unrolled n-round propagation — pure plan, no actions; used
+    * by plan-shape tests to assert the per-round shuffle shape. */
+  def propagateRounds(edges: DataFrame, rounds: Int): DataFrame = {
+    val init = edges.select(col("id")).distinct()
+      .withColumn("cluster", col("id"))
+    (1 to rounds).foldLeft(init)((l, _) => propagateRound(edges, l))
+  }
+
+  /** Iterate propagation until the label assignment is stable.
+    * Returns (id, cluster) with cluster = component-minimum id. */
+  def propagateToFixpoint(edges: DataFrame, maxIters: Int = 10): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e = edges.select($"id", $"bucket").persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = e.select($"id").distinct()
+      .withColumn("cluster", $"id").persist(StorageLevel.MEMORY_AND_DISK)
+    var prevSum = labels.agg(sum($"cluster")).as[Long].head()
+    var it = 0
+    var converged = false
+    while (!converged && it < maxIters) {
+      val next = propagateRound(e, labels).persist(StorageLevel.MEMORY_AND_DISK)
+      val nextSum = next.agg(sum($"cluster")).as[Long].head()
+      converged = nextSum == prevSum
+      prevSum = nextSum
+      labels.unpersist()
+      labels = next
+      it += 1
+    }
+    e.unpersist()
+    labels
+  }
+}
