@@ -32,6 +32,7 @@ object Registry {
     queries.Sketches,
     queries.TextPipeline,
     queries.Similarity,
+    queries.Spatial,
     queries.Multimodal,
     queries.Events
   )

@@ -173,7 +173,86 @@ object GeoCatalog {
          |  OR st_contains(a, st_point(${coords("b")}[0].x, ${coords("b")}[0].y))
          |END""".stripMargin),
     ("st_disjoint", "(a STRING, b STRING) RETURNS BOOLEAN",
-      "NOT st_intersects(a, b)")
+      "NOT st_intersects(a, b)"),
+
+    // --- Bing tile tier (presto-geospatial BingTileFunctions.java /
+    // BingTile.java; tile math per the public Bing Maps tile-system
+    // spec). A tile is represented by its QUADKEY string — the quadkey
+    // bijectively encodes (x, y, zoom) (zoom = length), which is also
+    // how Presto's BingTile casts to varchar. All macros are pure
+    // arithmetic; mapSize = 256 · 2^zoom as in the reference
+    // (BingTileFunctions.java:598-637).
+
+    // quadkey digit i = x-bit + 2·y-bit at level i (BingTile.java:131)
+    ("bing_tile", "(x BIGINT, y BIGINT, zoom INT) RETURNS STRING",
+      """array_join(transform(sequence(zoom, 1, -1), i ->
+        |  cast(shiftright(x, i - 1) % 2 + 2 * (shiftright(y, i - 1) % 2) AS STRING)), '')""".stripMargin),
+    ("bing_tile_from_quadkey", "(q STRING) RETURNS STRING", "q"),
+    ("bing_tile_quadkey", "(t STRING) RETURNS STRING", "t"),
+    ("bing_tile_zoom_level", "(t STRING) RETURNS INT", "length(t)"),
+    // inverse of the digit expansion (BingTile.java:84 fromQuadKey)
+    ("bing_tile_coordinates", "(t STRING) RETURNS STRUCT<x: BIGINT, y: BIGINT>",
+      """named_struct(
+        |  'x', aggregate(sequence(1, length(t)), 0L,
+        |         (acc, i) -> acc * 2 + (ascii(substr(t, i, 1)) - 48) % 2),
+        |  'y', aggregate(sequence(1, length(t)), 0L,
+        |         (acc, i) -> acc * 2 + (ascii(substr(t, i, 1)) - 48) div 2))""".stripMargin),
+    // lat/lon → tile via Mercator pixel coords then /256, clipped to
+    // [0, mapSize-1] (BingTileFunctions.java longitudeToTileX/Y)
+    ("bing_tile_at", "(lat DOUBLE, lon DOUBLE, zoom INT) RETURNS STRING",
+      """bing_tile(
+        |  cast(least(greatest((lon + 180.0D) / 360.0D
+        |      * cast(shiftleft(256L, zoom) AS DOUBLE), 0.0D),
+        |    cast(shiftleft(256L, zoom) AS DOUBLE) - 1.0D) AS BIGINT) div 256,
+        |  cast(least(greatest((0.5D
+        |      - ln((1.0D + sin(lat * pi() / 180.0D)) / (1.0D - sin(lat * pi() / 180.0D)))
+        |        / (4.0D * pi()))
+        |      * cast(shiftleft(256L, zoom) AS DOUBLE), 0.0D),
+        |    cast(shiftleft(256L, zoom) AS DOUBLE) - 1.0D) AS BIGINT) div 256,
+        |  zoom)""".stripMargin),
+    // tile envelope in lat/lon (tileXYToLatitudeLongitude,
+    // BingTileFunctions.java:580): lon = 360·(px/mapSize − 0.5),
+    // lat = 90 − 360·atan(exp(−(0.5 − py/mapSize)·2π))/π
+    ("bing_tile_polygon", "(t STRING) RETURNS STRING",
+      """transform(array(named_struct(
+        |    'lon0', 360.0D * (cast(bing_tile_coordinates(t).x * 256 AS DOUBLE)
+        |      / cast(shiftleft(256L, length(t)) AS DOUBLE) - 0.5D),
+        |    'lon1', 360.0D * (cast((bing_tile_coordinates(t).x + 1) * 256 AS DOUBLE)
+        |      / cast(shiftleft(256L, length(t)) AS DOUBLE) - 0.5D),
+        |    'lat0', 90.0D - 360.0D * atan(exp(-(0.5D
+        |      - cast((bing_tile_coordinates(t).y + 1) * 256 AS DOUBLE)
+        |        / cast(shiftleft(256L, length(t)) AS DOUBLE)) * 2.0D * pi())) / pi(),
+        |    'lat1', 90.0D - 360.0D * atan(exp(-(0.5D
+        |      - cast(bing_tile_coordinates(t).y * 256 AS DOUBLE)
+        |        / cast(shiftleft(256L, length(t)) AS DOUBLE)) * 2.0D * pi())) / pi())), e ->
+        |  concat('POLYGON ((',
+        |    cast(e.lon0 AS STRING), ' ', cast(e.lat0 AS STRING), ', ',
+        |    cast(e.lon1 AS STRING), ' ', cast(e.lat0 AS STRING), ', ',
+        |    cast(e.lon1 AS STRING), ' ', cast(e.lat1 AS STRING), ', ',
+        |    cast(e.lon0 AS STRING), ' ', cast(e.lat1 AS STRING), ', ',
+        |    cast(e.lon0 AS STRING), ' ', cast(e.lat0 AS STRING), '))'))[0]""".stripMargin),
+    // 3×3 neighborhood clipped to the zoom's tile range
+    // (BingTileFunctions.java:168-197); the quadkey expansion is
+    // written inline because a macro invoked with lambda-bound
+    // variables does not inline (see the note above)
+    ("bing_tiles_around", "(lat DOUBLE, lon DOUBLE, zoom INT) RETURNS ARRAY<STRING>",
+      """transform(array(named_struct(
+        |    'tx', cast(least(greatest((lon + 180.0D) / 360.0D
+        |        * cast(shiftleft(256L, zoom) AS DOUBLE), 0.0D),
+        |      cast(shiftleft(256L, zoom) AS DOUBLE) - 1.0D) AS BIGINT) div 256,
+        |    'ty', cast(least(greatest((0.5D
+        |        - ln((1.0D + sin(lat * pi() / 180.0D)) / (1.0D - sin(lat * pi() / 180.0D)))
+        |          / (4.0D * pi()))
+        |        * cast(shiftleft(256L, zoom) AS DOUBLE), 0.0D),
+        |      cast(shiftleft(256L, zoom) AS DOUBLE) - 1.0D) AS BIGINT) div 256,
+        |    'mx', shiftleft(1L, zoom) - 1)), e ->
+        |  filter(transform(sequence(0, 8), k ->
+        |    IF(e.tx + k div 3 - 1 >= 0 AND e.tx + k div 3 - 1 <= e.mx
+        |       AND e.ty + k % 3 - 1 >= 0 AND e.ty + k % 3 - 1 <= e.mx,
+        |      array_join(transform(sequence(zoom, 1, -1), i ->
+        |        cast(shiftright(e.tx + k div 3 - 1, i - 1) % 2
+        |          + 2 * (shiftright(e.ty + k % 3 - 1, i - 1) % 2) AS STRING)), ''),
+        |      NULL)), q -> q IS NOT NULL))[0]""".stripMargin)
   )
 
   def register(spark: SparkSession): Unit =

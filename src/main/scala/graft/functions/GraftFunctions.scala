@@ -46,6 +46,21 @@ object GraftFunctions {
     ("hyperplane_sigs",
       new ExpressionInfo(classOf[HyperplaneSigs].getName, "hyperplane_sigs"),
       (args: Seq[Expression]) => HyperplaneSigs(args(0))),
+    ("st_buffer",
+      new ExpressionInfo(classOf[StBuffer].getName, "st_buffer"),
+      (args: Seq[Expression]) => StBuffer(args(0), Cast(args(1), DoubleType))),
+    ("st_convex_hull",
+      new ExpressionInfo(classOf[StConvexHull].getName, "st_convex_hull"),
+      (args: Seq[Expression]) => StConvexHull(args(0))),
+    ("st_union",
+      new ExpressionInfo(classOf[StUnion].getName, "st_union"),
+      (args: Seq[Expression]) => StUnion(args(0), args(1))),
+    ("st_intersection",
+      new ExpressionInfo(classOf[StIntersection].getName, "st_intersection"),
+      (args: Seq[Expression]) => StIntersection(args(0), args(1))),
+    ("geom_area",
+      new ExpressionInfo(classOf[GeomArea].getName, "geom_area"),
+      (args: Seq[Expression]) => GeomArea(args(0))),
     ("erf",
       new ExpressionInfo(classOf[Erf].getName, "erf"),
       (args: Seq[Expression]) => Erf(Cast(args(0), DoubleType))),

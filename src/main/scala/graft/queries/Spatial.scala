@@ -1,0 +1,221 @@
+package graft.queries
+
+import graft.{QueryDef, QueryGroup, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Spatial joins + the Bing tile / constructive-geometry function tier.
+  *
+  * Reference: presto-main SpatialJoinOperator.java +
+  * ExtractSpatialJoins (PlanOptimizers.java:431), presto-geospatial
+  * GeoFunctions.java / BingTileFunctions.java. Presto builds an R-tree
+  * over the smaller (build) side and streams the probe side through it.
+  * The Spark-first equivalents of the two join regimes:
+  *
+  *  - small polygon set × big point table → `broadcast` the polygons
+  *    and evaluate the ST_ predicate in a BroadcastNestedLoopJoin: one
+  *    pass over the fact side, no shuffle of it at all (the predicate
+  *    is codegen'd; an R-tree only pays off when the build side is
+  *    large, at which point the grid path below applies).
+  *  - big × big distance join → snap both sides to a grid of cell size
+  *    r, explode ONE side to its 3×3 neighbor cells, and equi-join on
+  *    the cell id: |Δx| < r implies adjacent cells, so the candidate
+  *    set is exact, the join is a plain hash shuffle (never quadratic),
+  *    and the exact st_distance filter runs per candidate. This is the
+  *    same bucket-then-rescore shape as the LSH dedup paths.
+  *
+  * Points are derived from customer/supplier keys on a 0.2 × 0.8 grid
+  * offset by 0.05 so no point ever sits on a polygon edge or cell
+  * boundary (ray-cast boundary behavior is implementation-defined).
+  */
+object Spatial extends QueryGroup {
+
+  private val rects = Seq(
+    (1, 0.0, 0.0, 5.0, 5.0),
+    (2, 5.0, 0.0, 10.0, 5.0),
+    (3, 0.0, 5.0, 5.0, 10.0),
+    (4, 10.0, 10.0, 20.0, 20.0),
+    (5, 3.0, 3.0, 12.0, 12.0),
+    (6, 15.0, 0.0, 18.0, 4.0))
+
+  private def polyTable(s: SparkSession): DataFrame = {
+    import s.implicits._
+    rects.toDF("poly_id", "x0", "y0", "x1", "y1")
+      .withColumn("poly", expr(
+        """concat('POLYGON ((', x0, ' ', y0, ', ', x1, ' ', y0, ', ',
+          |x1, ' ', y1, ', ', x0, ' ', y1, ', ', x0, ' ', y0, '))')""".stripMargin))
+  }
+
+  private val duckPolys =
+    "(VALUES " + rects.map { case (id, x0, y0, x1, y1) =>
+      s"($id, $x0, $y0, $x1, $y1)"
+    }.mkString(", ") + ") AS p(poly_id, x0, y0, x1, y1)"
+
+  private def custPoints(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.customer(s, dir).select($"c_custkey",
+      (($"c_custkey" % 100) * 0.2 + 0.05).as("px"),
+      ($"c_nationkey" * 0.8 + 0.05).as("py"))
+  }
+
+  private val duckCust =
+    """SELECT c_custkey, (c_custkey % 100) * 0.2 + 0.05 AS px,
+      |  c_nationkey * 0.8 + 0.05 AS py FROM customer""".stripMargin
+
+  override def defs: Map[String, QueryDef] = Map(
+    // Polygon-contains-point spatial join: broadcast the 6-polygon dim,
+    // ray-cast st_contains as the BNLJ predicate, aggregate per
+    // polygon. Plan-asserted: BroadcastNestedLoopJoin, fact side never
+    // shuffled before the aggregate.
+    "join_spatial_contains" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        custPoints(s, dir)
+          .join(broadcast(polyTable(s)), expr("st_contains(poly, st_point(px, py))"))
+          .groupBy($"poly_id")
+          .agg(count(lit(1)).as("n_points"), sum($"c_custkey").as("sum_keys"))
+          .orderBy($"poly_id")
+      },
+      // the polygons are axis-aligned, so DuckDB checks containment
+      // with plain interval arithmetic — independent of the ray cast
+      Some(s"""WITH pts AS ($duckCust)
+             |SELECT p.poly_id, count(*) AS n_points,
+             |  CAST(sum(c_custkey) AS BIGINT) AS sum_keys
+             |FROM pts JOIN $duckPolys
+             |  ON px > x0 AND px < x1 AND py > y0 AND py < y1
+             |GROUP BY p.poly_id ORDER BY p.poly_id""".stripMargin)),
+
+    // Distance join via grid cells (the big × big scale path): cell
+    // size = r, supplier side exploded to its 3×3 neighborhood,
+    // equi-join on cell, exact st_distance rescore. min/max are
+    // order-independent so the oracle's quadratic recompute matches
+    // bit-for-bit.
+    "join_spatial_distance_grid" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val r = 0.45
+        val cust = custPoints(s, dir)
+          .withColumn("cx", floor($"px" / r).cast("long"))
+          .withColumn("cy", floor($"py" / r).cast("long"))
+        val sup = Tables.supplier(s, dir).select($"s_suppkey",
+            (($"s_suppkey" % 100) * 0.2 + 0.05).as("sx"),
+            ($"s_nationkey" * 0.8 + 0.05).as("sy"))
+          .withColumn("dx", explode(sequence(lit(-1), lit(1))))
+          .withColumn("dy", explode(sequence(lit(-1), lit(1))))
+          .withColumn("cx", (floor($"sx" / r) + $"dx").cast("long"))
+          .withColumn("cy", (floor($"sy" / r) + $"dy").cast("long"))
+        sup.join(cust, Seq("cx", "cy"))
+          .withColumn("dist", expr("st_distance(st_point(sx, sy), st_point(px, py))"))
+          .filter($"dist" < r)
+          .agg(count(lit(1)).as("n_pairs"),
+            countDistinct($"s_suppkey").as("n_sup"),
+            round(min($"dist"), 4).as("min_dist"),
+            round(max($"dist"), 4).as("max_dist"))
+      },
+      Some(s"""WITH pts AS ($duckCust),
+             |sup AS (SELECT s_suppkey, (s_suppkey % 100) * 0.2 + 0.05 AS sx,
+             |        s_nationkey * 0.8 + 0.05 AS sy FROM supplier),
+             |pairs AS (
+             |  SELECT s_suppkey, sqrt(power(sx - px, 2) + power(sy - py, 2)) AS dist
+             |  FROM sup, pts
+             |  WHERE sqrt(power(sx - px, 2) + power(sy - py, 2)) < 0.45)
+             |SELECT count(*) AS n_pairs,
+             |  CAST(count(DISTINCT s_suppkey) AS BIGINT) AS n_sup,
+             |  round(min(dist), 4) AS min_dist, round(max(dist), 4) AS max_dist
+             |FROM pairs""".stripMargin)),
+
+    // Bing tile surface: lat/lon → tile quadkey, accessors round-trip,
+    // neighborhood count, tile polygon area — DuckDB recomputes the
+    // quadkey and tile coordinates from the same closed-form tile math.
+    "fn_bing_tiles" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        Tables.nation(s, dir)
+          .select($"n_nationkey",
+            ($"n_nationkey" * 6.0 - 72.0 + 0.3).as("lat"),
+            ($"n_nationkey" * 13.0 - 156.0 + 0.2).as("lon"),
+            (lit(10) + $"n_nationkey" % 3).cast("int").as("zoom"))
+          .withColumn("tile", expr("bing_tile_at(lat, lon, zoom)"))
+          .select($"n_nationkey",
+            $"tile".as("quadkey"),
+            expr("bing_tile_zoom_level(tile)").as("zl"),
+            expr("bing_tile_coordinates(tile).x").as("tx"),
+            expr("bing_tile_coordinates(tile).y").as("ty"),
+            expr("""bing_tile_quadkey(bing_tile(
+              |bing_tile_coordinates(tile).x, bing_tile_coordinates(tile).y,
+              |zoom)) = tile""".stripMargin).as("roundtrip"),
+            expr("size(bing_tiles_around(lat, lon, zoom))").as("n_around"),
+            expr("round(st_area(bing_tile_polygon(tile)), 6)").as("tile_area"))
+          .orderBy($"n_nationkey")
+      },
+      Some("""WITH n AS (
+             |  SELECT n_nationkey, n_nationkey * 6.0 - 72.0 + 0.3 AS lat,
+             |    n_nationkey * 13.0 - 156.0 + 0.2 AS lon,
+             |    10 + n_nationkey % 3 AS zoom
+             |  FROM nation),
+             |t AS (
+             |  SELECT n_nationkey, zoom, lat, lon,
+             |    CAST(FLOOR(LEAST(GREATEST((lon + 180) / 360 * (256 * 2^zoom), 0),
+             |      256 * 2^zoom - 1) / 256) AS BIGINT) AS tx,
+             |    CAST(FLOOR(LEAST(GREATEST((0.5 - ln((1 + sin(lat * pi() / 180))
+             |        / (1 - sin(lat * pi() / 180))) / (4 * pi())) * (256 * 2^zoom), 0),
+             |      256 * 2^zoom - 1) / 256) AS BIGINT) AS ty
+             |  FROM n)
+             |SELECT n_nationkey,
+             |  array_to_string(list_transform(generate_series(zoom, 1, -1), i ->
+             |    CAST(CAST(FLOOR(tx / 2^(i - 1)) AS BIGINT) % 2
+             |      + 2 * (CAST(FLOOR(ty / 2^(i - 1)) AS BIGINT) % 2) AS VARCHAR)), '') AS quadkey,
+             |  CAST(zoom AS INT) AS zl, tx, ty, true AS roundtrip,
+             |  CAST((CASE WHEN tx > 0 THEN 1 ELSE 0 END + 1
+             |      + CASE WHEN tx < 2^zoom - 1 THEN 1 ELSE 0 END)
+             |    * (CASE WHEN ty > 0 THEN 1 ELSE 0 END + 1
+             |      + CASE WHEN ty < 2^zoom - 1 THEN 1 ELSE 0 END) AS INT) AS n_around,
+             |  round((360 / 2^zoom) *
+             |    ((90 - 360 * atan(exp(-(0.5 - ty * 256 / (256 * 2^zoom)) * 2 * pi())) / pi())
+             |     - (90 - 360 * atan(exp(-(0.5 - (ty + 1) * 256 / (256 * 2^zoom)) * 2 * pi())) / pi())),
+             |    6) AS tile_area
+             |FROM t ORDER BY n_nationkey""".stripMargin)),
+
+    // Constructive geometry tier: buffer, convex hull, bbox
+    // union/intersection — every value checked against a closed form.
+    "fn_geo_tier3" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        Tables.nation(s, dir).limit(1).select(lit(1).as("one"))
+          .withColumn("buf", expr("st_buffer(st_point(3.0, 4.0), 2.0)"))
+          .withColumn("hull", expr(
+            "st_convex_hull('MULTIPOINT (0 0, 4 0, 4 3, 0 3, 1 1, 2 2, 3 1)')"))
+          .withColumn("ab_union", expr(
+            """st_union('POLYGON ((0 0, 4 0, 4 3, 0 3, 0 0))',
+              |'POLYGON ((2 1, 6 1, 6 5, 2 5, 2 1))')""".stripMargin))
+          .withColumn("ab_inter", expr(
+            """st_intersection('POLYGON ((0 0, 4 0, 4 3, 0 3, 0 0))',
+              |'POLYGON ((2 1, 6 1, 6 5, 2 5, 2 1))')""".stripMargin))
+          .withColumn("disj_union", expr(
+            """st_union('POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))',
+              |'POLYGON ((5 5, 6 5, 6 6, 5 6, 5 5))')""".stripMargin))
+          .select(
+            expr("round(st_area(buf), 6)").as("buf_area"),
+            expr("round(st_length(buf), 6)").as("buf_perim"),
+            expr("round(st_x(st_centroid(buf)), 6)").as("buf_cx"),
+            expr("round(st_y(st_centroid(buf)), 6)").as("buf_cy"),
+            expr("round(st_area(hull), 6)").as("hull_area"),
+            expr("st_npoints(hull)").as("hull_npoints"),
+            expr("round(geom_area(ab_union), 6)").as("union_area"),
+            expr("round(st_area(ab_inter), 6)").as("inter_area"),
+            expr("round(geom_area(disj_union), 6)").as("disj_area"),
+            expr("st_intersection('POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))', " +
+              "'POLYGON ((5 5, 6 5, 6 6, 5 6, 5 5))') = 'POLYGON EMPTY'").as("disj_empty"))
+      },
+      // closed forms: regular 32-gon area = ½·n·r²·sin(2π/n), perimeter
+      // = 2·n·r·sin(π/n); hull of the fixture = the 4×3 rectangle;
+      // union area = A + B − A∩B
+      Some("""SELECT
+             |  round(0.5 * 32 * 4.0 * sin(2 * pi() / 32), 6) AS buf_area,
+             |  round(2 * 32 * 2.0 * sin(pi() / 32), 6) AS buf_perim,
+             |  3.0 AS buf_cx, 4.0 AS buf_cy,
+             |  12.0 AS hull_area, CAST(4 AS BIGINT) AS hull_npoints,
+             |  24.0 AS union_area, 4.0 AS inter_area, 2.0 AS disj_area,
+             |  true AS disj_empty""".stripMargin))
+  )
+}

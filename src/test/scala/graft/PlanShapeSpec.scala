@@ -111,6 +111,23 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture with Matchers {
       .count(_ == "BroadcastNestedLoopJoin") should be <= 1
   }
 
+  test("spatial contains-join broadcasts polygons, never shuffles the fact side") {
+    val plan = planOf("join_spatial_contains")
+    // ST-predicate join against a broadcast build side — Presto's
+    // SpatialJoinOperator regime for small-geometry × big-point
+    plan should include("BroadcastNestedLoopJoin")
+    plan should not include "CartesianProduct"
+    // the only shuffle is the 6-group aggregate above a map-side
+    // partial — the point table itself is never exchanged
+    plan should include("partial_count")
+  }
+
+  test("spatial distance-join is a grid-cell hash join, never quadratic") {
+    val plan = planOf("join_spatial_distance_grid")
+    plan should not include "CartesianProduct"
+    plan should not include "BroadcastNestedLoopJoin"
+  }
+
   test("tpch_q9 broadcasts part/supplier/nation; shuffles only fact edges") {
     val plan = planOf("tpch_q9")
     plan should include("BroadcastHashJoin")
