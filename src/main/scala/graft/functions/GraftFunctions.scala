@@ -61,6 +61,20 @@ object GraftFunctions {
     ("geom_area",
       new ExpressionInfo(classOf[GeomArea].getName, "geom_area"),
       (args: Seq[Expression]) => GeomArea(args(0))),
+    ("url_encode",
+      new ExpressionInfo(classOf[UrlEncode].getName, "url_encode"),
+      (args: Seq[Expression]) => UrlEncode(args(0))),
+    ("url_decode",
+      new ExpressionInfo(classOf[UrlDecode].getName, "url_decode"),
+      (args: Seq[Expression]) => UrlDecode(args(0))),
+    ("beta_cdf",
+      new ExpressionInfo(classOf[BetaCdf].getName, "beta_cdf"),
+      (args: Seq[Expression]) => BetaCdf(Cast(args(0), DoubleType),
+        Cast(args(1), DoubleType), Cast(args(2), DoubleType))),
+    ("inverse_beta_cdf",
+      new ExpressionInfo(classOf[InverseBetaCdf].getName, "inverse_beta_cdf"),
+      (args: Seq[Expression]) => InverseBetaCdf(Cast(args(0), DoubleType),
+        Cast(args(1), DoubleType), Cast(args(2), DoubleType))),
     ("erf",
       new ExpressionInfo(classOf[Erf].getName, "erf"),
       (args: Seq[Expression]) => Erf(Cast(args(0), DoubleType))),

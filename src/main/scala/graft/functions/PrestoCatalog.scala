@@ -197,7 +197,12 @@ object PrestoCatalog {
     ("cosine_distance", "(a ARRAY<DOUBLE>, b ARRAY<DOUBLE>) RETURNS DOUBLE",
       "1.0 - vec_dot(a, b) / (vec_norm(a) * vec_norm(b))"),
     ("cosine_similarity_arr", "(a ARRAY<DOUBLE>, b ARRAY<DOUBLE>) RETURNS DOUBLE",
-      "vec_dot(a, b) / (vec_norm(a) * vec_norm(b))")
+      "vec_dot(a, b) / (vec_norm(a) * vec_norm(b))"),
+    // StringFunctions.java hamming_distance: count of positions whose
+    // code points differ (inputs must be equal length, as in Presto)
+    ("hamming_distance", "(a STRING, b STRING) RETURNS BIGINT",
+      """cast(aggregate(sequence(1, length(a)), 0,
+        |  (acc, i) -> acc + IF(substr(a, i, 1) = substr(b, i, 1), 0, 1)) AS BIGINT)""".stripMargin)
   )
 
   /** Presto aggregate name → Spark builtin it aliases.

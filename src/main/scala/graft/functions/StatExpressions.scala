@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types._
 
@@ -79,4 +79,114 @@ case class Probit(child: Expression) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, x => s"graft.functions.Erf.probit($x)")
   override protected def withNewChildInternal(c: Expression): Probit = copy(child = c)
+}
+
+/** Regularized incomplete beta I_x(a,b) — the scalar core of Presto's
+  * `beta_cdf` / `inverse_beta_cdf` (MathFunctions.java, which delegate
+  * to commons-math BetaDistribution). Continued-fraction evaluation by
+  * the modified Lentz method with the standard symmetry reduction
+  * (published in Numerical Recipes §6.4 and DLMF 8.17); |ε| well under
+  * the 6-decimal oracle tolerance. The inverse is bisection on the
+  * monotone CDF — 80 halvings ≈ 2^-80, far past double precision. */
+object BetaDist {
+  private def lnGamma(x: Double): Double = {
+    // Lanczos approximation (g=7, n=9), standard public coefficients
+    val c = Array(0.99999999999980993, 676.5203681218851, -1259.1392167224028,
+      771.32342877765313, -176.61502916214059, 12.507343278686905,
+      -0.13857109526572012, 9.9843695780195716e-6, 1.5056327351493116e-7)
+    if (x < 0.5)
+      math.log(math.Pi / math.sin(math.Pi * x)) - lnGamma(1.0 - x)
+    else {
+      val z = x - 1.0
+      var s = c(0)
+      var i = 1
+      while (i < 9) { s += c(i) / (z + i); i += 1 }
+      val t = z + 7.5
+      0.5 * math.log(2.0 * math.Pi) + (z + 0.5) * math.log(t) - t + math.log(s)
+    }
+  }
+
+  private def betacf(a: Double, b: Double, x: Double): Double = {
+    val eps = 1e-15
+    val fpmin = 1e-300
+    val qab = a + b
+    val qap = a + 1.0
+    val qam = a - 1.0
+    var c = 1.0
+    var d = 1.0 - qab * x / qap
+    if (math.abs(d) < fpmin) d = fpmin
+    d = 1.0 / d
+    var h = d
+    var m = 1
+    while (m <= 200) {
+      val m2 = 2 * m
+      var aa = m * (b - m) * x / ((qam + m2) * (a + m2))
+      d = 1.0 + aa * d; if (math.abs(d) < fpmin) d = fpmin
+      c = 1.0 + aa / c; if (math.abs(c) < fpmin) c = fpmin
+      d = 1.0 / d
+      h *= d * c
+      aa = -(a + m) * (qab + m) * x / ((a + m2) * (qap + m2))
+      d = 1.0 + aa * d; if (math.abs(d) < fpmin) d = fpmin
+      c = 1.0 + aa / c; if (math.abs(c) < fpmin) c = fpmin
+      d = 1.0 / d
+      val del = d * c
+      h *= del
+      if (math.abs(del - 1.0) < eps) return h
+      m += 1
+    }
+    h
+  }
+
+  def cdf(a: Double, b: Double, x: Double): Double = {
+    if (x <= 0.0) return 0.0
+    if (x >= 1.0) return 1.0
+    val front = math.exp(lnGamma(a + b) - lnGamma(a) - lnGamma(b) +
+      a * math.log(x) + b * math.log(1.0 - x))
+    if (x < (a + 1.0) / (a + b + 2.0)) front * betacf(a, b, x) / a
+    else 1.0 - front * betacf(b, a, 1.0 - x) / b
+  }
+
+  def inverseCdf(a: Double, b: Double, p: Double): Double = {
+    if (p <= 0.0) return 0.0
+    if (p >= 1.0) return 1.0
+    var lo = 0.0
+    var hi = 1.0
+    var i = 0
+    while (i < 80) {
+      val mid = 0.5 * (lo + hi)
+      if (cdf(a, b, mid) < p) lo = mid else hi = mid
+      i += 1
+    }
+    0.5 * (lo + hi)
+  }
+}
+
+case class BetaCdf(first: Expression, second: Expression, third: Expression)
+  extends TernaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "beta_cdf"
+  override def nullSafeEval(a: Any, b: Any, x: Any): Any =
+    BetaDist.cdf(a.asInstanceOf[Double], b.asInstanceOf[Double],
+      x.asInstanceOf[Double])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b, x) =>
+      s"graft.functions.BetaDist.cdf($a, $b, $x)")
+  override protected def withNewChildrenInternal(
+      a: Expression, b: Expression, x: Expression): BetaCdf =
+    copy(first = a, second = b, third = x)
+}
+
+case class InverseBetaCdf(first: Expression, second: Expression, third: Expression)
+  extends TernaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "inverse_beta_cdf"
+  override def nullSafeEval(a: Any, b: Any, p: Any): Any =
+    BetaDist.inverseCdf(a.asInstanceOf[Double], b.asInstanceOf[Double],
+      p.asInstanceOf[Double])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b, p) =>
+      s"graft.functions.BetaDist.inverseCdf($a, $b, $p)")
+  override protected def withNewChildrenInternal(
+      a: Expression, b: Expression, p: Expression): InverseBetaCdf =
+    copy(first = a, second = b, third = p)
 }

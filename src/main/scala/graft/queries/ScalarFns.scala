@@ -818,6 +818,54 @@ object ScalarFns extends QueryGroup {
              |  CAST(31 AS BIGINT) * o_orderkey + o_custkey AS ch
              |FROM orders WHERE o_orderkey <= 500 ORDER BY o_orderkey""".stripMargin)),
 
+    // Tranche 4 closing the last §2.8 name gaps (VERDICT r2 §6):
+    // url_encode/url_decode (UrlFunctions.java:150), typeof
+    // (TypeOfFunction.java) + current_user (SessionFunctions.java) —
+    // Spark builtins, exercised here; hamming_distance
+    // (StringFunctions.java, registry :474); beta_cdf/inverse_beta_cdf
+    // (MathFunctions.java, registry :487) checked against the closed
+    // forms I_x(1,1)=x, I_x(2,1)=x², I_x(1,2)=1−(1−x)²,
+    // I_x(2,2)=x²(3−2x), I_x(½,½)=(2/π)·asin(√x), plus the inverse
+    // round-trip. (DuckDB's url_encode is RFC-3986 — space→%20 — so the
+    // oracle builds the form-encoded expectation by replacement.)
+    "fn_presto_names4" -> QueryDef(
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        s.sql("""SELECT c_custkey,
+                |  url_encode(concat(c_name, ' &', c_mktsegment)) AS enc,
+                |  url_decode(url_encode(concat(c_name, ' +&=', c_mktsegment)))
+                |    = concat(c_name, ' +&=', c_mktsegment) AS rt,
+                |  hamming_distance(c_mktsegment, reverse(c_mktsegment)) AS hd,
+                |  typeof(c_custkey) AS t_key, typeof(c_name) AS t_name,
+                |  typeof(c_acctbal) AS t_bal,
+                |  length(current_user()) > 0 AS has_user,
+                |  round(beta_cdf(1.0, 1.0, (c_custkey % 10) / 10.0), 6) AS b11,
+                |  round(beta_cdf(2.0, 1.0, (c_custkey % 10) / 10.0), 6) AS b21,
+                |  round(beta_cdf(1.0, 2.0, (c_custkey % 10) / 10.0), 6) AS b12,
+                |  round(beta_cdf(2.0, 2.0, (c_custkey % 10) / 10.0), 6) AS b22,
+                |  round(beta_cdf(0.5, 0.5, (c_custkey % 10) / 10.0), 6) AS bhh,
+                |  round(inverse_beta_cdf(2.0, 2.0,
+                |    beta_cdf(2.0, 2.0, (c_custkey % 10) / 10.0)), 6) AS binv
+                |FROM customer WHERE c_custkey <= 200
+                |ORDER BY c_custkey""".stripMargin)
+      },
+      Some("""SELECT c_custkey,
+             |  replace(replace(replace(c_name || ' &' || c_mktsegment,
+             |    '#', '%23'), ' ', '+'), '&', '%26') AS enc,
+             |  true AS rt,
+             |  hamming(c_mktsegment, reverse(c_mktsegment)) AS hd,
+             |  'bigint' AS t_key, 'string' AS t_name, 'double' AS t_bal,
+             |  true AS has_user,
+             |  round((c_custkey % 10) / 10.0, 6) AS b11,
+             |  round(power((c_custkey % 10) / 10.0, 2), 6) AS b21,
+             |  round(1 - power(1 - (c_custkey % 10) / 10.0, 2), 6) AS b12,
+             |  round(power((c_custkey % 10) / 10.0, 2)
+             |    * (3 - 2 * (c_custkey % 10) / 10.0), 6) AS b22,
+             |  round((2 / pi()) * asin(sqrt((c_custkey % 10) / 10.0)), 6) AS bhh,
+             |  round((c_custkey % 10) / 10.0, 6) AS binv
+             |FROM customer WHERE c_custkey <= 200
+             |ORDER BY c_custkey""".stripMargin)),
+
     // geometric_mean as a callable aggregate, value-matched against
     // the exp∘avg∘ln rewrite in DuckDB.
     "agg_geomean_callable" -> QueryDef(

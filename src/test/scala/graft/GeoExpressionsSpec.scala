@@ -1,0 +1,56 @@
+package graft
+
+import graft.functions.{BetaDist, GeoAlgorithms}
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+class GeoExpressionsSpec extends AnyFunSuite with Matchers {
+
+  test("convex hull drops interior and collinear points, closes the ring") {
+    val hull = GeoAlgorithms.convexHull(
+      "MULTIPOINT (0 0, 2 0, 4 0, 4 3, 0 3, 1 1, 2 2)")
+    GeoAlgorithms.area(hull) shouldBe 12.0
+    // ring of 4 corners + closing vertex; (2 0) is collinear and dropped
+    hull.count(_ == ',') shouldBe 4
+  }
+
+  test("convex hull passes degenerate inputs through") {
+    GeoAlgorithms.convexHull("POINT (1 2)") shouldBe "POINT (1 2)"
+    GeoAlgorithms.convexHull("MULTIPOINT (0 0, 1 1, 2 2)") shouldBe
+      "MULTIPOINT (0 0, 1 1, 2 2)"
+  }
+
+  test("rect union decomposition never double-counts overlap") {
+    // B sticks out on three sides of A
+    val u = GeoAlgorithms.union(
+      "POLYGON ((0 0, 4 0, 4 3, 0 3, 0 0))",
+      "POLYGON ((2 -1, 6 -1, 6 5, 2 5, 2 -1))")
+    GeoAlgorithms.area(u) shouldBe (12.0 + 24.0 - 6.0)
+    // containment collapses to the outer rectangle
+    val c = GeoAlgorithms.union(
+      "POLYGON ((0 0, 4 0, 4 3, 0 3, 0 0))",
+      "POLYGON ((1 1, 2 1, 2 2, 1 2, 1 1))")
+    c should startWith("POLYGON")
+    GeoAlgorithms.area(c) shouldBe 12.0
+  }
+
+  test("empty intersection reports POLYGON EMPTY with zero area") {
+    val i = GeoAlgorithms.intersection(
+      "POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))",
+      "POLYGON ((5 5, 6 5, 6 6, 5 6, 5 5))")
+    i shouldBe "POLYGON EMPTY"
+    GeoAlgorithms.area(i) shouldBe 0.0
+  }
+
+  test("beta cdf matches closed forms and is symmetric") {
+    for (x <- Seq(0.05, 0.25, 0.5, 0.75, 0.95)) {
+      BetaDist.cdf(1, 1, x) shouldBe (x +- 1e-12)
+      BetaDist.cdf(2, 2, x) shouldBe (x * x * (3 - 2 * x) +- 1e-12)
+      // I_x(a,b) = 1 - I_{1-x}(b,a)
+      BetaDist.cdf(3.5, 1.25, x) shouldBe
+        (1.0 - BetaDist.cdf(1.25, 3.5, 1 - x) +- 1e-12)
+      BetaDist.inverseCdf(3.5, 1.25, BetaDist.cdf(3.5, 1.25, x)) shouldBe
+        (x +- 1e-9)
+    }
+  }
+}
