@@ -284,6 +284,50 @@ object TpchExtra extends QueryGroup {
              |  WHERE n_name IN ('NATION_1', 'NATION_6', 'NATION_11'))
              |ORDER BY value DESC, ps_partkey""".stripMargin)),
 
+    // Q11 over a MATERIALIZED partsupp — the "real deployment" path the
+    // partsupp() scaladoc promises: the derived table is CTAS'd to
+    // parquet once, and both references in the query (main aggregate +
+    // HAVING scalar subquery) scan the materialization instead of
+    // re-deriving from lineitem. At 100 TB this converts two full
+    // lineitem aggregations into one aggregation plus two cheap
+    // columnar scans; the CTE form above is kept for shape parity with
+    // Presto 0.216's WITH inlining.
+    "tpch_q11_materialized" -> QueryDef(
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        val path = System.getProperty("java.io.tmpdir") +
+          "/graft_partsupp_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+        partsupp(s, dir).write.mode("overwrite").parquet(path)
+        s.read.parquet(path).createOrReplaceTempView("partsupp_mat")
+        s.sql("""SELECT ps_partkey, round(sum(ps_supplycost * ps_availqty), 4) AS value
+                |FROM partsupp_mat
+                |JOIN supplier ON ps_suppkey = s_suppkey
+                |JOIN nation ON s_nationkey = n_nationkey
+                |WHERE n_name IN ('NATION_1', 'NATION_6', 'NATION_11')
+                |GROUP BY ps_partkey
+                |HAVING sum(ps_supplycost * ps_availqty) > (
+                |  SELECT sum(ps_supplycost * ps_availqty) * 0.001
+                |  FROM partsupp_mat
+                |  JOIN supplier ON ps_suppkey = s_suppkey
+                |  JOIN nation ON s_nationkey = n_nationkey
+                |  WHERE n_name IN ('NATION_1', 'NATION_6', 'NATION_11'))
+                |ORDER BY value DESC, ps_partkey""".stripMargin)
+      },
+      Some(s"""WITH $psCte
+             |SELECT ps_partkey, round(sum(ps_supplycost * ps_availqty), 4) AS value
+             |FROM partsupp
+             |JOIN supplier ON ps_suppkey = s_suppkey
+             |JOIN nation ON s_nationkey = n_nationkey
+             |WHERE n_name IN ('NATION_1', 'NATION_6', 'NATION_11')
+             |GROUP BY ps_partkey
+             |HAVING sum(ps_supplycost * ps_availqty) > (
+             |  SELECT sum(ps_supplycost * ps_availqty) * 0.001
+             |  FROM partsupp
+             |  JOIN supplier ON ps_suppkey = s_suppkey
+             |  JOIN nation ON s_nationkey = n_nationkey
+             |  WHERE n_name IN ('NATION_1', 'NATION_6', 'NATION_11'))
+             |ORDER BY value DESC, ps_partkey""".stripMargin)),
+
     // Q12: shipping-mode / priority split — conditional counts per
     // class; l_returnflag stands in for the missing l_shipmode.
     "tpch_q12" -> QueryDef(
