@@ -175,6 +175,86 @@ object GeoCatalog {
     ("st_disjoint", "(a STRING, b STRING) RETURNS BOOLEAN",
       "NOT st_intersects(a, b)"),
 
+    // --- tier 3 accessors/constructors (GeoFunctions.java surface
+    // continued; single-ring polygons, so interior-ring accessors are
+    // structurally empty) ---
+    ("st_line_from_text", "(t STRING) RETURNS STRING", "t"),
+    ("st_polygon", "(t STRING) RETURNS STRING", "t"),
+    // constructors from point arrays; the coordinate pair is pulled
+    // back out of each POINT wkt inline (lambda args can't call macros)
+    ("st_multipoint", "(pts ARRAY<STRING>) RETURNS STRING",
+      """concat('MULTIPOINT (', array_join(transform(pts,
+        |  p -> regexp_extract(p, 'POINT \\((.+)\\)', 1)), ', '), ')')""".stripMargin),
+    ("st_linestring", "(pts ARRAY<STRING>) RETURNS STRING",
+      """concat('LINESTRING (', array_join(transform(pts,
+        |  p -> regexp_extract(p, 'POINT \\((.+)\\)', 1)), ', '), ')')""".stripMargin),
+    // get() (null on out-of-range) instead of [] — codegen subexpression
+    // elimination hoists the index out of the IF guard, so a throwing
+    // accessor would fail even for guarded out-of-range n
+    ("st_pointn", "(g STRING, n INT) RETURNS STRING",
+      s"""IF(n >= 1 AND n <= size(${coords("g")}),
+         |  st_point(get(${coords("g")}, n - 1).x, get(${coords("g")}, n - 1).y),
+         |  cast(NULL AS STRING))""".stripMargin),
+    ("st_points", "(g STRING) RETURNS ARRAY<STRING>",
+      s"""transform(${coords("g")},
+         |  p -> concat('POINT (', cast(p.x AS STRING), ' ', cast(p.y AS STRING), ')'))""".stripMargin),
+    ("st_exterior_ring", "(poly STRING) RETURNS STRING",
+      """concat('LINESTRING (',
+        |  regexp_extract(poly, '\\(\\(([^)]+)\\)\\)', 1), ')')""".stripMargin),
+    ("st_num_interior_ring", "(poly STRING) RETURNS BIGINT",
+      "IF(poly LIKE 'POLYGON%', 0L, cast(NULL AS BIGINT))"),
+    ("st_interior_rings", "(poly STRING) RETURNS ARRAY<STRING>",
+      "IF(poly LIKE 'POLYGON%', array(), cast(NULL AS ARRAY<STRING>))"),
+    ("st_interior_ring_n", "(poly STRING, n INT) RETURNS STRING",
+      "cast(NULL AS STRING)"),
+    ("st_is_empty", "(g STRING) RETURNS BOOLEAN", "g LIKE '%EMPTY'"),
+    ("st_coord_dim", "(g STRING) RETURNS INT", "2"),
+    ("st_dimension", "(g STRING) RETURNS INT",
+      """CASE WHEN g LIKE 'POINT%' OR g LIKE 'MULTIPOINT%' THEN 0
+        |     WHEN g LIKE 'LINESTRING%' OR g LIKE 'MULTILINESTRING%' THEN 1
+        |     ELSE 2 END""".stripMargin),
+    ("st_envelope_as_pts", "(g STRING) RETURNS ARRAY<STRING>",
+      "array(st_point(st_xmin(g), st_ymin(g)), st_point(st_xmax(g), st_ymax(g)))"),
+    ("st_num_geometries", "(g STRING) RETURNS INT",
+      """CASE WHEN g LIKE '%EMPTY' THEN 0
+        |WHEN g LIKE 'MULTIPOLYGON%' THEN
+        |  size(regexp_extract_all(g, '\\(\\([^()]+\\)\\)', 0))
+        |WHEN g LIKE 'MULTIPOINT%' THEN
+        |  size(split(regexp_extract(g, '\\((.+)\\)', 1), ','))
+        |ELSE 1 END""".stripMargin),
+    ("st_geometry_n", "(g STRING, n INT) RETURNS STRING",
+      """CASE WHEN n < 1 OR n > st_num_geometries(g) THEN cast(NULL AS STRING)
+        |WHEN g LIKE 'MULTIPOLYGON%' THEN concat('POLYGON ',
+        |  regexp_extract_all(g, '\\(\\([^()]+\\)\\)', 0)[n - 1])
+        |WHEN g LIKE 'MULTIPOINT%' THEN concat('POINT (',
+        |  trim(split(regexp_extract(g, '\\((.+)\\)', 1), ',')[n - 1]), ')')
+        |ELSE g END""".stripMargin),
+    ("st_geometries", "(g STRING) RETURNS ARRAY<STRING>",
+      """CASE WHEN g LIKE '%EMPTY' THEN array()
+        |WHEN g LIKE 'MULTIPOLYGON%' THEN
+        |  transform(regexp_extract_all(g, '\\(\\([^()]+\\)\\)', 0),
+        |    part -> concat('POLYGON ', part))
+        |WHEN g LIKE 'MULTIPOINT%' THEN
+        |  transform(split(regexp_extract(g, '\\((.+)\\)', 1), ','),
+        |    c -> concat('POINT (', trim(c), ')'))
+        |ELSE array(g) END""".stripMargin),
+    // boundary: point → empty, open linestring → its endpoints, closed
+    // linestring → empty, polygon → its ring (GeoFunctions.java
+    // stBoundary semantics via Esri boundary())
+    ("st_boundary", "(g STRING) RETURNS STRING",
+      s"""CASE WHEN g LIKE 'POINT%' OR g LIKE 'MULTIPOINT%' THEN
+         |  'GEOMETRYCOLLECTION EMPTY'
+         |WHEN g LIKE 'LINESTRING%' THEN
+         |  IF(st_isclosed(g), 'MULTIPOINT EMPTY',
+         |    concat('MULTIPOINT (',
+         |      cast(${coords("g")}[0].x AS STRING), ' ',
+         |      cast(${coords("g")}[0].y AS STRING), ', ',
+         |      cast(element_at(${coords("g")}, -1).x AS STRING), ' ',
+         |      cast(element_at(${coords("g")}, -1).y AS STRING), ')'))
+         |ELSE st_exterior_ring(g) END""".stripMargin),
+    ("st_is_ring", "(g STRING) RETURNS BOOLEAN",
+      "st_isclosed(g) AND st_is_simple(g)"),
+
     // --- Bing tile tier (presto-geospatial BingTileFunctions.java /
     // BingTile.java; tile math per the public Bing Maps tile-system
     // spec). A tile is represented by its QUADKEY string — the quadkey

@@ -27,6 +27,8 @@ object GeoAlgorithms {
   private def fmt(d: Double): String =
     if (d == d.floor && math.abs(d) < 1e15) d.toLong.toString else d.toString
 
+  private def geomType(wkt: String): String = wkt.takeWhile(c => c != ' ' && c != '(')
+
   private[functions] def parseCoords(wkt: String): Array[(Double, Double)] =
     wkt.replaceAll("^[A-Z_ ]+\\(+|\\)+$", "").split(",").iterator
       .map(_.trim).filter(_.nonEmpty).map { c =>
@@ -116,6 +118,220 @@ object GeoAlgorithms {
         .mkString("MULTIPOLYGON (", ", ", ")")
   }
 
+  // --- topology / overlay / serialization tier -----------------------
+
+  /** True when segments (p1,p2) and (p3,p4) properly cross (strict
+    * double-orientation test — shared endpoints don't count). */
+  private def properCross(p1: (Double, Double), p2: (Double, Double),
+      p3: (Double, Double), p4: (Double, Double)): Boolean = {
+    def orient(o: (Double, Double), a: (Double, Double), b: (Double, Double)): Double =
+      (a._1 - o._1) * (b._2 - o._2) - (a._2 - o._2) * (b._1 - o._1)
+    val d1 = orient(p3, p4, p1); val d2 = orient(p3, p4, p2)
+    val d3 = orient(p1, p2, p3); val d4 = orient(p1, p2, p4)
+    ((d1 > 0 && d2 < 0) || (d1 < 0 && d2 > 0)) &&
+      ((d3 > 0 && d4 < 0) || (d3 < 0 && d4 > 0))
+  }
+
+  /** ST_IsSimple / ST_IsValid for this tier: no zero-length segment, no
+    * repeated vertex (polygon closure excepted), no proper
+    * self-crossing between non-adjacent segments. */
+  def isSimple(wkt: String): Boolean = {
+    val t = geomType(wkt)
+    if (t == "POINT") return true
+    val raw = parseCoords(wkt)
+    if (t == "MULTIPOINT") return raw.distinct.length == raw.length
+    // a POLYGON ring and a closed LINESTRING both repeat the first
+    // vertex as closure — that repeat is not a simplicity violation
+    val ring = t == "POLYGON" ||
+      (raw.length > 1 && raw.head == raw.last)
+    val pts = if (ring) raw.dropRight(1) else raw
+    if (pts.distinct.length != pts.length) return false
+    val segs = (if (ring) pts.toSeq :+ pts.head else pts.toSeq)
+      .sliding(2).filter(_.length == 2).map(s => (s(0), s(1))).toArray
+    var i = 0
+    while (i < segs.length) {
+      var j = i + 2
+      val jMax = if (ring && i == 0) segs.length - 1 else segs.length
+      while (j < jMax) {
+        if (properCross(segs(i)._1, segs(i)._2, segs(j)._1, segs(j)._2)) return false
+        j += 1
+      }
+      i += 1
+    }
+    true
+  }
+
+  /** ST_Equals for this tier: same type and same coordinate sequence —
+    * linestrings up to reversal, polygon rings up to rotation and
+    * direction (topological equality beyond vertex permutation, e.g.
+    * redundant collinear vertices, is out of scope, as documented). */
+  def equalsGeom(a: String, b: String): Boolean = {
+    val (ta, tb) = (geomType(a), geomType(b))
+    if (ta != tb) return false
+    val (ca, cb) = (parseCoords(a), parseCoords(b))
+    ta match {
+      case "POINT" => ca.sameElements(cb)
+      case "MULTIPOINT" => ca.sorted.sameElements(cb.sorted)
+      case "LINESTRING" => ca.sameElements(cb) || ca.reverse.sameElements(cb)
+      case "POLYGON" =>
+        val ra = ca.dropRight(1).toSeq
+        val rb = cb.dropRight(1).toSeq
+        ra.length == rb.length && {
+          val rots = (0 until ra.length).map(k => ra.drop(k) ++ ra.take(k))
+          rots.exists(r => r == rb || r.reverse == rb)
+        }
+      case _ => a == b
+    }
+  }
+
+  /** Ramer–Douglas–Peucker (public algorithm) over linestrings and
+    * polygon rings — ST_Simplify. */
+  def simplify(wkt: String, tol: Double): String = {
+    val t = geomType(wkt)
+    if (t != "LINESTRING" && t != "POLYGON") return wkt
+    def dp(pts: Vector[(Double, Double)]): Vector[(Double, Double)] = {
+      if (pts.length < 3) return pts
+      val (x1, y1) = pts.head
+      val (x2, y2) = pts.last
+      val len = math.hypot(x2 - x1, y2 - y1)
+      var maxD = -1.0
+      var maxI = 0
+      var i = 1
+      while (i < pts.length - 1) {
+        val (x0, y0) = pts(i)
+        val d =
+          if (len == 0) math.hypot(x0 - x1, y0 - y1)
+          else math.abs((x2 - x1) * (y1 - y0) - (x1 - x0) * (y2 - y1)) / len
+        if (d > maxD) { maxD = d; maxI = i }
+        i += 1
+      }
+      if (maxD <= tol) Vector(pts.head, pts.last)
+      else dp(pts.take(maxI + 1)) ++ dp(pts.drop(maxI)).tail
+    }
+    val pts = parseCoords(wkt).toVector
+    if (t == "LINESTRING")
+      s"LINESTRING ${ringWkt(dp(pts))}"
+    else {
+      val ring = dp(pts)
+      if (ring.length < 4) wkt else s"POLYGON (${ringWkt(ring)})"
+    }
+  }
+
+  private type Rect = (Double, Double, Double, Double)
+
+  /** Parts of rectangle `r` outside rectangle `c` (≤ 4 disjoint strips). */
+  private def rectMinus(r: Rect, c: Rect): Seq[Rect] = {
+    val (rx0, ry0, rx1, ry1) = r
+    val (cx0, cy0, cx1, cy1) = c
+    val overlaps = math.max(rx0, cx0) < math.min(rx1, cx1) &&
+      math.max(ry0, cy0) < math.min(ry1, cy1)
+    if (!overlaps) Seq(r)
+    else {
+      val mx0 = math.max(rx0, cx0)
+      val mx1 = math.min(rx1, cx1)
+      Seq(
+        (rx0, ry0, math.min(rx1, cx0), ry1),
+        (math.max(rx0, cx1), ry0, rx1, ry1),
+        (mx0, math.max(ry0, cy1), mx1, ry1),
+        (mx0, ry0, mx1, math.min(ry1, cy0))
+      ).filter(p => p._1 < p._3 && p._2 < p._4)
+    }
+  }
+
+  private def partsWkt(parts: Seq[Rect]): String =
+    if (parts.isEmpty) "POLYGON EMPTY"
+    else if (parts.length == 1) {
+      val p = parts.head
+      s"POLYGON (${rectWkt(p._1, p._2, p._3, p._4)})"
+    } else
+      parts.map(p => s"(${rectWkt(p._1, p._2, p._3, p._4)})")
+        .mkString("MULTIPOLYGON (", ", ", ")")
+
+  /** Envelope-scope ST_Difference: A \ B as disjoint rectangles. */
+  def difference(a: String, b: String): String =
+    partsWkt(rectMinus(envelope(a), envelope(b)))
+
+  /** Envelope-scope ST_SymDifference: (A \ B) ∪ (B \ A). */
+  def symDifference(a: String, b: String): String =
+    partsWkt(rectMinus(envelope(a), envelope(b)) ++
+      rectMinus(envelope(b), envelope(a)))
+
+  /** Envelope-scope ST_Overlaps: interiors properly overlap and neither
+    * envelope contains the other. */
+  def overlaps(a: String, b: String): Boolean = {
+    val (ax0, ay0, ax1, ay1) = envelope(a)
+    val (bx0, by0, bx1, by1) = envelope(b)
+    val proper = math.max(ax0, bx0) < math.min(ax1, bx1) &&
+      math.max(ay0, by0) < math.min(ay1, by1)
+    val aInB = ax0 >= bx0 && ax1 <= bx1 && ay0 >= by0 && ay1 <= by1
+    val bInA = bx0 >= ax0 && bx1 <= ax1 && by0 >= ay0 && by1 <= ay1
+    proper && !aInB && !bInA
+  }
+
+  /** Envelope-scope ST_Touches: envelopes meet only along a shared
+    * edge or corner (zero-area intersection). */
+  def touches(a: String, b: String): Boolean = {
+    val (ax0, ay0, ax1, ay1) = envelope(a)
+    val (bx0, by0, bx1, by1) = envelope(b)
+    val ix0 = math.max(ax0, bx0); val ix1 = math.min(ax1, bx1)
+    val iy0 = math.max(ay0, by0); val iy1 = math.min(ay1, by1)
+    ix0 <= ix1 && iy0 <= iy1 && (ix0 == ix1 || iy0 == iy1)
+  }
+
+  /** OGC well-known-binary encoding, little-endian, for POINT /
+    * LINESTRING / POLYGON (single ring) / MULTIPOINT — ST_AsBinary.
+    * Format per the public OGC Simple Features spec. */
+  def asBinary(wkt: String): Array[Byte] = {
+    import java.nio.{ByteBuffer, ByteOrder}
+    val t = geomType(wkt)
+    val pts = if (wkt.endsWith("EMPTY")) Array.empty[(Double, Double)]
+      else parseCoords(wkt)
+    def buf(n: Int) = ByteBuffer.allocate(n).order(ByteOrder.LITTLE_ENDIAN)
+    t match {
+      case "POINT" =>
+        buf(21).put(1.toByte).putInt(1)
+          .putDouble(pts(0)._1).putDouble(pts(0)._2).array()
+      case "LINESTRING" =>
+        val b = buf(9 + 16 * pts.length).put(1.toByte).putInt(2).putInt(pts.length)
+        pts.foreach(p => b.putDouble(p._1).putDouble(p._2))
+        b.array()
+      case "POLYGON" =>
+        val b = buf(13 + 16 * pts.length).put(1.toByte).putInt(3)
+          .putInt(1).putInt(pts.length)
+        pts.foreach(p => b.putDouble(p._1).putDouble(p._2))
+        b.array()
+      case "MULTIPOINT" =>
+        val b = buf(9 + 21 * pts.length).put(1.toByte).putInt(4).putInt(pts.length)
+        pts.foreach(p => b.put(1.toByte).putInt(1).putDouble(p._1).putDouble(p._2))
+        b.array()
+      case _ =>
+        throw new IllegalArgumentException(s"st_as_binary: unsupported $t")
+    }
+  }
+
+  /** Inverse of [[asBinary]] — ST_GeomFromBinary. */
+  def fromBinary(wkb: Array[Byte]): String = {
+    import java.nio.{ByteBuffer, ByteOrder}
+    val b = ByteBuffer.wrap(wkb)
+    b.order(if (b.get() == 1.toByte) ByteOrder.LITTLE_ENDIAN else ByteOrder.BIG_ENDIAN)
+    def pt(): String = s"${fmt(b.getDouble)} ${fmt(b.getDouble)}"
+    b.getInt match {
+      case 1 => s"POINT (${pt()})"
+      case 2 =>
+        val n = b.getInt
+        s"LINESTRING (${(1 to n).map(_ => pt()).mkString(", ")})"
+      case 3 =>
+        b.getInt // ring count (1 in this tier)
+        val n = b.getInt
+        s"POLYGON ((${(1 to n).map(_ => pt()).mkString(", ")}))"
+      case 4 =>
+        val n = b.getInt
+        s"MULTIPOINT (${(1 to n).map { _ => b.get(); b.getInt; pt() }.mkString(", ")})"
+      case other =>
+        throw new IllegalArgumentException(s"st_geom_from_binary: unsupported type $other")
+    }
+  }
+
   /** Shoelace area summed over every ring of a POLYGON / MULTIPOLYGON —
     * the multi-part-aware sibling of the single-ring st_area macro. */
   def area(wkt: String): Double = {
@@ -190,6 +406,107 @@ case class StIntersection(left: Expression, right: Expression)
          |  graft.functions.GeoAlgorithms.intersection($a.toString(), $b.toString()))""".stripMargin)
   override protected def withNewChildrenInternal(l: Expression, r: Expression): StIntersection =
     copy(left = l, right = r)
+}
+
+/** Dispatch targets for the grouped topology expressions below. */
+object GeoDispatch {
+  def pred1(fn: String, g: String): Boolean = fn match {
+    case "st_is_simple" | "st_is_valid" => GeoAlgorithms.isSimple(g)
+  }
+  def pred2(fn: String, a: String, b: String): Boolean = fn match {
+    case "st_equals"   => GeoAlgorithms.equalsGeom(a, b)
+    case "st_touches"  => GeoAlgorithms.touches(a, b)
+    case "st_overlaps" => GeoAlgorithms.overlaps(a, b)
+  }
+  def comb2(fn: String, a: String, b: String): String = fn match {
+    case "st_difference"     => GeoAlgorithms.difference(a, b)
+    case "st_sym_difference" => GeoAlgorithms.symDifference(a, b)
+  }
+}
+
+/** Unary geometry predicate (st_is_simple / st_is_valid). */
+case class GeoPredicate1(child: Expression, fn: String) extends UnaryExpression {
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = fn
+  override def nullSafeEval(g: Any): Any =
+    GeoDispatch.pred1(fn, g.asInstanceOf[UTF8String].toString)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, g =>
+      s"""graft.functions.GeoDispatch.pred1("$fn", $g.toString())""")
+  override protected def withNewChildInternal(c: Expression): GeoPredicate1 =
+    copy(child = c)
+}
+
+/** Binary geometry predicate (st_equals / st_touches / st_overlaps —
+  * the latter two envelope-scope, see [[GeoAlgorithms]]). */
+case class GeoPredicate2(left: Expression, right: Expression, fn: String)
+  extends BinaryExpression {
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = fn
+  override def nullSafeEval(a: Any, b: Any): Any =
+    GeoDispatch.pred2(fn, a.asInstanceOf[UTF8String].toString,
+      b.asInstanceOf[UTF8String].toString)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"""graft.functions.GeoDispatch.pred2("$fn", $a.toString(), $b.toString())""")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): GeoPredicate2 =
+    copy(left = l, right = r)
+}
+
+/** Binary geometry overlay (st_difference / st_sym_difference,
+  * envelope-scope rectangle decomposition). */
+case class GeoCombine2(left: Expression, right: Expression, fn: String)
+  extends BinaryExpression with WktStaticCall {
+  override def prettyName: String = fn
+  override def nullSafeEval(a: Any, b: Any): Any =
+    UTF8String.fromString(GeoDispatch.comb2(fn,
+      a.asInstanceOf[UTF8String].toString, b.asInstanceOf[UTF8String].toString))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"""org.apache.spark.unsafe.types.UTF8String.fromString(
+         |  graft.functions.GeoDispatch.comb2("$fn", $a.toString(), $b.toString()))""".stripMargin)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): GeoCombine2 =
+    copy(left = l, right = r)
+}
+
+/** Ramer–Douglas–Peucker simplification — ST_Simplify. */
+case class StSimplify(left: Expression, right: Expression)
+  extends BinaryExpression with WktStaticCall {
+  override def prettyName: String = "st_simplify"
+  override def nullSafeEval(g: Any, t: Any): Any =
+    UTF8String.fromString(GeoAlgorithms.simplify(
+      g.asInstanceOf[UTF8String].toString, t.asInstanceOf[Double]))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (g, t) =>
+      s"""org.apache.spark.unsafe.types.UTF8String.fromString(
+         |  graft.functions.GeoAlgorithms.simplify($g.toString(), $t))""".stripMargin)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): StSimplify =
+    copy(left = l, right = r)
+}
+
+/** OGC WKB serialization — ST_AsBinary / ST_GeomFromBinary. */
+case class StAsBinary(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "st_as_binary"
+  override def nullSafeEval(g: Any): Any =
+    GeoAlgorithms.asBinary(g.asInstanceOf[UTF8String].toString)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, g =>
+      s"graft.functions.GeoAlgorithms.asBinary($g.toString())")
+  override protected def withNewChildInternal(c: Expression): StAsBinary =
+    copy(child = c)
+}
+
+case class StGeomFromBinary(child: Expression) extends UnaryExpression with WktStaticCall {
+  override def prettyName: String = "st_geom_from_binary"
+  override def nullSafeEval(b: Any): Any =
+    UTF8String.fromString(GeoAlgorithms.fromBinary(b.asInstanceOf[Array[Byte]]))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, b =>
+      s"""org.apache.spark.unsafe.types.UTF8String.fromString(
+         |  graft.functions.GeoAlgorithms.fromBinary($b))""".stripMargin)
+  override protected def withNewChildInternal(c: Expression): StGeomFromBinary =
+    copy(child = c)
 }
 
 /** Multi-part-aware area (the st_area macro handles one ring). */

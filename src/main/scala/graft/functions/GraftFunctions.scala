@@ -61,6 +61,36 @@ object GraftFunctions {
     ("geom_area",
       new ExpressionInfo(classOf[GeomArea].getName, "geom_area"),
       (args: Seq[Expression]) => GeomArea(args(0))),
+    ("st_is_simple",
+      new ExpressionInfo(classOf[GeoPredicate1].getName, "st_is_simple"),
+      (args: Seq[Expression]) => GeoPredicate1(args(0), "st_is_simple")),
+    ("st_is_valid",
+      new ExpressionInfo(classOf[GeoPredicate1].getName, "st_is_valid"),
+      (args: Seq[Expression]) => GeoPredicate1(args(0), "st_is_valid")),
+    ("st_equals",
+      new ExpressionInfo(classOf[GeoPredicate2].getName, "st_equals"),
+      (args: Seq[Expression]) => GeoPredicate2(args(0), args(1), "st_equals")),
+    ("st_touches",
+      new ExpressionInfo(classOf[GeoPredicate2].getName, "st_touches"),
+      (args: Seq[Expression]) => GeoPredicate2(args(0), args(1), "st_touches")),
+    ("st_overlaps",
+      new ExpressionInfo(classOf[GeoPredicate2].getName, "st_overlaps"),
+      (args: Seq[Expression]) => GeoPredicate2(args(0), args(1), "st_overlaps")),
+    ("st_difference",
+      new ExpressionInfo(classOf[GeoCombine2].getName, "st_difference"),
+      (args: Seq[Expression]) => GeoCombine2(args(0), args(1), "st_difference")),
+    ("st_sym_difference",
+      new ExpressionInfo(classOf[GeoCombine2].getName, "st_sym_difference"),
+      (args: Seq[Expression]) => GeoCombine2(args(0), args(1), "st_sym_difference")),
+    ("st_simplify",
+      new ExpressionInfo(classOf[StSimplify].getName, "st_simplify"),
+      (args: Seq[Expression]) => StSimplify(args(0), Cast(args(1), DoubleType))),
+    ("st_as_binary",
+      new ExpressionInfo(classOf[StAsBinary].getName, "st_as_binary"),
+      (args: Seq[Expression]) => StAsBinary(args(0))),
+    ("st_geom_from_binary",
+      new ExpressionInfo(classOf[StGeomFromBinary].getName, "st_geom_from_binary"),
+      (args: Seq[Expression]) => StGeomFromBinary(args(0))),
     ("url_encode",
       new ExpressionInfo(classOf[UrlEncode].getName, "url_encode"),
       (args: Seq[Expression]) => UrlEncode(args(0))),

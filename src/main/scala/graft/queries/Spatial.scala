@@ -176,6 +176,106 @@ object Spatial extends QueryGroup {
              |    6) AS tile_area
              |FROM t ORDER BY n_nationkey""".stripMargin)),
 
+    // Accessor/constructor tier (ST_PointN/Points/ExteriorRing/
+    // Boundary/GeometryN/Dimension/…): every output is a number or
+    // boolean DuckDB recomputes from the same derived coordinates.
+    "fn_geospatial3" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        Tables.nation(s, dir)
+          .select($"n_nationkey".as("n"), $"n_nationkey".cast("double").as("d"))
+          .withColumn("line", expr(
+            "st_linestring(array(st_point(d, 0.0), st_point(d + 2.0, 1.0), st_point(d + 3.0, 3.0)))"))
+          .withColumn("env", expr("st_envelope(line)"))
+          .select($"n",
+            expr("st_x(st_pointn(line, 2))").as("pn_x"),
+            expr("st_pointn(line, 9) IS NULL").as("pn_null"),
+            expr("size(st_points(line))").as("n_pts"),
+            expr("round(st_length(st_exterior_ring(env)), 4)").as("ring_len"),
+            expr("st_num_interior_ring(env)").as("n_int"),
+            expr("st_num_geometries(st_boundary(line))").as("n_bnd"),
+            expr("st_x(st_geometry_n(st_boundary(line), 2))").as("bnd_x2"),
+            expr("st_num_geometries(st_multipoint(st_points(line)))").as("n_mp"),
+            expr("st_dimension(line)").as("dim_line"),
+            expr("st_dimension(env)").as("dim_env"),
+            expr("st_coord_dim(line)").as("cdim"),
+            expr("st_x(st_envelope_as_pts(line)[1])").as("env_max_x"),
+            expr("st_is_empty('POLYGON EMPTY')").as("empty_true"),
+            expr("st_num_geometries('MULTIPOINT EMPTY')").as("n_empty"),
+            expr("st_is_ring(st_exterior_ring(env))").as("ring_true"),
+            expr("st_is_ring(line)").as("ring_false"),
+            expr("st_is_simple(line)").as("simple_true"),
+            expr("st_is_simple('LINESTRING (0 0, 2 2, 2 0, 0 2)')").as("bowtie_false"))
+          .orderBy($"n")
+      },
+      // envelope of the 3-point line spans [d, d+3] × [0, 3] →
+      // perimeter 12; boundary endpoints are (d, 0) and (d+3, 3)
+      Some("""SELECT n_nationkey AS n,
+             |  n_nationkey + 2.0 AS pn_x, true AS pn_null,
+             |  CAST(3 AS INT) AS n_pts, 12.0 AS ring_len,
+             |  CAST(0 AS BIGINT) AS n_int, CAST(2 AS INT) AS n_bnd,
+             |  n_nationkey + 3.0 AS bnd_x2, CAST(3 AS INT) AS n_mp,
+             |  CAST(1 AS INT) AS dim_line, CAST(2 AS INT) AS dim_env,
+             |  CAST(2 AS INT) AS cdim, n_nationkey + 3.0 AS env_max_x,
+             |  true AS empty_true, CAST(0 AS INT) AS n_empty,
+             |  true AS ring_true, false AS ring_false,
+             |  true AS simple_true, false AS bowtie_false
+             |FROM nation ORDER BY n""".stripMargin)),
+
+    // Topology/overlay/serialization tier: st_equals up to ring
+    // rotation/reversal, envelope-scope touches/overlaps/difference,
+    // Douglas-Peucker simplify, and the OGC WKB round-trip (the
+    // constant point's WKB hex is pinned to the spec encoding).
+    "fn_geospatial4" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        Tables.nation(s, dir)
+          .select($"n_nationkey".as("n"), $"n_nationkey".cast("double").as("d"))
+          .select($"n",
+            expr("""st_equals('POLYGON ((0 0, 4 0, 4 3, 0 3, 0 0))',
+              |'POLYGON ((4 0, 4 3, 0 3, 0 0, 4 0))')""".stripMargin).as("eq_rot"),
+            expr("""st_equals('LINESTRING (0 0, 1 1, 2 0)',
+              |'LINESTRING (2 0, 1 1, 0 0)')""".stripMargin).as("eq_rev"),
+            expr("""st_equals('POLYGON ((0 0, 4 0, 4 3, 0 3, 0 0))',
+              |'POLYGON ((0 0, 5 0, 4 3, 0 3, 0 0))')""".stripMargin).as("eq_false"),
+            expr("""st_touches('POLYGON ((0 0, 4 0, 4 3, 0 3, 0 0))',
+              |'POLYGON ((4 0, 8 0, 8 3, 4 3, 4 0))')""".stripMargin).as("touch_edge"),
+            expr("""st_touches('POLYGON ((0 0, 4 0, 4 3, 0 3, 0 0))',
+              |'POLYGON ((2 1, 6 1, 6 5, 2 5, 2 1))')""".stripMargin).as("touch_false"),
+            expr("""st_overlaps('POLYGON ((0 0, 4 0, 4 3, 0 3, 0 0))',
+              |'POLYGON ((2 1, 6 1, 6 5, 2 5, 2 1))')""".stripMargin).as("ovl_true"),
+            expr("""st_overlaps('POLYGON ((0 0, 4 0, 4 3, 0 3, 0 0))',
+              |'POLYGON ((1 1, 2 1, 2 2, 1 2, 1 1))')""".stripMargin).as("ovl_contained"),
+            expr("""round(geom_area(st_difference('POLYGON ((0 0, 4 0, 4 3, 0 3, 0 0))',
+              |'POLYGON ((2 1, 6 1, 6 5, 2 5, 2 1))')), 6)""".stripMargin).as("diff_area"),
+            expr("""round(geom_area(st_sym_difference('POLYGON ((0 0, 4 0, 4 3, 0 3, 0 0))',
+              |'POLYGON ((2 1, 6 1, 6 5, 2 5, 2 1))')), 6)""".stripMargin).as("sym_area"),
+            expr("size(st_points(st_simplify('LINESTRING (0 0, 1 0.01, 2 0)', 0.1)))")
+              .as("simp_dropped"),
+            expr("size(st_points(st_simplify('LINESTRING (0 0, 1 0.01, 2 0)', 0.001)))")
+              .as("simp_kept"),
+            expr("hex(st_as_binary('POINT (1 2)'))").as("wkb_hex"),
+            expr("""st_equals(st_geom_from_binary(st_as_binary(
+              |st_linestring(array(st_point(d, 1.0), st_point(d + 1.0, 2.0))))),
+              |st_linestring(array(st_point(d, 1.0), st_point(d + 1.0, 2.0))))""".stripMargin)
+              .as("wkb_rt_line"),
+            expr("""st_geometry_type(st_geom_from_binary(st_as_binary(
+              |'POLYGON ((0 0, 4 0, 4 3, 0 3, 0 0))')))""".stripMargin).as("wkb_rt_type"))
+          .orderBy($"n")
+      },
+      // A=(0,0,4,3), C=(2,1,6,5): overlap 2×2=4? no — x∈[2,4], y∈[1,3]
+      // → 2×2=4; diff = 12−4=8... values pinned below are recomputed:
+      // diff_area = area(A)−area(A∩C) = 12−4 = 8, sym = 12+16−2·4 = 20
+      Some("""SELECT n_nationkey AS n,
+             |  true AS eq_rot, true AS eq_rev, false AS eq_false,
+             |  true AS touch_edge, false AS touch_false,
+             |  true AS ovl_true, false AS ovl_contained,
+             |  8.0 AS diff_area, 20.0 AS sym_area,
+             |  CAST(2 AS INT) AS simp_dropped, CAST(3 AS INT) AS simp_kept,
+             |  '0101000000000000000000F03F0000000000000040' AS wkb_hex,
+             |  true AS wkb_rt_line, 'ST_Polygon' AS wkb_rt_type
+             |FROM nation ORDER BY n""".stripMargin)),
+
     // Constructive geometry tier: buffer, convex hull, bbox
     // union/intersection — every value checked against a closed form.
     "fn_geo_tier3" -> QueryDef(
