@@ -61,6 +61,24 @@ object GraftFunctions {
     ("geom_area",
       new ExpressionInfo(classOf[GeomArea].getName, "geom_area"),
       (args: Seq[Expression]) => GeomArea(args(0))),
+    ("make_set_digest",
+      new ExpressionInfo(classOf[SetDigestAgg].getName, "make_set_digest"),
+      (args: Seq[Expression]) => SetDigestAgg(args(0)).toAggregateExpression()),
+    ("merge_set_digest",
+      new ExpressionInfo(classOf[SetDigestMergeAgg].getName, "merge_set_digest"),
+      (args: Seq[Expression]) => SetDigestMergeAgg(args(0)).toAggregateExpression()),
+    ("set_digest_cardinality",
+      new ExpressionInfo(classOf[SetDigestCardinality].getName, "set_digest_cardinality"),
+      (args: Seq[Expression]) => SetDigestCardinality(args(0))),
+    ("jaccard_index",
+      new ExpressionInfo(classOf[JaccardIndex].getName, "jaccard_index"),
+      (args: Seq[Expression]) => JaccardIndex(args(0), args(1))),
+    ("intersection_cardinality",
+      new ExpressionInfo(classOf[IntersectionCardinality].getName, "intersection_cardinality"),
+      (args: Seq[Expression]) => IntersectionCardinality(args(0), args(1))),
+    ("hash_counts",
+      new ExpressionInfo(classOf[HashCounts].getName, "hash_counts"),
+      (args: Seq[Expression]) => HashCounts(args(0))),
     ("st_is_simple",
       new ExpressionInfo(classOf[GeoPredicate1].getName, "st_is_simple"),
       (args: Seq[Expression]) => GeoPredicate1(args(0), "st_is_simple")),

@@ -265,6 +265,47 @@ object Sketches extends QueryGroup {
           .orderBy($"bucket_lo")
       },
       Some("""SELECT floor(l_quantity / 5.0) * 5.0 AS bucket_lo, count(*) AS freq
-             |FROM lineitem GROUP BY 1 ORDER BY bucket_lo""".stripMargin))
+             |FROM lineitem GROUP BY 1 ORDER BY bucket_lo""".stripMargin)),
+
+    // SET_DIGEST surface (SetDigestFunctions.java; VERDICT r2 missing
+    // #7): make_set_digest / merge_set_digest aggregates and the
+    // cardinality / jaccard_index / intersection_cardinality /
+    // hash_counts scalars over graft's bottom-k (KMV) digest. At this
+    // scale every set fits under k=8192, so the sketch is EXACT and the
+    // oracle recomputes all five values with plain distinct counts.
+    "sketch_set_digest" -> QueryDef(
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        s.sql("""WITH base AS (
+                |  SELECT
+                |    make_set_digest(CASE WHEN c_custkey < 1000 THEN c_custkey END) AS da,
+                |    make_set_digest(CASE WHEN c_custkey >= 500 THEN c_custkey END) AS db,
+                |    make_set_digest(c_nationkey) AS dn
+                |  FROM customer),
+                |seg AS (SELECT c_mktsegment, make_set_digest(c_custkey) AS dig
+                |        FROM customer GROUP BY c_mktsegment),
+                |m AS (SELECT merge_set_digest(dig) AS dm FROM seg)
+                |SELECT set_digest_cardinality(base.da) AS card_a,
+                |  round(jaccard_index(base.da, base.db), 6) AS jac,
+                |  intersection_cardinality(base.da, base.db) AS inter,
+                |  set_digest_cardinality(m.dm) AS card_merged,
+                |  size(hash_counts(base.dn)) AS hash_size,
+                |  aggregate(map_values(hash_counts(base.dn)), 0, (a, x) -> a + x)
+                |    AS hash_total
+                |FROM base CROSS JOIN m""".stripMargin)
+      },
+      Some("""SELECT
+             |  (SELECT count(DISTINCT c_custkey) FROM customer WHERE c_custkey < 1000)
+             |    AS card_a,
+             |  round((SELECT count(DISTINCT c_custkey) FROM customer
+             |         WHERE c_custkey < 1000 AND c_custkey >= 500) * 1.0 /
+             |        (SELECT count(DISTINCT c_custkey) FROM customer
+             |         WHERE c_custkey < 1000 OR c_custkey >= 500), 6) AS jac,
+             |  (SELECT count(DISTINCT c_custkey) FROM customer
+             |   WHERE c_custkey < 1000 AND c_custkey >= 500) AS inter,
+             |  (SELECT count(DISTINCT c_custkey) FROM customer) AS card_merged,
+             |  CAST((SELECT count(DISTINCT c_nationkey) FROM customer) AS INT)
+             |    AS hash_size,
+             |  CAST((SELECT count(c_nationkey) FROM customer) AS INT) AS hash_total""".stripMargin))
   )
 }
