@@ -14,9 +14,10 @@ object Bench {
     catch { case _: Throwable => () }
     spark.catalog.clearCache()
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-      // min of two runs: single-shot timings at this scale carry up to
-      // ±50% JIT/GC noise, which would read as phantom regressions
-      val dt = (1 to 2).map { _ =>
+      // min of three runs: single-shot timings at this scale carry up
+      // to ±50% JIT/GC noise, and r2's machine contention spanned two
+      // back-to-back runs — three samples make the min robust to both
+      val dt = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         val d = (System.nanoTime() - t0) / 1e9

@@ -198,6 +198,9 @@ object PrestoCatalog {
       "1.0 - vec_dot(a, b) / (vec_norm(a) * vec_norm(b))"),
     ("cosine_similarity_arr", "(a ARRAY<DOUBLE>, b ARRAY<DOUBLE>) RETURNS DOUBLE",
       "vec_dot(a, b) / (vec_norm(a) * vec_norm(b))"),
+    // SessionFunctions.java current_path: the session SQL path — empty
+    // here, as in a Presto session with no path set
+    ("current_path", "() RETURNS STRING", "''"),
     // StringFunctions.java hamming_distance: count of positions whose
     // code points differ (inputs must be equal length, as in Presto)
     ("hamming_distance", "(a STRING, b STRING) RETURNS BIGINT",

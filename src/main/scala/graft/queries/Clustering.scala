@@ -49,10 +49,14 @@ object Clustering {
     val spark = edges.sparkSession
     import spark.implicits._
     val e = edges.select($"id", $"bucket").persist(StorageLevel.MEMORY_AND_DISK)
-    var labels = e.select($"id").distinct()
-      .withColumn("cluster", $"id").persist(StorageLevel.MEMORY_AND_DISK)
+    // round 1 folded into initialization: with cluster(id)=id the
+    // bucket minimum is just min(id) per bucket — no labels join yet
+    var labels = e.join(
+        e.groupBy($"bucket").agg(min($"id").as("bmin")), "bucket")
+      .groupBy($"id").agg(min($"bmin").as("cluster"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     var prevSum = labels.agg(sum($"cluster")).as[Long].head()
-    var it = 0
+    var it = 1
     var converged = false
     while (!converged && it < maxIters) {
       val next = propagateRound(e, labels).persist(StorageLevel.MEMORY_AND_DISK)

@@ -839,6 +839,7 @@ object ScalarFns extends QueryGroup {
                 |  typeof(c_custkey) AS t_key, typeof(c_name) AS t_name,
                 |  typeof(c_acctbal) AS t_bal,
                 |  length(current_user()) > 0 AS has_user,
+                |  current_path() = '' AS path_empty,
                 |  round(beta_cdf(1.0, 1.0, (c_custkey % 10) / 10.0), 6) AS b11,
                 |  round(beta_cdf(2.0, 1.0, (c_custkey % 10) / 10.0), 6) AS b21,
                 |  round(beta_cdf(1.0, 2.0, (c_custkey % 10) / 10.0), 6) AS b12,
@@ -855,7 +856,7 @@ object ScalarFns extends QueryGroup {
              |  true AS rt,
              |  hamming(c_mktsegment, reverse(c_mktsegment)) AS hd,
              |  'bigint' AS t_key, 'string' AS t_name, 'double' AS t_bal,
-             |  true AS has_user,
+             |  true AS has_user, true AS path_empty,
              |  round((c_custkey % 10) / 10.0, 6) AS b11,
              |  round(power((c_custkey % 10) / 10.0, 2), 6) AS b21,
              |  round(1 - power(1 - (c_custkey % 10) / 10.0, 2), 6) AS b12,
