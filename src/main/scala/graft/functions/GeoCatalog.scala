@@ -50,15 +50,9 @@ object GeoCatalog {
          |  abs(aggregate(sequence(0, size(r) - 2), 0.0D,
          |    (acc, i) -> acc + r[i].x * r[i + 1].y - r[i + 1].x * r[i].y)) / 2.0D
          |)[0]""".stripMargin),
-    ("st_contains", "(poly STRING, pt STRING) RETURNS BOOLEAN",
-      s"""transform(array(named_struct(
-         |    'r', ${ring("poly")}, 'px', st_x(pt), 'py', st_y(pt))), e ->
-         |  (aggregate(sequence(0, size(e.r) - 2), 0,
-         |    (acc, i) -> acc + IF(
-         |      ((e.r[i].y > e.py) != (e.r[i + 1].y > e.py)) AND
-         |      (e.px < (e.r[i + 1].x - e.r[i].x) * (e.py - e.r[i].y)
-         |        / (e.r[i + 1].y - e.r[i].y) + e.r[i].x), 1, 0)) % 2) = 1
-         |)[0]""".stripMargin),
+    // (st_contains moved to a codegen'd expression in GeoExpressions —
+    // identical ray-cast arithmetic; the transform/aggregate macro form
+    // ran interpreted and dominated the broadcast-NL spatial join)
     ("st_within", "(pt STRING, poly STRING) RETURNS BOOLEAN",
       "st_contains(poly, pt)"),
 

@@ -118,6 +118,40 @@ object GeoAlgorithms {
         .mkString("MULTIPOLYGON (", ", ", ")")
   }
 
+  /** Ray cast (odd crossings = inside) — the SAME arithmetic as the
+    * original st_contains macro, but in one tight loop: the macro's
+    * transform/aggregate lambdas run interpreted (~11 µs/test), which
+    * made the predicate the whole cost of the broadcast-NL spatial
+    * join. Ring parse is memoized per polygon text — the build side of
+    * a spatial join repeats a small polygon set millions of times. */
+  private val ringCache =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[String, Array[(Double, Double)]](64, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[String, Array[(Double, Double)]]): Boolean =
+          size() > 1024
+      })
+
+  def containsPoint(polyWkt: String, px: Double, py: Double): Boolean = {
+    var r = ringCache.get(polyWkt)
+    if (r == null) { r = parseCoords(polyWkt); ringCache.put(polyWkt, r) }
+    var crossings = 0
+    var i = 0
+    while (i < r.length - 1) {
+      val (x1, y1) = r(i)
+      val (x2, y2) = r(i + 1)
+      if (((y1 > py) != (y2 > py)) &&
+        (px < (x2 - x1) * (py - y1) / (y2 - y1) + x1)) crossings += 1
+      i += 1
+    }
+    (crossings & 1) == 1
+  }
+
+  def containsPointWkt(polyWkt: String, ptWkt: String): Boolean = {
+    val p = parseCoords(ptWkt)
+    containsPoint(polyWkt, p(0)._1, p(0)._2)
+  }
+
   // --- topology / overlay / serialization tier -----------------------
 
   /** True when segments (p1,p2) and (p3,p4) properly cross (strict
@@ -405,6 +439,24 @@ case class StIntersection(left: Expression, right: Expression)
       s"""org.apache.spark.unsafe.types.UTF8String.fromString(
          |  graft.functions.GeoAlgorithms.intersection($a.toString(), $b.toString()))""".stripMargin)
   override protected def withNewChildrenInternal(l: Expression, r: Expression): StIntersection =
+    copy(left = l, right = r)
+}
+
+/** Ray-cast point-in-polygon as a codegen'd expression — replaces the
+  * interpreted st_contains macro (identical arithmetic; see
+  * [[GeoAlgorithms.containsPoint]]). */
+case class StContains(left: Expression, right: Expression)
+  extends BinaryExpression {
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "st_contains"
+  override def nullSafeEval(poly: Any, pt: Any): Any = {
+    val p = GeoAlgorithms.parseCoords(pt.asInstanceOf[UTF8String].toString)
+    GeoAlgorithms.containsPoint(poly.asInstanceOf[UTF8String].toString, p(0)._1, p(0)._2)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (poly, pt) =>
+      s"graft.functions.GeoAlgorithms.containsPointWkt($poly.toString(), $pt.toString())")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): StContains =
     copy(left = l, right = r)
 }
 

@@ -79,6 +79,9 @@ object GraftFunctions {
     ("hash_counts",
       new ExpressionInfo(classOf[HashCounts].getName, "hash_counts"),
       (args: Seq[Expression]) => HashCounts(args(0))),
+    ("st_contains",
+      new ExpressionInfo(classOf[StContains].getName, "st_contains"),
+      (args: Seq[Expression]) => StContains(args(0), args(1))),
     ("st_is_simple",
       new ExpressionInfo(classOf[GeoPredicate1].getName, "st_is_simple"),
       (args: Seq[Expression]) => GeoPredicate1(args(0), "st_is_simple")),
