@@ -29,7 +29,7 @@ object GeoAlgorithms {
 
   private def geomType(wkt: String): String = wkt.takeWhile(c => c != ' ' && c != '(')
 
-  private[functions] def parseCoords(wkt: String): Array[(Double, Double)] =
+  def parseCoords(wkt: String): Array[(Double, Double)] =
     wkt.replaceAll("^[A-Z_ ]+\\(+|\\)+$", "").split(",").iterator
       .map(_.trim).filter(_.nonEmpty).map { c =>
         val parts = c.replaceAll("[()]", "").trim.split("\\s+")

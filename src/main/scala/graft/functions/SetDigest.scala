@@ -32,15 +32,18 @@ import org.apache.spark.unsafe.types.UTF8String
   * [0, 2⁶⁴) model the estimators assume.
   */
 final class SetDigestBuffer(val maxHashes: Int) {
-  // k smallest unsigned hashes → multiplicity
+  // k smallest unsigned hashes → multiplicity. Values are boxed
+  // Integer, NOT Scala Int: get() on an Int-valued Java map silently
+  // unboxes the absent-key null to 0, making the null check vacuous
+  // (and the map unbounded).
   private[functions] val hashes =
-    new java.util.TreeMap[java.lang.Long, Int]((a: java.lang.Long, b: java.lang.Long) =>
-      java.lang.Long.compareUnsigned(a, b))
+    new java.util.TreeMap[java.lang.Long, java.lang.Integer](
+      (a: java.lang.Long, b: java.lang.Long) => java.lang.Long.compareUnsigned(a, b))
 
   def addHash(h: Long, count: Int = 1): Unit = {
     val existing = hashes.get(h)
     if (existing != null) {
-      hashes.put(h, math.min(existing + count, Short.MaxValue.toInt))
+      hashes.put(h, math.min(existing.intValue() + count, Short.MaxValue.toInt))
     } else if (hashes.size < maxHashes) {
       hashes.put(h, math.min(count, Short.MaxValue.toInt))
     } else if (java.lang.Long.compareUnsigned(h, hashes.lastKey()) < 0) {
@@ -51,7 +54,7 @@ final class SetDigestBuffer(val maxHashes: Int) {
 
   def mergeWith(other: SetDigestBuffer): Unit = {
     val it = other.hashes.entrySet().iterator()
-    while (it.hasNext) { val e = it.next(); addHash(e.getKey, e.getValue) }
+    while (it.hasNext) { val e = it.next(); addHash(e.getKey, e.getValue.intValue()) }
   }
 
   /** Exact under k; KMV (k−1)/U₍ₖ₎ beyond. */
@@ -74,7 +77,7 @@ final class SetDigestBuffer(val maxHashes: Int) {
     while (it.hasNext) {
       val e = it.next()
       out.writeLong(e.getKey)
-      out.writeInt(e.getValue)
+      out.writeInt(e.getValue.intValue())
     }
     out.flush()
     bos.toByteArray
@@ -261,7 +264,7 @@ case class HashCounts(child: Expression)
     while (it.hasNext) {
       val e = it.next()
       keys(i) = e.getKey.longValue()
-      vals(i) = e.getValue
+      vals(i) = e.getValue.intValue()
       i += 1
     }
     ArrayBasedMapData(keys, vals)
