@@ -201,6 +201,33 @@ object PrestoCatalog {
     // SessionFunctions.java current_path: the session SQL path — empty
     // here, as in a Presto session with no path set
     ("current_path", "() RETURNS STRING", "''"),
+    // DateTimeFunctions.java format_datetime — Joda patterns; the core
+    // tokens (yyyy MM dd HH mm ss E D K a …) coincide with Spark's
+    // java.time patterns, so this is a direct alias
+    ("format_datetime", "(ts TIMESTAMP, fmt STRING) RETURNS STRING",
+      "date_format(ts, fmt)"),
+    // TeradataDateFunctions excluded; localtime returns TIME in Presto —
+    // no Spark TIME type, so the HH:mm:ss rendering (session timezone)
+    ("localtime", "() RETURNS STRING",
+      "date_format(localtimestamp(), 'HH:mm:ss')"),
+    // DateTimeFunctions.java timezone_hour/minute: offset of the
+    // session zone — the engine pins spark.sql.session.timeZone=UTC
+    ("timezone_hour", "(ts TIMESTAMP) RETURNS BIGINT", "0L"),
+    ("timezone_minute", "(ts TIMESTAMP) RETURNS BIGINT", "0L"),
+    // UrlFunctions-adjacent base64url (airlift Slices): URL-safe
+    // alphabet is the standard one with +/ → -_
+    ("to_base64url", "(b BINARY) RETURNS STRING",
+      "translate(base64(b), '+/', '-_')"),
+    ("from_base64url", "(s STRING) RETURNS BINARY",
+      "unbase64(translate(s, '-_', '+/'))"),
+    // JsonFunctions.java json_extract (full JsonPath subset that
+    // get_json_object shares: $.key, $.key[i], nested)
+    ("json_extract", "(j STRING, p STRING) RETURNS STRING",
+      "get_json_object(j, p)"),
+    // ArrayFunctions ngrams(array, n) → array of n-grams
+    ("ngrams", "(arr ARRAY<STRING>, n INT) RETURNS ARRAY<ARRAY<STRING>>",
+      """transform(sequence(1, greatest(size(arr) - n + 1, 1)),
+        |  i -> slice(arr, i, least(n, size(arr))))""".stripMargin),
     // StringFunctions.java hamming_distance: count of positions whose
     // code points differ (inputs must be equal length, as in Presto)
     ("hamming_distance", "(a STRING, b STRING) RETURNS BIGINT",

@@ -867,6 +867,43 @@ object ScalarFns extends QueryGroup {
              |FROM customer WHERE c_custkey <= 200
              |ORDER BY c_custkey""".stripMargin)),
 
+    // Tranche 5 — the last registry names a callable-surface sweep
+    // found missing (DESCRIBE FUNCTION probe over every @ScalarFunction
+    // name in the reference): format_datetime (Joda alias),
+    // to/from_base64url, json_extract, ngrams, timezone_hour/minute,
+    // localtime.
+    "fn_presto_names5" -> QueryDef(
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        s.sql("""SELECT o_orderkey,
+                |  format_datetime(cast(o_orderdate AS TIMESTAMP),
+                |    'yyyy-MM-dd HH:mm') AS fdt,
+                |  to_base64url(cast(o_orderpriority AS BINARY)) AS b64u,
+                |  cast(from_base64url(to_base64url(cast(o_orderpriority AS BINARY)))
+                |    AS STRING) = o_orderpriority AS b64_rt,
+                |  json_extract(concat('{"a":{"b":',
+                |    cast(o_orderkey % 9 AS STRING), '}}'), '$.a') AS jx,
+                |  size(ngrams(split(o_orderpriority, '-'), 2)) AS ng,
+                |  array_join(ngrams(split(o_orderpriority, '-'), 2)[0], '_') AS ng0,
+                |  timezone_hour(cast(o_orderdate AS TIMESTAMP)) AS tzh,
+                |  timezone_minute(cast(o_orderdate AS TIMESTAMP)) AS tzm,
+                |  length(localtime()) AS lt_len
+                |FROM orders WHERE o_orderkey <= 300
+                |ORDER BY o_orderkey""".stripMargin)
+      },
+      Some("""SELECT o_orderkey,
+             |  strftime(CAST(o_orderdate AS TIMESTAMP), '%Y-%m-%d %H:%M') AS fdt,
+             |  replace(replace(to_base64(encode(o_orderpriority)),
+             |    '+', '-'), '/', '_') AS b64u,
+             |  true AS b64_rt,
+             |  '{"b":' || CAST(o_orderkey % 9 AS VARCHAR) || '}' AS jx,
+             |  CAST(1 AS INT) AS ng,
+             |  replace(o_orderpriority, '-', '_') AS ng0,
+             |  CAST(0 AS BIGINT) AS tzh, CAST(0 AS BIGINT) AS tzm,
+             |  CAST(8 AS INT) AS lt_len
+             |FROM orders WHERE o_orderkey <= 300
+             |ORDER BY o_orderkey""".stripMargin)),
+
     // geometric_mean as a callable aggregate, value-matched against
     // the exp∘avg∘ln rewrite in DuckDB.
     "agg_geomean_callable" -> QueryDef(
