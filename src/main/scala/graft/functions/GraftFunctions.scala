@@ -4,8 +4,8 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{ArrayAggregate, Cast, CreateStruct, Exp, Expression, ExpressionInfo, Flatten, LambdaFunction, Log, MapEntries, MapFromEntries, TryEval, UnresolvedNamedLambdaVariable, XxHash64}
-import org.apache.spark.sql.catalyst.expressions.aggregate.{Average, BitXorAgg, CollectList}
-import org.apache.spark.sql.types.{DoubleType, LongType}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{Average, BitXorAgg, CollectList, HistogramNumeric}
+import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
 
 /** Registration of graft's custom Catalyst expressions, mirroring the
   * reference's plugin function SPI (presto-spi Plugin.getFunctions →
@@ -61,6 +61,23 @@ object GraftFunctions {
     ("geom_area",
       new ExpressionInfo(classOf[GeomArea].getName, "geom_area"),
       (args: Seq[Expression]) => GeomArea(args(0))),
+    ("histogram",
+      new ExpressionInfo(classOf[HistogramAgg].getName, "histogram"),
+      (args: Seq[Expression]) => HistogramAgg(args(0)).toAggregateExpression()),
+    ("multimap_agg",
+      new ExpressionInfo(classOf[MultimapAgg].getName, "multimap_agg"),
+      (args: Seq[Expression]) => MultimapAgg(args(0), args(1)).toAggregateExpression()),
+    // numeric_histogram(buckets, v) — Spark's histogram_numeric IS the
+    // same Ben-Haim/Tom-Tov streaming histogram the reference uses
+    // (NumericHistogram.java); re-shaped to Presto's map<double,double>
+    ("numeric_histogram",
+      new ExpressionInfo(classOf[HistogramNumeric].getName, "numeric_histogram"),
+      (args: Seq[Expression]) => MapFromEntries(
+        HistogramNumeric(Cast(args(1), DoubleType), Cast(args(0), IntegerType), 0, 0)
+          .toAggregateExpression())),
+    ("merge",
+      new ExpressionInfo(classOf[MergeSketchAgg].getName, "merge"),
+      (args: Seq[Expression]) => MergeSketchAgg(args(0)).toAggregateExpression()),
     ("make_set_digest",
       new ExpressionInfo(classOf[SetDigestAgg].getName, "make_set_digest"),
       (args: Seq[Expression]) => SetDigestAgg(args(0)).toAggregateExpression()),

@@ -314,6 +314,33 @@ object Aggregates extends QueryGroup {
       Some("""SELECT o_orderpriority, count(*) AS freq FROM orders
              |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
 
+    // histogram / multimap_agg / numeric_histogram as CALLABLE
+    // aggregates (HistogramAgg / MultimapAgg UDAFs + the Ben-Haim
+    // histogram_numeric reshaped to Presto's map<double,double>) —
+    // the relational rewrites above stay as the plan-shape variants.
+    "agg_callable_maps" -> QueryDef(
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        s.sql("""SELECT c_mktsegment,
+                |  size(histogram(c_nationkey)) AS nh,
+                |  aggregate(map_values(histogram(c_nationkey)), 0L,
+                |    (a, x) -> a + x) AS tot,
+                |  size(multimap_agg(c_nationkey, c_custkey)) AS nmk,
+                |  aggregate(transform(map_values(multimap_agg(c_nationkey, c_custkey)),
+                |    v -> size(v)), 0, (a, x) -> a + x) AS nmv,
+                |  size(numeric_histogram(5, c_acctbal)) AS nb
+                |FROM customer GROUP BY c_mktsegment
+                |ORDER BY c_mktsegment""".stripMargin)
+      },
+      Some("""SELECT c_mktsegment,
+             |  CAST(count(DISTINCT c_nationkey) AS INT) AS nh,
+             |  count(*) AS tot,
+             |  CAST(count(DISTINCT c_nationkey) AS INT) AS nmk,
+             |  CAST(count(c_custkey) AS INT) AS nmv,
+             |  CAST(5 AS INT) AS nb
+             |FROM customer GROUP BY c_mktsegment
+             |ORDER BY c_mktsegment""".stripMargin)),
+
     // Skew-handling pattern: salted two-stage aggregation. Stage 1
     // spreads each hot key over 8 salt shards (map-side partial sums
     // shuffle on (key, salt)); stage 2 merges shards per key. Results

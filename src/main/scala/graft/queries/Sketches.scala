@@ -306,6 +306,34 @@ object Sketches extends QueryGroup {
              |  (SELECT count(DISTINCT c_custkey) FROM customer) AS card_merged,
              |  CAST((SELECT count(DISTINCT c_nationkey) FROM customer) AS INT)
              |    AS hash_size,
-             |  CAST((SELECT count(c_nationkey) FROM customer) AS INT) AS hash_total""".stripMargin))
+             |  CAST((SELECT count(c_nationkey) FROM customer) AS INT) AS hash_total""".stripMargin)),
+
+    // Polymorphic merge() over all three sketch families in one query:
+    // per-segment set digests, qdigests (KLL), and HLL sketches are
+    // re-aggregated by the header-dispatching merge — set digest exact
+    // at this scale (real DuckDB value), HLL within its error bound,
+    // KLL by rank window (randomized sketch; value equality is never
+    // checked, per its guarantee).
+    "sketch_merge_generic" -> QueryDef(
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        s.sql("""WITH seg AS (
+                |  SELECT c_mktsegment,
+                |    make_set_digest(c_custkey) AS sd,
+                |    qdigest_agg(c_acctbal) AS qd,
+                |    hll_sketch_agg(c_custkey) AS hd
+                |  FROM customer GROUP BY c_mktsegment)
+                |SELECT set_digest_cardinality(merge(sd)) AS sd_card,
+                |  (abs(hll_sketch_estimate(merge(hd))
+                |     - (SELECT count(DISTINCT c_custkey) FROM customer))
+                |   <= 0.05 * (SELECT count(DISTINCT c_custkey) FROM customer))
+                |    AS hll_close,
+                |  (quantile_at_value(merge(qd),
+                |     (SELECT percentile(c_acctbal, 0.5D) FROM customer))
+                |   BETWEEN 0.4 AND 0.6) AS qd_rank_ok
+                |FROM seg""".stripMargin)
+      },
+      Some("""SELECT (SELECT count(DISTINCT c_custkey) FROM customer) AS sd_card,
+             |  true AS hll_close, true AS qd_rank_ok""".stripMargin))
   )
 }
