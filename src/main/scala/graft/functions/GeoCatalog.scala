@@ -2,11 +2,13 @@ package graft.functions
 
 import org.apache.spark.sql.SparkSession
 
-/** Minimal geospatial ST_* tier (reference: presto-geospatial/.../
-  * GeoFunctions.java — planar geometry over WKT). Round-2 decision per
-  * SURVEY §7.2: implement the core point/polygon surface as SQL macros
-  * (analyzer-inlined, fully codegen'd — no geometry library, no UDF);
-  * the 53 remaining ST_ functions stay declared out of scope.
+/** Geospatial ST_* + Bing tile tier (reference: presto-geospatial/.../
+  * GeoFunctions.java, BingTileFunctions.java — planar geometry over
+  * WKT). The declarative surface lives here as SQL macros
+  * (analyzer-inlined — no geometry library, no UDF); algorithmic
+  * pieces (ray cast, hull, overlay, WKB, simplify) are codegen'd
+  * Catalyst expressions in [[GeoExpressions]]. ~50 of the reference's
+  * 56 ST_ names are callable; the residue is itemized in SURVEY §2.8.
   *
   * Geometries are WKT strings ('POINT (x y)',
   * 'POLYGON ((x1 y1, …, x1 y1))', single ring, planar coordinates —
