@@ -33,6 +33,8 @@ object GraftSession {
     graft.functions.GraftFunctions.register(spark)
     graft.functions.PrestoCatalog.register(spark)
     graft.functions.GeoCatalog.register(spark)
+    graft.functions.TeradataCatalog.register(spark)
+    graft.functions.ColorCatalog.register(spark)
     spark
   }
 }

@@ -328,7 +328,40 @@ object GeoCatalog {
         |      array_join(transform(sequence(zoom, 1, -1), i ->
         |        cast(shiftright(e.tx + k div 3 - 1, i - 1) % 2
         |          + 2 * (shiftright(e.ty + k % 3 - 1, i - 1) % 2) AS STRING)), ''),
-        |      NULL)), q -> q IS NOT NULL))[0]""".stripMargin)
+        |      NULL)), q -> q IS NOT NULL))[0]""".stripMargin),
+    // Tile cover of a geometry's envelope at the given zoom
+    // (BingTileFunctions.geometryToBingTiles). The reference subdivides
+    // recursively and drops tiles disjoint from the geometry; the
+    // envelope tile RANGE here is identical for every envelope-filling
+    // geometry, and the exact-geometry refinement is one
+    // st_intersects(bing_tile_polygon(t), g) filter over the result
+    // (fn_geometry_to_bing_tiles demonstrates it). Corner tiles come
+    // from the same Mercator pixel math as bing_tile_at; the per-tile
+    // quadkey expansion is inlined (macros don't inline under
+    // lambda-bound variables, see bing_tiles_around).
+    ("geometry_to_bing_tiles", "(g STRING, zoom INT) RETURNS ARRAY<STRING>",
+      """transform(array(named_struct(
+        |    'x0', cast(least(greatest((st_xmin(g) + 180.0D) / 360.0D
+        |        * cast(shiftleft(256L, zoom) AS DOUBLE), 0.0D),
+        |      cast(shiftleft(256L, zoom) AS DOUBLE) - 1.0D) AS BIGINT) div 256,
+        |    'x1', cast(least(greatest((st_xmax(g) + 180.0D) / 360.0D
+        |        * cast(shiftleft(256L, zoom) AS DOUBLE), 0.0D),
+        |      cast(shiftleft(256L, zoom) AS DOUBLE) - 1.0D) AS BIGINT) div 256,
+        |    'y0', cast(least(greatest((0.5D
+        |        - ln((1.0D + sin(st_ymax(g) * pi() / 180.0D))
+        |            / (1.0D - sin(st_ymax(g) * pi() / 180.0D))) / (4.0D * pi()))
+        |        * cast(shiftleft(256L, zoom) AS DOUBLE), 0.0D),
+        |      cast(shiftleft(256L, zoom) AS DOUBLE) - 1.0D) AS BIGINT) div 256,
+        |    'y1', cast(least(greatest((0.5D
+        |        - ln((1.0D + sin(st_ymin(g) * pi() / 180.0D))
+        |            / (1.0D - sin(st_ymin(g) * pi() / 180.0D))) / (4.0D * pi()))
+        |        * cast(shiftleft(256L, zoom) AS DOUBLE), 0.0D),
+        |      cast(shiftleft(256L, zoom) AS DOUBLE) - 1.0D) AS BIGINT) div 256)), e ->
+        |  flatten(transform(sequence(e.x0, e.x1), tx ->
+        |    transform(sequence(e.y0, e.y1), ty ->
+        |      array_join(transform(sequence(zoom, 1, -1), i ->
+        |        cast(shiftright(tx, i - 1) % 2
+        |          + 2 * (shiftright(ty, i - 1) % 2) AS STRING)), '')))))[0]""".stripMargin)
   )
 
   def register(spark: SparkSession): Unit =

@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{ArrayAggregate, Cast, CreateStruct, Exp, Expression, ExpressionInfo, Flatten, LambdaFunction, Log, MapEntries, MapFromEntries, TryEval, UnresolvedNamedLambdaVariable, XxHash64}
+import org.apache.spark.sql.catalyst.expressions.{ArrayAggregate, Cast, CreateMap, CreateStruct, Exp, Expression, ExpressionInfo, Flatten, LambdaFunction, Literal, Log, MapEntries, MapFromEntries, TryEval, UnresolvedNamedLambdaVariable, XxHash64}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{Average, BitXorAgg, CollectList, HistogramNumeric}
 import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
 
@@ -264,6 +264,17 @@ object GraftFunctions {
       new ExpressionInfo(classOf[Average].getName, "geometric_mean"),
       (args: Seq[Expression]) =>
         Exp(Average(Log(Cast(args(0), DoubleType))).toAggregateExpression())),
+
+    // features(d1, …, dN) (presto-ml MLFeaturesFunctions.java): the
+    // feature-vector constructor, a map {0→d1, …, N-1→dN}. The only
+    // ML-plugin function with pure relational semantics (the svm
+    // learn/classify family stays declared out, SURVEY §7.2).
+    ("features",
+      new ExpressionInfo(classOf[CreateMap].getName, "features"),
+      (args: Seq[Expression]) =>
+        CreateMap(args.zipWithIndex.flatMap { case (a, i) =>
+          Seq(Literal(i.toLong), Cast(a, DoubleType))
+        })),
 
     // SpookyHash V2 (VarbinaryFunctions.java:280-297).
     ("spooky_hash_v2_32",

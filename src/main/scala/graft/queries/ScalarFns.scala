@@ -918,6 +918,111 @@ object ScalarFns extends QueryGroup {
              |FROM lineitem WHERE l_quantity > 0
              |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
+    // Teradata compatibility tier (presto-teradata-functions:
+    // TeradataStringFunctions.java index/char2hexint,
+    // TeradataDateFunctions.java to_char/to_date/to_timestamp over the
+    // 8-token DateFormat.g4 language). The date forms carry a
+    // teradata_ prefix — the bare names are Spark builtins with
+    // java.time/number-format semantics. char2hexint's oracle
+    // recomputes the UTF-16BE hex per character (the clerk strings are
+    // ASCII, so each code unit is 00xx).
+    "fn_teradata" -> QueryDef(
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        s.sql("""SELECT o_orderkey,
+                |  index(o_orderpriority, 'URGENT') AS idx,
+                |  char2hexint(substr(o_orderpriority, 1, 5)) AS hx,
+                |  teradata_to_char(cast(o_orderdate AS TIMESTAMP),
+                |    'yyyy/mm/dd hh24:mi:ss') AS tchar,
+                |  teradata_to_char(cast(o_orderdate AS TIMESTAMP),
+                |    'dd.mm.yy hh:mi') AS tchar2,
+                |  teradata_to_date(cast(cast(o_orderdate AS DATE) AS STRING),
+                |    'yyyy-mm-dd') AS tdate,
+                |  teradata_to_timestamp(
+                |    concat(cast(cast(o_orderdate AS DATE) AS STRING), ' 12:34:56'),
+                |    'yyyy-mm-dd hh24:mi:ss') AS tts
+                |FROM orders WHERE o_orderkey < 400
+                |ORDER BY o_orderkey""".stripMargin)
+      },
+      Some("""SELECT o_orderkey,
+             |  CAST(strpos(o_orderpriority, 'URGENT') AS BIGINT) AS idx,
+             |  upper(array_to_string(list_transform(range(1, 6),
+             |    i -> lpad(format('{:x}', ord(substr(o_orderpriority, CAST(i AS INT), 1))), 4, '0')),
+             |    '')) AS hx,
+             |  strftime(o_orderdate, '%Y/%m/%d %H:%M:%S') AS tchar,
+             |  strftime(o_orderdate, '%d.%m.') || substr(strftime(o_orderdate, '%Y'), 3, 2)
+             |    || ' 00:00' AS tchar2,
+             |  CAST(o_orderdate AS DATE) AS tdate,
+             |  strptime(strftime(o_orderdate, '%Y-%m-%d') || ' 12:34:56',
+             |    '%Y-%m-%d %H:%M:%S') AS tts
+             |FROM orders WHERE o_orderkey < 400
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    // Color / ANSI rendering tier (ColorFunctions.java): the COLOR
+    // long encoding (rgb ≥ 0, system colors negative), HSB gradient
+    // interpolation, ESC[38;5;n]m rendering, and bar charts. Every
+    // value has a closed form the oracle recomputes: the 6×6×6 ansi
+    // cube index is plain integer arithmetic, and interpolating
+    // between two equal colors is exact (the HSB round-trip is
+    // identity — pinned by ColorFunctionsSpec against the endpoints).
+    "fn_color" -> QueryDef(
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        s.sql("""SELECT n_nationkey,
+                |  rgb((n_nationkey * 10) % 256, 0, 200) AS c_rgb,
+                |  color('#f00') AS c_hex,
+                |  color('cyan') AS c_sys,
+                |  color(cast(n_nationkey AS DOUBLE) / 24.0,
+                |    color('#4a4'), color('#4a4')) AS c_interp,
+                |  render(n_name, color('#0f0')) AS rendered,
+                |  render(n_nationkey % 2 = 0) AS rendered_bool,
+                |  bar(cast(n_nationkey % 5 AS DOUBLE) / 4.0, 10,
+                |    color('#f00'), color('#f00')) AS bar_str
+                |FROM nation ORDER BY n_nationkey""".stripMargin)
+      },
+      // toAnsi(#0f0) = 16 + 5·6 = 46, toAnsi(#f00) = 16 + 5·36 = 196;
+      // system green/red render as their raw indexes 2/1; block = █
+      // (U+2588), check/cross = U+2713/U+2717
+      Some("""SELECT n_nationkey,
+             |  CAST(((n_nationkey * 10) % 256) * 65536 + 200 AS BIGINT) AS c_rgb,
+             |  CAST(16711680 AS BIGINT) AS c_hex,
+             |  CAST(-7 AS BIGINT) AS c_sys,
+             |  CAST(68 * 65536 + 170 * 256 + 68 AS BIGINT) AS c_interp,
+             |  chr(27) || '[38;5;46m' || n_name || chr(27) || '[0m' AS rendered,
+             |  CASE WHEN n_nationkey % 2 = 0
+             |    THEN chr(27) || '[38;5;2m' || chr(10003) || chr(27) || '[0m'
+             |    ELSE chr(27) || '[38;5;1m' || chr(10007) || chr(27) || '[0m'
+             |  END AS rendered_bool,
+             |  repeat(chr(27) || '[38;5;196m' || chr(9608),
+             |    CAST((n_nationkey % 5) * 10 // 4 AS INT))
+             |    || chr(27) || '[0m'
+             |    || repeat(' ', 10 - CAST((n_nationkey % 5) * 10 // 4 AS INT))
+             |    AS bar_str
+             |FROM nation ORDER BY n_nationkey""".stripMargin)),
+
+    // features(d1, …, dN) (presto-ml MLFeaturesFunctions.java): the
+    // feature-vector-as-map constructor — the one ML-plugin function
+    // with relational semantics (learn/classify stay declared out).
+    // Map results are stringified entry-wise for cross-engine hashing,
+    // as in the sketch queries.
+    "fn_ml_features" -> QueryDef(
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        s.sql("""SELECT c_custkey,
+                |  array_join(transform(map_entries(
+                |    features(cast(c_acctbal AS DOUBLE), cast(c_nationkey AS DOUBLE))),
+                |    e -> concat(e.key, '=', format_string('%.2f', e.value))), ',') AS feat2,
+                |  size(features(cast(c_acctbal AS DOUBLE))) AS n1
+                |FROM customer WHERE c_custkey < 500
+                |ORDER BY c_custkey""".stripMargin)
+      },
+      Some("""SELECT c_custkey,
+             |  '0=' || printf('%.2f', CAST(c_acctbal AS DOUBLE)) ||
+             |  ',1=' || printf('%.2f', CAST(c_nationkey AS DOUBLE)) AS feat2,
+             |  CAST(1 AS INT) AS n1
+             |FROM customer WHERE c_custkey < 500
+             |ORDER BY c_custkey""".stripMargin)),
+
     // TRY semantics (TryFunction.java / TryCastFunction.java): NULL on
     // malformed input instead of failure.
     "fn_try_cast" -> QueryDef(

@@ -316,6 +316,64 @@ object Spatial extends QueryGroup {
              |  3.0 AS buf_cx, 4.0 AS buf_cy,
              |  12.0 AS hull_area, CAST(4 AS BIGINT) AS hull_npoints,
              |  24.0 AS union_area, 4.0 AS inter_area, 2.0 AS disj_area,
-             |  true AS disj_empty""".stripMargin))
+             |  true AS disj_empty""".stripMargin)),
+
+    // geometry_to_bing_tiles (BingTileFunctions.geometryToBingTiles,
+    // VERDICT r2 declared-out list): tile cover of a geometry at a
+    // zoom. The macro covers the envelope range; the exact-geometry
+    // refinement (reference drops tiles disjoint from the geometry) is
+    // the st_intersects(bing_tile_polygon(t), g) filter applied after
+    // explode — for these envelope-filling rectangles both agree, and
+    // the oracle rebuilds every quadkey from the closed-form Mercator
+    // tile math like fn_bing_tiles.
+    "fn_geometry_to_bing_tiles" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        Tables.nation(s, dir)
+          .select($"n_nationkey",
+            ($"n_nationkey" * 2.0 - 25.0).as("lat0"),
+            ($"n_nationkey" * 5.0 - 60.0).as("lon0"))
+          .withColumn("poly", expr(
+            """concat('POLYGON ((', lon0, ' ', lat0, ', ', lon0 + 3, ' ', lat0, ', ',
+              |lon0 + 3, ' ', lat0 + 2, ', ', lon0, ' ', lat0 + 2, ', ',
+              |lon0, ' ', lat0, '))')""".stripMargin))
+          // the macro must be projected before the Generate — Spark
+          // disallows SQL-UDF expansion directly under explode
+          .withColumn("tiles", expr("geometry_to_bing_tiles(poly, 6)"))
+          .select($"n_nationkey", $"poly", explode($"tiles").as("tile"))
+          .filter(expr("st_intersects(bing_tile_polygon(tile), poly)"))
+          .groupBy($"n_nationkey")
+          .agg(count(lit(1)).cast("int").as("n_tiles"),
+            array_join(array_sort(collect_list($"tile")), ",").as("tile_keys"))
+          .orderBy($"n_nationkey")
+      },
+      Some("""WITH n AS (
+             |  SELECT n_nationkey, n_nationkey * 2.0 - 25.0 AS lat0,
+             |    n_nationkey * 5.0 - 60.0 AS lon0
+             |  FROM nation),
+             |b AS (
+             |  SELECT n_nationkey,
+             |    CAST(FLOOR(LEAST(GREATEST((lon0 + 180) / 360 * (256 * 2^6), 0),
+             |      256 * 2^6 - 1) / 256) AS BIGINT) AS x0,
+             |    CAST(FLOOR(LEAST(GREATEST((lon0 + 3 + 180) / 360 * (256 * 2^6), 0),
+             |      256 * 2^6 - 1) / 256) AS BIGINT) AS x1,
+             |    CAST(FLOOR(LEAST(GREATEST((0.5 - ln((1 + sin((lat0 + 2) * pi() / 180))
+             |        / (1 - sin((lat0 + 2) * pi() / 180))) / (4 * pi())) * (256 * 2^6), 0),
+             |      256 * 2^6 - 1) / 256) AS BIGINT) AS y0,
+             |    CAST(FLOOR(LEAST(GREATEST((0.5 - ln((1 + sin(lat0 * pi() / 180))
+             |        / (1 - sin(lat0 * pi() / 180))) / (4 * pi())) * (256 * 2^6), 0),
+             |      256 * 2^6 - 1) / 256) AS BIGINT) AS y1
+             |  FROM n),
+             |t AS (
+             |  SELECT n_nationkey,
+             |    array_to_string(list_transform(generate_series(6, 1, -1), i ->
+             |      CAST(CAST(FLOOR(gx.x / 2^(i - 1)) AS BIGINT) % 2
+             |        + 2 * (CAST(FLOOR(gy.y / 2^(i - 1)) AS BIGINT) % 2) AS VARCHAR)), '')
+             |      AS qk
+             |  FROM b, unnest(generate_series(x0, x1)) AS gx(x),
+             |    unnest(generate_series(y0, y1)) AS gy(y))
+             |SELECT n_nationkey, CAST(count(*) AS INT) AS n_tiles,
+             |  string_agg(qk, ',' ORDER BY qk) AS tile_keys
+             |FROM t GROUP BY n_nationkey ORDER BY n_nationkey""".stripMargin))
   )
 }
