@@ -386,7 +386,96 @@ object TextPipeline extends QueryGroup {
              |SELECT true AS simhash_separates,
              |  CAST(sum(CASE WHEN j >= 0.9 THEN 1 ELSE 0 END) AS BIGINT) AS n_neardup,
              |  CAST(sum(CASE WHEN j < 0.3 THEN 1 ELSE 0 END) AS BIGINT) AS n_far
-             |FROM p""".stripMargin))
+             |FROM p""".stripMargin)),
+
+    // End-to-end corpus curation — the composed LLM-training-data
+    // pipeline the individual operators exist for: normalize → exact
+    // dedup (keep min doc_id per normalized text) → quality gate
+    // (length + lexical-diversity) → language ID → per-language corpus
+    // stats. Two shuffles total at any scale: one hash shuffle on the
+    // normalized-text key for dedup, one on the language label for the
+    // final rollup; every metric between them is a map-side
+    // expression. Ratios are computed as ONE division of exact integer
+    // sums (never an avg of per-row doubles), so the oracle matches
+    // bit-for-bit.
+    "pipeline_corpus_curation" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val stop = array(Seq("the", "a", "of", "and", "to").map(lit): _*)
+        val seeds = Map(
+          "en" -> Seq("the", "and", "of", "fast", "query"),
+          "es" -> Seq("el", "la", "de", "rapido", "consulta"),
+          "fr" -> Seq("le", "la", "de", "vite", "requete"),
+          "de" -> Seq("der", "und", "von", "schnell", "abfrage"),
+          "zh" -> Seq("chaxun", "kuai", "shuju", "biao", "hang"))
+        val deduped = Tables.documents(s, dir)
+          .select($"doc_id", normText($"text").as("nt"))
+          .groupBy($"nt").agg(min($"doc_id").as("doc_id"))
+        val scores = seeds.toSeq.sortBy(_._1).map { case (lang, ws) =>
+          struct(
+            size(array_intersect($"dtoks", array(ws.map(lit): _*))).as("score"),
+            lit(lang).as("lang"))
+        }
+        deduped
+          .withColumn("toks", split($"nt", " "))
+          .withColumn("dtoks", array_distinct($"toks"))
+          .withColumn("n_tokens", size($"toks").cast("long"))
+          .withColumn("n_distinct", size($"dtoks").cast("long"))
+          .withColumn("n_stop",
+            size(filter($"toks", t => array_contains(stop, t))).cast("long"))
+          .filter($"n_tokens" >= 5 &&
+            $"n_distinct".cast("double") / $"n_tokens" >= 0.3)
+          .withColumn("predicted_lang", greatest(scores: _*).getField("lang"))
+          .groupBy($"predicted_lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum($"n_tokens").as("total_tokens"),
+            round(sum($"n_stop").cast("double") / sum($"n_tokens"), 4)
+              .as("stop_share"),
+            round(sum($"n_distinct").cast("double") / sum($"n_tokens"), 4)
+              .as("diversity"))
+          .orderBy($"predicted_lang")
+      },
+      Some("""WITH d AS (
+             |  SELECT regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS nt,
+             |    min(doc_id) AS doc_id
+             |  FROM documents GROUP BY 1),
+             |m AS (
+             |  SELECT doc_id, nt,
+             |    string_split(nt, ' ') AS toks,
+             |    list_distinct(string_split(nt, ' ')) AS dtoks
+             |  FROM d),
+             |q AS (
+             |  SELECT doc_id, dtoks,
+             |    CAST(len(toks) AS BIGINT) AS n_tokens,
+             |    CAST(len(dtoks) AS BIGINT) AS n_distinct,
+             |    CAST(len(list_filter(toks,
+             |      t -> list_contains(['the','a','of','and','to'], t))) AS BIGINT) AS n_stop
+             |  FROM m
+             |  WHERE len(toks) >= 5
+             |    AND len(dtoks) * 1.0 / len(toks) >= 0.3),
+             |sc AS (
+             |  SELECT doc_id, n_tokens, n_distinct, n_stop,
+             |    c.lang AS cand_lang, c.score AS cand_score
+             |  FROM q, LATERAL (
+             |    SELECT unnest([
+             |      {'score': len(list_intersect(dtoks, ['the','and','of','fast','query'])), 'lang': 'en'},
+             |      {'score': len(list_intersect(dtoks, ['el','la','de','rapido','consulta'])), 'lang': 'es'},
+             |      {'score': len(list_intersect(dtoks, ['le','la','de','vite','requete'])), 'lang': 'fr'},
+             |      {'score': len(list_intersect(dtoks, ['der','und','von','schnell','abfrage'])), 'lang': 'de'},
+             |      {'score': len(list_intersect(dtoks, ['chaxun','kuai','shuju','biao','hang'])), 'lang': 'zh'}],
+             |      recursive := true)) c),
+             |r AS (
+             |  SELECT doc_id, n_tokens, n_distinct, n_stop, cand_lang,
+             |    row_number() OVER (PARTITION BY doc_id
+             |      ORDER BY cand_score DESC, cand_lang DESC) AS rn
+             |  FROM sc)
+             |SELECT cand_lang AS predicted_lang,
+             |  count(*) AS n_docs,
+             |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+             |  round(sum(n_stop) * 1.0 / sum(n_tokens), 4) AS stop_share,
+             |  round(sum(n_distinct) * 1.0 / sum(n_tokens), 4) AS diversity
+             |FROM r WHERE rn = 1
+             |GROUP BY cand_lang ORDER BY cand_lang""".stripMargin))
   )
 
   /** Shared MinHash+LSH pipeline: 64 perms, 16 bands × 4 rows. */
