@@ -475,7 +475,125 @@ object TextPipeline extends QueryGroup {
              |  round(sum(n_stop) * 1.0 / sum(n_tokens), 4) AS stop_share,
              |  round(sum(n_distinct) * 1.0 / sum(n_tokens), 4) AS diversity
              |FROM r WHERE rn = 1
-             |GROUP BY cand_lang ORDER BY cand_lang""".stripMargin))
+             |GROUP BY cand_lang ORDER BY cand_lang""".stripMargin)),
+
+    // Within-document repetition ratio (the Gopher-style quality
+    // signal: share of duplicated 3-grams). Entirely map-side — one
+    // expression chain per doc, no shuffle before the final sort.
+    "text_repetition" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        Tables.documents(s, dir)
+          .withColumn("toks", split(normText($"text"), " "))
+          .filter(size($"toks") >= 3)
+          .withColumn("ngrams", expr(
+            "transform(sequence(0, size(toks) - 3), i -> " +
+              "concat(toks[i], ' ', toks[i + 1], ' ', toks[i + 2]))"))
+          .select($"doc_id",
+            size($"ngrams").as("n_ngrams"),
+            size(array_distinct($"ngrams")).as("n_distinct"),
+            r4(lit(1.0) - size(array_distinct($"ngrams")).cast("double")
+              / size($"ngrams")).as("repetition_ratio"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id,
+             |    string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS toks
+             |  FROM documents),
+             |g AS (
+             |  SELECT doc_id,
+             |    list_transform(range(1, len(toks) - 1),
+             |      i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]) AS ngrams
+             |  FROM t WHERE len(toks) >= 3)
+             |SELECT doc_id,
+             |  len(ngrams) AS n_ngrams,
+             |  len(list_distinct(ngrams)) AS n_distinct,
+             |  round(1.0 - len(list_distinct(ngrams)) * 1.0 / len(ngrams), 4)
+             |    AS repetition_ratio
+             |FROM g ORDER BY doc_id""".stripMargin)),
+
+    // Benchmark decontamination — the eval-leak scan every training
+    // corpus needs: flag corpus docs sharing any 5-gram with a
+    // benchmark set (here the doc_id<20 prefix). Both sides explode to
+    // distinct 5-grams and meet in ONE equi-join on the n-gram key —
+    // at 100 TB the key would be xxhash64(ngram) (same plan shape,
+    // smaller shuffle); the string key here keeps the oracle exact.
+    // No pair enumeration, no cartesian: cost is O(ngrams) + the join.
+    "pipeline_decontamination" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val grams = Tables.documents(s, dir)
+          .withColumn("toks", split(normText($"text"), " "))
+          .filter(size($"toks") >= 5)
+          .withColumn("ngram", explode(array_distinct(expr(
+            "transform(sequence(0, size(toks) - 5), i -> " +
+              "concat(toks[i], ' ', toks[i + 1], ' ', toks[i + 2], ' ', " +
+              "toks[i + 3], ' ', toks[i + 4]))"))))
+          .select($"doc_id", $"ngram")
+        val bench = grams.filter($"doc_id" < 20)
+          .select($"ngram").distinct()
+        val corpus = grams.filter($"doc_id" >= 20)
+        corpus.join(bench, "ngram")
+          .groupBy($"doc_id")
+          .agg(count(lit(1)).as("n_shared_ngrams"))
+          .agg(count(lit(1)).as("n_contaminated_docs"),
+            sum($"n_shared_ngrams").as("total_shared"),
+            min($"doc_id").as("first_hit"),
+            max($"doc_id").as("last_hit"))
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id,
+             |    string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS toks
+             |  FROM documents),
+             |g AS (
+             |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks) - 3),
+             |    i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2] || ' '
+             |      || toks[i + 3] || ' ' || toks[i + 4]))) AS ngram
+             |  FROM t WHERE len(toks) >= 5),
+             |bench AS (SELECT DISTINCT ngram FROM g WHERE doc_id < 20),
+             |hits AS (
+             |  SELECT g.doc_id, count(*) AS n_shared
+             |  FROM g JOIN bench USING (ngram)
+             |  WHERE g.doc_id >= 20 GROUP BY g.doc_id)
+             |SELECT count(*) AS n_contaminated_docs,
+             |  CAST(sum(n_shared) AS BIGINT) AS total_shared,
+             |  min(doc_id) AS first_hit, max(doc_id) AS last_hit
+             |FROM hits""".stripMargin)),
+
+    // Stratified sampling for a training mix: proportional allocation
+    // per language stratum — target = ceil(20% of the stratum), the
+    // deterministic doc_id-ordered prefix taken per stratum via one
+    // window (rank + stratum count in a single pass, one shuffle on
+    // the stratum key; at 100 TB the window would be replaced by
+    // per-stratum rate sampling on a hash, same plan minus the sort).
+    "pipeline_stratified_sample" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy($"lang")
+        val ranked = Tables.documents(s, dir)
+          .select($"doc_id", $"lang")
+          .withColumn("n_total", count(lit(1)).over(w))
+          .withColumn("rn", row_number().over(w.orderBy($"doc_id")))
+        ranked.filter($"rn" <= ceil($"n_total" * 0.2))
+          .groupBy($"lang")
+          .agg(count(lit(1)).as("n_sampled"),
+            max($"n_total").as("n_total"),
+            sum($"doc_id").as("id_checksum"),
+            max($"doc_id").as("max_sampled_id"))
+          .orderBy($"lang")
+      },
+      Some("""WITH r AS (
+             |  SELECT doc_id, lang,
+             |    count(*) OVER (PARTITION BY lang) AS n_total,
+             |    row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+             |  FROM documents)
+             |SELECT lang, count(*) AS n_sampled,
+             |  CAST(max(n_total) AS BIGINT) AS n_total,
+             |  CAST(sum(doc_id) AS BIGINT) AS id_checksum,
+             |  max(doc_id) AS max_sampled_id
+             |FROM r WHERE rn <= ceil(n_total * 0.2)
+             |GROUP BY lang ORDER BY lang""".stripMargin))
   )
 
   /** Shared MinHash+LSH pipeline: 64 perms, 16 bands × 4 rows. */
