@@ -155,4 +155,31 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture with Matchers {
       }
     }
   }
+
+  test("decontamination is a single n-gram equi-join, never a pair scan") {
+    val plan = planOf("pipeline_decontamination")
+    plan should not include "CartesianProduct"
+    plan should not include "BroadcastNestedLoopJoin"
+    // one join between the exploded corpus and the distinct benchmark
+    // n-gram set — hash-shaped either way AQE resolves it
+    (plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin") ||
+      plan.contains("BroadcastHashJoin")) shouldBe true
+  }
+
+  test("corpus curation pipeline needs only dedup + rollup shuffles") {
+    val df = SparkEntry.queries("pipeline_corpus_curation")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    // hash exchanges: normalized-text dedup and the language rollup;
+    // the trailing orderBy adds one range exchange. Anything more
+    // means a stage recomputes or re-partitions needlessly.
+    plan.sliding("hashpartitioning".length)
+      .count(_ == "hashpartitioning") should be <= 4
+    plan should not include "CartesianProduct"
+  }
+
+  test("stratified sample is one window pass over one stratum shuffle") {
+    val plan = planOf("pipeline_stratified_sample")
+    plan should include("Window")
+    plan should not include "CartesianProduct"
+  }
 }
