@@ -166,6 +166,36 @@ object GeoAlgorithms {
       ((d3 > 0 && d4 < 0) || (d3 < 0 && d4 > 0))
   }
 
+  /** OGC ST_Crosses (GeoFunctions.java stCrosses) for the line/line
+    * and line/polygon regimes: two lines cross iff some segment pair
+    * properly intersects (a shared endpoint is `touches`, not
+    * `crosses`); a line crosses a polygon iff it has points both
+    * strictly inside and strictly outside (sampled at vertices and
+    * segment midpoints — exact for piecewise-linear geometry whose
+    * segments don't graze ring corners). Point/point and
+    * polygon/polygon pairs can never satisfy the dimension rule
+    * (dim(intersection) < max(dim a, dim b)) in these regimes. */
+  def crosses(a: String, b: String): Boolean = {
+    (geomType(a), geomType(b)) match {
+      case ("LINESTRING", "LINESTRING") =>
+        val pa = parseCoords(a); val pb = parseCoords(b)
+        (0 until pa.length - 1).exists(i =>
+          (0 until pb.length - 1).exists(j =>
+            properCross(pa(i), pa(i + 1), pb(j), pb(j + 1))))
+      case ("LINESTRING", "POLYGON") => lineCrossesPoly(a, b)
+      case ("POLYGON", "LINESTRING") => lineCrossesPoly(b, a)
+      case _ => false
+    }
+  }
+
+  private def lineCrossesPoly(line: String, poly: String): Boolean = {
+    val pts = parseCoords(line)
+    val samples = pts ++ (0 until pts.length - 1).map(i =>
+      ((pts(i)._1 + pts(i + 1)._1) / 2, (pts(i)._2 + pts(i + 1)._2) / 2))
+    samples.exists(p => containsPoint(poly, p._1, p._2)) &&
+      samples.exists(p => !containsPoint(poly, p._1, p._2))
+  }
+
   /** ST_IsSimple / ST_IsValid for this tier: no zero-length segment, no
     * repeated vertex (polygon closure excepted), no proper
     * self-crossing between non-adjacent segments. */
@@ -469,6 +499,7 @@ object GeoDispatch {
     case "st_equals"   => GeoAlgorithms.equalsGeom(a, b)
     case "st_touches"  => GeoAlgorithms.touches(a, b)
     case "st_overlaps" => GeoAlgorithms.overlaps(a, b)
+    case "st_crosses"  => GeoAlgorithms.crosses(a, b)
   }
   def comb2(fn: String, a: String, b: String): String = fn match {
     case "st_difference"     => GeoAlgorithms.difference(a, b)

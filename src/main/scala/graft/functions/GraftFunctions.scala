@@ -114,6 +114,9 @@ object GraftFunctions {
     ("st_overlaps",
       new ExpressionInfo(classOf[GeoPredicate2].getName, "st_overlaps"),
       (args: Seq[Expression]) => GeoPredicate2(args(0), args(1), "st_overlaps")),
+    ("st_crosses",
+      new ExpressionInfo(classOf[GeoPredicate2].getName, "st_crosses"),
+      (args: Seq[Expression]) => GeoPredicate2(args(0), args(1), "st_crosses")),
     ("st_difference",
       new ExpressionInfo(classOf[GeoCombine2].getName, "st_difference"),
       (args: Seq[Expression]) => GeoCombine2(args(0), args(1), "st_difference")),

@@ -246,6 +246,14 @@ object Spatial extends QueryGroup {
               |'POLYGON ((2 1, 6 1, 6 5, 2 5, 2 1))')""".stripMargin).as("ovl_true"),
             expr("""st_overlaps('POLYGON ((0 0, 4 0, 4 3, 0 3, 0 0))',
               |'POLYGON ((1 1, 2 1, 2 2, 1 2, 1 1))')""".stripMargin).as("ovl_contained"),
+            expr("st_crosses('LINESTRING (0 0, 4 4)', 'LINESTRING (0 4, 4 0)')")
+              .as("cross_ll"),
+            expr("st_crosses('LINESTRING (0 0, 2 2)', 'LINESTRING (2 2, 4 0)')")
+              .as("cross_ll_touch"),
+            expr("""st_crosses('LINESTRING (-1 1, 5 1)',
+              |'POLYGON ((0 0, 4 0, 4 3, 0 3, 0 0))')""".stripMargin).as("cross_lp"),
+            expr("""st_crosses('LINESTRING (1 1, 2 2)',
+              |'POLYGON ((0 0, 4 0, 4 3, 0 3, 0 0))')""".stripMargin).as("cross_lp_inside"),
             expr("""round(geom_area(st_difference('POLYGON ((0 0, 4 0, 4 3, 0 3, 0 0))',
               |'POLYGON ((2 1, 6 1, 6 5, 2 5, 2 1))')), 6)""".stripMargin).as("diff_area"),
             expr("""round(geom_area(st_sym_difference('POLYGON ((0 0, 4 0, 4 3, 0 3, 0 0))',
@@ -270,6 +278,8 @@ object Spatial extends QueryGroup {
              |  true AS eq_rot, true AS eq_rev, false AS eq_false,
              |  true AS touch_edge, false AS touch_false,
              |  true AS ovl_true, false AS ovl_contained,
+             |  true AS cross_ll, false AS cross_ll_touch,
+             |  true AS cross_lp, false AS cross_lp_inside,
              |  8.0 AS diff_area, 20.0 AS sym_area,
              |  CAST(2 AS INT) AS simp_dropped, CAST(3 AS INT) AS simp_kept,
              |  '0101000000000000000000F03F0000000000000040' AS wkb_hex,
