@@ -396,18 +396,25 @@ object GeoAlgorithms {
     }
   }
 
-  /** Shoelace area summed over every ring of a POLYGON / MULTIPOLYGON —
-    * the multi-part-aware sibling of the single-ring st_area macro. */
+  /** Shoelace area over every ring of a POLYGON / MULTIPOLYGON — the
+    * multi-part-aware sibling of the single-ring st_area macro. For a
+    * POLYGON, rings after the first are interior holes and SUBTRACT
+    * (OGC semantics); a MULTIPOLYGON's parts each contribute their own
+    * outer ring (hole-carrying multipolygon parts are out of scope
+    * with the rest of the exact multi-ring overlay, SURVEY §7.2). */
   def area(wkt: String): Double = {
     if (wkt.endsWith("EMPTY")) return 0.0
-    "\\(([^()]+)\\)".r.findAllMatchIn(wkt).map { m =>
+    val rings = "\\(([^()]+)\\)".r.findAllMatchIn(wkt).map { m =>
       val ring = m.group(1).split(",").map { c =>
         val p = c.trim.split("\\s+")
         (p(0).toDouble, p(1).toDouble)
       }
       math.abs((0 until ring.length - 1).map(i =>
         ring(i)._1 * ring(i + 1)._2 - ring(i + 1)._1 * ring(i)._2).sum) / 2.0
-    }.sum
+    }.toSeq
+    if (geomType(wkt) == "POLYGON" && rings.length > 1)
+      rings.head - rings.tail.sum
+    else rings.sum
   }
 }
 

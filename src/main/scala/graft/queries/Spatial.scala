@@ -315,7 +315,9 @@ object Spatial extends QueryGroup {
             expr("round(st_area(ab_inter), 6)").as("inter_area"),
             expr("round(geom_area(disj_union), 6)").as("disj_area"),
             expr("st_intersection('POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))', " +
-              "'POLYGON ((5 5, 6 5, 6 6, 5 6, 5 5))') = 'POLYGON EMPTY'").as("disj_empty"))
+              "'POLYGON ((5 5, 6 5, 6 6, 5 6, 5 5))') = 'POLYGON EMPTY'").as("disj_empty"),
+            expr("""round(geom_area('POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0),
+              |(2 2, 4 2, 4 4, 2 4, 2 2))'), 6)""".stripMargin).as("donut_area"))
       },
       // closed forms: regular 32-gon area = ½·n·r²·sin(2π/n), perimeter
       // = 2·n·r·sin(π/n); hull of the fixture = the 4×3 rectangle;
@@ -326,7 +328,7 @@ object Spatial extends QueryGroup {
              |  3.0 AS buf_cx, 4.0 AS buf_cy,
              |  12.0 AS hull_area, CAST(4 AS BIGINT) AS hull_npoints,
              |  24.0 AS union_area, 4.0 AS inter_area, 2.0 AS disj_area,
-             |  true AS disj_empty""".stripMargin)),
+             |  true AS disj_empty, 96.0 AS donut_area""".stripMargin)),
 
     // geometry_to_bing_tiles (BingTileFunctions.geometryToBingTiles,
     // VERDICT r2 declared-out list): tile cover of a geometry at a

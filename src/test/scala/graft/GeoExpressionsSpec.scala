@@ -34,6 +34,30 @@ class GeoExpressionsSpec extends AnyFunSuite with Matchers {
     GeoAlgorithms.area(c) shouldBe 12.0
   }
 
+  test("polygon interior rings subtract from geom_area (OGC holes)") {
+    GeoAlgorithms.area(
+      "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (2 2, 4 2, 4 4, 2 4, 2 2))") shouldBe
+      (100.0 - 4.0)
+    // multipolygon parts still sum
+    GeoAlgorithms.area(
+      "MULTIPOLYGON (((0 0, 1 0, 1 1, 0 1, 0 0)), ((5 5, 7 5, 7 7, 5 7, 5 5)))") shouldBe
+      (1.0 + 4.0)
+  }
+
+  test("st_crosses distinguishes crossing, touching, and containment") {
+    GeoAlgorithms.crosses(
+      "LINESTRING (0 0, 4 4)", "LINESTRING (0 4, 4 0)") shouldBe true
+    GeoAlgorithms.crosses(
+      "LINESTRING (0 0, 2 2)", "LINESTRING (2 2, 4 0)") shouldBe false
+    GeoAlgorithms.crosses(
+      "LINESTRING (-1 1, 5 1)", "POLYGON ((0 0, 4 0, 4 3, 0 3, 0 0))") shouldBe true
+    GeoAlgorithms.crosses(
+      "POLYGON ((0 0, 4 0, 4 3, 0 3, 0 0))", "LINESTRING (1 1, 2 2)") shouldBe false
+    // parallel lines never cross
+    GeoAlgorithms.crosses(
+      "LINESTRING (0 0, 4 0)", "LINESTRING (0 1, 4 1)") shouldBe false
+  }
+
   test("empty intersection reports POLYGON EMPTY with zero area") {
     val i = GeoAlgorithms.intersection(
       "POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))",
