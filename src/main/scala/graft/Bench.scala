@@ -38,8 +38,11 @@ object Bench {
     // null), so it goes to a file the driver/judge can read whole.
     val full =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonOf(results)},"sf":"$sfDir"}"""
-    java.nio.file.Files.write(java.nio.file.Paths.get("bench_full.json"),
-      full.getBytes("UTF-8"))
+    // selective runs (explicit query args) are local iteration — they
+    // must not clobber the committed full-registry artifact
+    if (args.isEmpty)
+      java.nio.file.Files.write(java.nio.file.Paths.get("bench_full.json"),
+        full.getBytes("UTF-8"))
     // stdout line stays within the tail window: total over ALL queries,
     // per-query detail limited to the TPC-H headline set.
     val headline = results.filter(_._1.startsWith("tpch_"))

@@ -268,6 +268,22 @@ object GraftFunctions {
       (args: Seq[Expression]) =>
         Exp(Average(Log(Cast(args(0), DoubleType))).toAggregateExpression())),
 
+    // approx_percentile(x, w, p) weighted form
+    // (ApproximateLongPercentileAggregations.weightedInput:
+    // qdigest.add(value, weight)). Spark's builtin approx_percentile
+    // puts ACCURACY where Presto puts weight, so the weighted form
+    // gets its own name; it maps to Spark's exact frequency-weighted
+    // Percentile (strictly inside the qdigest error bound, same
+    // partial-agg distribution shape). Not a SQL macro: Percentile
+    // requires a foldable percentage, which a macro parameter is not.
+    ("approx_percentile_weighted",
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate.Percentile].getName,
+        "approx_percentile_weighted"),
+      (args: Seq[Expression]) =>
+        new org.apache.spark.sql.catalyst.expressions.aggregate.Percentile(
+          Cast(args(0), DoubleType), args(2), args(1)).toAggregateExpression()),
+
     // features(d1, …, dN) (presto-ml MLFeaturesFunctions.java): the
     // feature-vector constructor, a map {0→d1, …, N-1→dN}. The only
     // ML-plugin function with pure relational semantics (the svm

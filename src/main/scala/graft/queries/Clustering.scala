@@ -59,7 +59,13 @@ object Clustering {
     var it = 1
     var converged = false
     while (!converged && it < maxIters) {
-      val next = propagateRound(e, labels).persist(StorageLevel.MEMORY_AND_DISK)
+      // two rounds per convergence action: labels are monotone
+      // non-increasing, so a stationary sum across the DOUBLE round
+      // implies both sub-rounds were stationary — same fixpoint,
+      // half the driver round-trips (each action is the latency
+      // floor on an iterative job, locally and on a cluster)
+      val next = propagateRound(e, propagateRound(e, labels))
+        .persist(StorageLevel.MEMORY_AND_DISK)
       val nextSum = next.agg(sum($"cluster")).as[Long].head()
       converged = nextSum == prevSum
       prevSum = nextSum

@@ -334,6 +334,30 @@ object Sketches extends QueryGroup {
                 |FROM seg""".stripMargin)
       },
       Some("""SELECT (SELECT count(DISTINCT c_custkey) FROM customer) AS sd_card,
-             |  true AS hll_close, true AS qd_rank_ok""".stripMargin))
+             |  true AS hll_close, true AS qd_rank_ok""".stripMargin)),
+
+    // Weighted approx_percentile (ApproximateLongPercentileAggregations
+    // .weightedInput: qdigest.add(value, weight)). Mapped to Spark's
+    // exact frequency-weighted percentile — the oracle expands each row
+    // weight-fold and takes the interpolated quantile, which is the
+    // definition both engines share.
+    "sketch_weighted_percentile" -> QueryDef(
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        s.sql("""SELECT l_linestatus,
+                |  round(approx_percentile_weighted(l_extendedprice, l_linenumber, 0.5D), 4)
+                |    AS wmed,
+                |  round(approx_percentile_weighted(l_extendedprice, l_linenumber, 0.9D), 4)
+                |    AS w90
+                |FROM lineitem GROUP BY l_linestatus
+                |ORDER BY l_linestatus""".stripMargin)
+      },
+      Some("""WITH e AS (
+             |  SELECT l_linestatus, l_extendedprice
+             |  FROM lineitem, unnest(range(l_linenumber)))
+             |SELECT l_linestatus,
+             |  round(quantile_cont(l_extendedprice, 0.5), 4) AS wmed,
+             |  round(quantile_cont(l_extendedprice, 0.9), 4) AS w90
+             |FROM e GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin))
   )
 }

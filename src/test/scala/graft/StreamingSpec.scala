@@ -134,4 +134,60 @@ class StreamingSpec extends AnyFunSuite with SparkFixture with Matchers {
     streamed shouldBe batch
     streamed.nonEmpty shouldBe true
   }
+
+  test("stream-stream interval join matches the batch time-bounded join") {
+    import spark.implicits._
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-ssj")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      streamDir.resolve("events.parquet"))
+
+    def side(types: Seq[String], idAs: String, tsAs: String) =
+      spark.readStream.schema(schema).parquet(streamDir.toString)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .filter($"event_type".isin(types: _*))
+        .select($"user_id", $"ts".as(tsAs), $"event_id".as(idAs))
+        .withWatermark(tsAs, "1 hour")
+
+    // click follows view by the same user within 10 minutes — both
+    // sides are streams, so Spark keeps bounded watermark state and
+    // emits as the interval closes (the streaming twin of the batch
+    // funnel queries)
+    val v = side(Seq("view"), "view_id", "view_ts").as("v")
+    val c = side(Seq("click"), "click_id", "click_ts").as("c")
+    val j = v.join(c,
+      $"v.user_id" === $"c.user_id" &&
+        $"c.click_ts" >= $"v.view_ts" &&
+        $"c.click_ts" <= $"v.view_ts" + expr("INTERVAL 10 MINUTES"))
+      .select($"v.user_id", $"view_id", $"click_id")
+
+    val q = j.writeStream.format("memory").queryName("ev_ssj")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(180000)
+
+    val streamed = spark.table("ev_ssj")
+      .as[(Long, Long, Long)].collect().toSet
+
+    val ev = Tables.events(spark, sfDir)
+    val bv = ev.filter($"event_type" === "view")
+      .select($"user_id", $"ts".as("view_ts"), $"event_id".as("view_id"))
+    val bc = ev.filter($"event_type" === "click")
+      .select($"user_id".as("cu"), $"ts".as("click_ts"), $"event_id".as("click_id"))
+    val batch = bv.join(bc,
+      $"user_id" === $"cu" &&
+        $"click_ts" >= $"view_ts" &&
+        $"click_ts" <= $"view_ts" + expr("INTERVAL 10 MINUTES"))
+      .select($"user_id", $"view_id", $"click_id")
+      .as[(Long, Long, Long)].collect().toSet
+
+    streamed shouldBe batch
+    streamed.nonEmpty shouldBe true
+  }
 }
