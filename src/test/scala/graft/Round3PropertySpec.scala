@@ -142,4 +142,50 @@ class Round3PropertySpec extends AnyFunSuite with Matchers {
         sig1.getLong(b) == sigW.getLong(b)) should be < HyperplaneLsh.NBands
     }
   }
+
+  test("HSB interpolation endpoints are exact for random colors") {
+    import graft.functions.ColorOps
+    for (_ <- 1 to 500) {
+      val a = rng.nextInt(0x1000000).toLong
+      val b = rng.nextInt(0x1000000).toLong
+      ColorOps.interpolate(0.0, a, b) shouldBe a
+      ColorOps.interpolate(1.0, a, b) shouldBe b
+      ColorOps.interpolate(rng.nextDouble(), a, a) shouldBe a
+    }
+  }
+
+  test("bar always renders exactly `width` cells and one reset") {
+    import graft.functions.ColorOps
+    for (_ <- 1 to 200) {
+      val width = rng.nextInt(40) + 1
+      val p = rng.nextDouble() * 1.4 - 0.2 // exercise both clamps
+      val s = ColorOps.bar(p, width, 0xff0000L, 0x00ff00L)
+      val blocks = s.count(_ == '█')
+      val pad = s.reverse.takeWhile(_ == ' ').length
+      blocks + pad shouldBe width
+      s.sliding(4).count(_ == "[0m") shouldBe 1
+    }
+  }
+
+  test("teradata format translation round-trips through format+parse") {
+    import graft.functions.TeradataDatetime
+    import java.time.format.DateTimeFormatter
+    val dateFmts = Seq("yyyy-mm-dd", "dd.mm.yyyy", "mm/dd/yyyy")
+    val tsFmts = Seq("yyyy/mm/dd hh24:mi:ss", "yyyy-mm-dd hh24:mi:ss")
+    for (_ <- 1 to 200) {
+      val ts = java.time.LocalDateTime.of(
+        1970 + rng.nextInt(80), 1 + rng.nextInt(12), 1 + rng.nextInt(28),
+        rng.nextInt(24), rng.nextInt(60), rng.nextInt(60))
+      dateFmts.foreach { fmt =>
+        val j = DateTimeFormatter.ofPattern(TeradataDatetime.translateFormat(fmt))
+        val printed = ts.toLocalDate.format(j)
+        java.time.LocalDate.parse(printed, j) shouldBe ts.toLocalDate
+      }
+      tsFmts.foreach { fmt =>
+        val j = DateTimeFormatter.ofPattern(TeradataDatetime.translateFormat(fmt))
+        val printed = ts.format(j)
+        java.time.LocalDateTime.parse(printed, j) shouldBe ts
+      }
+    }
+  }
 }
