@@ -360,9 +360,20 @@ object GeoAlgorithms {
         pts.foreach(p => b.putDouble(p._1).putDouble(p._2))
         b.array()
       case "POLYGON" =>
-        val b = buf(13 + 16 * pts.length).put(1.toByte).putInt(3)
-          .putInt(1).putInt(pts.length)
-        pts.foreach(p => b.putDouble(p._1).putDouble(p._2))
+        // every ring (outer + interior holes) is serialized; ring
+        // boundaries come from the paren groups, not the flat list
+        val rings = "\\(([^()]+)\\)".r.findAllMatchIn(wkt).map { m =>
+          m.group(1).split(",").map { c =>
+            val p = c.trim.split("\\s+")
+            (p(0).toDouble, p(1).toDouble)
+          }
+        }.toSeq
+        val b = buf(9 + 4 * rings.length + 16 * rings.map(_.length).sum)
+          .put(1.toByte).putInt(3).putInt(rings.length)
+        rings.foreach { ring =>
+          b.putInt(ring.length)
+          ring.foreach(p => b.putDouble(p._1).putDouble(p._2))
+        }
         b.array()
       case "MULTIPOINT" =>
         val b = buf(9 + 21 * pts.length).put(1.toByte).putInt(4).putInt(pts.length)
@@ -385,9 +396,12 @@ object GeoAlgorithms {
         val n = b.getInt
         s"LINESTRING (${(1 to n).map(_ => pt()).mkString(", ")})"
       case 3 =>
-        b.getInt // ring count (1 in this tier)
-        val n = b.getInt
-        s"POLYGON ((${(1 to n).map(_ => pt()).mkString(", ")}))"
+        val nRings = b.getInt
+        val rings = (1 to nRings).map { _ =>
+          val n = b.getInt
+          s"(${(1 to n).map(_ => pt()).mkString(", ")})"
+        }
+        s"POLYGON (${rings.mkString(", ")})"
       case 4 =>
         val n = b.getInt
         s"MULTIPOINT (${(1 to n).map { _ => b.get(); b.getInt; pt() }.mkString(", ")})"

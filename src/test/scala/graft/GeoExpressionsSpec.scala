@@ -34,6 +34,14 @@ class GeoExpressionsSpec extends AnyFunSuite with Matchers {
     GeoAlgorithms.area(c) shouldBe 12.0
   }
 
+  test("WKB round-trips a polygon with interior rings") {
+    val donut =
+      "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (2 2, 4 2, 4 4, 2 4, 2 2))"
+    val rt = GeoAlgorithms.fromBinary(GeoAlgorithms.asBinary(donut))
+    rt shouldBe donut
+    GeoAlgorithms.area(rt) shouldBe 96.0
+  }
+
   test("polygon interior rings subtract from geom_area (OGC holes)") {
     GeoAlgorithms.area(
       "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (2 2, 4 2, 4 4, 2 4, 2 2))") shouldBe
