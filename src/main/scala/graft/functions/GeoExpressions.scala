@@ -78,8 +78,76 @@ object GeoAlgorithms {
   private def rectWkt(x0: Double, y0: Double, x1: Double, y1: Double): String =
     ringWkt(Seq((x0, y0), (x1, y0), (x1, y1), (x0, y1), (x0, y0)))
 
-  /** Envelope intersection: rectangle or POLYGON EMPTY. */
+  /** True when the closed ring is convex (all cross products one
+    * sign, zeros allowed for collinear vertices). */
+  private def isConvexRing(ring: Array[(Double, Double)]): Boolean = {
+    val pts = if (ring.length > 1 && ring.head == ring.last) ring.dropRight(1) else ring
+    if (pts.length < 3) return false
+    var sign = 0.0
+    for (i <- pts.indices) {
+      val o = pts(i); val p = pts((i + 1) % pts.length); val q = pts((i + 2) % pts.length)
+      val c = (p._1 - o._1) * (q._2 - o._2) - (p._2 - o._2) * (q._1 - o._1)
+      if (c != 0.0) {
+        if (sign == 0.0) sign = math.signum(c)
+        else if (math.signum(c) != sign) return false
+      }
+    }
+    true
+  }
+
+  /** Sutherland–Hodgman clipping of a convex subject by a convex clip
+    * polygon (public algorithm): clip edge by edge, keeping points on
+    * the interior side and inserting edge intersections. */
+  private def clipConvex(subject: Array[(Double, Double)],
+      clip: Array[(Double, Double)]): Array[(Double, Double)] = {
+    def open(r: Array[(Double, Double)]) =
+      if (r.length > 1 && r.head == r.last) r.dropRight(1) else r
+    val clipPts = open(clip)
+    // orient the clip ring CCW so "inside" is a consistent left-test
+    val signedArea = clipPts.indices.map { i =>
+      val p = clipPts(i); val q = clipPts((i + 1) % clipPts.length)
+      p._1 * q._2 - q._1 * p._2
+    }.sum
+    val ccw = if (signedArea >= 0) clipPts else clipPts.reverse
+    var out = open(subject).toVector
+    for (i <- ccw.indices if out.nonEmpty) {
+      val e1 = ccw(i); val e2 = ccw((i + 1) % ccw.length)
+      def inside(p: (Double, Double)): Boolean =
+        (e2._1 - e1._1) * (p._2 - e1._2) - (e2._2 - e1._2) * (p._1 - e1._1) >= 0
+      def meet(p: (Double, Double), q: (Double, Double)): (Double, Double) = {
+        val (x1, y1) = p; val (x2, y2) = q
+        val (x3, y3) = e1; val (x4, y4) = e2
+        val den = (x1 - x2) * (y3 - y4) - (y1 - y2) * (x3 - x4)
+        val t = ((x1 - x3) * (y3 - y4) - (y1 - y3) * (x3 - x4)) / den
+        (x1 + t * (x2 - x1), y1 + t * (y2 - y1))
+      }
+      val in = out
+      out = Vector.empty
+      for (j <- in.indices) {
+        val cur = in(j); val prev = in((j + in.length - 1) % in.length)
+        if (inside(cur)) {
+          if (!inside(prev)) out :+= meet(prev, cur)
+          out :+= cur
+        } else if (inside(prev)) out :+= meet(prev, cur)
+      }
+    }
+    out.distinct.toArray
+  }
+
+  /** ST_Intersection: EXACT Sutherland–Hodgman clip when both inputs
+    * are convex polygon rings (covers every rectangle, triangle,
+    * buffer n-gon, and bing-tile box this tier constructs); envelope
+    * intersection otherwise (the documented non-convex fallback). */
   def intersection(a: String, b: String): String = {
+    if (geomType(a) == "POLYGON" && geomType(b) == "POLYGON" &&
+      !a.endsWith("EMPTY") && !b.endsWith("EMPTY")) {
+      val (ra, rb) = (parseCoords(a), parseCoords(b))
+      if (isConvexRing(ra) && isConvexRing(rb)) {
+        val clipped = clipConvex(ra, rb)
+        if (clipped.length < 3) return "POLYGON EMPTY"
+        return s"POLYGON (${ringWkt(clipped.toSeq :+ clipped.head)})"
+      }
+    }
     val (ax0, ay0, ax1, ay1) = envelope(a)
     val (bx0, by0, bx1, by1) = envelope(b)
     val (x0, y0) = (math.max(ax0, bx0), math.max(ay0, by0))

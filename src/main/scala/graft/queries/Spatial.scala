@@ -316,6 +316,10 @@ object Spatial extends QueryGroup {
             expr("round(geom_area(disj_union), 6)").as("disj_area"),
             expr("st_intersection('POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))', " +
               "'POLYGON ((5 5, 6 5, 6 6, 5 6, 5 5))') = 'POLYGON EMPTY'").as("disj_empty"),
+            // exact convex clip: triangle x+y<=6 cuts the square corner
+            expr("""round(st_area(st_intersection('POLYGON ((0 0, 6 0, 0 6, 0 0))',
+              |'POLYGON ((1 1, 5 1, 5 5, 1 5, 1 1))')), 6)""".stripMargin)
+              .as("tri_inter_area"),
             expr("""round(geom_area('POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0),
               |(2 2, 4 2, 4 4, 2 4, 2 2))'), 6)""".stripMargin).as("donut_area"))
       },
@@ -328,7 +332,8 @@ object Spatial extends QueryGroup {
              |  3.0 AS buf_cx, 4.0 AS buf_cy,
              |  12.0 AS hull_area, CAST(4 AS BIGINT) AS hull_npoints,
              |  24.0 AS union_area, 4.0 AS inter_area, 2.0 AS disj_area,
-             |  true AS disj_empty, 96.0 AS donut_area""".stripMargin)),
+             |  true AS disj_empty, 8.0 AS tri_inter_area,
+             |  96.0 AS donut_area""".stripMargin)),
 
     // geometry_to_bing_tiles (BingTileFunctions.geometryToBingTiles,
     // VERDICT r2 declared-out list): tile cover of a geometry at a

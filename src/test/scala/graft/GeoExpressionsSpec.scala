@@ -66,6 +66,29 @@ class GeoExpressionsSpec extends AnyFunSuite with Matchers {
       "LINESTRING (0 0, 4 0)", "LINESTRING (0 1, 4 1)") shouldBe false
   }
 
+  test("convex intersection is exact (Sutherland-Hodgman), not envelope") {
+    // triangle x+y<=6 clips the square's far corner: 16 - 8 = 8
+    val i1 = GeoAlgorithms.intersection(
+      "POLYGON ((0 0, 6 0, 0 6, 0 0))",
+      "POLYGON ((1 1, 5 1, 5 5, 1 5, 1 1))")
+    GeoAlgorithms.area(i1) shouldBe 8.0
+    // envelope math would report min(4,3)x… = 2x3 = 6 here; the exact
+    // clip of the rect by the triangle is 6 - 2 = 4
+    val i2 = GeoAlgorithms.intersection(
+      "POLYGON ((0 0, 4 0, 0 4, 0 0))",
+      "POLYGON ((1 -1, 3 -1, 3 3, 1 3, 1 -1))")
+    GeoAlgorithms.area(i2) shouldBe 4.0
+    // rectangles still produce the full overlap rectangle
+    val i3 = GeoAlgorithms.intersection(
+      "POLYGON ((0 0, 4 0, 4 3, 0 3, 0 0))",
+      "POLYGON ((2 1, 6 1, 6 5, 2 5, 2 1))")
+    GeoAlgorithms.area(i3) shouldBe 4.0
+    // disjoint convex pairs are empty
+    GeoAlgorithms.intersection(
+      "POLYGON ((0 0, 1 0, 0 1, 0 0))",
+      "POLYGON ((5 5, 6 5, 5 6, 5 5))") shouldBe "POLYGON EMPTY"
+  }
+
   test("empty intersection reports POLYGON EMPTY with zero area") {
     val i = GeoAlgorithms.intersection(
       "POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))",
