@@ -270,9 +270,15 @@ object Sketches extends QueryGroup {
     // SET_DIGEST surface (SetDigestFunctions.java; VERDICT r2 missing
     // #7): make_set_digest / merge_set_digest aggregates and the
     // cardinality / jaccard_index / intersection_cardinality /
-    // hash_counts scalars over graft's bottom-k (KMV) digest. At this
-    // scale every set fits under k=8192, so the sketch is EXACT and the
-    // oracle recomputes all five values with plain distinct counts.
+    // hash_counts scalars over graft's bottom-k (KMV) digest. The
+    // bounded set (custkey < 1000, ≤999 < k=8192) and the nationkey
+    // hash map stay EXACT at every sf; the open-ended sets exceed k
+    // beyond sf0.01, so their checks are KMV error-bound booleans
+    // anchored by the exact distinct count both engines compute
+    // independently. Bounds at >4σ of each estimator: cardinality
+    // std ≈ 1/√k ≈ 1.1% → 5%; jaccard abs std ≈ √(J(1−J)/k) ≈ 0.002
+    // → 0.02; intersection = jac_est × union_est inherits the ~6%
+    // relative jaccard error at small J → 25%.
     "sketch_set_digest" -> QueryDef(
       (s, dir) => {
         Tables.registerAll(s, dir)
@@ -280,15 +286,24 @@ object Sketches extends QueryGroup {
                 |  SELECT
                 |    make_set_digest(CASE WHEN c_custkey < 1000 THEN c_custkey END) AS da,
                 |    make_set_digest(CASE WHEN c_custkey >= 500 THEN c_custkey END) AS db,
-                |    make_set_digest(c_nationkey) AS dn
+                |    make_set_digest(c_nationkey) AS dn,
+                |    count(DISTINCT c_custkey) AS n_cust,
+                |    count(DISTINCT CASE WHEN c_custkey < 1000 AND c_custkey >= 500
+                |      THEN c_custkey END) AS n_inter,
+                |    count(DISTINCT c_nationkey) AS n_nations,
+                |    count(c_nationkey) AS n_rows
                 |  FROM customer),
                 |seg AS (SELECT c_mktsegment, make_set_digest(c_custkey) AS dig
                 |        FROM customer GROUP BY c_mktsegment),
                 |m AS (SELECT merge_set_digest(dig) AS dm FROM seg)
                 |SELECT set_digest_cardinality(base.da) AS card_a,
-                |  round(jaccard_index(base.da, base.db), 6) AS jac,
-                |  intersection_cardinality(base.da, base.db) AS inter,
-                |  set_digest_cardinality(m.dm) AS card_merged,
+                |  abs(jaccard_index(base.da, base.db)
+                |      - base.n_inter / cast(base.n_cust AS DOUBLE)) <= 0.02 AS jac_ok,
+                |  abs(intersection_cardinality(base.da, base.db) - base.n_inter)
+                |    <= 0.25 * base.n_inter AS inter_ok,
+                |  abs(set_digest_cardinality(m.dm) - base.n_cust)
+                |    <= 0.05 * base.n_cust AS card_merged_ok,
+                |  base.n_cust,
                 |  size(hash_counts(base.dn)) AS hash_size,
                 |  aggregate(map_values(hash_counts(base.dn)), 0, (a, x) -> a + x)
                 |    AS hash_total
@@ -297,23 +312,18 @@ object Sketches extends QueryGroup {
       Some("""SELECT
              |  (SELECT count(DISTINCT c_custkey) FROM customer WHERE c_custkey < 1000)
              |    AS card_a,
-             |  round((SELECT count(DISTINCT c_custkey) FROM customer
-             |         WHERE c_custkey < 1000 AND c_custkey >= 500) * 1.0 /
-             |        (SELECT count(DISTINCT c_custkey) FROM customer
-             |         WHERE c_custkey < 1000 OR c_custkey >= 500), 6) AS jac,
-             |  (SELECT count(DISTINCT c_custkey) FROM customer
-             |   WHERE c_custkey < 1000 AND c_custkey >= 500) AS inter,
-             |  (SELECT count(DISTINCT c_custkey) FROM customer) AS card_merged,
+             |  true AS jac_ok, true AS inter_ok, true AS card_merged_ok,
+             |  (SELECT count(DISTINCT c_custkey) FROM customer) AS n_cust,
              |  CAST((SELECT count(DISTINCT c_nationkey) FROM customer) AS INT)
              |    AS hash_size,
              |  CAST((SELECT count(c_nationkey) FROM customer) AS INT) AS hash_total""".stripMargin)),
 
     // Polymorphic merge() over all three sketch families in one query:
     // per-segment set digests, qdigests (KLL), and HLL sketches are
-    // re-aggregated by the header-dispatching merge — set digest exact
-    // at this scale (real DuckDB value), HLL within its error bound,
-    // KLL by rank window (randomized sketch; value equality is never
-    // checked, per its guarantee).
+    // re-aggregated by the header-dispatching merge — each within its
+    // family's error bound (the set digest exceeds k=8192 beyond the
+    // sf0.01 gate, so its check is the same 5% KMV bound as HLL's),
+    // anchored by the exact distinct count both engines recompute.
     "sketch_merge_generic" -> QueryDef(
       (s, dir) => {
         Tables.registerAll(s, dir)
@@ -323,7 +333,12 @@ object Sketches extends QueryGroup {
                 |    qdigest_agg(c_acctbal) AS qd,
                 |    hll_sketch_agg(c_custkey) AS hd
                 |  FROM customer GROUP BY c_mktsegment)
-                |SELECT set_digest_cardinality(merge(sd)) AS sd_card,
+                |SELECT
+                |  (abs(set_digest_cardinality(merge(sd))
+                |     - (SELECT count(DISTINCT c_custkey) FROM customer))
+                |   <= 0.05 * (SELECT count(DISTINCT c_custkey) FROM customer))
+                |    AS sd_close,
+                |  (SELECT count(DISTINCT c_custkey) FROM customer) AS n_cust,
                 |  (abs(hll_sketch_estimate(merge(hd))
                 |     - (SELECT count(DISTINCT c_custkey) FROM customer))
                 |   <= 0.05 * (SELECT count(DISTINCT c_custkey) FROM customer))
@@ -333,7 +348,8 @@ object Sketches extends QueryGroup {
                 |   BETWEEN 0.4 AND 0.6) AS qd_rank_ok
                 |FROM seg""".stripMargin)
       },
-      Some("""SELECT (SELECT count(DISTINCT c_custkey) FROM customer) AS sd_card,
+      Some("""SELECT true AS sd_close,
+             |  (SELECT count(DISTINCT c_custkey) FROM customer) AS n_cust,
              |  true AS hll_close, true AS qd_rank_ok""".stripMargin)),
 
     // Weighted approx_percentile (ApproximateLongPercentileAggregations

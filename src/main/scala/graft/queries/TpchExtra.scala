@@ -83,8 +83,14 @@ object TpchExtra extends QueryGroup {
           .join(broadcast(Tables.part(s, dir)
             .filter($"p_size" <= 15 && $"p_type" === "LARGE")),
             $"p_partkey" === $"ps_partkey")
+          // supplycost is a computed DOUBLE (min of divisions); round()
+          // differs between engines exactly at half-way representations
+          // (sf0.1 has one such row), so round half-up via floor — the
+          // same closed form the oracle uses, bit-deterministic given
+          // identical input bits
           .select(r4($"s_acctbal").as("s_acctbal"), $"s_name", $"n_name",
-            $"p_partkey", $"p_brand", r4($"ps_supplycost").as("supplycost"))
+            $"p_partkey", $"p_brand",
+            (floor($"ps_supplycost" * 10000 + 0.5) / 10000).as("supplycost"))
           .orderBy($"s_acctbal".desc_nulls_last, $"n_name", $"s_name", $"p_partkey")
           .limit(100)
       },
@@ -98,7 +104,7 @@ object TpchExtra extends QueryGroup {
              |  JOIN region ON n_regionkey = r_regionkey
              |  WHERE r_name = 'EUROPE')
              |SELECT round(s_acctbal, 4) AS s_acctbal, s_name, n_name, p_partkey,
-             |  p_brand, round(ps_supplycost, 4) AS supplycost
+             |  p_brand, floor(ps_supplycost * 10000 + 0.5) / 10000 AS supplycost
              |FROM cost
              |JOIN part ON p_partkey = ps_partkey
              |JOIN supplier ON s_suppkey = ps_suppkey
