@@ -621,14 +621,19 @@ object TextPipeline extends QueryGroup {
     import s.implicits._
     val nBands = 16
     val rowsPerBand = 4
+    // all 64 minhashes are computed in ONE projection and only the 16
+    // band longs pass through the explode — the wide word-hash array
+    // never gets duplicated 16x into the generator output (same hash
+    // count, 1/16th the generated bytes)
+    val sigs = (0 until nBands).map { b =>
+      xxhash64(concat_ws(",",
+        (0 until rowsPerBand).map(r =>
+          array_min(transform($"w",
+            t => xxhash64(t, lit(b * rowsPerBand + r))))): _*))
+    }
     docs
-      .select($"doc_id", $"w",
-        explode(sequence(lit(0), lit(nBands - 1))).as("band"))
-      .select($"doc_id", $"band",
-        xxhash64(concat_ws(",",
-          (0 until rowsPerBand).map(r =>
-            array_min(transform($"w",
-              t => xxhash64(t, $"band" * rowsPerBand + r)))): _*)).as("band_sig"))
+      .select($"doc_id", posexplode(array(sigs: _*)))
+      .select($"doc_id", $"pos".as("band"), $"col".as("band_sig"))
   }
 
   private def lshPairs(docs: DataFrame): DataFrame = {
