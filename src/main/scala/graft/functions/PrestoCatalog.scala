@@ -228,6 +228,13 @@ object PrestoCatalog {
     ("ngrams", "(arr ARRAY<STRING>, n INT) RETURNS ARRAY<ARRAY<STRING>>",
       """transform(sequence(1, greatest(size(arr) - n + 1, 1)),
         |  i -> slice(arr, i, least(n, size(arr))))""".stripMargin),
+    // MapSubscriptOperator: Presto's m[k] THROWS on a missing key
+    // (Spark's element_at returns NULL outside ANSI mode). The strict
+    // spelling restores the reference semantics; TRY(...) around it
+    // restores the null-on-missing form, as in Presto.
+    ("map_subscript_strict", "(m MAP<STRING, STRING>, k STRING) RETURNS STRING",
+      """IF(map_contains_key(m, k), element_at(m, k),
+        |  raise_error(concat('Key not present in map: ', k)))""".stripMargin),
     // StringFunctions.java hamming_distance: count of positions whose
     // code points differ (inputs must be equal length, as in Presto)
     ("hamming_distance", "(a STRING, b STRING) RETURNS BIGINT",

@@ -1023,6 +1023,23 @@ object ScalarFns extends QueryGroup {
              |FROM customer WHERE c_custkey < 500
              |ORDER BY c_custkey""".stripMargin)),
 
+    // MapSubscriptOperator strict semantics: m[k] throws on a missing
+    // key (unlike Spark's null-returning element_at); TRY around the
+    // strict form restores null-on-missing, exactly Presto's pairing.
+    "fn_map_subscript" -> QueryDef(
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        s.sql("""SELECT c_custkey,
+                |  map_subscript_strict(map('seg', c_mktsegment), 'seg') AS seg,
+                |  try(map_subscript_strict(map('seg', c_mktsegment), 'nope')) IS NULL
+                |    AS missing_is_null
+                |FROM customer WHERE c_custkey < 200
+                |ORDER BY c_custkey""".stripMargin)
+      },
+      Some("""SELECT c_custkey, c_mktsegment AS seg, true AS missing_is_null
+             |FROM customer WHERE c_custkey < 200
+             |ORDER BY c_custkey""".stripMargin)),
+
     // TRY semantics (TryFunction.java / TryCastFunction.java): NULL on
     // malformed input instead of failure.
     "fn_try_cast" -> QueryDef(
