@@ -189,32 +189,38 @@ case class ColorBar(children: Seq[Expression]) extends Expression with CodegenFa
 }
 
 object ColorCatalog {
-  import org.apache.spark.sql.catalyst.expressions.{Divide, Subtract, Cast}
+  import org.apache.spark.sql.catalyst.expressions.{Divide, Subtract, Cast, Literal}
+
+  // the eval paths unbox via java.lang.Number, which Spark's Decimal
+  // (the type of bare literals like 0.5) does not implement — cast
+  // every numeric child at build time, like Presto's signature coercion
+  private def d(e: Expression) = Cast(e, DoubleType)
+  private def l(e: Expression) = Cast(e, LongType)
 
   private def builders: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     ("color", new ExpressionInfo(classOf[ColorParse].getName, "color"),
       (args: Seq[Expression]) => args.length match {
         case 1 => ColorParse(args.head)
-        case 3 => ColorInterpolate(args)
+        case 3 => ColorInterpolate(Seq(d(args(0)), l(args(1)), l(args(2))))
         // color(value, low, high, lowColor, highColor) =
         // color((value-low)/(high-low), lowColor, highColor)
         case 5 =>
-          val d = (e: Expression) => Cast(e, DoubleType)
           ColorInterpolate(Seq(
             Divide(Subtract(d(args(0)), d(args(1))), Subtract(d(args(2)), d(args(1)))),
-            args(3), args(4)))
+            l(args(3)), l(args(4))))
         case n => throw new IllegalArgumentException(s"color: invalid arity $n")
       }),
     ("rgb", new ExpressionInfo(classOf[ColorRgb].getName, "rgb"),
-      (args: Seq[Expression]) => ColorRgb(args)),
+      (args: Seq[Expression]) => ColorRgb(args.map(l))),
     ("render", new ExpressionInfo(classOf[ColorRender].getName, "render"),
-      (args: Seq[Expression]) => ColorRender(args)),
+      (args: Seq[Expression]) =>
+        if (args.length == 2) ColorRender(Seq(args(0), l(args(1))))
+        else ColorRender(args)),
     ("bar", new ExpressionInfo(classOf[ColorBar].getName, "bar"),
       (args: Seq[Expression]) => args.length match {
-        case 2 => ColorBar(args ++ Seq(
-          org.apache.spark.sql.catalyst.expressions.Literal(0xff0000L),
-          org.apache.spark.sql.catalyst.expressions.Literal(0x00ff00L)))
-        case 4 => ColorBar(args)
+        case 2 => ColorBar(Seq(d(args(0)), l(args(1)),
+          Literal(0xff0000L), Literal(0x00ff00L)))
+        case 4 => ColorBar(Seq(d(args(0)), l(args(1)), l(args(2)), l(args(3))))
         case n => throw new IllegalArgumentException(s"bar: invalid arity $n")
       })
   )

@@ -260,9 +260,11 @@ object GeoCatalog {
     // (BingTileFunctions.java:598-637).
 
     // quadkey digit i = x-bit + 2·y-bit at level i (BingTile.java:131)
+    // zoom 0 is the root tile: empty quadkey (sequence(0, 1, -1) would
+    // be an illegal-boundaries error, so it is guarded)
     ("bing_tile", "(x BIGINT, y BIGINT, zoom INT) RETURNS STRING",
-      """array_join(transform(sequence(zoom, 1, -1), i ->
-        |  cast(shiftright(x, i - 1) % 2 + 2 * (shiftright(y, i - 1) % 2) AS STRING)), '')""".stripMargin),
+      """IF(zoom < 1, '', array_join(transform(sequence(zoom, 1, -1), i ->
+        |  cast(shiftright(x, i - 1) % 2 + 2 * (shiftright(y, i - 1) % 2) AS STRING)), ''))""".stripMargin),
     ("bing_tile_from_quadkey", "(q STRING) RETURNS STRING", "q"),
     ("bing_tile_quadkey", "(t STRING) RETURNS STRING", "t"),
     ("bing_tile_zoom_level", "(t STRING) RETURNS INT", "length(t)"),
@@ -325,9 +327,9 @@ object GeoCatalog {
         |  filter(transform(sequence(0, 8), k ->
         |    IF(e.tx + k div 3 - 1 >= 0 AND e.tx + k div 3 - 1 <= e.mx
         |       AND e.ty + k % 3 - 1 >= 0 AND e.ty + k % 3 - 1 <= e.mx,
-        |      array_join(transform(sequence(zoom, 1, -1), i ->
+        |      IF(zoom < 1, '', array_join(transform(sequence(zoom, 1, -1), i ->
         |        cast(shiftright(e.tx + k div 3 - 1, i - 1) % 2
-        |          + 2 * (shiftright(e.ty + k % 3 - 1, i - 1) % 2) AS STRING)), ''),
+        |          + 2 * (shiftright(e.ty + k % 3 - 1, i - 1) % 2) AS STRING)), '')),
         |      NULL)), q -> q IS NOT NULL))[0]""".stripMargin),
     // Tile cover of a geometry's envelope at the given zoom
     // (BingTileFunctions.geometryToBingTiles). The reference subdivides
@@ -359,9 +361,9 @@ object GeoCatalog {
         |      cast(shiftleft(256L, zoom) AS DOUBLE) - 1.0D) AS BIGINT) div 256)), e ->
         |  flatten(transform(sequence(e.x0, e.x1), tx ->
         |    transform(sequence(e.y0, e.y1), ty ->
-        |      array_join(transform(sequence(zoom, 1, -1), i ->
+        |      IF(zoom < 1, '', array_join(transform(sequence(zoom, 1, -1), i ->
         |        cast(shiftright(tx, i - 1) % 2
-        |          + 2 * (shiftright(ty, i - 1) % 2) AS STRING)), '')))))[0]""".stripMargin)
+        |          + 2 * (shiftright(ty, i - 1) % 2) AS STRING)), ''))))))[0]""".stripMargin)
   )
 
   def register(spark: SparkSession): Unit =

@@ -14,10 +14,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * helper — same pattern as [[HyperplaneLsh]], still one virtual call
   * per row inside whole-stage codegen.
   *
-  * Scope (documented in SURVEY §7.2): union/intersection operate on the
-  * ENVELOPES of their inputs — exact for the axis-aligned-rectangle
-  * geometries this tier constructs (st_envelope, bing_tile_polygon,
-  * st_buffer bboxes); general polygon overlay stays out of scope.
+  * Scope (documented in SURVEY §7.2): st_intersection is EXACT for
+  * convex x convex polygon pairs (Sutherland-Hodgman clip — covers
+  * every rectangle, triangle, buffer n-gon, and tile box this tier
+  * constructs) with an envelope fallback for non-convex inputs;
+  * st_union/st_difference stay envelope-scope, and general non-convex
+  * polygon overlay stays out of scope.
   * Degenerate convex-hull inputs (<3 distinct non-collinear points)
   * return the input unchanged, like the reference's point/segment
   * passthrough.
@@ -28,6 +30,16 @@ object GeoAlgorithms {
     if (d == d.floor && math.abs(d) < 1e15) d.toLong.toString else d.toString
 
   private def geomType(wkt: String): String = wkt.takeWhile(c => c != ' ' && c != '(')
+
+  /** Per-ring coordinate parse — one entry per paren group, so ring
+    * boundaries are preserved (parseCoords flattens them). */
+  def parseRings(wkt: String): Seq[Array[(Double, Double)]] =
+    "\\(([^()]+)\\)".r.findAllMatchIn(wkt).map { m =>
+      m.group(1).split(",").map { c =>
+        val p = c.trim.split("\\s+")
+        (p(0).toDouble, p(1).toDouble)
+      }
+    }.toSeq
 
   def parseCoords(wkt: String): Array[(Double, Double)] =
     wkt.replaceAll("^[A-Z_ ]+\\(+|\\)+$", "").split(",").iterator
@@ -226,30 +238,61 @@ object GeoAlgorithms {
     * double-orientation test — shared endpoints don't count). */
   private def properCross(p1: (Double, Double), p2: (Double, Double),
       p3: (Double, Double), p4: (Double, Double)): Boolean = {
-    def orient(o: (Double, Double), a: (Double, Double), b: (Double, Double)): Double =
-      (a._1 - o._1) * (b._2 - o._2) - (a._2 - o._2) * (b._1 - o._1)
     val d1 = orient(p3, p4, p1); val d2 = orient(p3, p4, p2)
     val d3 = orient(p1, p2, p3); val d4 = orient(p1, p2, p4)
     ((d1 > 0 && d2 < 0) || (d1 < 0 && d2 > 0)) &&
       ((d3 > 0 && d4 < 0) || (d3 < 0 && d4 > 0))
   }
 
+  private def orient(o: (Double, Double), a: (Double, Double), b: (Double, Double)): Double =
+    (a._1 - o._1) * (b._2 - o._2) - (a._2 - o._2) * (b._1 - o._1)
+
+  /** p collinear with and strictly inside bbox of segment (s1, s2). */
+  private def onSegment(p: (Double, Double), s1: (Double, Double),
+      s2: (Double, Double)): Boolean =
+    orient(s1, s2, p) == 0.0 &&
+      p._1 >= math.min(s1._1, s2._1) && p._1 <= math.max(s1._1, s2._1) &&
+      p._2 >= math.min(s1._2, s2._2) && p._2 <= math.max(s1._2, s2._2)
+
   /** OGC ST_Crosses (GeoFunctions.java stCrosses) for the line/line
-    * and line/polygon regimes: two lines cross iff some segment pair
-    * properly intersects (a shared endpoint is `touches`, not
-    * `crosses`); a line crosses a polygon iff it has points both
-    * strictly inside and strictly outside (sampled at vertices and
-    * segment midpoints — exact for piecewise-linear geometry whose
-    * segments don't graze ring corners). Point/point and
-    * polygon/polygon pairs can never satisfy the dimension rule
+    * and line/polygon regimes. Line/line: interiors share a point —
+    * a proper segment crossing, or a vertex of one line lying on the
+    * other — and that point is not a terminal endpoint of either line
+    * (terminal meets are `touches`); collinear-overlap pairs (1-dim
+    * meet) are excluded. Line/polygon: the line properly crosses a
+    * ring edge, or has sampled points both strictly inside and
+    * strictly outside. Point/point and polygon/polygon pairs can
+    * never satisfy the dimension rule
     * (dim(intersection) < max(dim a, dim b)) in these regimes. */
   def crosses(a: String, b: String): Boolean = {
     (geomType(a), geomType(b)) match {
       case ("LINESTRING", "LINESTRING") =>
         val pa = parseCoords(a); val pb = parseCoords(b)
-        (0 until pa.length - 1).exists(i =>
+        val proper = (0 until pa.length - 1).exists(i =>
           (0 until pb.length - 1).exists(j =>
             properCross(pa(i), pa(i + 1), pb(j), pb(j + 1))))
+        // vertex-on-interior meet: a vertex of one line sits on a
+        // NON-collinear segment of the other, away from both lines'
+        // terminal endpoints (those are boundary → touches, not
+        // crosses); requiring non-collinear adjacent segments drops
+        // 1-dim overlap meets, which OGC excludes from crosses
+        def vertexMeet(va: Array[(Double, Double)], vb: Array[(Double, Double)]): Boolean =
+          va.indices.exists { i =>
+            val v = va(i)
+            v != va.head && v != va.last &&
+              v != vb.head && v != vb.last &&
+              (0 until vb.length - 1).exists { j =>
+                val (c, d) = (vb(j), vb(j + 1))
+                onSegment(v, c, d) && {
+                  // skip when an adjacent segment of v runs along
+                  // (c,d): that meet is 1-dim overlap, not a crossing
+                  val prevColl = i > 0 && orient(c, d, va(i - 1)) == 0.0
+                  val nextColl = i < va.length - 1 && orient(c, d, va(i + 1)) == 0.0
+                  !prevColl && !nextColl
+                }
+              }
+          }
+        proper || vertexMeet(pa, pb) || vertexMeet(pb, pa)
       case ("LINESTRING", "POLYGON") => lineCrossesPoly(a, b)
       case ("POLYGON", "LINESTRING") => lineCrossesPoly(b, a)
       case _ => false
@@ -258,6 +301,15 @@ object GeoAlgorithms {
 
   private def lineCrossesPoly(line: String, poly: String): Boolean = {
     val pts = parseCoords(line)
+    // a segment properly crossing any ring edge puts line-interior
+    // points on both sides of the boundary — crosses regardless of
+    // where the segment's endpoints sample
+    val ring = parseCoords(poly)
+    val edgeCross = (0 until pts.length - 1).exists(i =>
+      (0 until ring.length - 1).exists(j =>
+        properCross(pts(i), pts(i + 1), ring(j), ring(j + 1))))
+    if (edgeCross) return true
+    // grazing fallback: vertex/midpoint samples strictly in and out
     val samples = pts ++ (0 until pts.length - 1).map(i =>
       ((pts(i)._1 + pts(i + 1)._1) / 2, (pts(i)._2 + pts(i + 1)._2) / 2))
     samples.exists(p => containsPoint(poly, p._1, p._2)) &&
@@ -428,14 +480,8 @@ object GeoAlgorithms {
         pts.foreach(p => b.putDouble(p._1).putDouble(p._2))
         b.array()
       case "POLYGON" =>
-        // every ring (outer + interior holes) is serialized; ring
-        // boundaries come from the paren groups, not the flat list
-        val rings = "\\(([^()]+)\\)".r.findAllMatchIn(wkt).map { m =>
-          m.group(1).split(",").map { c =>
-            val p = c.trim.split("\\s+")
-            (p(0).toDouble, p(1).toDouble)
-          }
-        }.toSeq
+        // every ring (outer + interior holes) is serialized
+        val rings = parseRings(wkt)
         val b = buf(9 + 4 * rings.length + 16 * rings.map(_.length).sum)
           .put(1.toByte).putInt(3).putInt(rings.length)
         rings.foreach { ring =>
@@ -486,14 +532,10 @@ object GeoAlgorithms {
     * with the rest of the exact multi-ring overlay, SURVEY §7.2). */
   def area(wkt: String): Double = {
     if (wkt.endsWith("EMPTY")) return 0.0
-    val rings = "\\(([^()]+)\\)".r.findAllMatchIn(wkt).map { m =>
-      val ring = m.group(1).split(",").map { c =>
-        val p = c.trim.split("\\s+")
-        (p(0).toDouble, p(1).toDouble)
-      }
+    val rings = parseRings(wkt).map { ring =>
       math.abs((0 until ring.length - 1).map(i =>
         ring(i)._1 * ring(i + 1)._2 - ring(i + 1)._1 * ring(i)._2).sum) / 2.0
-    }.toSeq
+    }
     if (geomType(wkt) == "POLYGON" && rings.length > 1)
       rings.head - rings.tail.sum
     else rings.sum

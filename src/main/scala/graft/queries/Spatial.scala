@@ -358,10 +358,17 @@ object Spatial extends QueryGroup {
           // disallows SQL-UDF expansion directly under explode
           .withColumn("tiles", expr("geometry_to_bing_tiles(poly, 6)"))
           .select($"n_nationkey", $"poly", explode($"tiles").as("tile"))
-          .filter(expr("st_intersects(bing_tile_polygon(tile), poly)"))
+          // the count/keys aggregate the UNFILTERED envelope range —
+          // exactly what the oracle enumerates; the exact-geometry
+          // refinement is asserted as a property (all-true for these
+          // envelope-filling rectangles) instead of a filter, so a
+          // tile tangent to the rectangle edge can never make the two
+          // engines disagree about the row set
           .groupBy($"n_nationkey")
           .agg(count(lit(1)).cast("int").as("n_tiles"),
-            array_join(array_sort(collect_list($"tile")), ",").as("tile_keys"))
+            array_join(array_sort(collect_list($"tile")), ",").as("tile_keys"),
+            min(expr("st_intersects(bing_tile_polygon(tile), poly)"))
+              .as("all_tiles_intersect"))
           .orderBy($"n_nationkey")
       },
       Some("""WITH n AS (
@@ -390,7 +397,8 @@ object Spatial extends QueryGroup {
              |  FROM b, unnest(generate_series(x0, x1)) AS gx(x),
              |    unnest(generate_series(y0, y1)) AS gy(y))
              |SELECT n_nationkey, CAST(count(*) AS INT) AS n_tiles,
-             |  string_agg(qk, ',' ORDER BY qk) AS tile_keys
+             |  string_agg(qk, ',' ORDER BY qk) AS tile_keys,
+             |  true AS all_tiles_intersect
              |FROM t GROUP BY n_nationkey ORDER BY n_nationkey""".stripMargin))
   )
 }

@@ -66,11 +66,13 @@ class ColorTeradataSpec extends AnyFunSuite with SparkFixture with Matchers {
   }
 
   test("sql surface: color/rgb/render/bar resolve and agree with ColorOps") {
+    // bare decimal literals (0.5, not 0.5D) must coerce like Presto's
+    // signature casts — the builders cast every numeric child
     val row = spark.sql(
       """SELECT color('#f00') AS a, rgb(18, 52, 86) AS b,
-        |  color(0.5D, color('#4a4'), color('#4a4')) AS c,
+        |  color(0.5, color('#4a4'), color('#4a4')) AS c,
         |  render('x', color('blue')) AS r, render(true) AS rt,
-        |  bar(0.5D, 4) AS br""".stripMargin).head()
+        |  bar(0.5, 4) AS br""".stripMargin).head()
     row.getLong(0) shouldBe 0xff0000L
     row.getLong(1) shouldBe 0x123456L
     row.getLong(2) shouldBe ColorOps.parse("#4a4")
@@ -128,5 +130,14 @@ class ColorTeradataSpec extends AnyFunSuite with SparkFixture with Matchers {
       """SELECT geometry_to_bing_tiles(st_point(13.0, 52.0), 8) AS t,
         |  bing_tile_at(52.0, 13.0, 8) AS at""".stripMargin).head()
     one.getSeq[String](0) shouldBe Seq(one.getString(1))
+    // zoom 0 is the root tile: empty quadkey, never a sequence error
+    val root = spark.sql(
+      """SELECT bing_tile(0, 0, 0) AS t0,
+        |  geometry_to_bing_tiles('POLYGON ((10 10, 20 10, 20 20, 10 20, 10 10))', 0)
+        |    AS cover0,
+        |  size(bing_tiles_around(52.0, 13.0, 0)) AS around0""".stripMargin).head()
+    root.getString(0) shouldBe ""
+    root.getSeq[String](1) shouldBe Seq("")
+    root.getInt(2) shouldBe 1
   }
 }

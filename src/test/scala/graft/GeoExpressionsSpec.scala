@@ -64,6 +64,18 @@ class GeoExpressionsSpec extends AnyFunSuite with Matchers {
     // parallel lines never cross
     GeoAlgorithms.crosses(
       "LINESTRING (0 0, 4 0)", "LINESTRING (0 1, 4 1)") shouldBe false
+    // a long segment whose endpoints AND midpoint are outside still
+    // crosses the polygon it passes through (edge-crossing test)
+    GeoAlgorithms.crosses(
+      "LINESTRING (-10 1, 30 1)", "POLYGON ((0 0, 4 0, 4 3, 0 3, 0 0))") shouldBe true
+    // crossing exactly at an interior vertex of one line
+    GeoAlgorithms.crosses(
+      "LINESTRING (0 2, 4 2)", "LINESTRING (0 0, 2 2, 4 0)") shouldBe true
+    // collinear overlap is a 1-dim meet — not a crossing
+    GeoAlgorithms.crosses(
+      "LINESTRING (0 0, 4 0)", "LINESTRING (1 0, 3 0)") shouldBe false
+    GeoAlgorithms.crosses(
+      "LINESTRING (0 0, 2 0, 2 2)", "LINESTRING (1 0, 3 0)") shouldBe false
   }
 
   test("convex intersection is exact (Sutherland-Hodgman), not envelope") {
