@@ -29,10 +29,14 @@ object Bench {
       System.err.println(f"[bench] $name%-30s $dt%8.2fs")
       name -> dt
     }
+    // Locale.ROOT: f-interpolation uses the default locale, which can
+    // emit ',' decimal separators and break the JSON
+    def num(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     def jsonOf(rs: Seq[(String, Double)]): String = rs
-      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+      .map { case (k, v) => "\"" + k + "\":" + num(v) }
       .mkString("{", ",", "}")
-    val total = f"${results.map(_._2).sum}%.3f"
+    val total = num(results.map(_._2).sum)
     // Full per-query detail: the one-line form blows past the driver's
     // ~1.7 KB stdout-tail window at 169 queries (BENCH_r02 "parsed":
     // null), so it goes to a file the driver/judge can read whole.

@@ -42,7 +42,8 @@ object GeoAlgorithms {
     }.toSeq
 
   def parseCoords(wkt: String): Array[(Double, Double)] =
-    wkt.replaceAll("^[A-Z_ ]+\\(+|\\)+$", "").split(",").iterator
+    if (wkt.endsWith("EMPTY")) Array.empty
+    else wkt.replaceAll("^[A-Z_ ]+\\(+|\\)+$", "").split(",").iterator
       .map(_.trim).filter(_.nonEmpty).map { c =>
         val parts = c.replaceAll("[()]", "").trim.split("\\s+")
         (parts(0).toDouble, parts(1).toDouble)
@@ -149,10 +150,12 @@ object GeoAlgorithms {
   /** ST_Intersection: EXACT Sutherland–Hodgman clip when both inputs
     * are convex polygon rings (covers every rectangle, triangle,
     * buffer n-gon, and bing-tile box this tier constructs); envelope
-    * intersection otherwise (the documented non-convex fallback). */
+    * intersection otherwise (the documented non-convex fallback).
+    * EMPTY inputs — which this function itself produces — intersect
+    * to EMPTY, so the overlay functions compose. */
   def intersection(a: String, b: String): String = {
-    if (geomType(a) == "POLYGON" && geomType(b) == "POLYGON" &&
-      !a.endsWith("EMPTY") && !b.endsWith("EMPTY")) {
+    if (a.endsWith("EMPTY") || b.endsWith("EMPTY")) return "POLYGON EMPTY"
+    if (geomType(a) == "POLYGON" && geomType(b) == "POLYGON") {
       val (ra, rb) = (parseCoords(a), parseCoords(b))
       if (isConvexRing(ra) && isConvexRing(rb)) {
         val clipped = clipConvex(ra, rb)
@@ -173,6 +176,8 @@ object GeoAlgorithms {
     * true union area (area(A) + area(B) − area(A∩B)), never
     * double-counted. Single-rectangle results collapse to POLYGON. */
   def union(a: String, b: String): String = {
+    if (a.endsWith("EMPTY")) return b
+    if (b.endsWith("EMPTY")) return a
     val (ax0, ay0, ax1, ay1) = envelope(a)
     val (bx0, by0, bx1, by1) = envelope(b)
     val overlaps = math.max(ax0, bx0) < math.min(ax1, bx1) &&
@@ -204,17 +209,24 @@ object GeoAlgorithms {
     * made the predicate the whole cost of the broadcast-NL spatial
     * join. Ring parse is memoized per polygon text — the build side of
     * a spatial join repeats a small polygon set millions of times. */
+  // thread-local: an access-ordered LRU's get() is a structural
+  // mutation, so a shared synchronized map would put one global lock
+  // on the per-row hot path of the broadcast-NL spatial join; a
+  // per-task-thread cache keeps the memoization contention-free
+  // (32 threads x 1024 small entries is negligible memory)
   private val ringCache =
-    java.util.Collections.synchronizedMap(
-      new java.util.LinkedHashMap[String, Array[(Double, Double)]](64, 0.75f, true) {
+    ThreadLocal.withInitial[java.util.LinkedHashMap[String, Array[(Double, Double)]]](
+      () => new java.util.LinkedHashMap[String, Array[(Double, Double)]](64, 0.75f, true) {
         override def removeEldestEntry(
             e: java.util.Map.Entry[String, Array[(Double, Double)]]): Boolean =
           size() > 1024
       })
 
   def containsPoint(polyWkt: String, px: Double, py: Double): Boolean = {
-    var r = ringCache.get(polyWkt)
-    if (r == null) { r = parseCoords(polyWkt); ringCache.put(polyWkt, r) }
+    if (polyWkt.endsWith("EMPTY")) return false
+    val cache = ringCache.get()
+    var r = cache.get(polyWkt)
+    if (r == null) { r = parseCoords(polyWkt); cache.put(polyWkt, r) }
     var crossings = 0
     var i = 0
     while (i < r.length - 1) {
@@ -265,6 +277,7 @@ object GeoAlgorithms {
     * never satisfy the dimension rule
     * (dim(intersection) < max(dim a, dim b)) in these regimes. */
   def crosses(a: String, b: String): Boolean = {
+    if (a.endsWith("EMPTY") || b.endsWith("EMPTY")) return false
     (geomType(a), geomType(b)) match {
       case ("LINESTRING", "LINESTRING") =>
         val pa = parseCoords(a); val pb = parseCoords(b)
@@ -320,6 +333,7 @@ object GeoAlgorithms {
     * repeated vertex (polygon closure excepted), no proper
     * self-crossing between non-adjacent segments. */
   def isSimple(wkt: String): Boolean = {
+    if (wkt.endsWith("EMPTY")) return true
     val t = geomType(wkt)
     if (t == "POINT") return true
     val raw = parseCoords(wkt)
@@ -433,16 +447,23 @@ object GeoAlgorithms {
 
   /** Envelope-scope ST_Difference: A \ B as disjoint rectangles. */
   def difference(a: String, b: String): String =
+    if (a.endsWith("EMPTY")) "POLYGON EMPTY"
+    else if (b.endsWith("EMPTY")) a
+    else
     partsWkt(rectMinus(envelope(a), envelope(b)))
 
   /** Envelope-scope ST_SymDifference: (A \ B) ∪ (B \ A). */
   def symDifference(a: String, b: String): String =
+    if (a.endsWith("EMPTY")) b
+    else if (b.endsWith("EMPTY")) a
+    else
     partsWkt(rectMinus(envelope(a), envelope(b)) ++
       rectMinus(envelope(b), envelope(a)))
 
   /** Envelope-scope ST_Overlaps: interiors properly overlap and neither
     * envelope contains the other. */
   def overlaps(a: String, b: String): Boolean = {
+    if (a.endsWith("EMPTY") || b.endsWith("EMPTY")) return false
     val (ax0, ay0, ax1, ay1) = envelope(a)
     val (bx0, by0, bx1, by1) = envelope(b)
     val proper = math.max(ax0, bx0) < math.min(ax1, bx1) &&
@@ -455,6 +476,7 @@ object GeoAlgorithms {
   /** Envelope-scope ST_Touches: envelopes meet only along a shared
     * edge or corner (zero-area intersection). */
   def touches(a: String, b: String): Boolean = {
+    if (a.endsWith("EMPTY") || b.endsWith("EMPTY")) return false
     val (ax0, ay0, ax1, ay1) = envelope(a)
     val (bx0, by0, bx1, by1) = envelope(b)
     val ix0 = math.max(ax0, bx0); val ix1 = math.min(ax1, bx1)

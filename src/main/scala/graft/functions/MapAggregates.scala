@@ -80,7 +80,10 @@ case class HistogramAgg(
 
   override def update(buf: KeyedMapBuffer, input: InternalRow): KeyedMapBuffer = {
     val v = child.eval(input)
-    if (v != null) buf.add(v, java.lang.Boolean.TRUE)
+    // eval results for non-primitive types (UTF8String, arrays,
+    // structs) alias the reused input-row buffer — copy before
+    // storing, as Spark's own Collect aggregates do
+    if (v != null) buf.add(InternalRow.copyValue(v), java.lang.Boolean.TRUE)
     buf
   }
 
@@ -121,7 +124,10 @@ case class MultimapAgg(
 
   override def update(buf: KeyedMapBuffer, input: InternalRow): KeyedMapBuffer = {
     val k = left.eval(input)
-    if (k != null) buf.add(k, right.eval(input))
+    // copy both sides: buffer-backed values are mutated by the next row
+    if (k != null)
+      buf.add(InternalRow.copyValue(k),
+        InternalRow.copyValue(right.eval(input)))
     buf
   }
 

@@ -236,10 +236,17 @@ object PrestoCatalog {
       """IF(map_contains_key(m, k), element_at(m, k),
         |  raise_error(concat('Key not present in map: ', k)))""".stripMargin),
     // StringFunctions.java hamming_distance: count of positions whose
-    // code points differ (inputs must be equal length, as in Presto)
+    // code points differ. Unequal lengths raise, as in Presto; the
+    // empty-equal case is guarded because sequence(1, 0) is a
+    // DESCENDING two-element array, not an empty one
     ("hamming_distance", "(a STRING, b STRING) RETURNS BIGINT",
-      """cast(aggregate(sequence(1, length(a)), 0,
-        |  (acc, i) -> acc + IF(substr(a, i, 1) = substr(b, i, 1), 0, 1)) AS BIGINT)""".stripMargin)
+      """CASE
+        |  WHEN length(a) <> length(b) THEN
+        |    raise_error('The input strings to hamming_distance function must have the same length')
+        |  WHEN length(a) = 0 THEN 0L
+        |  ELSE cast(aggregate(sequence(1, length(a)), 0,
+        |    (acc, i) -> acc + IF(substr(a, i, 1) = substr(b, i, 1), 0, 1)) AS BIGINT)
+        |END""".stripMargin)
   )
 
   /** Presto aggregate name → Spark builtin it aliases.

@@ -32,6 +32,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * [0, 2⁶⁴) model the estimators assume.
   */
 final class SetDigestBuffer(val maxHashes: Int) {
+  // true once any hash has been evicted: size == k with no eviction
+  // means the digest still holds EVERY distinct hash, so cardinality
+  // stays exact right up to k instead of an accuracy cliff AT k
+  private[functions] var everEvicted: Boolean = false
+
   // k smallest unsigned hashes → multiplicity. Values are boxed
   // Integer, NOT Scala Int: get() on an Int-valued Java map silently
   // unboxes the absent-key null to 0, making the null check vacuous
@@ -49,17 +54,19 @@ final class SetDigestBuffer(val maxHashes: Int) {
     } else if (java.lang.Long.compareUnsigned(h, hashes.lastKey()) < 0) {
       hashes.remove(hashes.lastKey())
       hashes.put(h, math.min(count, Short.MaxValue.toInt))
-    }
+      everEvicted = true
+    } else everEvicted = true
   }
 
   def mergeWith(other: SetDigestBuffer): Unit = {
+    everEvicted ||= other.everEvicted
     val it = other.hashes.entrySet().iterator()
     while (it.hasNext) { val e = it.next(); addHash(e.getKey, e.getValue.intValue()) }
   }
 
-  /** Exact under k; KMV (k−1)/U₍ₖ₎ beyond. */
+  /** Exact while nothing was evicted (≤ k); KMV (k−1)/U₍ₖ₎ beyond. */
   def cardinality: Long =
-    if (hashes.size < maxHashes) hashes.size.toLong
+    if (!everEvicted) hashes.size.toLong
     else {
       val kth = hashes.lastKey().longValue()
       // unsigned kth / 2^64 ∈ (0, 1] (negative long ⇒ top half of range)
@@ -72,6 +79,7 @@ final class SetDigestBuffer(val maxHashes: Int) {
     val out = new DataOutputStream(bos)
     out.writeInt(1) // version
     out.writeInt(maxHashes)
+    out.writeBoolean(everEvicted)
     out.writeInt(hashes.size)
     val it = hashes.entrySet().iterator()
     while (it.hasNext) {
@@ -91,9 +99,11 @@ object SetDigestBuffer {
     val in = new DataInputStream(new ByteArrayInputStream(bytes))
     require(in.readInt() == 1, "unknown set digest version")
     val buf = new SetDigestBuffer(in.readInt())
+    val evicted = in.readBoolean()
     val n = in.readInt()
     var i = 0
     while (i < n) { buf.addHash(in.readLong(), in.readInt()); i += 1 }
+    buf.everEvicted ||= evicted
     buf
   }
 

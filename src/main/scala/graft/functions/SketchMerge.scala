@@ -24,17 +24,26 @@ final class MergeSketchBuffer {
   var kll: KllDoublesSketch = _
   var hll: HllUnion = _
 
+  private def checkFamily(fam: Int): Unit =
+    if (family != -1 && family != fam)
+      throw new IllegalArgumentException(
+        s"merge: mixed sketch families in one aggregation ($family vs $fam) — " +
+          "each merge() call must see a single sketch type, as in the reference")
+
   def addSerialized(bytes: Array[Byte]): Unit = {
     val fam = if (bytes.length > 2) bytes(2).toInt else -1
     fam match {
       case 15 =>
+        checkFamily(15)
         val sk = KllDoublesSketch.heapify(Memory.wrap(bytes))
         if (kll == null) { kll = KllDoublesSketch.newHeapInstance(); family = 15 }
         kll.merge(sk)
       case 7 =>
+        checkFamily(7)
         if (hll == null) { hll = new HllUnion(); family = 7 }
         hll.update(HllSketch.heapify(Memory.wrap(bytes)))
       case _ =>
+        checkFamily(0)
         val sd = SetDigestBuffer.deserialize(bytes)
         if (set == null) { set = new SetDigestBuffer(sd.maxHashes); family = 0 }
         set.mergeWith(sd)
@@ -43,6 +52,7 @@ final class MergeSketchBuffer {
 
   def mergeWith(other: MergeSketchBuffer): Unit = {
     if (other.family == -1) return
+    checkFamily(other.family)
     other.family match {
       case 15 =>
         if (kll == null) { kll = KllDoublesSketch.newHeapInstance(); family = 15 }

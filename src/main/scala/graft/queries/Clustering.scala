@@ -43,11 +43,20 @@ object Clustering {
     (1 to rounds).foldLeft(init)((l, _) => propagateRound(edges, l))
   }
 
+  // the returned labels frame must stay persisted while the caller's
+  // downstream aggregates run (unpersisting immediately would replay
+  // every round); releasing it on the NEXT fixpoint call bounds the
+  // leak to one cached frame per session instead of one per query run
+  private var lastLabels: DataFrame = _
+
   /** Iterate propagation until the label assignment is stable.
     * Returns (id, cluster) with cluster = component-minimum id. */
   def propagateToFixpoint(edges: DataFrame, maxIters: Int = 10): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
+    synchronized {
+      if (lastLabels != null) { lastLabels.unpersist(); lastLabels = null }
+    }
     val e = edges.select($"id", $"bucket").persist(StorageLevel.MEMORY_AND_DISK)
     // round 1 folded into initialization: with cluster(id)=id the
     // bucket minimum is just min(id) per bucket — no labels join yet
@@ -74,6 +83,7 @@ object Clustering {
       it += 1
     }
     e.unpersist()
+    synchronized { lastLabels = labels }
     labels
   }
 }
