@@ -34,7 +34,8 @@ object Registry {
     queries.Similarity,
     queries.Spatial,
     queries.Multimodal,
-    queries.Events
+    queries.Events,
+    queries.Ml
   )
 
   lazy val all: Map[String, QueryDef] =

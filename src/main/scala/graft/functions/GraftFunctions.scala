@@ -328,7 +328,34 @@ object GraftFunctions {
     ("approx_most_frequent",
       new ExpressionInfo(classOf[ApproxMostFrequentAgg].getName, "approx_most_frequent"),
       (args: Seq[Expression]) =>
-        ApproxMostFrequentAgg(args(0), args(1), args(2)).toAggregateExpression())
+        ApproxMostFrequentAgg(args(0), args(1), args(2)).toAggregateExpression()),
+
+    // presto-ml learn/classify/regress tier (MLFunctions.java,
+    // Learn*Aggregation.java) — single-pass mergeable sufficient
+    // statistics instead of the reference's buffer-all-rows libsvm
+    // train; see MlFunctions.scala scaladoc for the divergences.
+    ("learn_regressor",
+      new ExpressionInfo(classOf[LearnRegressorAgg].getName, "learn_regressor"),
+      (args: Seq[Expression]) =>
+        LearnRegressorAgg(Cast(args(0), DoubleType), args(1)).toAggregateExpression()),
+    ("learn_classifier",
+      new ExpressionInfo(classOf[LearnClassifierAgg].getName, "learn_classifier"),
+      (args: Seq[Expression]) =>
+        LearnClassifierAgg(args(0), args(1)).toAggregateExpression()),
+    ("regress",
+      new ExpressionInfo(classOf[Regress].getName, "regress"),
+      (args: Seq[Expression]) => Regress(args(0), args(1))),
+    ("classify",
+      new ExpressionInfo(classOf[Classify].getName, "classify"),
+      (args: Seq[Expression]) => Classify(args(0), args(1), asString = false)),
+    ("classify_varchar",
+      new ExpressionInfo(classOf[Classify].getName, "classify_varchar"),
+      (args: Seq[Expression]) => Classify(args(0), args(1), asString = true)),
+    ("evaluate_classifier_predictions",
+      new ExpressionInfo(classOf[EvaluatePredictionsAgg].getName,
+        "evaluate_classifier_predictions"),
+      (args: Seq[Expression]) =>
+        EvaluatePredictionsAgg(args(0), args(1)).toAggregateExpression())
   )
 
   def register(spark: SparkSession): Unit = {

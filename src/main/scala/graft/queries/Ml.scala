@@ -1,0 +1,160 @@
+package graft.queries
+
+import org.apache.spark.sql.SparkSession
+
+import graft.{QueryDef, QueryGroup, Tables}
+
+/** presto-ml relational surface: learn_regressor/regress,
+  * learn_classifier/classify, evaluate_classifier_predictions
+  * (MLFunctions.java, Learn*Aggregation.java — implementations in
+  * functions/MlFunctions.scala; the learn step here is a mergeable
+  * distributed aggregate, unlike the reference's buffer-all-rows libsvm
+  * train).
+  *
+  * Oracle strategy: the models themselves are closed-form — OLS normal
+  * equations and per-class centroids — so DuckDB can recompute the SAME
+  * model from SQL (regr_slope/regr_intercept for 1 feature, Cramer's
+  * rule for 2, AVG per class for centroids) and the comparison checks
+  * real predicted values, not just invariants.
+  */
+object Ml extends QueryGroup {
+
+  private def sql(q: String)(s: SparkSession, dir: String) = {
+    Tables.registerAll(s, dir)
+    s.sql(q)
+  }
+
+  val defs: Map[String, QueryDef] = Map(
+
+    // OLS with one feature: DuckDB's regr_slope/regr_intercept IS the
+    // closed-form the normal equations solve, so predictions match.
+    "ml_regressor" -> QueryDef(
+      sql("""WITH model AS (
+            |  SELECT learn_regressor(CAST(c_acctbal AS DOUBLE),
+            |                         features(CAST(c_nationkey AS DOUBLE))) AS m
+            |  FROM customer)
+            |SELECT c_custkey,
+            |  round(regress(features(CAST(c_nationkey AS DOUBLE)), m), 2) AS pred
+            |FROM customer, model
+            |WHERE c_custkey <= 200
+            |ORDER BY c_custkey""".stripMargin),
+      Some("""WITH s AS (
+             |  SELECT regr_slope(CAST(c_acctbal AS DOUBLE), CAST(c_nationkey AS DOUBLE)) AS w,
+             |         regr_intercept(CAST(c_acctbal AS DOUBLE), CAST(c_nationkey AS DOUBLE)) AS b
+             |  FROM customer)
+             |SELECT c_custkey, round(w * c_nationkey + b, 2) AS pred
+             |FROM customer, s
+             |WHERE c_custkey <= 200
+             |ORDER BY c_custkey""".stripMargin)),
+
+    // Two features + intercept: the oracle solves the 3x3 normal
+    // equations by Cramer's rule over raw sums — same linear system the
+    // aggregate's Gaussian elimination solves.
+    "ml_regressor_multi" -> QueryDef(
+      sql("""WITH model AS (
+            |  SELECT learn_regressor(CAST(c_acctbal AS DOUBLE),
+            |    features(CAST(c_nationkey AS DOUBLE),
+            |             CAST(c_custkey % 100 AS DOUBLE))) AS m
+            |  FROM customer)
+            |SELECT c_custkey,
+            |  round(regress(features(CAST(c_nationkey AS DOUBLE),
+            |                         CAST(c_custkey % 100 AS DOUBLE)), m), 2) AS pred
+            |FROM customer, model
+            |WHERE c_custkey <= 200
+            |ORDER BY c_custkey""".stripMargin),
+      Some("""WITH t AS (
+             |  SELECT CAST(c_acctbal AS DOUBLE) AS y,
+             |         CAST(c_nationkey AS DOUBLE) AS x1,
+             |         CAST(c_custkey % 100 AS DOUBLE) AS x2
+             |  FROM customer),
+             |s AS (
+             |  SELECT CAST(count(*) AS DOUBLE) AS n,
+             |    sum(x1) AS s1, sum(x2) AS s2,
+             |    sum(x1*x1) AS s11, sum(x1*x2) AS s12, sum(x2*x2) AS s22,
+             |    sum(y) AS sy, sum(x1*y) AS s1y, sum(x2*y) AS s2y
+             |  FROM t),
+             |w AS (
+             |  SELECT
+             |    (n*(s11*s22-s12*s12) - s1*(s1*s22-s12*s2) + s2*(s1*s12-s11*s2)) AS det,
+             |    (sy*(s11*s22-s12*s12) - s1*(s1y*s22-s12*s2y) + s2*(s1y*s12-s11*s2y)) AS det0,
+             |    (n*(s1y*s22-s12*s2y) - sy*(s1*s22-s12*s2) + s2*(s1*s2y-s1y*s2)) AS det1,
+             |    (n*(s11*s2y-s1y*s12) - s1*(s1*s2y-s1y*s2) + sy*(s1*s12-s11*s2)) AS det2
+             |  FROM s)
+             |SELECT c_custkey,
+             |  round(det0/det + (det1/det)*c_nationkey + (det2/det)*(c_custkey % 100), 2) AS pred
+             |FROM customer, w
+             |WHERE c_custkey <= 200
+             |ORDER BY c_custkey""".stripMargin)),
+
+    // Nearest-centroid classifier, varchar labels; the oracle recomputes
+    // the per-class centroids with AVG and takes the argmin distance
+    // (ties by label — the expression's documented tie-break).
+    "ml_classifier" -> QueryDef(
+      sql("""WITH lab AS (
+            |  SELECT c_custkey,
+            |    CASE WHEN c_acctbal >= 4500 THEN 'high' ELSE 'low' END AS lbl,
+            |    features(CAST(c_acctbal AS DOUBLE), CAST(c_nationkey AS DOUBLE)) AS f
+            |  FROM customer),
+            |model AS (SELECT learn_classifier(lbl, f) AS m FROM lab)
+            |SELECT c_custkey, classify_varchar(f, m) AS pred
+            |FROM lab, model
+            |WHERE c_custkey <= 300
+            |ORDER BY c_custkey""".stripMargin),
+      Some("""WITH lab AS (
+             |  SELECT c_custkey,
+             |    CASE WHEN c_acctbal >= 4500 THEN 'high' ELSE 'low' END AS lbl,
+             |    CAST(c_acctbal AS DOUBLE) AS x0, CAST(c_nationkey AS DOUBLE) AS x1
+             |  FROM customer),
+             |cent AS (SELECT lbl, avg(x0) AS m0, avg(x1) AS m1 FROM lab GROUP BY lbl),
+             |scored AS (
+             |  SELECT l.c_custkey, c.lbl,
+             |    row_number() OVER (PARTITION BY l.c_custkey
+             |      ORDER BY (l.x0-c.m0)*(l.x0-c.m0) + (l.x1-c.m1)*(l.x1-c.m1), c.lbl) AS rn
+             |  FROM lab l CROSS JOIN cent c)
+             |SELECT c_custkey, lbl AS pred
+             |FROM scored
+             |WHERE rn = 1 AND c_custkey <= 300
+             |ORDER BY c_custkey""".stripMargin)),
+
+    // Bigint labels through the reference's default `classify` overload:
+    // train on a numeric rule, predict, and aggregate the confusion
+    // summary — the oracle rebuilds the exact summary string.
+    "ml_evaluate" -> QueryDef(
+      sql("""SELECT evaluate_classifier_predictions(
+            |  c_custkey % 3, (c_custkey * 2) % 3) AS summary
+            |FROM customer""".stripMargin),
+      Some("""WITH p AS (
+             |  SELECT CAST(c_custkey % 3 AS VARCHAR) AS truth,
+             |         CAST((c_custkey * 2) % 3 AS VARCHAR) AS pred
+             |  FROM customer),
+             |tot AS (
+             |  SELECT sum(CASE WHEN truth = pred THEN 1 ELSE 0 END) AS correct,
+             |         count(*) AS total
+             |  FROM p),
+             |lbl AS (
+             |  SELECT label, sum(tp) AS tp, sum(fp) AS fp, sum(fn) AS fn
+             |  FROM (
+             |    SELECT truth AS label,
+             |      CASE WHEN truth = pred THEN 1 ELSE 0 END AS tp,
+             |      0 AS fp,
+             |      CASE WHEN truth <> pred THEN 1 ELSE 0 END AS fn
+             |    FROM p
+             |    UNION ALL
+             |    SELECT pred, 0,
+             |      CASE WHEN truth <> pred THEN 1 ELSE 0 END, 0
+             |    FROM p)
+             |  GROUP BY label),
+             |cls AS (
+             |  SELECT string_agg(
+             |    'Class ''' || label || '''' || chr(10) ||
+             |    'Precision: ' || tp || '/' || (tp+fp) || ' (' ||
+             |      printf('%.2f', 100.0*tp/(tp+fp)) || '%)' || chr(10) ||
+             |    'Recall: ' || tp || '/' || (tp+fn) || ' (' ||
+             |      printf('%.2f', 100.0*tp/(tp+fn)) || '%)' || chr(10),
+             |    '' ORDER BY label) AS body
+             |  FROM lbl)
+             |SELECT 'Accuracy: ' || correct || '/' || total || ' (' ||
+             |  printf('%.2f', 100.0*correct/total) || '%)' || chr(10) || body AS summary
+             |FROM tot, cls""".stripMargin))
+  )
+}
