@@ -497,7 +497,11 @@ case class Classify(left: Expression, right: Expression, asString: Boolean)
     MlModel.decodeCached(m.asInstanceOf[Array[Byte]]) match {
       case c: MlModel.Classifier =>
         val label = c.classify(MlModel.toDense(f.asInstanceOf[MapData]))
-        if (asString) UTF8String.fromString(label) else label.toLong
+        if (asString) UTF8String.fromString(label)
+        else try label.toLong catch {
+          case _: NumberFormatException => throw new IllegalArgumentException(
+            s"classify: model has varchar labels ('$label') — use classify_varchar")
+        }
       case _ => throw new IllegalArgumentException("classify: model is not a classifier")
     }
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Classify =

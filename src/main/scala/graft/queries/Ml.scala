@@ -116,6 +116,35 @@ object Ml extends QueryGroup {
              |WHERE rn = 1 AND c_custkey <= 300
              |ORDER BY c_custkey""".stripMargin)),
 
+    // The reference's default `classify` overload returns bigint; labels
+    // train from a numeric rule and predictions come back as longs.
+    "ml_classifier_bigint" -> QueryDef(
+      sql("""WITH lab AS (
+            |  SELECT c_custkey,
+            |    CASE WHEN c_acctbal >= 4500 THEN 1 ELSE 0 END AS lbl,
+            |    features(CAST(c_acctbal AS DOUBLE)) AS f
+            |  FROM customer),
+            |model AS (SELECT learn_classifier(lbl, f) AS m FROM lab)
+            |SELECT c_custkey, classify(f, m) AS pred
+            |FROM lab, model
+            |WHERE c_custkey <= 300
+            |ORDER BY c_custkey""".stripMargin),
+      Some("""WITH lab AS (
+             |  SELECT c_custkey,
+             |    CASE WHEN c_acctbal >= 4500 THEN 1 ELSE 0 END AS lbl,
+             |    CAST(c_acctbal AS DOUBLE) AS x0
+             |  FROM customer),
+             |cent AS (SELECT lbl, avg(x0) AS m0 FROM lab GROUP BY lbl),
+             |scored AS (
+             |  SELECT l.c_custkey, c.lbl,
+             |    row_number() OVER (PARTITION BY l.c_custkey
+             |      ORDER BY (l.x0-c.m0)*(l.x0-c.m0), c.lbl) AS rn
+             |  FROM lab l CROSS JOIN cent c)
+             |SELECT c_custkey, CAST(lbl AS BIGINT) AS pred
+             |FROM scored
+             |WHERE rn = 1 AND c_custkey <= 300
+             |ORDER BY c_custkey""".stripMargin)),
+
     // Bigint labels through the reference's default `classify` overload:
     // train on a numeric rule, predict, and aggregate the confusion
     // summary — the oracle rebuilds the exact summary string.

@@ -69,6 +69,16 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture with Matchers {
       .count(_ == "BroadcastNestedLoopJoin") should be <= 1
   }
 
+  test("learn_regressor trains as a distributed partial aggregate") {
+    // the scale contract vs the reference's buffer-all-rows libsvm
+    // train: the Gram-matrix buffer must combine map-side (partial
+    // ObjectHashAggregate) before one exchange to the final aggregate
+    val plan = planOf("ml_regressor")
+    plan.sliding("ObjectHashAggregate".length)
+      .count(_ == "ObjectHashAggregate") should be >= 2
+    plan should include("partial_learn_regressor")
+  }
+
   test("salted two-stage agg produces two aggregation levels") {
     val plan = planOf("agg_salted_twostage")
     plan.sliding("HashAggregate".length).count(_ == "HashAggregate") should be >= 3
