@@ -145,6 +145,41 @@ object Ml extends QueryGroup {
              |WHERE rn = 1 AND c_custkey <= 300
              |ORDER BY c_custkey""".stripMargin)),
 
+    // End-to-end corpus quality classifier: compute text statistics,
+    // train a centroid classifier on a length-derived quality label,
+    // apply it back to every document — the classify stage is one
+    // broadcast of the model blob over a single corpus scan, so the
+    // whole pipeline is train (one distributed aggregate) + score (one
+    // map pass): the shape a 100 TB quality-filter pass needs. The
+    // oracle recomputes the identical features and centroids in SQL.
+    "ml_quality_classifier" -> QueryDef(
+      sql("""WITH feat AS (
+            |  SELECT doc_id,
+            |    CASE WHEN n_chars >= 300 THEN 'keep' ELSE 'drop' END AS lbl,
+            |    features(
+            |      CAST(size(split(regexp_replace(trim(lower(text)), '\\s+', ' '), ' ')) AS DOUBLE),
+            |      CAST(length(text) AS DOUBLE)) AS f
+            |  FROM documents),
+            |model AS (SELECT learn_classifier(lbl, f) AS m FROM feat)
+            |SELECT doc_id, classify_varchar(f, m) AS pred
+            |FROM feat, model
+            |ORDER BY doc_id""".stripMargin),
+      Some("""WITH feat AS (
+             |  SELECT doc_id,
+             |    CASE WHEN n_chars >= 300 THEN 'keep' ELSE 'drop' END AS lbl,
+             |    CAST(len(string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ')) AS DOUBLE) AS x0,
+             |    CAST(length(text) AS DOUBLE) AS x1
+             |  FROM documents),
+             |cent AS (SELECT lbl, avg(x0) AS m0, avg(x1) AS m1 FROM feat GROUP BY lbl),
+             |scored AS (
+             |  SELECT f.doc_id, c.lbl,
+             |    row_number() OVER (PARTITION BY f.doc_id
+             |      ORDER BY (f.x0-c.m0)*(f.x0-c.m0) + (f.x1-c.m1)*(f.x1-c.m1), c.lbl) AS rn
+             |  FROM feat f CROSS JOIN cent c)
+             |SELECT doc_id, lbl AS pred
+             |FROM scored WHERE rn = 1
+             |ORDER BY doc_id""".stripMargin)),
+
     // Bigint labels through the reference's default `classify` overload:
     // train on a numeric rule, predict, and aggregate the confusion
     // summary — the oracle rebuilds the exact summary string.

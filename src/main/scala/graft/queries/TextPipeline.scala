@@ -560,6 +560,58 @@ object TextPipeline extends QueryGroup {
              |  min(doc_id) AS first_hit, max(doc_id) AS last_hit
              |FROM hits""".stripMargin)),
 
+    // Boilerplate-span detection (the RefinedWeb/CCNet repeated-line
+    // filter, recast for this corpus as repeated 5-gram spans): a gram
+    // appearing in >= 5 distinct documents is boilerplate; each doc is
+    // scored by the fraction of its distinct grams that are
+    // boilerplate. Scale shape: one explode, one hash shuffle on the
+    // gram for the document-frequency count, one semi join back on the
+    // gram, one groupBy doc — O(docs x grams), never pairwise.
+    "pipeline_boilerplate_ngrams" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val grams = Tables.documents(s, dir)
+          .withColumn("toks", split(normText($"text"), " "))
+          .filter(size($"toks") >= 5)
+          .withColumn("gram", explode(array_distinct(expr(
+            "transform(sequence(0, size(toks) - 5), i -> " +
+              "concat(toks[i], ' ', toks[i + 1], ' ', toks[i + 2], ' ', " +
+              "toks[i + 3], ' ', toks[i + 4]))"))))
+          .select($"doc_id", $"gram")
+        val boiler = grams.groupBy($"gram")
+          .agg(countDistinct($"doc_id").as("df"))
+          .filter($"df" >= 5)
+          .select($"gram")
+        val hits = grams.join(boiler, "gram")
+          .groupBy($"doc_id").agg(count(lit(1)).as("n_boiler"))
+        grams.groupBy($"doc_id").agg(count(lit(1)).as("n_grams"))
+          .join(hits, Seq("doc_id"), "left")
+          .select($"doc_id", $"n_grams",
+            coalesce($"n_boiler", lit(0L)).as("n_boiler"),
+            r4(coalesce($"n_boiler", lit(0L)).cast("double") / $"n_grams")
+              .as("boiler_ratio"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id,
+             |    string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS toks
+             |  FROM documents),
+             |g AS (
+             |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks) - 3),
+             |    i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2] || ' '
+             |      || toks[i + 3] || ' ' || toks[i + 4]))) AS gram
+             |  FROM t WHERE len(toks) >= 5),
+             |b AS (SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 5),
+             |hits AS (
+             |  SELECT g.doc_id, count(*) AS n_boiler
+             |  FROM g JOIN b USING (gram) GROUP BY g.doc_id),
+             |tot AS (SELECT doc_id, count(*) AS n_grams FROM g GROUP BY doc_id)
+             |SELECT t.doc_id, t.n_grams,
+             |  coalesce(h.n_boiler, 0) AS n_boiler,
+             |  round(coalesce(h.n_boiler, 0) * 1.0 / t.n_grams, 4) AS boiler_ratio
+             |FROM tot t LEFT JOIN hits h USING (doc_id)
+             |ORDER BY doc_id""".stripMargin)),
+
     // Stratified sampling for a training mix: proportional allocation
     // per language stratum — target = ceil(20% of the stratum), the
     // deterministic doc_id-ordered prefix taken per stratum via one

@@ -69,6 +69,12 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture with Matchers {
       .count(_ == "BroadcastNestedLoopJoin") should be <= 1
   }
 
+  test("boilerplate filter is equi-join shaped (no pairwise stage)") {
+    val plan = planOf("pipeline_boilerplate_ngrams")
+    plan should not include "CartesianProduct"
+    plan should not include "BroadcastNestedLoopJoin"
+  }
+
   test("learn_regressor trains as a distributed partial aggregate") {
     // the scale contract vs the reference's buffer-all-rows libsvm
     // train: the Gram-matrix buffer must combine map-side (partial
