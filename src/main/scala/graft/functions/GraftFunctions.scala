@@ -355,7 +355,23 @@ object GraftFunctions {
       new ExpressionInfo(classOf[EvaluatePredictionsAgg].getName,
         "evaluate_classifier_predictions"),
       (args: Seq[Expression]) =>
-        EvaluatePredictionsAgg(args(0), args(1)).toAggregateExpression())
+        EvaluatePredictionsAgg(args(0), args(1)).toAggregateExpression()),
+
+    // learn_libsvm_*(label, features, params) — name-compat aliases
+    // (LearnLibSvmClassifierAggregation.java). libsvm itself is not
+    // bundled (declared, SURVEY §7.2): the params string is accepted
+    // for syntax parity and IGNORED; training is the same mergeable
+    // centroid/OLS aggregate as the unsuffixed names. A query ported
+    // from the reference runs and gets a model of the documented
+    // divergent family rather than an undefined-function error.
+    ("learn_libsvm_classifier",
+      new ExpressionInfo(classOf[LearnClassifierAgg].getName, "learn_libsvm_classifier"),
+      (args: Seq[Expression]) =>
+        LearnClassifierAgg(args(0), args(1)).toAggregateExpression()),
+    ("learn_libsvm_regressor",
+      new ExpressionInfo(classOf[LearnRegressorAgg].getName, "learn_libsvm_regressor"),
+      (args: Seq[Expression]) =>
+        LearnRegressorAgg(Cast(args(0), DoubleType), args(1)).toAggregateExpression())
   )
 
   def register(spark: SparkSession): Unit = {

@@ -8,7 +8,20 @@ import org.scalatest.matchers.should.Matchers
   * equations, centroid classify, the distributed-merge invariants the
   * aggregates rely on, and the evaluate summary format
   * (EvaluateClassifierPredictionsAggregation.java:100-118). */
-class MlSpec extends AnyFunSuite with Matchers {
+class MlSpec extends AnyFunSuite with SparkFixture with Matchers {
+
+  test("learn_libsvm_* aliases are SQL-callable and train the same models") {
+    val row = spark.sql(
+      """WITH t AS (SELECT * FROM VALUES (1.0D, 1.0D), (2.0D, 2.0D), (3.0D, 3.0D) v(y, x)),
+        |m AS (SELECT learn_libsvm_regressor(y, features(x), 'ignored params') AS r,
+        |             learn_libsvm_classifier(CAST(y >= 2 AS INT), features(x), '') AS c
+        |      FROM t)
+        |SELECT round(regress(features(2.5D), r), 6) AS pred,
+        |       classify(features(2.9D), c) AS cls
+        |FROM m""".stripMargin).head()
+    row.getDouble(0) shouldBe 2.5 +- 1e-9 // exact fit y = x
+    row.getLong(1) shouldBe 1L // nearer the y>=2 centroid
+  }
 
   test("OLS recovers an exact linear relationship") {
     val buf = new RegressorBuffer(0)
