@@ -60,9 +60,13 @@ object MlModel {
     }
   }
 
-  /** Labels sorted ascending; centroid rows align with labels. */
+  /** Labels sorted ascending (numerically when every label is an
+    * integer — the bigint overload's order — else lexicographically);
+    * centroid rows align with labels. */
   final case class Classifier(labels: Array[String], centroids: Array[Array[Double]]) {
     def classify(x: Array[Double]): String = {
+      require(labels.nonEmpty,
+        "classify: model was trained on zero rows (empty input or all labels/features null)")
       var best = 0
       var bestD = Double.PositiveInfinity
       var k = 0
@@ -177,9 +181,30 @@ object MlModel {
   /** Solve A·w = b (A symmetric (d+1)², row-major, slot 0 = intercept)
     * by Gaussian elimination with partial pivoting. A zero pivot (an
     * all-constant or absent feature) deterministically zeroes that
-    * coefficient instead of failing. Mutates its inputs. */
+    * coefficient instead of failing. Mutates its inputs.
+    *
+    * The system is Jacobi-equilibrated first — D⁻¹AD⁻¹(Dw) = D⁻¹b with
+    * D = diag(√aᵢᵢ) — so the dependence threshold tests CORRELATION,
+    * not raw magnitude: XᵀX entries scale with feature² × rows, and a
+    * fixed cutoff on the raw matrix would silently zero a perfectly
+    * informative feature whose unit happens to be tiny. */
   def solveNormalEq(a: Array[Double], b: Array[Double]): Array[Double] = {
     val n = b.length
+    val scale = new Array[Double](n)
+    var d = 0
+    while (d < n) {
+      scale(d) = if (a(d * n + d) > 0.0) math.sqrt(a(d * n + d)) else 1.0
+      d += 1
+    }
+    var si = 0
+    while (si < n) {
+      var sj = 0
+      while (sj < n) { a(si * n + sj) /= scale(si) * scale(sj); sj += 1 }
+      b(si) /= scale(si)
+      si += 1
+    }
+    // equilibrated diagonal is 1, so this cutoff is a correlation test
+    val pivotEps = 1e-10
     var row = 0
     while (row < n) {
       var p = row
@@ -188,7 +213,7 @@ object MlModel {
         if (math.abs(a(i * n + row)) > math.abs(a(p * n + row))) p = i
         i += 1
       }
-      if (math.abs(a(p * n + row)) < 1e-12) {
+      if (math.abs(a(p * n + row)) < pivotEps) {
         // dependent column: zero its row/column so back-substitution yields 0
         i = 0
         while (i < n) { a(i * n + row) = 0.0; a(row * n + i) = 0.0; i += 1 }
@@ -223,6 +248,9 @@ object MlModel {
       w(row) = s / a(row * n + row)
       row -= 1
     }
+    // undo the equilibration: the solved vector is D·w
+    row = 0
+    while (row < n) { w(row) /= scale(row); row += 1 }
     w
   }
 }
@@ -343,17 +371,24 @@ final class CentroidBuffer {
   }
 
   def toModel: Array[Byte] = {
-    val labels = new Array[String](classes.size)
-    val cents = new Array[Array[Double]](classes.size)
+    var labels = new Array[String](classes.size)
+    val byLabel = new java.util.HashMap[String, Array[Double]]()
     val it = classes.entrySet().iterator()
     var k = 0
     while (it.hasNext) {
       val e = it.next()
       labels(k) = e.getKey
-      cents(k) = e.getValue._2.map(_ / e.getValue._1)
+      byLabel.put(e.getKey, e.getValue._2.map(_ / e.getValue._1))
       k += 1
     }
-    MlModel.serializeClassifier(MlModel.Classifier(labels, cents))
+    // tie-break order: numeric when every label is an integer (the
+    // bigint learn_classifier overload — lexicographic would rank
+    // "10" before "2"), else lexicographic (TreeMap order already)
+    val asLongs = labels.flatMap(l => scala.util.Try(l.toLong).toOption)
+    if (asLongs.length == labels.length)
+      labels = labels.sortBy(_.toLong)
+    MlModel.serializeClassifier(
+      MlModel.Classifier(labels, labels.map(byLabel.get)))
   }
 
   def serialize(): Array[Byte] = {
@@ -524,9 +559,17 @@ final class EvalPredsBuffer {
     m.put(k, (if (cur == null) 0L else cur.longValue()) + by)
   }
 
-  def add(truth: String, pred: String): Unit =
+  def add(truth: String, pred: String): Unit = {
+    // same per-buffer label-cardinality guard as CentroidBuffer: a
+    // mis-aimed call on a raw id/text column would otherwise grow
+    // three maps without bound inside every partial-agg buffer
+    require(tp.size + fp.size + fn.size < 300000 ||
+      ((tp.containsKey(truth) || fn.containsKey(truth)) &&
+        (tp.containsKey(pred) || fp.containsKey(pred))),
+      "evaluate_classifier_predictions: more than 300000 distinct label entries")
     if (truth == pred) bump(tp, truth, 1L)
     else { bump(fp, pred, 1L); bump(fn, truth, 1L) }
+  }
 
   def mergeWith(o: EvalPredsBuffer): Unit = {
     o.tp.forEach((k, v) => bump(tp, k, v))
@@ -534,6 +577,10 @@ final class EvalPredsBuffer {
     o.fn.forEach((k, v) => bump(fn, k, v))
   }
 
+  // 0/0 ratios format as "NaN%", exactly what the reference's Java
+  // format string produces (EvaluateClassifierPredictionsAggregation
+  // .java:109,114-116); gate queries must keep every class both
+  // predicted and observed, since SQL oracles have no NaN literal text
   def summary: String = {
     val sb = new StringBuilder
     var correct = 0L

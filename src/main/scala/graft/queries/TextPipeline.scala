@@ -570,7 +570,12 @@ object TextPipeline extends QueryGroup {
     "pipeline_boilerplate_ngrams" -> QueryDef(
       (s, dir) => {
         import s.implicits._
-        val grams = Tables.documents(s, dir)
+        // single pass: the (doc, gram) pairs are distinct per doc, so
+        // count() over the gram partition IS the document frequency —
+        // one window shuffle on gram, one groupBy shuffle on doc, and
+        // the explode subtree executes exactly once (no self-joins
+        // that would recompute it)
+        val pairs = Tables.documents(s, dir)
           .withColumn("toks", split(normText($"text"), " "))
           .filter(size($"toks") >= 5)
           .withColumn("gram", explode(array_distinct(expr(
@@ -578,18 +583,14 @@ object TextPipeline extends QueryGroup {
               "concat(toks[i], ' ', toks[i + 1], ' ', toks[i + 2], ' ', " +
               "toks[i + 3], ' ', toks[i + 4]))"))))
           .select($"doc_id", $"gram")
-        val boiler = grams.groupBy($"gram")
-          .agg(countDistinct($"doc_id").as("df"))
-          .filter($"df" >= 5)
-          .select($"gram")
-        val hits = grams.join(boiler, "gram")
-          .groupBy($"doc_id").agg(count(lit(1)).as("n_boiler"))
-        grams.groupBy($"doc_id").agg(count(lit(1)).as("n_grams"))
-          .join(hits, Seq("doc_id"), "left")
-          .select($"doc_id", $"n_grams",
-            coalesce($"n_boiler", lit(0L)).as("n_boiler"),
-            r4(coalesce($"n_boiler", lit(0L)).cast("double") / $"n_grams")
-              .as("boiler_ratio"))
+        pairs
+          .withColumn("df", count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window.partitionBy($"gram")))
+          .groupBy($"doc_id")
+          .agg(count(lit(1)).as("n_grams"),
+            sum(when($"df" >= 5, 1L).otherwise(0L)).as("n_boiler"))
+          .select($"doc_id", $"n_grams", $"n_boiler",
+            r4($"n_boiler".cast("double") / $"n_grams").as("boiler_ratio"))
           .orderBy($"doc_id")
       },
       Some("""WITH t AS (

@@ -97,6 +97,32 @@ class MlSpec extends AnyFunSuite with SparkFixture with Matchers {
     }
   }
 
+  test("bigint labels order numerically: ties prefer 2 over 10") {
+    val buf = new CentroidBuffer
+    buf.add("10", Array(0.0))
+    buf.add("2", Array(10.0))
+    val m = MlModel.deserialize(buf.toModel).asInstanceOf[MlModel.Classifier]
+    m.labels.toSeq shouldBe Seq("2", "10") // numeric, not lexicographic
+    m.classify(Array(5.0)) shouldBe "2" // equidistant → smallest number
+  }
+
+  test("empty model raises a clear error from classify, not an index crash") {
+    val m = MlModel.deserialize(new CentroidBuffer().toModel)
+      .asInstanceOf[MlModel.Classifier]
+    val e = intercept[IllegalArgumentException](m.classify(Array(1.0)))
+    e.getMessage should include("zero rows")
+  }
+
+  test("tiny-magnitude features are solved, not zeroed as dependent") {
+    val buf = new RegressorBuffer(0)
+    // y = 1e8 * x with x ~ 1e-8: XtX diagonal ≈ rows × 1e-16, far
+    // below any absolute pivot cutoff but perfectly well-conditioned
+    for (i <- 1 to 50) buf.add(i.toDouble, Array(i * 1e-8))
+    val MlModel.Regressor(w, b) = MlModel.deserialize(buf.toModel)
+    w(0) shouldBe 1e8 +- 1.0
+    b shouldBe 0.0 +- 1e-6
+  }
+
   test("evaluate summary matches the reference format exactly") {
     val buf = new EvalPredsBuffer
     // truth, pred over two classes: 3 correct 'a', 1 'a'→'b', 2 correct 'b'
