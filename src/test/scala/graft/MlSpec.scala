@@ -123,6 +123,27 @@ class MlSpec extends AnyFunSuite with SparkFixture with Matchers {
     b shouldBe 0.0 +- 1e-6
   }
 
+  test("property: OLS recovers random planted weights across dims and scales") {
+    val rng = new scala.util.Random(42)
+    for (trial <- 1 to 50) {
+      val d = rng.nextInt(6) + 1
+      val unit = math.pow(10, rng.nextInt(9) - 4) // feature units 1e-4 … 1e4
+      val wTrue = Array.fill(d)(rng.nextDouble() * 4 - 2)
+      val bTrue = rng.nextDouble() * 10 - 5
+      val buf = new RegressorBuffer(0)
+      for (_ <- 1 to (d * 8 + 20)) {
+        val x = Array.fill(d)(rng.nextDouble() * unit)
+        val y = bTrue + x.indices.map(i => wTrue(i) * x(i)).sum
+        buf.add(y, x)
+      }
+      val MlModel.Regressor(w, b) = MlModel.deserialize(buf.toModel)
+      withClue(s"trial $trial d=$d unit=$unit: ") {
+        b shouldBe bTrue +- 1e-6
+        w.indices.foreach(i => w(i) * unit shouldBe wTrue(i) * unit +- 1e-6)
+      }
+    }
+  }
+
   test("evaluate summary matches the reference format exactly") {
     val buf = new EvalPredsBuffer
     // truth, pred over two classes: 3 correct 'a', 1 'a'→'b', 2 correct 'b'
