@@ -85,6 +85,15 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture with Matchers {
     plan should include("partial_learn_regressor")
   }
 
+  test("quality-classifier scoring is one broadcast over one corpus scan") {
+    val plan = planOf("ml_quality_classifier")
+    // train reduces to a single-row model; scoring must broadcast that
+    // row, never shuffle or sort the corpus side against it
+    plan should include("BroadcastNestedLoopJoin")
+    plan should not include "SortMergeJoin"
+    plan should not include "CartesianProduct"
+  }
+
   test("salted two-stage agg produces two aggregation levels") {
     val plan = planOf("agg_salted_twostage")
     plan.sliding("HashAggregate".length).count(_ == "HashAggregate") should be >= 3
