@@ -116,6 +116,62 @@ object Ml extends QueryGroup {
              |WHERE rn = 1 AND c_custkey <= 300
              |ORDER BY c_custkey""".stripMargin)),
 
+    // Full loop in one statement: train → score → confusion summary.
+    // The oracle chains the two proven fragments (centroid argmin,
+    // exact summary string) over the same deterministic label rule.
+    "ml_train_score_evaluate" -> QueryDef(
+      sql("""WITH lab AS (
+            |  SELECT c_custkey,
+            |    CASE WHEN c_acctbal >= 4500 THEN 1 ELSE 0 END AS lbl,
+            |    features(CAST(c_acctbal AS DOUBLE), CAST(c_nationkey AS DOUBLE)) AS f
+            |  FROM customer),
+            |model AS (SELECT learn_classifier(lbl, f) AS m FROM lab)
+            |SELECT evaluate_classifier_predictions(lbl, classify(f, m)) AS summary
+            |FROM lab, model""".stripMargin),
+      Some("""WITH lab AS (
+             |  SELECT c_custkey,
+             |    CASE WHEN c_acctbal >= 4500 THEN 1 ELSE 0 END AS lbl,
+             |    CAST(c_acctbal AS DOUBLE) AS x0, CAST(c_nationkey AS DOUBLE) AS x1
+             |  FROM customer),
+             |cent AS (SELECT lbl, avg(x0) AS m0, avg(x1) AS m1 FROM lab GROUP BY lbl),
+             |scored AS (
+             |  SELECT l.c_custkey, l.lbl AS t_lbl, c.lbl AS p_lbl,
+             |    row_number() OVER (PARTITION BY l.c_custkey
+             |      ORDER BY (l.x0-c.m0)*(l.x0-c.m0) + (l.x1-c.m1)*(l.x1-c.m1), c.lbl) AS rn
+             |  FROM lab l CROSS JOIN cent c),
+             |p AS (
+             |  SELECT CAST(t_lbl AS VARCHAR) AS truth, CAST(p_lbl AS VARCHAR) AS pred
+             |  FROM scored WHERE rn = 1),
+             |tot AS (
+             |  SELECT sum(CASE WHEN truth = pred THEN 1 ELSE 0 END) AS correct,
+             |         count(*) AS total
+             |  FROM p),
+             |lblagg AS (
+             |  SELECT label, sum(tp) AS tp, sum(fp) AS fp, sum(fn) AS fn
+             |  FROM (
+             |    SELECT truth AS label,
+             |      CASE WHEN truth = pred THEN 1 ELSE 0 END AS tp,
+             |      0 AS fp,
+             |      CASE WHEN truth <> pred THEN 1 ELSE 0 END AS fn
+             |    FROM p
+             |    UNION ALL
+             |    SELECT pred, 0,
+             |      CASE WHEN truth <> pred THEN 1 ELSE 0 END, 0
+             |    FROM p)
+             |  GROUP BY label),
+             |cls AS (
+             |  SELECT string_agg(
+             |    'Class ''' || label || '''' || chr(10) ||
+             |    'Precision: ' || tp || '/' || (tp+fp) || ' (' ||
+             |      printf('%.2f', 100.0*tp/(tp+fp)) || '%)' || chr(10) ||
+             |    'Recall: ' || tp || '/' || (tp+fn) || ' (' ||
+             |      printf('%.2f', 100.0*tp/(tp+fn)) || '%)' || chr(10),
+             |    '' ORDER BY label) AS body
+             |  FROM lblagg)
+             |SELECT 'Accuracy: ' || correct || '/' || total || ' (' ||
+             |  printf('%.2f', 100.0*correct/total) || '%)' || chr(10) || body AS summary
+             |FROM tot, cls""".stripMargin)),
+
     // The reference's default `classify` overload returns bigint; labels
     // train from a numeric rule and predictions come back as longs.
     "ml_classifier_bigint" -> QueryDef(
