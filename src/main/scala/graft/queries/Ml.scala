@@ -24,6 +24,60 @@ object Ml extends QueryGroup {
     s.sql(q)
   }
 
+  /** DuckDB rebuild of EvalPredsBuffer.summary over a (truth, pred)
+    * varchar relation `pSql`. Shared by every evaluate oracle so the
+    * exact format string lives in ONE place next to its Scala twin.
+    * Rounding note: DuckDB's printf('%.2f') rounds half-to-even while
+    * Java's %.2f rounds HALF_UP — gate queries must avoid ratios that
+    * land exactly on a 2-decimal binary midpoint (the pinned testdata
+    * scales don't produce any; a new query with tp/(tp+fp) like 1/800
+    * would need a different label rule). */
+  private def evalSummarySql(pSql: String): String =
+    s"""WITH p AS ($pSql),
+       |tot AS (
+       |  SELECT sum(CASE WHEN truth = pred THEN 1 ELSE 0 END) AS correct,
+       |         count(*) AS total
+       |  FROM p),
+       |lblagg AS (
+       |  SELECT label, sum(tp) AS tp, sum(fp) AS fp, sum(fn) AS fn
+       |  FROM (
+       |    SELECT truth AS label,
+       |      CASE WHEN truth = pred THEN 1 ELSE 0 END AS tp,
+       |      0 AS fp,
+       |      CASE WHEN truth <> pred THEN 1 ELSE 0 END AS fn
+       |    FROM p
+       |    UNION ALL
+       |    SELECT pred, 0,
+       |      CASE WHEN truth <> pred THEN 1 ELSE 0 END, 0
+       |    FROM p)
+       |  GROUP BY label),
+       |cls AS (
+       |  SELECT string_agg(
+       |    'Class ''' || label || '''' || chr(10) ||
+       |    'Precision: ' || tp || '/' || (tp+fp) || ' (' ||
+       |      printf('%.2f', 100.0*tp/(tp+fp)) || '%)' || chr(10) ||
+       |    'Recall: ' || tp || '/' || (tp+fn) || ' (' ||
+       |      printf('%.2f', 100.0*tp/(tp+fn)) || '%)' || chr(10),
+       |    '' ORDER BY label) AS body
+       |  FROM lblagg)
+       |SELECT 'Accuracy: ' || correct || '/' || total || ' (' ||
+       |  printf('%.2f', 100.0*correct/total) || '%)' || chr(10) || body AS summary
+       |FROM tot, cls""".stripMargin
+
+  /** DuckDB rebuild of the nearest-centroid scorer: per-row argmin of
+    * squared distance to per-label centroids, ties to the smaller
+    * label — the classify expression's documented tie-break. `labSql`
+    * must yield (c_custkey, lbl, x0, x1). */
+  private def centroidArgminSql(labSql: String, idCol: String = "c_custkey"): String =
+    s"""WITH lab AS ($labSql),
+       |cent AS (SELECT lbl, avg(x0) AS m0, avg(x1) AS m1 FROM lab GROUP BY lbl),
+       |scored AS (
+       |  SELECT l.$idCol, l.lbl AS t_lbl, c.lbl AS p_lbl,
+       |    row_number() OVER (PARTITION BY l.$idCol
+       |      ORDER BY (l.x0-c.m0)*(l.x0-c.m0) + (l.x1-c.m1)*(l.x1-c.m1), c.lbl) AS rn
+       |  FROM lab l CROSS JOIN cent c)
+       |SELECT * FROM scored WHERE rn = 1""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
 
     // OLS with one feature: DuckDB's regr_slope/regr_intercept IS the
@@ -100,21 +154,14 @@ object Ml extends QueryGroup {
             |FROM lab, model
             |WHERE c_custkey <= 300
             |ORDER BY c_custkey""".stripMargin),
-      Some("""WITH lab AS (
-             |  SELECT c_custkey,
-             |    CASE WHEN c_acctbal >= 4500 THEN 'high' ELSE 'low' END AS lbl,
-             |    CAST(c_acctbal AS DOUBLE) AS x0, CAST(c_nationkey AS DOUBLE) AS x1
-             |  FROM customer),
-             |cent AS (SELECT lbl, avg(x0) AS m0, avg(x1) AS m1 FROM lab GROUP BY lbl),
-             |scored AS (
-             |  SELECT l.c_custkey, c.lbl,
-             |    row_number() OVER (PARTITION BY l.c_custkey
-             |      ORDER BY (l.x0-c.m0)*(l.x0-c.m0) + (l.x1-c.m1)*(l.x1-c.m1), c.lbl) AS rn
-             |  FROM lab l CROSS JOIN cent c)
-             |SELECT c_custkey, lbl AS pred
-             |FROM scored
-             |WHERE rn = 1 AND c_custkey <= 300
-             |ORDER BY c_custkey""".stripMargin)),
+      Some(s"""SELECT c_custkey, p_lbl AS pred
+              |FROM (${centroidArgminSql(
+        """SELECT c_custkey,
+          |    CASE WHEN c_acctbal >= 4500 THEN 'high' ELSE 'low' END AS lbl,
+          |    CAST(c_acctbal AS DOUBLE) AS x0, CAST(c_nationkey AS DOUBLE) AS x1
+          |  FROM customer""".stripMargin)}) s
+              |WHERE c_custkey <= 300
+              |ORDER BY c_custkey""".stripMargin)),
 
     // Full loop in one statement: train → score → confusion summary.
     // The oracle chains the two proven fragments (centroid argmin,
@@ -128,49 +175,13 @@ object Ml extends QueryGroup {
             |model AS (SELECT learn_classifier(lbl, f) AS m FROM lab)
             |SELECT evaluate_classifier_predictions(lbl, classify(f, m)) AS summary
             |FROM lab, model""".stripMargin),
-      Some("""WITH lab AS (
-             |  SELECT c_custkey,
-             |    CASE WHEN c_acctbal >= 4500 THEN 1 ELSE 0 END AS lbl,
-             |    CAST(c_acctbal AS DOUBLE) AS x0, CAST(c_nationkey AS DOUBLE) AS x1
-             |  FROM customer),
-             |cent AS (SELECT lbl, avg(x0) AS m0, avg(x1) AS m1 FROM lab GROUP BY lbl),
-             |scored AS (
-             |  SELECT l.c_custkey, l.lbl AS t_lbl, c.lbl AS p_lbl,
-             |    row_number() OVER (PARTITION BY l.c_custkey
-             |      ORDER BY (l.x0-c.m0)*(l.x0-c.m0) + (l.x1-c.m1)*(l.x1-c.m1), c.lbl) AS rn
-             |  FROM lab l CROSS JOIN cent c),
-             |p AS (
-             |  SELECT CAST(t_lbl AS VARCHAR) AS truth, CAST(p_lbl AS VARCHAR) AS pred
-             |  FROM scored WHERE rn = 1),
-             |tot AS (
-             |  SELECT sum(CASE WHEN truth = pred THEN 1 ELSE 0 END) AS correct,
-             |         count(*) AS total
-             |  FROM p),
-             |lblagg AS (
-             |  SELECT label, sum(tp) AS tp, sum(fp) AS fp, sum(fn) AS fn
-             |  FROM (
-             |    SELECT truth AS label,
-             |      CASE WHEN truth = pred THEN 1 ELSE 0 END AS tp,
-             |      0 AS fp,
-             |      CASE WHEN truth <> pred THEN 1 ELSE 0 END AS fn
-             |    FROM p
-             |    UNION ALL
-             |    SELECT pred, 0,
-             |      CASE WHEN truth <> pred THEN 1 ELSE 0 END, 0
-             |    FROM p)
-             |  GROUP BY label),
-             |cls AS (
-             |  SELECT string_agg(
-             |    'Class ''' || label || '''' || chr(10) ||
-             |    'Precision: ' || tp || '/' || (tp+fp) || ' (' ||
-             |      printf('%.2f', 100.0*tp/(tp+fp)) || '%)' || chr(10) ||
-             |    'Recall: ' || tp || '/' || (tp+fn) || ' (' ||
-             |      printf('%.2f', 100.0*tp/(tp+fn)) || '%)' || chr(10),
-             |    '' ORDER BY label) AS body
-             |  FROM lblagg)
-             |SELECT 'Accuracy: ' || correct || '/' || total || ' (' ||
-             |  printf('%.2f', 100.0*correct/total) || '%)' || chr(10) || body AS summary
-             |FROM tot, cls""".stripMargin)),
+      Some(evalSummarySql(
+        s"""SELECT CAST(t_lbl AS VARCHAR) AS truth, CAST(p_lbl AS VARCHAR) AS pred
+           |  FROM (${centroidArgminSql(
+          """SELECT c_custkey,
+            |    CASE WHEN c_acctbal >= 4500 THEN 1 ELSE 0 END AS lbl,
+            |    CAST(c_acctbal AS DOUBLE) AS x0, CAST(c_nationkey AS DOUBLE) AS x1
+            |  FROM customer""".stripMargin)}) s""".stripMargin))),
 
     // The reference's default `classify` overload returns bigint; labels
     // train from a numeric rule and predictions come back as longs.
@@ -185,21 +196,16 @@ object Ml extends QueryGroup {
             |FROM lab, model
             |WHERE c_custkey <= 300
             |ORDER BY c_custkey""".stripMargin),
-      Some("""WITH lab AS (
-             |  SELECT c_custkey,
-             |    CASE WHEN c_acctbal >= 4500 THEN 1 ELSE 0 END AS lbl,
-             |    CAST(c_acctbal AS DOUBLE) AS x0
-             |  FROM customer),
-             |cent AS (SELECT lbl, avg(x0) AS m0 FROM lab GROUP BY lbl),
-             |scored AS (
-             |  SELECT l.c_custkey, c.lbl,
-             |    row_number() OVER (PARTITION BY l.c_custkey
-             |      ORDER BY (l.x0-c.m0)*(l.x0-c.m0), c.lbl) AS rn
-             |  FROM lab l CROSS JOIN cent c)
-             |SELECT c_custkey, CAST(lbl AS BIGINT) AS pred
-             |FROM scored
-             |WHERE rn = 1 AND c_custkey <= 300
-             |ORDER BY c_custkey""".stripMargin)),
+      // x1 pinned to 0: the shared two-feature argmin reduces to the
+      // one-feature distance when the second coordinate is constant
+      Some(s"""SELECT c_custkey, CAST(p_lbl AS BIGINT) AS pred
+              |FROM (${centroidArgminSql(
+        """SELECT c_custkey,
+          |    CASE WHEN c_acctbal >= 4500 THEN 1 ELSE 0 END AS lbl,
+          |    CAST(c_acctbal AS DOUBLE) AS x0, CAST(0 AS DOUBLE) AS x1
+          |  FROM customer""".stripMargin)}) s
+              |WHERE c_custkey <= 300
+              |ORDER BY c_custkey""".stripMargin)),
 
     // End-to-end corpus quality classifier: compute text statistics,
     // train a centroid classifier on a length-derived quality label,
@@ -220,21 +226,14 @@ object Ml extends QueryGroup {
             |SELECT doc_id, classify_varchar(f, m) AS pred
             |FROM feat, model
             |ORDER BY doc_id""".stripMargin),
-      Some("""WITH feat AS (
-             |  SELECT doc_id,
-             |    CASE WHEN n_chars >= 300 THEN 'keep' ELSE 'drop' END AS lbl,
-             |    CAST(len(string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ')) AS DOUBLE) AS x0,
-             |    CAST(length(text) AS DOUBLE) AS x1
-             |  FROM documents),
-             |cent AS (SELECT lbl, avg(x0) AS m0, avg(x1) AS m1 FROM feat GROUP BY lbl),
-             |scored AS (
-             |  SELECT f.doc_id, c.lbl,
-             |    row_number() OVER (PARTITION BY f.doc_id
-             |      ORDER BY (f.x0-c.m0)*(f.x0-c.m0) + (f.x1-c.m1)*(f.x1-c.m1), c.lbl) AS rn
-             |  FROM feat f CROSS JOIN cent c)
-             |SELECT doc_id, lbl AS pred
-             |FROM scored WHERE rn = 1
-             |ORDER BY doc_id""".stripMargin)),
+      Some(s"""SELECT doc_id, p_lbl AS pred
+              |FROM (${centroidArgminSql(
+        """SELECT doc_id,
+          |    CASE WHEN n_chars >= 300 THEN 'keep' ELSE 'drop' END AS lbl,
+          |    CAST(len(string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ')) AS DOUBLE) AS x0,
+          |    CAST(length(text) AS DOUBLE) AS x1
+          |  FROM documents""".stripMargin, idCol = "doc_id")}) s
+              |ORDER BY doc_id""".stripMargin)),
 
     // Bigint labels through the reference's default `classify` overload:
     // train on a numeric rule, predict, and aggregate the confusion
@@ -243,38 +242,9 @@ object Ml extends QueryGroup {
       sql("""SELECT evaluate_classifier_predictions(
             |  c_custkey % 3, (c_custkey * 2) % 3) AS summary
             |FROM customer""".stripMargin),
-      Some("""WITH p AS (
-             |  SELECT CAST(c_custkey % 3 AS VARCHAR) AS truth,
-             |         CAST((c_custkey * 2) % 3 AS VARCHAR) AS pred
-             |  FROM customer),
-             |tot AS (
-             |  SELECT sum(CASE WHEN truth = pred THEN 1 ELSE 0 END) AS correct,
-             |         count(*) AS total
-             |  FROM p),
-             |lbl AS (
-             |  SELECT label, sum(tp) AS tp, sum(fp) AS fp, sum(fn) AS fn
-             |  FROM (
-             |    SELECT truth AS label,
-             |      CASE WHEN truth = pred THEN 1 ELSE 0 END AS tp,
-             |      0 AS fp,
-             |      CASE WHEN truth <> pred THEN 1 ELSE 0 END AS fn
-             |    FROM p
-             |    UNION ALL
-             |    SELECT pred, 0,
-             |      CASE WHEN truth <> pred THEN 1 ELSE 0 END, 0
-             |    FROM p)
-             |  GROUP BY label),
-             |cls AS (
-             |  SELECT string_agg(
-             |    'Class ''' || label || '''' || chr(10) ||
-             |    'Precision: ' || tp || '/' || (tp+fp) || ' (' ||
-             |      printf('%.2f', 100.0*tp/(tp+fp)) || '%)' || chr(10) ||
-             |    'Recall: ' || tp || '/' || (tp+fn) || ' (' ||
-             |      printf('%.2f', 100.0*tp/(tp+fn)) || '%)' || chr(10),
-             |    '' ORDER BY label) AS body
-             |  FROM lbl)
-             |SELECT 'Accuracy: ' || correct || '/' || total || ' (' ||
-             |  printf('%.2f', 100.0*correct/total) || '%)' || chr(10) || body AS summary
-             |FROM tot, cls""".stripMargin))
+      Some(evalSummarySql(
+        """SELECT CAST(c_custkey % 3 AS VARCHAR) AS truth,
+          |         CAST((c_custkey * 2) % 3 AS VARCHAR) AS pred
+          |  FROM customer""".stripMargin)))
   )
 }
