@@ -38,6 +38,19 @@ object HyperplaneLsh {
     Array.tabulate(NBands, BitsPerBand, Dims)((b, i, d) =>
       if ((splitmix64(b * 1000003L + i * 8191L + d) & 1L) == 1L) 1.0 else -1.0)
 
+  /** The plane matrix flattened to a '1'/'0' bit string ('1' = +1.0),
+    * row-major [band][bit][dim] — interpolated into the DuckDB oracle
+    * of `sim_embed_neardup_full` so the oracle re-derives the SAME
+    * band signatures from the same constants (single source of truth;
+    * the r3 oracle could only check invariants because the signature
+    * derivation wasn't expressed in SQL). */
+  lazy val planesBitString: String = {
+    val sb = new StringBuilder(NBands * BitsPerBand * Dims)
+    for (b <- 0 until NBands; i <- 0 until BitsPerBand; d <- 0 until Dims)
+      sb.append(if (planes(b)(i)(d) > 0) '1' else '0')
+    sb.toString
+  }
+
   def compute(v: ArrayData): ArrayData = {
     val n = math.min(v.numElements(), Dims)
     val out = new Array[Long](NBands)

