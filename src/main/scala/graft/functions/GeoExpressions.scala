@@ -147,20 +147,43 @@ object GeoAlgorithms {
     out.distinct.toArray
   }
 
-  /** ST_Intersection: EXACT Sutherland–Hodgman clip when both inputs
-    * are convex polygon rings (covers every rectangle, triangle,
-    * buffer n-gon, and bing-tile box this tier constructs); envelope
-    * intersection otherwise (the documented non-convex fallback).
-    * EMPTY inputs — which this function itself produces — intersect
-    * to EMPTY, so the overlay functions compose. */
+  private def openRing(r: Array[(Double, Double)]): Array[(Double, Double)] =
+    if (r.length > 1 && r.head == r.last) r.dropRight(1) else r
+
+  private def closedRing(r: Array[(Double, Double)]): Array[(Double, Double)] =
+    if (r.length > 1 && r.head == r.last) r else r :+ r.head
+
+  /** |shoelace|/2 over one ring (open or closed). */
+  private def ringArea(ring: Array[(Double, Double)]): Double = {
+    val p = openRing(ring)
+    if (p.length < 3) return 0.0
+    math.abs(p.indices.map { i =>
+      val u = p(i); val v = p((i + 1) % p.length)
+      u._1 * v._2 - v._1 * u._2
+    }.sum) / 2.0
+  }
+
+  /** ST_Intersection: EXACT Sutherland–Hodgman clip when both inputs'
+    * rings are convex — including POLYGONs WITH HOLES (r4: interior
+    * rings clip into the result and subtract, the regime geom_area
+    * already handles; holes are assumed mutually disjoint, as in the
+    * fixtures); envelope intersection otherwise (the documented
+    * non-convex fallback). EMPTY inputs — which this function itself
+    * produces — intersect to EMPTY, so the overlay functions compose. */
   def intersection(a: String, b: String): String = {
     if (a.endsWith("EMPTY") || b.endsWith("EMPTY")) return "POLYGON EMPTY"
     if (geomType(a) == "POLYGON" && geomType(b) == "POLYGON") {
-      val (ra, rb) = (parseCoords(a), parseCoords(b))
-      if (isConvexRing(ra) && isConvexRing(rb)) {
-        val clipped = clipConvex(ra, rb)
+      val ringsA = parseRings(a)
+      val ringsB = parseRings(b)
+      if ((ringsA ++ ringsB).forall(isConvexRing)) {
+        val clipped = clipConvex(ringsA.head, ringsB.head)
         if (clipped.length < 3) return "POLYGON EMPTY"
-        return s"POLYGON (${ringWkt(clipped.toSeq :+ clipped.head)})"
+        val outer = closedRing(clipped)
+        val holes = (ringsA.tail ++ ringsB.tail)
+          .map(h => clipConvex(h, outer))
+          .filter(_.length >= 3)
+          .map(h => closedRing(h).toSeq)
+        return s"POLYGON (${(outer.toSeq +: holes).map(ringWkt).mkString(", ")})"
       }
     }
     val (ax0, ay0, ax1, ay1) = envelope(a)
@@ -445,12 +468,172 @@ object GeoAlgorithms {
       parts.map(p => s"(${rectWkt(p._1, p._2, p._3, p._4)})")
         .mkString("MULTIPOLYGON (", ", ", ")")
 
-  /** Envelope-scope ST_Difference: A \ B as disjoint rectangles. */
-  def difference(a: String, b: String): String =
-    if (a.endsWith("EMPTY")) "POLYGON EMPTY"
-    else if (b.endsWith("EMPTY")) a
-    else
+  /** ST_Difference. Hole-aware exact case (r4): when both are convex
+    * POLYGONs and B lies wholly inside A's outer ring, A − B is A with
+    * B appended as one more interior ring (disjoint from A's existing
+    * holes, the fixtures' regime — geom_area then subtracts exactly);
+    * B covering A yields EMPTY; B disjoint from A returns A unchanged.
+    * Other shapes keep the envelope-scope rectangle decomposition. */
+  def difference(a: String, b: String): String = {
+    if (a.endsWith("EMPTY")) return "POLYGON EMPTY"
+    if (b.endsWith("EMPTY")) return a
+    if (geomType(a) == "POLYGON" && geomType(b) == "POLYGON") {
+      val ringsA = parseRings(a)
+      val outerB = parseRings(b).head
+      if ((ringsA :+ outerB).forall(isConvexRing)) {
+        val outerA = closedRing(ringsA.head)
+        val bIn = clipConvex(outerB, outerA)
+        if (bIn.length < 3) return a // B outside A's outer ring
+        val aIn = clipConvex(ringsA.head, closedRing(outerB))
+        val areaA = ringArea(ringsA.head)
+        if (math.abs(ringArea(aIn) - areaA) <= 1e-9 * math.max(1.0, areaA))
+          return "POLYGON EMPTY" // B covers A
+        val areaB = ringArea(outerB)
+        if (math.abs(ringArea(bIn) - areaB) <= 1e-9 * math.max(1.0, areaB)) {
+          val rings = (outerA.toSeq +:
+            ringsA.tail.map(h => closedRing(h).toSeq)) :+ closedRing(bIn).toSeq
+          return s"POLYGON (${rings.map(ringWkt).mkString(", ")})"
+        }
+      }
+    }
     partsWkt(rectMinus(envelope(a), envelope(b)))
+  }
+
+  // --- DE-9IM relate (ST_Relate, GeoFunctions.java:1078) ---------------
+
+  private def pointInRing(ring: Array[(Double, Double)], px: Double, py: Double): Boolean = {
+    var crossings = 0
+    var i = 0
+    while (i < ring.length - 1) {
+      val (x1, y1) = ring(i)
+      val (x2, y2) = ring(i + 1)
+      if (((y1 > py) != (y2 > py)) &&
+        (px < (x2 - x1) * (py - y1) / (y2 - y1) + x1)) crossings += 1
+      i += 1
+    }
+    (crossings & 1) == 1
+  }
+
+  /** p lies on segment (s1, s2), endpoints included. */
+  private def ptOnSeg(p: (Double, Double), s1: (Double, Double),
+      s2: (Double, Double)): Boolean =
+    p == s1 || p == s2 || onSegment(p, s1, s2)
+
+  private def onRingBoundary(ring: Array[(Double, Double)], p: (Double, Double)): Boolean =
+    (0 until ring.length - 1).exists(i => ptOnSeg(p, ring(i), ring(i + 1)))
+
+  /** Dimension of the contact between two closed rings' boundaries:
+    * 1 = collinear segment overlap, 0 = point contact, -1 = none. */
+  private def boundaryContactDim(ra: Array[(Double, Double)],
+      rb: Array[(Double, Double)]): Int = {
+    var dim = -1
+    for (i <- 0 until ra.length - 1; j <- 0 until rb.length - 1) {
+      val (s1, s2) = (ra(i), ra(i + 1))
+      val (t1, t2) = (rb(j), rb(j + 1))
+      if (orient(s1, s2, t1) == 0.0 && orient(s1, s2, t2) == 0.0) {
+        // collinear: positive-length interval overlap on the longer axis
+        val horiz = math.abs(s2._1 - s1._1) >= math.abs(s2._2 - s1._2)
+        def ax(p: (Double, Double)) = if (horiz) p._1 else p._2
+        val lo = math.max(math.min(ax(s1), ax(s2)), math.min(ax(t1), ax(t2)))
+        val hi = math.min(math.max(ax(s1), ax(s2)), math.max(ax(t1), ax(t2)))
+        if (hi > lo) return 1
+        if (hi == lo) dim = math.max(dim, 0)
+      } else if (properCross(s1, s2, t1, t2) ||
+        ptOnSeg(t1, s1, s2) || ptOnSeg(t2, s1, s2) ||
+        ptOnSeg(s1, t1, t2) || ptOnSeg(s2, t1, t2)) dim = math.max(dim, 0)
+    }
+    dim
+  }
+
+  private def transposeMatrix(m: String): String =
+    new String(Array(m(0), m(3), m(6), m(1), m(4), m(7), m(2), m(5), m(8)))
+
+  /** ST_Relate's DE-9IM matrix [II IB IE / BI BB BE / EI EB EE] for the
+    * regimes this tier models — point/line/convex-polygon pairs in
+    * general position (boundary-tangent containment is out of scope
+    * with the rest of the exact concave overlay, SURVEY §7.2). The
+    * canonical matrices are standard OGC SFS facts. */
+  def relateMatrix(a: String, b: String): String = {
+    if (a.endsWith("EMPTY") || b.endsWith("EMPTY"))
+      throw new IllegalArgumentException("st_relate: EMPTY geometry is not supported")
+    (geomType(a), geomType(b)) match {
+      case ("POINT", "POINT") =>
+        if (parseCoords(a)(0) == parseCoords(b)(0)) "0FFFFFFF2" else "FF0FFF0F2"
+      case ("POINT", "POLYGON") =>
+        val p = parseCoords(a)(0)
+        val ring = closedRing(parseRings(b).head)
+        if (onRingBoundary(ring, p)) "F0FFFF212"
+        else if (pointInRing(ring, p._1, p._2)) "0FFFFF212"
+        else "FF0FFF212"
+      case ("POLYGON", "POINT") => transposeMatrix(relateMatrix(b, a))
+      case ("LINESTRING", "LINESTRING") =>
+        if (equalsGeom(a, b)) return "1FFF0FFF2"
+        val pa = parseCoords(a)
+        val pb = parseCoords(b)
+        val crosses = (0 until pa.length - 1).exists(i =>
+          (0 until pb.length - 1).exists(j =>
+            properCross(pa(i), pa(i + 1), pb(j), pb(j + 1))))
+        if (crosses) return "0F1FF0102"
+        val ea = Set(pa.head, pa.last)
+        val eb = Set(pb.head, pb.last)
+        if (ea.exists(eb.contains)) return "FF1F00102"
+        val bEndOnA = eb.exists(p => (0 until pa.length - 1).exists(i =>
+          ptOnSeg(p, pa(i), pa(i + 1))))
+        val aEndOnB = ea.exists(p => (0 until pb.length - 1).exists(j =>
+          ptOnSeg(p, pb(j), pb(j + 1))))
+        if (bEndOnA) "F01FF0102"
+        else if (aEndOnB) "FF10F0102"
+        else "FF1FF0102"
+      case ("LINESTRING", "POLYGON") =>
+        val pa = parseCoords(a)
+        val ring = closedRing(parseRings(b).head)
+        val ins = pa.count(p => pointInRing(ring, p._1, p._2))
+        val crosses = (0 until pa.length - 1).exists(i =>
+          (0 until ring.length - 1).exists(j =>
+            properCross(pa(i), pa(i + 1), ring(j), ring(j + 1))))
+        if (!crosses && ins == pa.length) "1FF0FF212"      // line inside area
+        else if (crosses) "101FF0212"                      // line crosses boundary
+        else "FF1FF0212"                                   // disjoint
+      case ("POLYGON", "LINESTRING") => transposeMatrix(relateMatrix(b, a))
+      case ("POLYGON", "POLYGON") =>
+        if (equalsGeom(a, b)) return "2FFF1FFF2"
+        val ra = closedRing(parseRings(a).head)
+        val rb = closedRing(parseRings(b).head)
+        require(isConvexRing(ra) && isConvexRing(rb),
+          "st_relate: non-convex polygons are not supported")
+        val areaC = ringArea(clipConvex(ra, rb))
+        if (areaC > 1e-12) {
+          val aArea = ringArea(ra)
+          val bArea = ringArea(rb)
+          if (math.abs(areaC - bArea) <= 1e-9 * bArea) "212FF1FF2"      // contains B
+          else if (math.abs(areaC - aArea) <= 1e-9 * aArea) "2FF1FF212" // within B
+          else "212101212"                                              // overlap
+        } else boundaryContactDim(ra, rb) match {
+          case 1 => "FF2F11212"  // touch along an edge
+          case 0 => "FF2F01212"  // touch at a point
+          case _ => "FF2FF1212"  // disjoint
+        }
+      case (ta, tb) =>
+        throw new IllegalArgumentException(
+          s"st_relate: unsupported geometry regime ($ta, $tb)")
+    }
+  }
+
+  /** 3-arg ST_Relate: DE-9IM pattern match (T = any intersection,
+    * F = none, * = either, 0/1/2 = exact dimension). */
+  def relatePattern(a: String, b: String, pattern: String): Boolean = {
+    require(pattern.length == 9,
+      s"st_relate: pattern must be 9 characters, got '$pattern'")
+    val m = relateMatrix(a, b)
+    (0 until 9).forall { i =>
+      pattern.charAt(i) match {
+        case '*' => true
+        case 'T' | 't' => m.charAt(i) != 'F'
+        case 'F' | 'f' => m.charAt(i) == 'F'
+        case c => Character.toUpperCase(c) == m.charAt(i)
+      }
+    }
+  }
 
   /** Envelope-scope ST_SymDifference: (A \ B) ∪ (B \ A). */
   def symDifference(a: String, b: String): String =
@@ -561,6 +744,134 @@ object GeoAlgorithms {
     if (geomType(wkt) == "POLYGON" && rings.length > 1)
       rings.head - rings.tail.sum
     else rings.sum
+  }
+
+  /** WKT type token → the reference's JTS-style camel-case name, used
+    * in line_locate_point's error text (GeoFunctions.java:505,510). */
+  private def jtsName(t: String): String = t match {
+    case "POINT" => "Point"
+    case "MULTIPOINT" => "MultiPoint"
+    case "LINESTRING" => "LineString"
+    case "MULTILINESTRING" => "MultiLineString"
+    case "POLYGON" => "Polygon"
+    case "MULTIPOLYGON" => "MultiPolygon"
+    case other => other
+  }
+
+  /** line_locate_point(line, point) — fraction in [0,1] of the line's
+    * total 2D length at the point on the line nearest the argument
+    * (GeoFunctions.java:492-514: JTS LengthIndexedLine.indexOf /
+    * getLength). MULTILINESTRING parts index continuously in order,
+    * as in JTS; ties keep the FIRST (lowest-index) nearest point;
+    * EMPTY input → null; wrong argument types throw the reference's
+    * message. */
+  def lineLocatePoint(lineWkt: String, pointWkt: String): java.lang.Double = {
+    val lt = geomType(lineWkt)
+    val pt = geomType(pointWkt)
+    if (lt != "LINESTRING" && lt != "MULTILINESTRING")
+      throw new IllegalArgumentException(
+        s"First argument to line_locate_point must be a LineString or a MultiLineString. Got: ${jtsName(lt)}")
+    if (pt != "POINT")
+      throw new IllegalArgumentException(
+        s"Second argument to line_locate_point must be a Point. Got: ${jtsName(pt)}")
+    if (lineWkt.endsWith("EMPTY") || pointWkt.endsWith("EMPTY")) return null
+    val Array((px, py)) = parseCoords(pointWkt)
+    var cum = 0.0
+    var best = Double.MaxValue
+    var bestIdx = 0.0
+    parseRings(lineWkt).foreach { part =>
+      var i = 0
+      while (i < part.length - 1) {
+        val (x1, y1) = part(i)
+        val (x2, y2) = part(i + 1)
+        val (dx, dy) = (x2 - x1, y2 - y1)
+        val len = math.hypot(dx, dy)
+        val t =
+          if (len == 0) 0.0
+          else math.max(0.0, math.min(1.0, ((px - x1) * dx + (py - y1) * dy) / (len * len)))
+        val d = math.hypot(px - (x1 + t * dx), py - (y1 + t * dy))
+        if (d < best) { best = d; bestIdx = cum + t * len }
+        cum += len
+        i += 1
+      }
+    }
+    java.lang.Double.valueOf(bestIdx / cum) // zero-length line → NaN, like the reference's 0/0
+  }
+
+  /** geometry_union over an array of geometries (GeoFunctions.java:627).
+    * SQL nulls are ignored (the reference skips empty slices); null
+    * when no non-null input. Single non-empty input passes through
+    * unchanged; n ≥ 2 inputs produce the envelope-scope union as a
+    * DISJOINT rectangle decomposition built incrementally (each new
+    * envelope contributes only its parts outside every part so far) —
+    * the summed area is the true union-of-envelopes area. A naive
+    * fold of the pairwise [[union]] would instead re-envelope the
+    * accumulated MULTIPOLYGON each step and over-count. */
+  def unionArray(arr: org.apache.spark.sql.catalyst.util.ArrayData): String = {
+    val wkts = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < arr.numElements()) {
+      if (!arr.isNullAt(i)) wkts += arr.getUTF8String(i).toString
+      i += 1
+    }
+    if (wkts.isEmpty) return null
+    val nonEmpty = wkts.filterNot(_.endsWith("EMPTY"))
+    if (nonEmpty.isEmpty) return "POLYGON EMPTY"
+    if (nonEmpty.length == 1) return nonEmpty.head
+    var parts = Seq(envelope(nonEmpty.head))
+    nonEmpty.tail.foreach { g =>
+      var pieces: Seq[Rect] = Seq(envelope(g))
+      parts.foreach(p => pieces = pieces.flatMap(rectMinus(_, p)))
+      parts = parts ++ pieces
+    }
+    partsWkt(parts)
+  }
+
+  /** geometry_invalid_reason (GeoFunctions.java:443-478): the reason a
+    * geometry fails [[isSimple]], with the reference's reason strings
+    * (NON_SIMPLE_REASONS, GeoFunctions.java:121-129) and "at or near"
+    * vertex coordinates; null when valid. Regimes covered = the same
+    * point/multipoint/linestring/polygon checks isSimple performs
+    * (degenerate segment, repeated vertex, proper self-crossing). */
+  def invalidReason(wkt: String): String = {
+    if (wkt.endsWith("EMPTY")) return null
+    def at(p: (Double, Double)): String = s"(${p._1} ${p._2})"
+    val t = geomType(wkt)
+    if (t == "POINT") return null
+    val raw = parseCoords(wkt)
+    if (t == "MULTIPOINT") {
+      val seen = scala.collection.mutable.HashSet.empty[(Double, Double)]
+      raw.foreach { p =>
+        if (!seen.add(p)) return s"Repeated points at or near ${at(p)}"
+      }
+      return null
+    }
+    val ring = t == "POLYGON" || (raw.length > 1 && raw.head == raw.last)
+    val pts = if (ring) raw.dropRight(1) else raw
+    var i = 0
+    while (i < pts.length - 1) {
+      if (pts(i) == pts(i + 1))
+        return s"Degenerate segments at or near ${at(pts(i))}"
+      i += 1
+    }
+    val seen = scala.collection.mutable.HashSet.empty[(Double, Double)]
+    pts.foreach { p =>
+      if (!seen.add(p)) return s"Repeated points at or near ${at(p)}"
+    }
+    val segs = (if (ring) pts.toSeq :+ pts.head else pts.toSeq)
+      .sliding(2).filter(_.length == 2).map(s => (s(0), s(1))).toArray
+    i = 0
+    while (i < segs.length) {
+      var j = i + 2
+      val jMax = if (ring && i == 0) segs.length - 1 else segs.length
+      while (j < jMax) {
+        if (properCross(segs(i)._1, segs(i)._2, segs(j)._1, segs(j)._2))
+          return s"Self-intersection at or near ${at(segs(i)._1)} and ${at(segs(j)._1)}"
+        j += 1
+      }
+      i += 1
+    }
+    null
   }
 }
 
@@ -743,6 +1054,99 @@ case class StGeomFromBinary(child: Expression) extends UnaryExpression with WktS
          |  graft.functions.GeoAlgorithms.fromBinary($b))""".stripMargin)
   override protected def withNewChildInternal(c: Expression): StGeomFromBinary =
     copy(child = c)
+}
+
+/** line_locate_point(line, point) — GeoFunctions.java:492. Nullable:
+  * EMPTY inputs locate to null, so codegen routes through the boxed
+  * helper result instead of defineCodeGen's non-null contract. */
+case class LineLocatePoint(left: Expression, right: Expression)
+  extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "line_locate_point"
+  override def nullSafeEval(a: Any, b: Any): Any =
+    GeoAlgorithms.lineLocatePoint(a.asInstanceOf[UTF8String].toString,
+      b.asInstanceOf[UTF8String].toString)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"""java.lang.Double ${ev.value}_r =
+         |  graft.functions.GeoAlgorithms.lineLocatePoint($a.toString(), $b.toString());
+         |if (${ev.value}_r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = ${ev.value}_r.doubleValue(); }""".stripMargin)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): LineLocatePoint =
+    copy(left = l, right = r)
+}
+
+/** geometry_union(array<geometry>) — GeoFunctions.java:627; null for an
+  * empty / all-null array, like the reference's empty cursor. */
+case class GeometryUnionN(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "geometry_union"
+  override def nullSafeEval(a: Any): Any = {
+    val r = GeoAlgorithms.unionArray(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+    if (r == null) null else UTF8String.fromString(r)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"""String ${ev.value}_r = graft.functions.GeoAlgorithms.unionArray($a);
+         |if (${ev.value}_r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} =
+         |  org.apache.spark.unsafe.types.UTF8String.fromString(${ev.value}_r); }""".stripMargin)
+  override protected def withNewChildInternal(c: Expression): GeometryUnionN =
+    copy(child = c)
+}
+
+/** geometry_invalid_reason — GeoFunctions.java:443; null when valid. */
+case class GeometryInvalidReason(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "geometry_invalid_reason"
+  override def nullSafeEval(g: Any): Any = {
+    val r = GeoAlgorithms.invalidReason(g.asInstanceOf[UTF8String].toString)
+    if (r == null) null else UTF8String.fromString(r)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, g =>
+      s"""String ${ev.value}_r = graft.functions.GeoAlgorithms.invalidReason($g.toString());
+         |if (${ev.value}_r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} =
+         |  org.apache.spark.unsafe.types.UTF8String.fromString(${ev.value}_r); }""".stripMargin)
+  override protected def withNewChildInternal(c: Expression): GeometryInvalidReason =
+    copy(child = c)
+}
+
+/** 2-arg ST_Relate — the DE-9IM matrix string (PostGIS-style text
+  * form; the reference only ships the 3-arg boolean, but the matrix is
+  * what makes the relation value-checkable). */
+case class StRelateMatrix(left: Expression, right: Expression)
+  extends BinaryExpression with WktStaticCall {
+  override def prettyName: String = "st_relate"
+  override def nullSafeEval(a: Any, b: Any): Any =
+    UTF8String.fromString(GeoAlgorithms.relateMatrix(
+      a.asInstanceOf[UTF8String].toString, b.asInstanceOf[UTF8String].toString))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"""org.apache.spark.unsafe.types.UTF8String.fromString(
+         |  graft.functions.GeoAlgorithms.relateMatrix($a.toString(), $b.toString()))""".stripMargin)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): StRelateMatrix =
+    copy(left = l, right = r)
+}
+
+/** 3-arg ST_Relate(geom, geom, pattern) — GeoFunctions.java:1078. */
+case class StRelatePattern(first: Expression, second: Expression, third: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "st_relate"
+  override def nullSafeEval(a: Any, b: Any, p: Any): Any =
+    GeoAlgorithms.relatePattern(a.asInstanceOf[UTF8String].toString,
+      b.asInstanceOf[UTF8String].toString, p.asInstanceOf[UTF8String].toString)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b, p) =>
+      s"graft.functions.GeoAlgorithms.relatePattern($a.toString(), $b.toString(), $p.toString())")
+  override protected def withNewChildrenInternal(a: Expression, b: Expression,
+      c: Expression): StRelatePattern = copy(first = a, second = b, third = c)
 }
 
 /** Multi-part-aware area (the st_area macro handles one ring). */

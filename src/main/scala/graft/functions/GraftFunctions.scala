@@ -126,6 +126,37 @@ object GraftFunctions {
     ("st_simplify",
       new ExpressionInfo(classOf[StSimplify].getName, "st_simplify"),
       (args: Seq[Expression]) => StSimplify(args(0), Cast(args(1), DoubleType))),
+    // simplify_geometry — the Presto name for the same Douglas-Peucker
+    // algorithm (GeoFunctions.java:800); registration-only gap, r3
+    ("simplify_geometry",
+      new ExpressionInfo(classOf[StSimplify].getName, "simplify_geometry"),
+      (args: Seq[Expression]) => StSimplify(args(0), Cast(args(1), DoubleType))),
+    ("line_locate_point",
+      new ExpressionInfo(classOf[LineLocatePoint].getName, "line_locate_point"),
+      (args: Seq[Expression]) => LineLocatePoint(args(0), args(1))),
+    ("geometry_union",
+      new ExpressionInfo(classOf[GeometryUnionN].getName, "geometry_union"),
+      (args: Seq[Expression]) => GeometryUnionN(args(0))),
+    ("geometry_invalid_reason",
+      new ExpressionInfo(classOf[GeometryInvalidReason].getName, "geometry_invalid_reason"),
+      (args: Seq[Expression]) => GeometryInvalidReason(args(0))),
+    // ST_Relate: 3-arg = the reference's DE-9IM pattern predicate
+    // (GeoFunctions.java:1078); 2-arg = the matrix string (PostGIS text
+    // form) so the relation itself is value-checkable
+    ("st_relate",
+      new ExpressionInfo(classOf[StRelatePattern].getName, "st_relate"),
+      (args: Seq[Expression]) =>
+        if (args.length == 3) StRelatePattern(args(0), args(1), args(2))
+        else StRelateMatrix(args(0), args(1))),
+    // regexp_split(string, pattern) — JoniRegexpFunctions.java:275;
+    // Presto keeps trailing empty fields, which is exactly Spark's
+    // StringSplit with limit -1 (the engine IS Spark's split, only the
+    // Presto name was unregistered)
+    ("regexp_split",
+      new ExpressionInfo(classOf[org.apache.spark.sql.catalyst.expressions.StringSplit].getName,
+        "regexp_split"),
+      (args: Seq[Expression]) =>
+        org.apache.spark.sql.catalyst.expressions.StringSplit(args(0), args(1), Literal(-1))),
     ("st_as_binary",
       new ExpressionInfo(classOf[StAsBinary].getName, "st_as_binary"),
       (args: Seq[Expression]) => StAsBinary(args(0))),
@@ -363,16 +394,29 @@ object GraftFunctions {
     // for syntax parity and IGNORED; training is the same mergeable
     // centroid/OLS aggregate as the unsuffixed names. A query ported
     // from the reference runs and gets a model of the documented
-    // divergent family rather than an undefined-function error.
+    // divergent family rather than an undefined-function error — the
+    // divergence is surfaced at plan time (once per JVM), not only in
+    // SURVEY (ADVICE r3).
     ("learn_libsvm_classifier",
       new ExpressionInfo(classOf[LearnClassifierAgg].getName, "learn_libsvm_classifier"),
-      (args: Seq[Expression]) =>
-        LearnClassifierAgg(args(0), args(1)).toAggregateExpression()),
+      (args: Seq[Expression]) => {
+        warnLibsvmParamsIgnored(args)
+        LearnClassifierAgg(args(0), args(1)).toAggregateExpression()
+      }),
     ("learn_libsvm_regressor",
       new ExpressionInfo(classOf[LearnRegressorAgg].getName, "learn_libsvm_regressor"),
-      (args: Seq[Expression]) =>
-        LearnRegressorAgg(Cast(args(0), DoubleType), args(1)).toAggregateExpression())
+      (args: Seq[Expression]) => {
+        warnLibsvmParamsIgnored(args)
+        LearnRegressorAgg(Cast(args(0), DoubleType), args(1)).toAggregateExpression()
+      })
   )
+
+  private val libsvmWarned = new java.util.concurrent.atomic.AtomicBoolean(false)
+  private def warnLibsvmParamsIgnored(args: Seq[Expression]): Unit =
+    if (args.length >= 3 && libsvmWarned.compareAndSet(false, true))
+      System.err.println(
+        "WARN graft: learn_libsvm_* ignores the libsvm params argument and trains " +
+          "the centroid/OLS family instead (libsvm is not bundled; see SURVEY §2.8)")
 
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry

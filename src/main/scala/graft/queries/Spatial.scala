@@ -262,6 +262,27 @@ object Spatial extends QueryGroup {
               .as("simp_dropped"),
             expr("size(st_points(st_simplify('LINESTRING (0 0, 1 0.01, 2 0)', 0.001)))")
               .as("simp_kept"),
+            // r4 hole-aware overlay: intersection keeps interior rings
+            // (clip [1,8]^2 = 49 minus the hole's 4); difference adds
+            // the subtrahend as a ring (64−9; nested: 64−1−1); a
+            // disjoint subtrahend returns A unchanged (was an envelope
+            // smear before r4)
+            expr("""round(geom_area(st_intersection(
+              |'POLYGON ((0 0, 8 0, 8 8, 0 8, 0 0), (2 2, 4 2, 4 4, 2 4, 2 2))',
+              |'POLYGON ((1 1, 9 1, 9 9, 1 9, 1 1))')), 6)""".stripMargin)
+              .as("hole_int_area"),
+            expr("""round(geom_area(st_difference(
+              |'POLYGON ((0 0, 8 0, 8 8, 0 8, 0 0))',
+              |'POLYGON ((2 2, 5 2, 5 5, 2 5, 2 2))')), 6)""".stripMargin)
+              .as("hole_diff_area"),
+            expr("""round(geom_area(st_difference(
+              |'POLYGON ((0 0, 8 0, 8 8, 0 8, 0 0), (1 1, 2 1, 2 2, 1 2, 1 1))',
+              |'POLYGON ((5 5, 6 5, 6 6, 5 6, 5 5))')), 6)""".stripMargin)
+              .as("hole_diff_nested"),
+            expr("""round(geom_area(st_difference(
+              |'POLYGON ((0 0, 8 0, 8 8, 0 8, 0 0))',
+              |'POLYGON ((20 20, 21 20, 21 21, 20 21, 20 20))')), 6)""".stripMargin)
+              .as("diff_disjoint_area"),
             expr("hex(st_as_binary('POINT (1 2)'))").as("wkb_hex"),
             expr("""st_equals(st_geom_from_binary(st_as_binary(
               |st_linestring(array(st_point(d, 1.0), st_point(d + 1.0, 2.0))))),
@@ -281,9 +302,117 @@ object Spatial extends QueryGroup {
              |  true AS cross_ll, false AS cross_ll_touch,
              |  true AS cross_lp, false AS cross_lp_inside,
              |  8.0 AS diff_area, 20.0 AS sym_area,
+             |  45.0 AS hole_int_area, 55.0 AS hole_diff_area,
+             |  62.0 AS hole_diff_nested, 64.0 AS diff_disjoint_area,
              |  CAST(2 AS INT) AS simp_dropped, CAST(3 AS INT) AS simp_kept,
              |  '0101000000000000000000F03F0000000000000040' AS wkb_hex,
              |  true AS wkb_rt_line, 'ST_Polygon' AS wkb_rt_type
+             |FROM nation ORDER BY n""".stripMargin)),
+
+    // Round-4 registration-gap tier (VERDICT r3 "What's missing" 1-5):
+    // regexp_split, simplify_geometry, line_locate_point, n-ary
+    // geometry_union, geometry_invalid_reason — closed-form oracles,
+    // null results value-anchored via coalesce sentinels (no booleans).
+    "fn_geospatial5" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        Tables.nation(s, dir)
+          .select($"n_nationkey".as("n"), $"n_nationkey".cast("double").as("d"))
+          .select($"n",
+            // JoniRegexpFunctions.java:275 — trailing empty fields kept
+            expr("concat_ws('|', regexp_split(concat('w', n, ',u,,'), ','))").as("rsplit"),
+            expr("size(regexp_split('a1b22c333', '[0-9]+'))").as("rsplit_n"),
+            // GeoFunctions.java:800 — same Douglas-Peucker as st_simplify
+            expr("""size(st_points(simplify_geometry(st_linestring(array(
+              |st_point(0.0, 0.0), st_point(1.0, 0.01 * (n % 10)), st_point(2.0, 0.0))),
+              |0.5)))""".stripMargin).as("simp_drop"),
+            expr("size(st_points(simplify_geometry('LINESTRING (0 0, 1 2, 2 0)', 0.5)))")
+              .as("simp_keep"),
+            // GeoFunctions.java:492 — fraction of total 2D length
+            expr("round(line_locate_point('LINESTRING (0 0, 10 0)', st_point(d, 5.0)), 4)")
+              .as("llp"),
+            expr("""line_locate_point('MULTILINESTRING ((0 0, 4 0), (10 0, 10 6))',
+              |st_point(10.0, 1.0))""".stripMargin).as("llp_multi"),
+            expr("coalesce(line_locate_point('LINESTRING EMPTY', st_point(1.0, 1.0)), -1.0)")
+              .as("llp_empty"),
+            // GeoFunctions.java:627 — A=[0,2]^2 ∪ B=[1,3]^2 ∪ C=[10,11]^2
+            // = 7 + 1 (disjoint decomposition, never double-counted)
+            expr("""round(geom_area(geometry_union(array(
+              |'POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))',
+              |'POLYGON ((1 1, 3 1, 3 3, 1 3, 1 1))',
+              |'POLYGON ((10 10, 11 10, 11 11, 10 11, 10 10))'))), 4)""".stripMargin)
+              .as("gu_area"),
+            expr("coalesce(geometry_union(array(cast(null as string))), 'NULL_RESULT')")
+              .as("gu_null"),
+            // GeoFunctions.java:443 — reason strings per reference map
+            expr("""coalesce(geometry_invalid_reason(st_linestring(array(
+              |st_point(0.0, 0.0), st_point(d + 1.0, 1.0)))), 'VALID')""".stripMargin)
+              .as("gir_valid"),
+            expr("geometry_invalid_reason('LINESTRING (0 0, 2 2, 2 0, 0 2)')").as("gir_cross"),
+            expr("geometry_invalid_reason('LINESTRING (0 0, 1 1, 1 1, 2 2)')").as("gir_degen"),
+            expr("geometry_invalid_reason('MULTIPOINT (1 1, 2 2, 1 1)')").as("gir_repeat"))
+          .orderBy($"n")
+      },
+      // llp: point (d, 5) projects to x = clamp(d, 0, 10) on a length-10
+      // line; llp_multi: (10, 1) sits ON part 2 at arc length 4+1 of 10
+      Some("""SELECT n_nationkey AS n,
+             |  'w' || n_nationkey || '|u||' AS rsplit,
+             |  CAST(4 AS INT) AS rsplit_n,
+             |  CAST(2 AS INT) AS simp_drop, CAST(3 AS INT) AS simp_keep,
+             |  round(LEAST(CAST(n_nationkey AS DOUBLE), 10) / 10, 4) AS llp,
+             |  0.5 AS llp_multi, -1.0 AS llp_empty,
+             |  8.0 AS gu_area, 'NULL_RESULT' AS gu_null,
+             |  'VALID' AS gir_valid,
+             |  'Self-intersection at or near (0.0 0.0) and (2.0 0.0)' AS gir_cross,
+             |  'Degenerate segments at or near (1.0 1.0)' AS gir_degen,
+             |  'Repeated points at or near (1.0 1.0)' AS gir_repeat
+             |FROM nation ORDER BY n""".stripMargin)),
+
+    // ST_Relate tier (r4): the 2-arg form emits the DE-9IM matrix
+    // string (value-checkable), the 3-arg form is the reference's
+    // pattern predicate (GeoFunctions.java:1078); every expected
+    // matrix is a hand-derived standard OGC SFS fact.
+    "fn_st_relate" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        Tables.nation(s, dir)
+          .select($"n_nationkey".as("n"), $"n_nationkey".cast("double").as("d"))
+          .select($"n",
+            expr("""st_relate('POLYGON ((0 0, 4 0, 4 3, 0 3, 0 0))',
+              |'POLYGON ((4 0, 4 3, 0 3, 0 0, 4 0))')""".stripMargin).as("rel_eq"),
+            expr("""st_relate('POLYGON ((0 0, 8 0, 8 8, 0 8, 0 0))',
+              |'POLYGON ((2 2, 5 2, 5 5, 2 5, 2 2))')""".stripMargin).as("rel_contains"),
+            expr("""st_relate('POLYGON ((2 2, 5 2, 5 5, 2 5, 2 2))',
+              |'POLYGON ((0 0, 8 0, 8 8, 0 8, 0 0))')""".stripMargin).as("rel_within"),
+            expr("""st_relate('POLYGON ((0 0, 4 0, 4 3, 0 3, 0 0))',
+              |'POLYGON ((2 1, 6 1, 6 5, 2 5, 2 1))')""".stripMargin).as("rel_overlap"),
+            expr("""st_relate('POLYGON ((0 0, 4 0, 4 3, 0 3, 0 0))',
+              |'POLYGON ((4 0, 8 0, 8 3, 4 3, 4 0))')""".stripMargin).as("rel_touch_edge"),
+            expr("""st_relate('POLYGON ((0 0, 4 0, 4 3, 0 3, 0 0))',
+              |'POLYGON ((4 3, 8 3, 8 6, 4 6, 4 3))')""".stripMargin).as("rel_touch_pt"),
+            expr("""st_relate('POLYGON ((0 0, 4 0, 4 3, 0 3, 0 0))',
+              |'POLYGON ((9 9, 12 9, 12 12, 9 12, 9 9))')""".stripMargin).as("rel_disjoint"),
+            expr("""st_relate(st_point(least(d, 7.0) + 0.5, 0.5),
+              |'POLYGON ((0 0, 8 0, 8 8, 0 8, 0 0))')""".stripMargin).as("rel_pt_in"),
+            expr("st_relate('LINESTRING (0 0, 4 4)', 'LINESTRING (0 4, 4 0)')")
+              .as("rel_line_cross"),
+            expr("""st_relate('LINESTRING (-1 4, 9 4)',
+              |'POLYGON ((0 0, 8 0, 8 8, 0 8, 0 0))')""".stripMargin).as("rel_line_poly"),
+            expr("""CASE WHEN st_relate('POLYGON ((0 0, 4 0, 4 3, 0 3, 0 0))',
+              |'POLYGON ((4 0, 4 3, 0 3, 0 0, 4 0))', 'T*F**FFF*')
+              |THEN 'EQ' ELSE 'NE' END""".stripMargin).as("rel_pat_equal"),
+            expr("""CASE WHEN st_relate('POLYGON ((0 0, 4 0, 4 3, 0 3, 0 0))',
+              |'POLYGON ((2 1, 6 1, 6 5, 2 5, 2 1))', 'FF*FF****')
+              |THEN 'DISJ' ELSE 'MEET' END""".stripMargin).as("rel_pat_disjoint"))
+          .orderBy($"n")
+      },
+      Some("""SELECT n_nationkey AS n,
+             |  '2FFF1FFF2' AS rel_eq, '212FF1FF2' AS rel_contains,
+             |  '2FF1FF212' AS rel_within, '212101212' AS rel_overlap,
+             |  'FF2F11212' AS rel_touch_edge, 'FF2F01212' AS rel_touch_pt,
+             |  'FF2FF1212' AS rel_disjoint, '0FFFFF212' AS rel_pt_in,
+             |  '0F1FF0102' AS rel_line_cross, '101FF0212' AS rel_line_poly,
+             |  'EQ' AS rel_pat_equal, 'MEET' AS rel_pat_disjoint
              |FROM nation ORDER BY n""".stripMargin)),
 
     // Constructive geometry tier: buffer, convex hull, bbox
