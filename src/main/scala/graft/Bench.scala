@@ -50,7 +50,15 @@ object Bench {
     // stdout line stays within the tail window: total over ALL queries,
     // per-query detail limited to the TPC-H headline set.
     val headline = results.filter(_._1.startsWith("tpch_"))
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonOf(headline)},"sf":"$sfDir","n_queries":${results.size},"detail":"bench_full.json"}""")
+    val headlineJson =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonOf(headline)},"sf":"$sfDir","n_queries":${results.size},"detail":"bench_full.json"}"""
+    // The driver's stdout parser has recorded "parsed": null three
+    // rounds running (VERDICT r3 #4 suspects the sbt "[info] " prefix),
+    // so the same line also lands in a FIXED file it can read whole.
+    if (args.isEmpty)
+      java.nio.file.Files.write(java.nio.file.Paths.get("bench_headline.json"),
+        headlineJson.getBytes("UTF-8"))
+    println(headlineJson)
     System.out.flush()
     spark.stop()
   }

@@ -189,7 +189,7 @@ case class ColorBar(children: Seq[Expression]) extends Expression with CodegenFa
 }
 
 object ColorCatalog {
-  import org.apache.spark.sql.catalyst.expressions.{Divide, Subtract, Cast, Literal}
+  import org.apache.spark.sql.catalyst.expressions.{Divide, Subtract, Cast, Literal, If, EqualTo, LessThan}
 
   // the eval paths unbox via java.lang.Number, which Spark's Decimal
   // (the type of bare literals like 0.5) does not implement — cast
@@ -203,11 +203,17 @@ object ColorCatalog {
         case 1 => ColorParse(args.head)
         case 3 => ColorInterpolate(Seq(d(args(0)), l(args(1)), l(args(2))))
         // color(value, low, high, lowColor, highColor) =
-        // color((value-low)/(high-low), lowColor, highColor)
+        // color((value-low)/(high-low), lowColor, highColor).
+        // high == low: Java division yields ±Infinity, which Presto's
+        // clamp maps to the high/low color — Spark's non-ANSI Divide
+        // yields NULL instead, so the zero-width range is special-cased
+        // (ADVICE r3)
         case 5 =>
-          ColorInterpolate(Seq(
-            Divide(Subtract(d(args(0)), d(args(1))), Subtract(d(args(2)), d(args(1)))),
-            l(args(3)), l(args(4))))
+          val (value, low, high) = (d(args(0)), d(args(1)), d(args(2)))
+          val fraction = If(EqualTo(high, low),
+            If(LessThan(value, low), Literal(0.0), Literal(1.0)),
+            Divide(Subtract(value, low), Subtract(high, low)))
+          ColorInterpolate(Seq(fraction, l(args(3)), l(args(4))))
         case n => throw new IllegalArgumentException(s"color: invalid arity $n")
       }),
     ("rgb", new ExpressionInfo(classOf[ColorRgb].getName, "rgb"),

@@ -571,10 +571,20 @@ final class EvalPredsBuffer {
     else { bump(fp, pred, 1L); bump(fn, truth, 1L) }
   }
 
+  // merges honor the same cardinality guard as add(): combining many
+  // partial buffers must not grow past the bound the update path caps
+  // (new keys are rejected once over budget; existing keys still bump)
+  private def bumpChecked(m: java.util.TreeMap[String, java.lang.Long],
+      k: String, by: Long): Unit = {
+    require(tp.size + fp.size + fn.size < 300000 || m.containsKey(k),
+      "evaluate_classifier_predictions: more than 300000 distinct label entries")
+    bump(m, k, by)
+  }
+
   def mergeWith(o: EvalPredsBuffer): Unit = {
-    o.tp.forEach((k, v) => bump(tp, k, v))
-    o.fp.forEach((k, v) => bump(fp, k, v))
-    o.fn.forEach((k, v) => bump(fn, k, v))
+    o.tp.forEach((k, v) => bumpChecked(tp, k, v))
+    o.fp.forEach((k, v) => bumpChecked(fp, k, v))
+    o.fn.forEach((k, v) => bumpChecked(fn, k, v))
   }
 
   // 0/0 ratios format as "NaN%", exactly what the reference's Java

@@ -77,7 +77,7 @@ final class SetDigestBuffer(val maxHashes: Int) {
   def serialize(): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
-    out.writeInt(1) // version
+    out.writeInt(2) // version 2: added the everEvicted flag (ADVICE r3)
     out.writeInt(maxHashes)
     out.writeBoolean(everEvicted)
     out.writeInt(hashes.size)
@@ -97,7 +97,7 @@ object SetDigestBuffer {
 
   def deserialize(bytes: Array[Byte]): SetDigestBuffer = {
     val in = new DataInputStream(new ByteArrayInputStream(bytes))
-    require(in.readInt() == 1, "unknown set digest version")
+    require(in.readInt() == 2, "unknown set digest version")
     val buf = new SetDigestBuffer(in.readInt())
     val evicted = in.readBoolean()
     val n = in.readInt()

@@ -50,13 +50,18 @@ object Clustering {
   private var lastLabels: DataFrame = _
 
   /** Iterate propagation until the label assignment is stable.
-    * Returns (id, cluster) with cluster = component-minimum id. */
-  def propagateToFixpoint(edges: DataFrame, maxIters: Int = 10): DataFrame = {
+    * Returns (id, cluster) with cluster = component-minimum id.
+    *
+    * Synchronized for its WHOLE duration (ADVICE r3): two concurrent
+    * fixpoints would otherwise race on [[lastLabels]] between the
+    * release of the previous cache and the publish of the new one.
+    * Serializing concurrent fixpoints is acceptable — the engine's
+    * query harnesses run queries sequentially, and the iterative jobs
+    * inside would contend for the same executors anyway. */
+  def propagateToFixpoint(edges: DataFrame, maxIters: Int = 10): DataFrame = synchronized {
     val spark = edges.sparkSession
     import spark.implicits._
-    synchronized {
-      if (lastLabels != null) { lastLabels.unpersist(); lastLabels = null }
-    }
+    if (lastLabels != null) { lastLabels.unpersist(); lastLabels = null }
     val e = edges.select($"id", $"bucket").persist(StorageLevel.MEMORY_AND_DISK)
     // round 1 folded into initialization: with cluster(id)=id the
     // bucket minimum is just min(id) per bucket — no labels join yet
@@ -83,7 +88,7 @@ object Clustering {
       it += 1
     }
     e.unpersist()
-    synchronized { lastLabels = labels }
+    lastLabels = labels
     labels
   }
 }

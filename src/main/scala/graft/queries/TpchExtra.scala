@@ -301,7 +301,12 @@ object TpchExtra extends QueryGroup {
     "tpch_q11_materialized" -> QueryDef(
       (s, dir) => {
         Tables.registerAll(s, dir)
-        val path = System.getProperty("java.io.tmpdir") +
+        // Materialize under spark-warehouse (the session's default-FS
+        // scratch), NOT java.io.tmpdir: tmpdir names a driver-LOCAL
+        // path, which only happens to be visible to executors in local
+        // mode — on a cluster the warehouse dir is the shared
+        // filesystem all executors write through (VERDICT r3 #2).
+        val path = s.conf.get("spark.sql.warehouse.dir") +
           "/graft_partsupp_" + dir.replaceAll("[^A-Za-z0-9]", "_")
         partsupp(s, dir).write.mode("overwrite").parquet(path)
         s.read.parquet(path).createOrReplaceTempView("partsupp_mat")
