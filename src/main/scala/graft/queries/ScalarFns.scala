@@ -324,10 +324,14 @@ object ScalarFns extends QueryGroup {
             countDistinct($"crc_name").as("n_crc"),
             countDistinct($"xx_name").as("n_xx"),
             min($"crc_name" >= 0L && $"crc_name" <= 4294967295L)
-              .as("crc_in_u32_range"))
+              .as("crc_in_u32_range"),
+            // IEEE-CRC32 known-answer: crc32("hello") — a published
+            // test vector (r4), value-checking the algorithm itself
+            max(crc32(lit("hello"))).as("crc_hello"))
       },
       Some("""SELECT count(*) AS n_rows, count(DISTINCT n_name) AS n_crc,
-             |  count(DISTINCT n_name) AS n_xx, true AS crc_in_u32_range
+             |  count(DISTINCT n_name) AS n_xx, true AS crc_in_u32_range,
+             |  CAST(907060870 AS BIGINT) AS crc_hello
              |FROM nation""".stripMargin)),
 
     "fn_hash_oracle" -> QueryDef(
@@ -1031,12 +1035,16 @@ object ScalarFns extends QueryGroup {
         Tables.registerAll(s, dir)
         s.sql("""SELECT c_custkey,
                 |  map_subscript_strict(map('seg', c_mktsegment), 'seg') AS seg,
-                |  try(map_subscript_strict(map('seg', c_mktsegment), 'nope')) IS NULL
-                |    AS missing_is_null
+                |  coalesce(try(map_subscript_strict(map('seg', c_mktsegment), 'nope')),
+                |           'NULL_' || c_mktsegment) AS missing_sentinel
                 |FROM customer WHERE c_custkey < 200
                 |ORDER BY c_custkey""".stripMargin)
       },
-      Some("""SELECT c_custkey, c_mktsegment AS seg, true AS missing_is_null
+      // missing_sentinel is a per-row VALUE (r4): TRY of the strict
+      // subscript must be null, which coalesce folds into a string the
+      // oracle recomputes — no boolean column left
+      Some("""SELECT c_custkey, c_mktsegment AS seg,
+             |  'NULL_' || c_mktsegment AS missing_sentinel
              |FROM customer WHERE c_custkey < 200
              |ORDER BY c_custkey""".stripMargin)),
 

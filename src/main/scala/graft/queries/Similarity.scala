@@ -77,6 +77,25 @@ object Similarity extends QueryGroup {
     df.withColumn("sigs", bandSigs(col("v")))
       .select(col("vec_id"), posexplode(col("sigs")).as(Seq("band", "sig")))
 
+  /** DuckDB re-derivation of [[bandSigs]] from the SAME plane matrix
+    * (interpolated as a ±1 bit string — single source of truth): emits
+    * CTEs `planes` and `sigs(vec_id, band, sig)` over a source CTE
+    * with (vec_id, v). Makes every banded-LSH query value-checkable
+    * instead of invariant-checked (VERDICT r3). */
+  private def duckBandSigs(srcCte: String): String =
+    s"""planes AS (
+       |  SELECT b, i,
+       |    list_transform(range(0, 64), d ->
+       |      CASE WHEN substr('${graft.functions.HyperplaneLsh.planesBitString}',
+       |                       CAST(b*512 + i*64 + d + 1 AS INT), 1) = '1'
+       |           THEN 1.0 ELSE -1.0 END) AS pl
+       |  FROM range(0, 8) tb(b), range(0, 8) ti(i)),
+       |sigs AS (
+       |  SELECT a.vec_id, p.b AS band,
+       |    CAST(sum(CASE WHEN list_dot_product(a.v, p.pl) > 0
+       |                  THEN (1::BIGINT << CAST(p.i AS INT)) ELSE 0 END) AS BIGINT) AS sig
+       |  FROM $srcCte a, planes p GROUP BY a.vec_id, p.b)""".stripMargin
+
   override def defs: Map[String, QueryDef] = Map(
     // Brute-force cosine top-5 for 10 query vectors.
     "sim_cosine_topk" -> QueryDef(
@@ -253,14 +272,19 @@ object Similarity extends QueryGroup {
           count(when($"same_bucket", 1)).as("n_bucket_pairs"),
           count(lit(1)).as("n_pairs"))
           .select(($"avg_cos_bucket" > $"avg_cos_all").as("bucket_pairs_closer"),
-            ($"n_bucket_pairs" > 0).as("buckets_nonempty"),
-            $"n_pairs")
+            $"n_bucket_pairs", $"n_pairs")
       },
-      // n_pairs = C(n,2) over the bounded prefix — a real value pinning
-      // the population the statistical property is computed over.
-      Some("""SELECT true AS bucket_pairs_closer, true AS buckets_nonempty,
-             |  CAST(count(*) * (count(*) - 1) // 2 AS BIGINT) AS n_pairs
-             |FROM embeddings WHERE vec_id < 300""".stripMargin)),
+      // n_bucket_pairs and n_pairs are value-checked (r4): DuckDB
+      // re-derives band 0's sign-bit signatures from the same plane
+      // matrix; only the statistical separation claim stays boolean.
+      Some(s"""WITH c AS ($duckVecs),
+             |${duckBandSigs("c")},
+             |s0 AS (SELECT vec_id, sig FROM sigs WHERE band = 0 AND vec_id < 300),
+             |p AS (SELECT a.sig = b.sig AS sb FROM s0 a JOIN s0 b ON a.vec_id < b.vec_id)
+             |SELECT true AS bucket_pairs_closer,
+             |  CAST(sum(CASE WHEN sb THEN 1 ELSE 0 END) AS BIGINT) AS n_bucket_pairs,
+             |  CAST(count(*) AS BIGINT) AS n_pairs
+             |FROM p""".stripMargin)),
 
     // Bucketed hyperplane-ANN — the SCALE path for cosine ANN, exactly
     // parallel to dedup_minhash_lsh_full: candidates come from an
@@ -271,9 +295,6 @@ object Similarity extends QueryGroup {
     // through the bucket join; vectors rejoin by id. No crossJoin
     // anywhere — plan-asserted in PlanShapeSpec. The signature planes
     // are a precomputed literal, so no per-row hashing either.
-    // xxhash-free but still not DuckDB-expressible (banded sign-bit
-    // buckets), so the oracle checks the real corpus count plus
-    // in-query invariants of the rescore.
     "sim_ann_lsh_bucketed" -> QueryDef(
       (s, dir) => {
         import s.implicits._
@@ -288,23 +309,36 @@ object Similarity extends QueryGroup {
         val qfull = qv.select($"vec_id".as("q_id"), $"v".as("qv"), $"nrm".as("qn"))
         val w = Window.partitionBy($"q_id")
           .orderBy($"cos".desc_nulls_last, $"vec_id")
-        val topk = cand.join(t.select($"vec_id", $"v", $"nrm"), Seq("vec_id"))
+        cand.join(t.select($"vec_id", $"v", $"nrm"), Seq("vec_id"))
           .join(broadcast(qfull), Seq("q_id"))
           .withColumn("cos", expr("vec_dot(v, qv)") / ($"nrm" * $"qn"))
           .withColumn("rk", row_number().over(w))
           .filter($"rk" <= 3)
-        val nvecs = t.agg(count(lit(1)).as("n_vecs"))
-        topk.agg(
-          countDistinct($"q_id").as("nq"),
-          count(lit(1)).as("n_hits"),
-          min($"cos" >= -1.0001 && $"cos" <= 1.0001).as("cos_valid"))
-          .select(($"nq" > 0).as("candidates_found"), $"cos_valid",
-            ($"n_hits" <= $"nq" * 3).as("topk_bounded"))
-          .crossJoin(nvecs)
+          .select($"q_id", $"rk", $"vec_id", round($"cos", 4).as("cos"))
+          .orderBy($"q_id", $"rk")
       },
-      Some("""SELECT true AS candidates_found, true AS cos_valid,
-             |  true AS topk_bounded, count(*) AS n_vecs
-             |FROM embeddings""".stripMargin)),
+      // Fully value-checked (r4, was invariant-only): DuckDB re-derives
+      // the banded signatures from the interpolated plane matrix, runs
+      // the same candidate equi-join and exact top-3 rescore, and the
+      // (q_id, rk, vec_id, cos) rows hash-match.
+      Some(s"""WITH c AS ($duckVecs),
+             |${duckBandSigs("c")},
+             |qs AS (SELECT vec_id AS q_id, band, sig FROM sigs WHERE vec_id < 20),
+             |cand AS (SELECT DISTINCT qs.q_id, s.vec_id
+             |         FROM sigs s JOIN qs ON s.band = qs.band AND s.sig = qs.sig
+             |         WHERE s.vec_id <> qs.q_id),
+             |scored AS (
+             |  SELECT cand.q_id, cand.vec_id,
+             |    list_dot_product(cv.v, qv.v) /
+             |      (sqrt(list_dot_product(cv.v, cv.v)) * sqrt(list_dot_product(qv.v, qv.v))) AS cos
+             |  FROM cand
+             |  JOIN c cv ON cv.vec_id = cand.vec_id
+             |  JOIN c qv ON qv.vec_id = cand.q_id),
+             |r AS (SELECT q_id, vec_id, cos,
+             |        row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rk
+             |      FROM scored)
+             |SELECT q_id, rk, vec_id, round(cos, 4) AS cos
+             |FROM r WHERE rk <= 3 ORDER BY q_id, rk""".stripMargin)),
 
     // Full-corpus embedding near-dup clustering — the scale path for
     // sim_embed_neardup: banded signature buckets (equi-shuffle, no
@@ -335,19 +369,8 @@ object Similarity extends QueryGroup {
              |         UNION ALL
              |         SELECT vec_id + 100000 AS vec_id, list_transform(v, x -> x + 0.001) AS v
              |         FROM c WHERE vec_id < 3),
-             |planes AS (
-             |  SELECT b, i,
-             |    list_transform(range(0, 64), d ->
-             |      CASE WHEN substr('${graft.functions.HyperplaneLsh.planesBitString}',
-             |                       CAST(b*512 + i*64 + d + 1 AS INT), 1) = '1'
-             |           THEN 1.0 ELSE -1.0 END) AS pl
-             |  FROM range(0, 8) tb(b), range(0, 8) ti(i)),
-             |sigs AS (
-             |  SELECT a.vec_id, p.b,
-             |    CAST(sum(CASE WHEN list_dot_product(a.v, p.pl) > 0
-             |                  THEN (1::BIGINT << CAST(p.i AS INT)) ELSE 0 END) AS BIGINT) AS sig
-             |  FROM allv a, planes p GROUP BY a.vec_id, p.b),
-             |edges AS (SELECT vec_id AS id, b::VARCHAR || ':' || sig::VARCHAR AS bucket FROM sigs),
+             |${duckBandSigs("allv")},
+             |edges AS (SELECT vec_id AS id, band::VARCHAR || ':' || sig::VARCHAR AS bucket FROM sigs),
              |${PortableLsh.duckClosureSelect}""".stripMargin)),
 
     // Centroid stats per cell — the "train" side of IVF: mean vector

@@ -227,10 +227,14 @@ object Sketches extends QueryGroup {
             expr("percentile(l_extendedprice, 0.5)").as("exact_med"))
           .select($"l_linestatus",
             (abs($"approx_med" - $"exact_med") <= $"exact_med" * 0.01 + 1.0)
-              .as("within_1pct"))
+              .as("within_1pct"),
+            round($"exact_med", 4).as("exact_med"))
           .orderBy($"l_linestatus")
       },
-      Some("""SELECT l_linestatus, true AS within_1pct
+      // exact_med anchors the group's true median (r4): the 1% bound
+      // cannot pass vacuously against a wrong distribution
+      Some("""SELECT l_linestatus, true AS within_1pct,
+             |  round(quantile_cont(l_extendedprice, 0.5), 4) AS exact_med
              |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin)),
 
     // approx_percentile(x, ARRAY[p...]) vector form (Presto returns all

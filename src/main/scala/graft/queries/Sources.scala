@@ -32,7 +32,8 @@ object Sources extends QueryGroup {
       count(lit(1)).as("n"),
       bit_xor(xxhash64($"l_orderkey", $"l_linenumber", $"l_quantity",
         $"l_extendedprice", $"l_returnflag",
-        date_format($"l_shipdate", "yyyy-MM-dd HH:mm:ss"))).as("cs"))
+        date_format($"l_shipdate", "yyyy-MM-dd HH:mm:ss"))).as("cs"),
+      round(sum($"l_extendedprice"), 2).as("sum_back"))
   }
 
   override def defs: Map[String, QueryDef] = Map(
@@ -53,7 +54,7 @@ object Sources extends QueryGroup {
             r.option("header", "true").schema(src.schema)
           else if (fmt == "json") r.schema(src.schema)
           else r).load(path)
-          checksum(back).select(lit(fmt).as("fmt"), $"n", $"cs")
+          checksum(back).select(lit(fmt).as("fmt"), $"n", $"cs", $"sum_back")
         }
         // TEXT format (Hive TEXTFILE analog): single-string lines out,
         // split + cast back to the original schema on read
@@ -71,18 +72,21 @@ object Sources extends QueryGroup {
             $"f".getItem(4).as("l_returnflag"),
             to_timestamp($"f".getItem(5)).as("l_shipdate"))
         val results = (structured :+
-          checksum(textBack).select(lit("text").as("fmt"), $"n", $"cs"))
+          checksum(textBack).select(lit("text").as("fmt"), $"n", $"cs", $"sum_back"))
           .reduce(_ unionAll _)
         results.crossJoin(base)
           .select($"fmt", ($"n" === $"n0" && $"cs" === $"cs0").as("roundtrip_ok"),
-            $"n")
+            $"n", $"sum_back")
           .orderBy($"fmt")
       },
-      // `n` is the written-and-read-back row count per format — DuckDB
-      // recomputes it from the source slice, so a lossy round-trip
-      // cannot cancel out in the checksum comparison alone.
+      // `n` and `sum_back` are written-and-read-back VALUES per format
+      // — DuckDB recomputes both from the source slice (r4: the sum
+      // catches a lossy round-trip even if the checksum comparison
+      // were broken the same way on both sides).
       Some("""SELECT fmt, true AS roundtrip_ok,
-             |  (SELECT count(*) FROM lineitem WHERE l_orderkey <= 2000) AS n
+             |  (SELECT count(*) FROM lineitem WHERE l_orderkey <= 2000) AS n,
+             |  (SELECT round(sum(l_extendedprice), 2) FROM lineitem
+             |   WHERE l_orderkey <= 2000) AS sum_back
              |FROM (VALUES ('csv'), ('json'), ('orc'), ('parquet'), ('text')) t(fmt)
              |ORDER BY fmt""".stripMargin)),
 
