@@ -88,6 +88,12 @@ object Clustering {
       it += 1
     }
     e.unpersist()
+    // observability for scale runs (VERDICT r3 #3): how close the
+    // corpus comes to the maxIters valve. Each loop iteration is a
+    // DOUBLE round, plus the folded round-1 initialization.
+    System.err.println(
+      s"[clustering] fixpoint after ${1 + 2 * (it - 1)} rounds " +
+        s"($it actions, maxIters=$maxIters, converged=$converged)")
     lastLabels = labels
     labels
   }

@@ -90,6 +90,28 @@ object Sources extends QueryGroup {
              |FROM (VALUES ('csv'), ('json'), ('orc'), ('parquet'), ('text')) t(fmt)
              |ORDER BY fmt""".stripMargin)),
 
+    // DataSource V2 connector SPI (r4, was declared out): the
+    // storage-free generating connector [[graft.sources.SequenceSource]]
+    // — presto-tpch's Spark-native analog. The scan narrows its id
+    // range from the pushed predicates, prunes generation to the
+    // projected columns, and splits into 8 independent partitions; the
+    // residual tag filter stays in the plan. DuckDB recomputes the
+    // whole scan from range() (closed-form columns).
+    "source_dsv2_pushdown" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        s.read.format("graft_seq")
+          .option("rows", "100000").option("parts", "8").load()
+          .filter($"id" >= 90000L && $"id" < 90100L && $"tag" =!= "tag_3")
+          .select($"id", $"val", $"tag")
+          .orderBy($"id")
+      },
+      Some("""SELECT r.range AS id, r.range * 0.5 AS val,
+             |  'tag_' || (r.range % 7) AS tag
+             |FROM range(90000, 90100) r
+             |WHERE 'tag_' || (r.range % 7) <> 'tag_3'
+             |ORDER BY id""".stripMargin)),
+
     // CTAS + INSERT INTO over an external parquet table (the DML tier:
     // SqlBase.g4 CTAS :41-44, INSERT :50 → TableWriterOperator).
     "ddl_ctas_insert" -> QueryDef(
