@@ -89,4 +89,42 @@ class ReviewFixesSpec extends AnyFunSuite with SparkFixture with Matchers {
     }
     ex.getMessage should include("same length")
   }
+
+  // --- round-4 review findings (ADVICE r3) ----------------------------
+
+  test("set digest serialization round-trips at wire version 2") {
+    val buf = new SetDigestBuffer(4)
+    (1 to 10).foreach(i => buf.addHash(i.toLong * 7919, 1)) // forces eviction
+    val back = SetDigestBuffer.deserialize(buf.serialize())
+    back.cardinality shouldBe buf.cardinality
+    // pre-bump version-1 bytes must be rejected, not misparsed
+    val bytes = buf.serialize()
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    bb.putInt(0, 1)
+    val ex = intercept[IllegalArgumentException] {
+      SetDigestBuffer.deserialize(bytes)
+    }
+    ex.getMessage should include("version")
+  }
+
+  test("5-arg color() clamps a zero-width range like the reference") {
+    // high == low: Java division gives ±Infinity which Presto clamps to
+    // the boundary color; Spark's NULL-on-/0 must not leak through
+    val r = spark.sql(
+      """SELECT render('hi', color(5.0, 2.0, 2.0, rgb(255, 0, 0), rgb(0, 255, 0))) AS above,
+        |       render('lo', color(1.0, 2.0, 2.0, rgb(255, 0, 0), rgb(0, 255, 0))) AS below""".stripMargin)
+      .head()
+    r.getString(0) should not be null
+    r.getString(1) should not be null
+    r.getString(0) should not be r.getString(1) // high color vs low color
+  }
+
+  test("evaluate_classifier_predictions merge path honors the label guard") {
+    val a = new graft.functions.EvalPredsBuffer
+    a.add("x", "x")
+    val b = new graft.functions.EvalPredsBuffer
+    b.add("y", "y")
+    a.mergeWith(b) // existing-key and under-budget merges still work
+    a.summary should include("Accuracy: 2/2")
+  }
 }
