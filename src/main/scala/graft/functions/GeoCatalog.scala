@@ -66,7 +66,11 @@ object GeoCatalog {
     ("st_geometry_type", "(g STRING) RETURNS STRING",
       """CASE WHEN g LIKE 'POINT%' THEN 'ST_Point'
         |     WHEN g LIKE 'LINESTRING%' THEN 'ST_LineString'
-        |     WHEN g LIKE 'POLYGON%' THEN 'ST_Polygon' END""".stripMargin),
+        |     WHEN g LIKE 'POLYGON%' THEN 'ST_Polygon'
+        |     WHEN g LIKE 'MULTIPOINT%' THEN 'ST_MultiPoint'
+        |     WHEN g LIKE 'MULTILINESTRING%' THEN 'ST_MultiLineString'
+        |     WHEN g LIKE 'MULTIPOLYGON%' THEN 'ST_MultiPolygon'
+        |     WHEN g LIKE 'GEOMETRYCOLLECTION%' THEN 'ST_GeomCollection' END""".stripMargin),
 
     // bounding-box accessors over any geometry
     ("st_xmin", "(g STRING) RETURNS DOUBLE",

@@ -26,10 +26,11 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object GeoAlgorithms {
 
-  private def fmt(d: Double): String =
+  private[functions] def fmt(d: Double): String =
     if (d == d.floor && math.abs(d) < 1e15) d.toLong.toString else d.toString
 
-  private def geomType(wkt: String): String = wkt.takeWhile(c => c != ' ' && c != '(')
+  private[functions] def geomType(wkt: String): String =
+    wkt.takeWhile(c => c != ' ' && c != '(')
 
   /** Per-ring coordinate parse — one entry per paren group, so ring
     * boundaries are preserved (parseCoords flattens them). */
@@ -49,7 +50,7 @@ object GeoAlgorithms {
         (parts(0).toDouble, parts(1).toDouble)
       }.toArray
 
-  private def ringWkt(pts: Seq[(Double, Double)]): String =
+  private[functions] def ringWkt(pts: Seq[(Double, Double)]): String =
     pts.map { case (x, y) => s"${fmt(x)} ${fmt(y)}" }.mkString("(", ", ", ")")
 
   /** Regular n-gon approximation of a point's radius-r disc — the
@@ -64,10 +65,14 @@ object GeoAlgorithms {
     s"POLYGON (${ringWkt(verts :+ verts.head)})"
   }
 
-  /** Andrew's monotone chain (public algorithm), CCW hull, closed ring. */
-  def convexHull(wkt: String): String = {
-    val pts = parseCoords(wkt).distinct.sortBy(identity)
-    if (pts.length < 3) return wkt
+  /** Andrew's monotone chain (public algorithm): hull vertices in CCW
+    * order starting from the lexicographic minimum — deterministic for
+    * a given point SET, independent of input order. Degenerate sets
+    * come back as-is (< 3 distinct points) or as the two collinear
+    * extremes, never as a 2D ring. */
+  private[functions] def hullPoints(ptsIn: Seq[(Double, Double)]): Seq[(Double, Double)] = {
+    val pts = ptsIn.distinct.sortBy(identity)
+    if (pts.length < 3) return pts
     def cross(o: (Double, Double), a: (Double, Double), b: (Double, Double)): Double =
       (a._1 - o._1) * (b._2 - o._2) - (a._2 - o._2) * (b._1 - o._1)
     def half(ps: Seq[(Double, Double)]): List[(Double, Double)] =
@@ -76,14 +81,21 @@ object GeoAlgorithms {
         while (h.length >= 2 && cross(h(1), h.head, p) <= 0) h = h.tail
         p :: h
       }
-    val lower = half(pts.toSeq).reverse.dropRight(1)
-    val upper = half(pts.reverse.toSeq).reverse.dropRight(1)
+    val lower = half(pts).reverse.dropRight(1)
+    val upper = half(pts.reverse).reverse.dropRight(1)
     val hull = lower ++ upper
+    if (hull.length < 3) Seq(pts.head, pts.last) else hull
+  }
+
+  /** Andrew's monotone chain (public algorithm), CCW hull, closed ring. */
+  def convexHull(wkt: String): String = {
+    val pts = parseCoords(wkt).toSeq
+    val hull = hullPoints(pts)
     if (hull.length < 3) return wkt
     s"POLYGON (${ringWkt(hull :+ hull.head)})"
   }
 
-  private def envelope(wkt: String): (Double, Double, Double, Double) = {
+  private[functions] def envelope(wkt: String): (Double, Double, Double, Double) = {
     val pts = parseCoords(wkt)
     (pts.map(_._1).min, pts.map(_._2).min, pts.map(_._1).max, pts.map(_._2).max)
   }
@@ -438,10 +450,10 @@ object GeoAlgorithms {
     }
   }
 
-  private type Rect = (Double, Double, Double, Double)
+  private[functions] type Rect = (Double, Double, Double, Double)
 
   /** Parts of rectangle `r` outside rectangle `c` (≤ 4 disjoint strips). */
-  private def rectMinus(r: Rect, c: Rect): Seq[Rect] = {
+  private[functions] def rectMinus(r: Rect, c: Rect): Seq[Rect] = {
     val (rx0, ry0, rx1, ry1) = r
     val (cx0, cy0, cx1, cy1) = c
     val overlaps = math.max(rx0, cx0) < math.min(rx1, cx1) &&
@@ -459,7 +471,7 @@ object GeoAlgorithms {
     }
   }
 
-  private def partsWkt(parts: Seq[Rect]): String =
+  private[functions] def partsWkt(parts: Seq[Rect]): String =
     if (parts.isEmpty) "POLYGON EMPTY"
     else if (parts.length == 1) {
       val p = parts.head

@@ -61,6 +61,12 @@ object GraftFunctions {
     ("geom_area",
       new ExpressionInfo(classOf[GeomArea].getName, "geom_area"),
       (args: Seq[Expression]) => GeomArea(args(0))),
+    ("geometry_union_agg",
+      new ExpressionInfo(classOf[GeometryUnionAgg].getName, "geometry_union_agg"),
+      (args: Seq[Expression]) => GeometryUnionAgg(args(0)).toAggregateExpression()),
+    ("convex_hull_agg",
+      new ExpressionInfo(classOf[ConvexHullAgg].getName, "convex_hull_agg"),
+      (args: Seq[Expression]) => ConvexHullAgg(args(0)).toAggregateExpression()),
     ("histogram",
       new ExpressionInfo(classOf[HistogramAgg].getName, "histogram"),
       (args: Seq[Expression]) => HistogramAgg(args(0)).toAggregateExpression()),

@@ -528,6 +528,83 @@ object Spatial extends QueryGroup {
              |SELECT n_nationkey, CAST(count(*) AS INT) AS n_tiles,
              |  string_agg(qk, ',' ORDER BY qk) AS tile_keys,
              |  true AS all_tiles_intersect
-             |FROM t GROUP BY n_nationkey ORDER BY n_nationkey""".stripMargin))
+             |FROM t GROUP BY n_nationkey ORDER BY n_nationkey""".stripMargin)),
+
+    // Geometry aggregates (r4): geometry_union_agg (GeometryUnionAgg
+    // in presto-geospatial; envelope-scope like the n-ary scalar) and
+    // convex_hull_agg (ConvexHullAggregation.java). Fixture: per
+    // region, each nation contributes the strip [n, n+2] × [0, 2] —
+    // strictly increasing starts AND ends with no containment, so the
+    // buffer's canonical sorted decomposition reduces to the
+    // running-max piece rule the oracle recomputes with one window
+    // pass. Hull fixtures: 4 planted corner points dominate all
+    // interior (n, 7n mod 13) points → constant box hull; the diagonal
+    // (n, n) set is collinear → recomputed extreme-to-extreme
+    // LINESTRING. Every column is value-checked.
+    "fn_geo_agg" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val nat = Tables.nation(s, dir).select(
+          $"n_regionkey".as("r"), $"n_nationkey".as("n"),
+          expr("""concat('POLYGON ((', n_nationkey, ' 0, ', n_nationkey + 2,
+            | ' 0, ', n_nationkey + 2, ' 2, ', n_nationkey, ' 2, ',
+            | n_nationkey, ' 0))')""".stripMargin.replace("\n", "")).as("poly"),
+          expr("concat('POINT (', n_nationkey, ' ', pmod(n_nationkey * 7, 13), ')')")
+            .as("pt"),
+          expr("concat('POINT (', n_nationkey, ' ', n_nationkey, ')')").as("diag"))
+        val corners = Tables.region(s, dir).select($"r_regionkey".as("r"),
+          explode(array(lit("POINT (-1 -1)"), lit("POINT (31 -1)"),
+            lit("POINT (31 21)"), lit("POINT (-1 21)"))).as("pt"))
+        val unions = nat.groupBy($"r").agg(
+          expr("geometry_union_agg(poly)").as("u"),
+          expr("convex_hull_agg(diag)").as("hull_diag"))
+        val hulls = nat.select($"r", $"pt").union(corners)
+          .groupBy($"r").agg(expr("convex_hull_agg(pt)").as("hull_box"))
+        unions.join(hulls, "r")
+          .select($"r", $"u",
+            expr("round(geom_area(u), 4)").as("u_area"),
+            expr("st_geometry_type(u)").as("u_type"),
+            $"hull_box", $"hull_diag",
+            expr("round(st_area(hull_box), 4)").as("hull_area"))
+          .orderBy($"r")
+      },
+      // pieces: [greatest(n, max prior end), n+2] per nation in key
+      // order, empty pieces dropped — the same disjoint decomposition
+      // the aggregate emits (starts/ends strictly increase, so
+      // subtraction leaves at most one right strip per envelope)
+      Some("""WITH pieces AS (
+             |  SELECT n_regionkey AS r, n_nationkey AS n,
+             |    GREATEST(n_nationkey, COALESCE(MAX(n_nationkey + 2) OVER (
+             |      PARTITION BY n_regionkey ORDER BY n_nationkey
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             |      n_nationkey)) AS ps,
+             |    n_nationkey + 2 AS pe
+             |  FROM nation),
+             |valid AS (SELECT * FROM pieces WHERE pe > ps),
+             |u AS (
+             |  SELECT r,
+             |    CASE WHEN count(*) = 1 THEN
+             |      'POLYGON ((' || min(ps) || ' 0, ' || min(pe) || ' 0, '
+             |        || min(pe) || ' 2, ' || min(ps) || ' 2, ' || min(ps) || ' 0))'
+             |    ELSE
+             |      'MULTIPOLYGON (' || string_agg('((' || ps || ' 0, ' || pe
+             |        || ' 0, ' || pe || ' 2, ' || ps || ' 2, ' || ps || ' 0))',
+             |        ', ' ORDER BY ps) || ')'
+             |    END AS u,
+             |    round(SUM((pe - ps) * 2.0), 4) AS u_area,
+             |    count(*) AS n_parts
+             |  FROM valid GROUP BY r),
+             |diag AS (
+             |  SELECT n_regionkey AS r,
+             |    'LINESTRING (' || min(n_nationkey) || ' ' || min(n_nationkey)
+             |      || ', ' || max(n_nationkey) || ' ' || max(n_nationkey) || ')'
+             |      AS hull_diag
+             |  FROM nation GROUP BY n_regionkey)
+             |SELECT u.r, u.u, u.u_area,
+             |  CASE WHEN u.n_parts = 1 THEN 'ST_Polygon'
+             |       ELSE 'ST_MultiPolygon' END AS u_type,
+             |  'POLYGON ((-1 -1, 31 -1, 31 21, -1 21, -1 -1))' AS hull_box,
+             |  diag.hull_diag, 704.0 AS hull_area
+             |FROM u JOIN diag ON u.r = diag.r ORDER BY u.r""".stripMargin))
   )
 }
