@@ -1,0 +1,108 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+/** Scale-out probe (VERDICT r3 next-round #3): the driver testdata
+  * tops out at sf0.1, so derive a REPLICAS× scale-up of the
+  * documents/embeddings corpora and run the scale-path queries against
+  * it, recording wall time, output rows, and — for the two fixpoint
+  * dedups — the observed round count vs the maxIters valve.
+  *
+  * The scale-up is derived from the driver's own sf0.1 parquet, not
+  * synthesized fresh: each replica offsets ids by 10M·rep and perturbs
+  * content deterministically (a trailing replica-tagged token on ~1/3
+  * of replica docs; a ≤0.01% multiplicative jitter on embedding
+  * coordinates). Replicas of one document are genuine near-dups of
+  * each other, so every near-dup cluster grows ~REPLICAS× and the
+  * min-label chains deepen — exactly the regime the fixpoint valve and
+  * the LSH band join must absorb at 100 TB. TPC-H tables are NOT
+  * replicated: duplicating join keys would inflate join fan-out
+  * superlinearly and measure nothing real.
+  *
+  * Usage: runMain graft.ScaleProbe [srcDir] [scaleDir] [replicas]
+  * Writes SCALE_PROBE.json to the repo root and prints it.
+  */
+object ScaleProbe {
+
+  private val ScaleQueries = Seq(
+    "dedup_exact",
+    "text_quality",
+    "dedup_minhash_lsh",
+    "dedup_minhash_lsh_full",
+    "sim_embed_neardup_full",
+    "pipeline_corpus_curation",
+    "pipeline_decontamination",
+    "sim_ann_lsh_bucketed",
+    "sim_ann_ivf")
+
+  private val FixpointQueries = Set("dedup_minhash_lsh_full", "sim_embed_neardup_full")
+
+  def main(args: Array[String]): Unit = {
+    val srcDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val scaleDir = if (args.length > 1) args(1) else "scratch/scale10"
+    val replicas = if (args.length > 2) args(2).toInt else 10
+    val spark = GraftSession.build("graft-scale-probe")
+    import spark.implicits._
+
+    val docsPath = s"$scaleDir/documents.parquet"
+    if (!new java.io.File(docsPath).exists()) {
+      System.err.println(s"[scale-probe] building $replicas x scale-up under $scaleDir")
+      val reps = spark.range(replicas).select($"id".as("rep"))
+      Tables.documents(spark, srcDir).crossJoin(reps)
+        .select(
+          ($"doc_id" + $"rep" * 10000000L).as("doc_id"),
+          when($"rep" === 0, $"text")
+            .when(pmod($"doc_id", lit(3)) === 0,
+              concat($"text", lit(" rep"), $"rep"))
+            .otherwise($"text").as("text"),
+          $"lang", $"source", $"n_chars")
+        .repartition(64)
+        .write.mode("overwrite").parquet(docsPath)
+      Tables.embeddings(spark, srcDir).crossJoin(reps)
+        .select(
+          ($"vec_id" + $"rep" * 10000000L).as("vec_id"),
+          expr("""cast(transform(embedding, (x, i) ->
+            |x * (1.0d + 0.0001d * pmod(vec_id + i + rep, 7) / 7.0d))
+            |as array<float>)""".stripMargin).as("embedding"),
+          $"label")
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$scaleDir/embeddings.parquet")
+    }
+
+    def probe(dir: String): Seq[(String, Double, Long, Option[(Int, Boolean)])] =
+      ScaleQueries.map { name =>
+        val t0 = System.nanoTime()
+        val rows = SparkEntry.queries(name)(spark, dir).count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        val fix = if (FixpointQueries(name))
+          Some((graft.queries.Clustering.lastRounds, graft.queries.Clustering.lastConverged))
+        else None
+        System.err.println(f"[scale-probe] $dir $name: $sec%.2f s, $rows rows" +
+          fix.map { case (r, c) => s", fixpoint rounds=$r converged=$c" }.getOrElse(""))
+        (name, sec, rows, fix)
+      }
+
+    val base = probe(srcDir)
+    val scaled = probe(scaleDir)
+
+    def fmt(rs: Seq[(String, Double, Long, Option[(Int, Boolean)])]): String =
+      rs.map { case (n, s, rows, fix) =>
+        val fixJson = fix.map { case (r, c) =>
+          s""","fixpoint_rounds":$r,"converged":$c""" }.getOrElse("")
+        f""""$n":{"sec":$s%.3f,"rows":$rows$fixJson}"""
+      }.mkString("{", ",", "}")
+
+    val ratios = base.zip(scaled).map { case ((n, b, _, _), (_, sc, _, _)) =>
+      f""""$n":${sc / math.max(b, 1e-9)}%.2f"""
+    }.mkString("{", ",", "}")
+
+    val json =
+      s"""{"probe":"scale${replicas}x","src":"$srcDir","replicas":$replicas,""" +
+        s""""base":${fmt(base)},"scaled":${fmt(scaled)},"time_ratio":$ratios}"""
+    Files.writeString(Paths.get(s"SCALE_PROBE_${replicas}x.json"), json + "\n")
+    println(json)
+    spark.stop()
+  }
+}

@@ -67,6 +67,16 @@ object GraftFunctions {
     ("convex_hull_agg",
       new ExpressionInfo(classOf[ConvexHullAgg].getName, "convex_hull_agg"),
       (args: Seq[Expression]) => ConvexHullAgg(args(0)).toAggregateExpression()),
+    ("spatial_partitioning",
+      new ExpressionInfo(classOf[SpatialPartitioningAgg].getName, "spatial_partitioning"),
+      (args: Seq[Expression]) =>
+        SpatialPartitioningAgg(args(0), args(1)).toAggregateExpression()),
+    ("spatial_partitions",
+      new ExpressionInfo(classOf[SpatialPartitions].getName, "spatial_partitions"),
+      (args: Seq[Expression]) =>
+        if (args.length == 3)
+          SpatialPartitionsWithin(args(0), args(1), Cast(args(2), DoubleType))
+        else SpatialPartitions(args(0), args(1))),
     ("histogram",
       new ExpressionInfo(classOf[HistogramAgg].getName, "histogram"),
       (args: Seq[Expression]) => HistogramAgg(args(0)).toAggregateExpression()),

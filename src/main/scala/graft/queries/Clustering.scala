@@ -49,6 +49,12 @@ object Clustering {
   // leak to one cached frame per session instead of one per query run
   private var lastLabels: DataFrame = _
 
+  // observability for scale probes (VERDICT r3 #3): round count and
+  // convergence of the most recent fixpoint, mirrored from the stderr
+  // line so harness code can record them without log scraping
+  @volatile var lastRounds: Int = 0
+  @volatile var lastConverged: Boolean = false
+
   /** Iterate propagation until the label assignment is stable.
     * Returns (id, cluster) with cluster = component-minimum id.
     *
@@ -91,6 +97,8 @@ object Clustering {
     // observability for scale runs (VERDICT r3 #3): how close the
     // corpus comes to the maxIters valve. Each loop iteration is a
     // DOUBLE round, plus the folded round-1 initialization.
+    lastRounds = 1 + 2 * (it - 1)
+    lastConverged = converged
     System.err.println(
       s"[clustering] fixpoint after ${1 + 2 * (it - 1)} rounds " +
         s"($it actions, maxIters=$maxIters, converged=$converged)")

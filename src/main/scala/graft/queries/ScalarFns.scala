@@ -441,7 +441,7 @@ object ScalarFns extends QueryGroup {
       (s, dir) => {
         Tables.registerAll(s, dir)
         s.sql("""SELECT word, word_stem(word) AS stem,
-                |  word_stem(word, 'en') = word_stem(word) AS en_same
+                |  word_stem(word, 'en') AS stem_en
                 |FROM VALUES
                 |  ('generally'), ('useful'), ('runs'), ('authorized'),
                 |  ('accessories'), ('intensifying'), ('skies'), ('dying'),
@@ -451,7 +451,7 @@ object ScalarFns extends QueryGroup {
                 |  ('rational'), ('decisiveness') AS t(word)
                 |ORDER BY word""".stripMargin)
       },
-      Some("""SELECT word, stem, true AS en_same FROM (VALUES
+      Some("""SELECT word, stem, stem AS stem_en FROM (VALUES
              |  ('generally', 'general'), ('useful', 'use'), ('runs', 'run'),
              |  ('authorized', 'author'), ('accessories', 'accessori'),
              |  ('intensifying', 'intensifi'), ('skies', 'sky'),

@@ -124,6 +124,54 @@ object Spatial extends QueryGroup {
              |  round(min(dist), 4) AS min_dist, round(max(dist), 4) AS max_dist
              |FROM pairs""".stripMargin)),
 
+    // KDB-partitioned distance join (r4) — the reference's actual USE
+    // of spatial_partitioning (ExtractSpatialJoins rewrites big×big
+    // joins through KdbTree partitions). Spark-first shape: learn the
+    // tree over the build side in one aggregate, broadcast the 1-row
+    // tree, tag the probe side with its single leaf and the build side
+    // with every leaf within distance r (so any within-r pair shares a
+    // leaf), equi-join on the leaf id, exact st_distance rescore,
+    // distinct to drop multi-leaf duplicates. Same aggregate answer as
+    // join_spatial_distance_grid's fixed-grid path — the two scale
+    // regimes cross-validate against one quadratic DuckDB recompute.
+    "join_spatial_kdb" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val r = 0.45
+        val cust = custPoints(s, dir)
+          .withColumn("pt", expr("concat('POINT (', px, ' ', py, ')')"))
+        val sup = Tables.supplier(s, dir).select($"s_suppkey",
+            (($"s_suppkey" % 100) * 0.2 + 0.05).as("sx"),
+            ($"s_nationkey" * 0.8 + 0.05).as("sy"))
+          .withColumn("spt", expr("concat('POINT (', sx, ' ', sy, ')')"))
+        val treeDf = sup.agg(expr("spatial_partitioning(spt, 16)").as("tree"))
+        val supP = sup.crossJoin(broadcast(treeDf))
+          .withColumn("pid", explode(expr(s"spatial_partitions(tree, spt, $r)")))
+          .drop("tree")
+        val custP = cust.crossJoin(broadcast(treeDf))
+          .withColumn("pid", explode(expr("spatial_partitions(tree, pt)")))
+          .drop("tree")
+        supP.join(custP, Seq("pid"))
+          .withColumn("dist", expr("st_distance(st_point(sx, sy), st_point(px, py))"))
+          .filter($"dist" < r)
+          .select($"s_suppkey", $"c_custkey", $"dist").distinct()
+          .agg(count(lit(1)).as("n_pairs"),
+            countDistinct($"s_suppkey").as("n_sup"),
+            round(min($"dist"), 4).as("min_dist"),
+            round(max($"dist"), 4).as("max_dist"))
+      },
+      Some(s"""WITH pts AS ($duckCust),
+             |sup AS (SELECT s_suppkey, (s_suppkey % 100) * 0.2 + 0.05 AS sx,
+             |        s_nationkey * 0.8 + 0.05 AS sy FROM supplier),
+             |pairs AS (
+             |  SELECT s_suppkey, sqrt(power(sx - px, 2) + power(sy - py, 2)) AS dist
+             |  FROM sup, pts
+             |  WHERE sqrt(power(sx - px, 2) + power(sy - py, 2)) < 0.45)
+             |SELECT count(*) AS n_pairs,
+             |  CAST(count(DISTINCT s_suppkey) AS BIGINT) AS n_sup,
+             |  round(min(dist), 4) AS min_dist, round(max(dist), 4) AS max_dist
+             |FROM pairs""".stripMargin)),
+
     // Bing tile surface: lat/lon → tile quadkey, accessors round-trip,
     // neighborhood count, tile polygon area — DuckDB recomputes the
     // quadkey and tile coordinates from the same closed-form tile math.
@@ -605,6 +653,89 @@ object Spatial extends QueryGroup {
              |       ELSE 'ST_MultiPolygon' END AS u_type,
              |  'POLYGON ((-1 -1, 31 -1, 31 21, -1 21, -1 -1))' AS hull_box,
              |  diag.hull_diag, 704.0 AS hull_area
-             |FROM u JOIN diag ON u.r = diag.r ORDER BY u.r""".stripMargin))
+             |FROM u JOIN diag ON u.r = diag.r ORDER BY u.r""".stripMargin)),
+
+    // KDB-tree spatial partitioning (r4; SpatialPartitioning-
+    // AggregateFunction.java + KdbTree.java, declared out until now).
+    // spatial_partitioning learns axis-alternating lower-median splits
+    // from a deterministic bottom-k sample; spatial_partitions assigns
+    // leaf ids by envelope walk. The fixture is bounded (custkey ≤
+    // 1200 < the 4096 sample cap at every sf), so the sample is the
+    // full point set and DuckDB recomputes the same lower medians with
+    // window functions, then the same 4-leaf assignment: leaf ids in
+    // lo-first DFS order = 2·(px ≥ mx) + (py ≥ my of that x-half).
+    "fn_spatial_partitioning" -> QueryDef(
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        s.sql("""WITH pts AS (
+                |  SELECT c_custkey, (c_custkey % 100) * 0.2 + 0.05 AS px,
+                |    c_nationkey * 0.8 + 0.05 AS py
+                |  FROM customer WHERE c_custkey <= 1200),
+                |g AS (
+                |  SELECT spatial_partitioning(
+                |    concat('POINT (', px, ' ', py, ')'), 4) AS tree
+                |  FROM pts),
+                |a AS (
+                |  SELECT c_custkey, px, py,
+                |    spatial_partitions(g.tree,
+                |      concat('POINT (', px, ' ', py, ')')) AS pids,
+                |    spatial_partitions(g.tree,
+                |      concat('POINT (', px, ' ', py, ')'), 2.0) AS pids_near
+                |  FROM pts CROSS JOIN g)
+                |SELECT pid, count(*) AS n_pts,
+                |  round(min(px), 4) AS min_x, round(max(px), 4) AS max_x,
+                |  round(min(py), 4) AS min_y, round(max(py), 4) AS max_y,
+                |  CAST(min(size(pids)) AS INT) AS min_assign,
+                |  CAST(max(size(pids)) AS INT) AS max_assign,
+                |  CAST(max(size(pids_near)) AS INT) AS max_near
+                |FROM a LATERAL VIEW explode(pids) e AS pid
+                |GROUP BY pid ORDER BY pid""".stripMargin)
+      },
+      // lower median = value at 1-indexed row (n−1)/2 + 1 of the
+      // axis-sorted sample; a point goes hi when its coordinate ≥ the
+      // split. max_near ≤ 4 is itself recomputed (expanding by 2.0
+      // can cross both splits).
+      Some("""WITH pts AS (
+             |  SELECT c_custkey, (c_custkey % 100) * 0.2 + 0.05 AS px,
+             |    c_nationkey * 0.8 + 0.05 AS py
+             |  FROM customer WHERE c_custkey <= 1200),
+             |pts_d AS (SELECT DISTINCT px, py FROM pts),
+             |mx AS (
+             |  SELECT px AS v FROM (
+             |    SELECT px, row_number() OVER (ORDER BY px) AS rn,
+             |      count(*) OVER () AS n FROM pts_d) t
+             |  WHERE rn = CAST(floor((n - 1) / 2.0) AS BIGINT) + 1),
+             |halves_d AS (
+             |  SELECT p.*, (p.px >= mx.v) AS hi_x FROM pts_d p CROSS JOIN mx),
+             |my AS (
+             |  SELECT hi_x, py AS v FROM (
+             |    SELECT hi_x, py,
+             |      row_number() OVER (PARTITION BY hi_x ORDER BY py) AS rn,
+             |      count(*) OVER (PARTITION BY hi_x) AS n FROM halves_d) t
+             |  WHERE rn = CAST(floor((n - 1) / 2.0) AS BIGINT) + 1),
+             |halves AS (
+             |  SELECT p.*, (p.px >= mx.v) AS hi_x FROM pts p CROSS JOIN mx),
+             |assign AS (
+             |  SELECT h.px, h.py,
+             |    2 * CAST(h.hi_x AS INT) + CAST(h.py >= my.v AS INT) AS pid,
+             |    -- expanded envelope: each intersected x-half
+             |    -- contributes its own y-median's side count
+             |    (CASE WHEN h.px - 2.0 < mx.v THEN
+             |        (CASE WHEN h.py - 2.0 < mylo.v THEN 1 ELSE 0 END) +
+             |        (CASE WHEN h.py + 2.0 >= mylo.v THEN 1 ELSE 0 END)
+             |      ELSE 0 END) +
+             |    (CASE WHEN h.px + 2.0 >= mx.v THEN
+             |        (CASE WHEN h.py - 2.0 < myhi.v THEN 1 ELSE 0 END) +
+             |        (CASE WHEN h.py + 2.0 >= myhi.v THEN 1 ELSE 0 END)
+             |      ELSE 0 END) AS near_cnt
+             |  FROM halves h JOIN my ON my.hi_x = h.hi_x CROSS JOIN mx
+             |    CROSS JOIN (SELECT v FROM my WHERE hi_x = false) mylo
+             |    CROSS JOIN (SELECT v FROM my WHERE hi_x = true) myhi)
+             |SELECT pid, count(*) AS n_pts,
+             |  round(min(px), 4) AS min_x, round(max(px), 4) AS max_x,
+             |  round(min(py), 4) AS min_y, round(max(py), 4) AS max_y,
+             |  CAST(1 AS INT) AS min_assign, CAST(1 AS INT) AS max_assign,
+             |  CAST(max(near_cnt) AS INT) AS max_near
+             |FROM assign GROUP BY pid ORDER BY pid""".stripMargin))
   )
 }

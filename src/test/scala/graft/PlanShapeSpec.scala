@@ -153,6 +153,15 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture with Matchers {
     plan should not include "BroadcastNestedLoopJoin"
   }
 
+  test("KDB-partitioned distance join equi-joins on leaf id, never quadratic") {
+    val plan = planOf("join_spatial_kdb")
+    plan should not include "CartesianProduct"
+    // the only nested-loop joins are the two broadcasts of the 1-row
+    // learned tree; the big×big pairing itself is an equi-join on pid
+    plan.sliding("BroadcastNestedLoopJoin".length)
+      .count(_ == "BroadcastNestedLoopJoin") should be <= 2
+  }
+
   test("tpch_q9 broadcasts part/supplier/nation; shuffles only fact edges") {
     val plan = planOf("tpch_q9")
     plan should include("BroadcastHashJoin")
