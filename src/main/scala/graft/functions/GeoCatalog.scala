@@ -201,12 +201,31 @@ object GeoCatalog {
     ("st_exterior_ring", "(poly STRING) RETURNS STRING",
       """concat('LINESTRING (',
         |  regexp_extract(poly, '\\(\\(([^)]+)\\)\\)', 1), ')')""".stripMargin),
+    // r4 late: hole-REAL accessors (GeoFunctions.java ST_NumInteriorRing/
+    // ST_InteriorRings/ST_InteriorRingN) — the overlay tier now emits
+    // polygons with interior rings, so these count/extract them for
+    // real: rings after the first paren group are interiors, returned
+    // as LINESTRINGs like st_exterior_ring.
     ("st_num_interior_ring", "(poly STRING) RETURNS BIGINT",
-      "IF(poly LIKE 'POLYGON%', 0L, cast(NULL AS BIGINT))"),
+      """IF(poly NOT LIKE 'POLYGON%', cast(NULL AS BIGINT),
+        |  IF(poly LIKE '%EMPTY', 0L,
+        |    cast(size(regexp_extract_all(poly, '\\(([^()]+)\\)', 1)) - 1 AS BIGINT)))""".stripMargin),
     ("st_interior_rings", "(poly STRING) RETURNS ARRAY<STRING>",
-      "IF(poly LIKE 'POLYGON%', array(), cast(NULL AS ARRAY<STRING>))"),
+      """IF(poly NOT LIKE 'POLYGON%', cast(NULL AS ARRAY<STRING>),
+        |  IF(poly LIKE '%EMPTY', array(),
+        |    transform(
+        |      slice(regexp_extract_all(poly, '\\(([^()]+)\\)', 1), 2, 1000000),
+        |      r -> concat('LINESTRING (', r, ')'))))""".stripMargin),
+    // reference indexing starts at 1 over the interior rings; out of
+    // range → NULL (GeoFunctions.java ST_InteriorRingN)
     ("st_interior_ring_n", "(poly STRING, n INT) RETURNS STRING",
-      "cast(NULL AS STRING)"),
+      """IF(poly NOT LIKE 'POLYGON%' OR poly LIKE '%EMPTY' OR n < 1,
+        |  cast(NULL AS STRING),
+        |  CASE WHEN try_element_at(
+        |      regexp_extract_all(poly, '\\(([^()]+)\\)', 1), n + 1) IS NULL
+        |    THEN cast(NULL AS STRING)
+        |    ELSE concat('LINESTRING (', try_element_at(
+        |      regexp_extract_all(poly, '\\(([^()]+)\\)', 1), n + 1), ')') END)""".stripMargin),
     ("st_is_empty", "(g STRING) RETURNS BOOLEAN", "g LIKE '%EMPTY'"),
     ("st_coord_dim", "(g STRING) RETURNS INT", "2"),
     ("st_dimension", "(g STRING) RETURNS INT",

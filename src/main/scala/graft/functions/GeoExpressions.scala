@@ -197,6 +197,12 @@ object GeoAlgorithms {
           .map(h => closedRing(h).toSeq)
         return s"POLYGON (${(outer.toSeq +: holes).map(ringWkt).mkString(", ")})"
       }
+      // r4 late: exact concave regime — Greiner–Hormann in general
+      // position (single-ring simple pairs); degeneracy falls through
+      overlayExact(a, b, "intersection") match {
+        case Some(w) => return w
+        case None =>
+      }
     }
     val (ax0, ay0, ax1, ay1) = envelope(a)
     val (bx0, by0, bx1, by1) = envelope(b)
@@ -213,6 +219,17 @@ object GeoAlgorithms {
   def union(a: String, b: String): String = {
     if (a.endsWith("EMPTY")) return b
     if (b.endsWith("EMPTY")) return a
+    // r4 late: exact dissolve for non-rectangle simple pairs in general
+    // position (Greiner–Hormann). Axis-rectangle pairs keep the
+    // canonical disjoint rectangle decomposition shared with
+    // geometry_union / geometry_union_agg; degeneracy falls through to
+    // the envelope decomposition.
+    if (!(isAxisRect(a) && isAxisRect(b))) {
+      overlayExact(a, b, "union") match {
+        case Some(w) => return w
+        case None =>
+      }
+    }
     val (ax0, ay0, ax1, ay1) = envelope(a)
     val (bx0, by0, bx1, by1) = envelope(b)
     val overlaps = math.max(ax0, bx0) < math.min(ax1, bx1) &&
@@ -507,6 +524,12 @@ object GeoAlgorithms {
           return s"POLYGON (${rings.map(ringWkt).mkString(", ")})"
         }
       }
+      // r4 late: exact crossing regime, concave included (Greiner–
+      // Hormann, general position); degeneracy falls through
+      overlayExact(a, b, "difference") match {
+        case Some(w) => return w
+        case None =>
+      }
     }
     partsWkt(rectMinus(envelope(a), envelope(b)))
   }
@@ -647,13 +670,15 @@ object GeoAlgorithms {
     }
   }
 
-  /** Envelope-scope ST_SymDifference: (A \ B) ∪ (B \ A). */
+  /** ST_SymDifference: (A \ B) ∪ (B \ A) — exact via Greiner–Hormann
+    * for simple single-ring pairs in general position (r4 late),
+    * envelope-scope rectangle decomposition otherwise. */
   def symDifference(a: String, b: String): String =
     if (a.endsWith("EMPTY")) b
     else if (b.endsWith("EMPTY")) a
-    else
-    partsWkt(rectMinus(envelope(a), envelope(b)) ++
-      rectMinus(envelope(b), envelope(a)))
+    else symDifferenceExact(a, b).getOrElse(
+      partsWkt(rectMinus(envelope(a), envelope(b)) ++
+        rectMinus(envelope(b), envelope(a))))
 
   /** Envelope-scope ST_Overlaps: interiors properly overlap and neither
     * envelope contains the other. */
@@ -741,21 +766,51 @@ object GeoAlgorithms {
     }
   }
 
+  /** Depth-2 paren groups of a MULTIPOLYGON body — one string per
+    * part, each holding that part's shell (+ hole) rings. */
+  private def multiParts(wkt: String): Seq[String] = {
+    val body = wkt.substring(wkt.indexOf('('))
+    val out = Seq.newBuilder[String]
+    var depth = 0; var start = -1
+    var i = 0
+    while (i < body.length) {
+      body.charAt(i) match {
+        case '(' => depth += 1; if (depth == 2) start = i
+        case ')' =>
+          if (depth == 2 && start >= 0) {
+            out += body.substring(start, i + 1); start = -1
+          }
+          depth -= 1
+        case _ =>
+      }
+      i += 1
+    }
+    out.result()
+  }
+
   /** Shoelace area over every ring of a POLYGON / MULTIPOLYGON — the
-    * multi-part-aware sibling of the single-ring st_area macro. For a
-    * POLYGON, rings after the first are interior holes and SUBTRACT
-    * (OGC semantics); a MULTIPOLYGON's parts each contribute their own
-    * outer ring (hole-carrying multipolygon parts are out of scope
-    * with the rest of the exact multi-ring overlay, SURVEY §7.2). */
+    * multi-part-aware sibling of the single-ring st_area macro. Rings
+    * after the first WITHIN a part are interior holes and SUBTRACT
+    * (OGC semantics) — for MULTIPOLYGON the part structure is parsed
+    * so hole-carrying parts (which the r4 exact overlay can emit)
+    * count correctly. */
   def area(wkt: String): Double = {
     if (wkt.endsWith("EMPTY")) return 0.0
-    val rings = parseRings(wkt).map { ring =>
+    def ringAreas(s: String): Seq[Double] = parseRings(s).map { ring =>
       math.abs((0 until ring.length - 1).map(i =>
         ring(i)._1 * ring(i + 1)._2 - ring(i + 1)._1 * ring(i)._2).sum) / 2.0
     }
-    if (geomType(wkt) == "POLYGON" && rings.length > 1)
-      rings.head - rings.tail.sum
-    else rings.sum
+    geomType(wkt) match {
+      case "POLYGON" =>
+        val rings = ringAreas(wkt)
+        if (rings.length > 1) rings.head - rings.tail.sum else rings.sum
+      case "MULTIPOLYGON" =>
+        multiParts(wkt).map { part =>
+          val rings = ringAreas(part)
+          if (rings.length > 1) rings.head - rings.tail.sum else rings.sum
+        }.sum
+      case _ => ringAreas(wkt).sum
+    }
   }
 
   /** WKT type token → the reference's JTS-style camel-case name, used
@@ -884,6 +939,304 @@ object GeoAlgorithms {
       i += 1
     }
     null
+  }
+
+  // --- General-position exact overlay: Greiner–Hormann (r4 late) ------
+  // Public algorithm (Greiner & Hormann, "Efficient Clipping of
+  // Arbitrary Polygons", ACM TOG 17(2), 1998): exact intersection /
+  // union / difference / sym-difference for SIMPLE single-ring
+  // polygons — concave included — whose boundaries meet only in proper
+  // edge crossings. Degenerate contact (shared vertices, vertex-on-
+  // edge, collinear overlap, grazing) is detected and REFUSED so
+  // callers keep their documented envelope fallback rather than risk a
+  // silent wrong dissolve. Reference scope: presto-geospatial
+  // GeoFunctions.java:560,627,698 (Esri OperatorIntersection/Union/
+  // Difference handle the same regime).
+
+  private final class GhNode(val x: Double, val y: Double,
+      val isect: Boolean, val alpha: Double) {
+    var next: GhNode = _
+    var prev: GhNode = _
+    var neighbor: GhNode = _
+    var entry: Boolean = false
+    var visited: Boolean = false
+  }
+
+  private sealed trait GhOut
+  private case object GhDegenerate extends GhOut
+  private case object GhNoCross extends GhOut
+  private final case class GhRings(rings: Vector[Array[(Double, Double)]])
+    extends GhOut
+
+  private val GhEps = 1e-11
+
+  private def signedArea(open: Array[(Double, Double)]): Double =
+    open.indices.map { i =>
+      val u = open(i); val v = open((i + 1) % open.length)
+      u._1 * v._2 - v._1 * u._2
+    }.sum / 2.0
+
+  private def nearPt(p: (Double, Double), q: (Double, Double)): Boolean =
+    math.abs(p._1 - q._1) < 1e-9 && math.abs(p._2 - q._2) < 1e-9
+
+  /** Open ring, CCW, rotated to start at the lexicographic minimum —
+    * one canonical text for a given point cycle. */
+  private def canonRing(r: Array[(Double, Double)]): Array[(Double, Double)] = {
+    val open = openRing(r)
+    val ccw = if (signedArea(open) >= 0) open else open.reverse
+    val k = ccw.indices.minBy(ccw(_))
+    ccw.drop(k) ++ ccw.take(k)
+  }
+
+  private def polyWithHole(shell: Array[(Double, Double)],
+      hole: Array[(Double, Double)]): String =
+    s"POLYGON (${ringWkt(closedRing(canonRing(shell)).toSeq)}, " +
+      s"${ringWkt(closedRing(canonRing(hole).reverse).toSeq)})"
+
+  /** Greiner–Hormann phases 1–3 over open rings (normalized CCW here).
+    * Flip semantics with both rings CCW: (false,false) = A∩B,
+    * (true,true) = A∪B, (true,false) = A−B. */
+  private def ghClip(aIn: Array[(Double, Double)], bIn: Array[(Double, Double)],
+      flipA: Boolean, flipB: Boolean): GhOut = {
+    val aOpen = if (signedArea(aIn) >= 0) aIn else aIn.reverse
+    val bOpen = if (signedArea(bIn) >= 0) bIn else bIn.reverse
+    val na = aOpen.length; val nb = bOpen.length
+    val insA = Array.fill(na)(List.empty[GhNode])
+    val insB = Array.fill(nb)(List.empty[GhNode])
+    var crossings = 0
+    var i = 0
+    while (i < na) {
+      val p1 = aOpen(i); val p2 = aOpen((i + 1) % na)
+      var j = 0
+      while (j < nb) {
+        val q1 = bOpen(j); val q2 = bOpen((j + 1) % nb)
+        val rx = p2._1 - p1._1; val ry = p2._2 - p1._2
+        val sx = q2._1 - q1._1; val sy = q2._2 - q1._2
+        val den = rx * sy - ry * sx
+        val lenScale = math.sqrt((rx * rx + ry * ry) * (sx * sx + sy * sy))
+        if (math.abs(den) <= GhEps * math.max(lenScale, 1.0)) {
+          // parallel; a collinear interval overlap is degenerate contact
+          val c = (q1._1 - p1._1) * ry - (q1._2 - p1._2) * rx
+          if (math.abs(c) <= GhEps * math.max(lenScale, 1.0)) {
+            val horiz = math.abs(rx) >= math.abs(ry)
+            def ax(p: (Double, Double)) = if (horiz) p._1 else p._2
+            val lo = math.max(math.min(ax(p1), ax(p2)), math.min(ax(q1), ax(q2)))
+            val hi = math.min(math.max(ax(p1), ax(p2)), math.max(ax(q1), ax(q2)))
+            if (hi >= lo - GhEps) return GhDegenerate
+          }
+        } else {
+          val t = ((q1._1 - p1._1) * sy - (q1._2 - p1._2) * sx) / den
+          val u = ((q1._1 - p1._1) * ry - (q1._2 - p1._2) * rx) / den
+          if (t > -GhEps && t < 1.0 + GhEps && u > -GhEps && u < 1.0 + GhEps) {
+            if (t < GhEps || t > 1.0 - GhEps || u < GhEps || u > 1.0 - GhEps)
+              return GhDegenerate // endpoint contact: vertex-on-edge/vertex
+            val x = p1._1 + t * rx; val y = p1._2 + t * ry
+            val nA = new GhNode(x, y, true, t)
+            val nB = new GhNode(x, y, true, u)
+            nA.neighbor = nB; nB.neighbor = nA
+            insA(i) ::= nA; insB(j) ::= nB
+            crossings += 1
+          }
+        }
+        j += 1
+      }
+      i += 1
+    }
+    if (crossings == 0) return GhNoCross
+    // two closed curves in general position cross an even number of
+    // times — an odd count means numerically grazing contact
+    if (crossings % 2 != 0) return GhDegenerate
+
+    def build(open: Array[(Double, Double)], ins: Array[List[GhNode]]): GhNode = {
+      var head: GhNode = null; var tail: GhNode = null
+      def append(n: GhNode): Unit = {
+        if (head == null) { head = n; tail = n }
+        else { tail.next = n; n.prev = tail; tail = n }
+      }
+      for (k <- open.indices) {
+        append(new GhNode(open(k)._1, open(k)._2, false, 0.0))
+        ins(k).sortBy(_.alpha).foreach(append)
+      }
+      tail.next = head; head.prev = tail
+      head
+    }
+    val headA = build(aOpen, insA)
+    val headB = build(bOpen, insB)
+
+    // phase 2: alternate entry/exit from the first vertex's insideness
+    def mark(head: GhNode, other: Array[(Double, Double)], flip: Boolean): Unit = {
+      var entry = !pointInRing(closedRing(other), head.x, head.y)
+      if (flip) entry = !entry
+      var n = head
+      do {
+        if (n.isect) { n.entry = entry; entry = !entry }
+        n = n.next
+      } while (n ne head)
+    }
+    mark(headA, bOpen, flipA)
+    mark(headB, aOpen, flipB)
+
+    // phase 3: trace result rings, switching lists at each crossing
+    val out = Vector.newBuilder[Array[(Double, Double)]]
+    val cap = 4 * (na + nb + 2 * crossings)
+    val aNodes = {
+      val buf = Vector.newBuilder[GhNode]
+      var n = headA
+      do { buf += n; n = n.next } while (n ne headA)
+      buf.result()
+    }
+    for (s <- aNodes if s.isect && !s.visited) {
+      val buf = scala.collection.mutable.ArrayBuffer[(Double, Double)]((s.x, s.y))
+      var cur: GhNode = s
+      var steps = 0
+      var ok = true
+      var done = false
+      while (ok && !done) {
+        cur.visited = true; cur.neighbor.visited = true
+        if (cur.entry) {
+          do { cur = cur.next; buf += ((cur.x, cur.y)); steps += 1 }
+          while (!cur.isect && steps < cap)
+        } else {
+          do { cur = cur.prev; buf += ((cur.x, cur.y)); steps += 1 }
+          while (!cur.isect && steps < cap)
+        }
+        if (steps >= cap) ok = false
+        else {
+          cur = cur.neighbor
+          done = (cur eq s) || (cur.neighbor eq s)
+        }
+      }
+      if (!ok) return GhDegenerate
+      val cleaned = buf.foldLeft(Vector.empty[(Double, Double)]) { (acc, p) =>
+        if (acc.nonEmpty && nearPt(acc.last, p)) acc else acc :+ p
+      }
+      val ring0 =
+        if (cleaned.length > 1 && nearPt(cleaned.head, cleaned.last))
+          cleaned.dropRight(1)
+        else cleaned
+      if (ring0.length >= 3) out += ring0.toArray
+    }
+    GhRings(out.result())
+  }
+
+  /** Shell/hole nesting of disjoint traversal rings → canonical WKT. */
+  private def assembleRingsWkt(ringsIn: Vector[Array[(Double, Double)]]): String = {
+    if (ringsIn.isEmpty) return "POLYGON EMPTY"
+    val rings = ringsIn.map(canonRing)
+    def containsIdx(i: Int, j: Int): Boolean = {
+      val p = rings(j).head
+      pointInRing(closedRing(rings(i)), p._1, p._2)
+    }
+    val depth = rings.indices.map(j =>
+      rings.indices.count(i => i != j && containsIdx(i, j)))
+    val shellIdx = rings.indices.filter(i => depth(i) % 2 == 0)
+    val byShell = scala.collection.mutable.Map.empty[Int, Vector[Int]]
+    val orphan = scala.collection.mutable.ArrayBuffer.empty[Int]
+    rings.indices.filter(i => depth(i) % 2 == 1).foreach { h =>
+      val cands = shellIdx.filter(s => containsIdx(s, h))
+      if (cands.isEmpty) orphan += h // inconsistent nesting: promote
+      else {
+        val s = cands.maxBy(depth(_))
+        byShell(s) = byShell.getOrElse(s, Vector.empty) :+ h
+      }
+    }
+    val pieces = (shellIdx ++ orphan).sorted.map { s =>
+      val holes = byShell.getOrElse(s, Vector.empty).map(h => rings(h).reverse)
+      (rings(s) +: holes).map(r => ringWkt(closedRing(r).toSeq))
+        .mkString("(", ", ", ")")
+    }
+    if (pieces.length == 1) s"POLYGON ${pieces.head}"
+    else pieces.mkString("MULTIPOLYGON (", ", ", ")")
+  }
+
+  /** Both inputs are plain axis-aligned rectangles — the regime whose
+    * canonical form is the disjoint rectangle decomposition shared
+    * with geometry_union / geometry_union_agg. */
+  private def isAxisRect(wkt: String): Boolean = {
+    if (geomType(wkt) != "POLYGON" || wkt.endsWith("EMPTY")) return false
+    val rings = parseRings(wkt)
+    rings.length == 1 && {
+      val open = openRing(rings.head)
+      open.length == 4 && {
+        val (x0, y0, x1, y1) = envelope(wkt)
+        open.toSet == Set((x0, y0), (x1, y0), (x1, y1), (x0, y1))
+      }
+    }
+  }
+
+  /** Exact overlay for simple single-ring POLYGON pairs in general
+    * position. None → caller's documented fallback applies. */
+  private[functions] def overlayExact(a: String, b: String, op: String): Option[String] = {
+    if (geomType(a) != "POLYGON" || geomType(b) != "POLYGON" ||
+      a.endsWith("EMPTY") || b.endsWith("EMPTY")) return None
+    val ringsA = parseRings(a); val ringsB = parseRings(b)
+    if (ringsA.length != 1 || ringsB.length != 1) return None
+    if (!isSimple(a) || !isSimple(b)) return None
+    val aO = openRing(ringsA.head); val bO = openRing(ringsB.head)
+    if (aO.length < 3 || bO.length < 3) return None
+    val clipped = op match {
+      case "intersection" => ghClip(aO, bO, flipA = false, flipB = false)
+      case "union"        => ghClip(aO, bO, flipA = true, flipB = true)
+      case "difference"   => ghClip(aO, bO, flipA = true, flipB = false)
+    }
+    clipped match {
+      case GhDegenerate => None
+      case GhRings(rs)  => Some(assembleRingsWkt(rs))
+      case GhNoCross =>
+        val aInB = pointInRing(closedRing(bO), aO.head._1, aO.head._2)
+        val bInA = pointInRing(closedRing(aO), bO.head._1, bO.head._2)
+        Some(op match {
+          case "intersection" =>
+            if (aInB) a else if (bInA) b else "POLYGON EMPTY"
+          case "union" =>
+            if (aInB) b else if (bInA) a
+            else s"MULTIPOLYGON ((${ringWkt(closedRing(canonRing(aO)).toSeq)}), " +
+              s"(${ringWkt(closedRing(canonRing(bO)).toSeq)}))"
+          case "difference" =>
+            if (aInB) "POLYGON EMPTY"
+            else if (bInA) polyWithHole(aO, bO)
+            else a
+        })
+    }
+  }
+
+  /** Exact ST_SymDifference for the same regime: (A−B) ⊎ (B−A) pooled
+    * into one shell/hole assembly. */
+  private[functions] def symDifferenceExact(a: String, b: String): Option[String] = {
+    if (geomType(a) != "POLYGON" || geomType(b) != "POLYGON" ||
+      a.endsWith("EMPTY") || b.endsWith("EMPTY")) return None
+    val ringsA = parseRings(a); val ringsB = parseRings(b)
+    if (ringsA.length != 1 || ringsB.length != 1) return None
+    if (!isSimple(a) || !isSimple(b)) return None
+    val aO = openRing(ringsA.head); val bO = openRing(ringsB.head)
+    if (aO.length < 3 || bO.length < 3) return None
+    (ghClip(aO, bO, flipA = true, flipB = false),
+      ghClip(bO, aO, flipA = true, flipB = false)) match {
+      case (GhRings(r1), GhRings(r2)) =>
+        // assemble each side separately: the two sides' rings touch
+        // along shared boundary arcs, so a pooled even-odd nesting
+        // pass could misread one side's piece as the other's hole
+        def parts(rs: Vector[Array[(Double, Double)]]): Seq[String] = {
+          val w = assembleRingsWkt(rs)
+          if (w.endsWith("EMPTY")) Seq.empty
+          else if (geomType(w) == "POLYGON") Seq(w.substring(w.indexOf('(')))
+          else multiParts(w)
+        }
+        val all = parts(r1) ++ parts(r2)
+        Some(
+          if (all.isEmpty) "POLYGON EMPTY"
+          else if (all.length == 1) s"POLYGON ${all.head}"
+          else all.mkString("MULTIPOLYGON (", ", ", ")"))
+      case (GhNoCross, _) =>
+        val aInB = pointInRing(closedRing(bO), aO.head._1, aO.head._2)
+        val bInA = pointInRing(closedRing(aO), bO.head._1, bO.head._2)
+        Some(
+          if (aInB) polyWithHole(bO, aO)
+          else if (bInA) polyWithHole(aO, bO)
+          else s"MULTIPOLYGON ((${ringWkt(closedRing(canonRing(aO)).toSeq)}), " +
+            s"(${ringWkt(closedRing(canonRing(bO)).toSeq)}))")
+      case _ => None
+    }
   }
 }
 

@@ -736,6 +736,64 @@ object Spatial extends QueryGroup {
              |  round(min(py), 4) AS min_y, round(max(py), 4) AS max_y,
              |  CAST(1 AS INT) AS min_assign, CAST(1 AS INT) AS max_assign,
              |  CAST(max(near_cnt) AS INT) AS max_near
-             |FROM assign GROUP BY pid ORDER BY pid""".stripMargin))
+             |FROM assign GROUP BY pid ORDER BY pid""".stripMargin)),
+
+    // Exact concave overlay (r4 late; Greiner–Hormann, general
+    // position). Every expected value is hand-derived from the
+    // fixture decomposition, not recomputed by the engine:
+    //  L = [0,4]x[0,2] ∪ [0,2]x[2,4] (area 12), box = [1,5]^2 (16):
+    //    L∩box = [1,4]x[1,2] + [1,2]x[2,4] = 5 → ∪ = 12+16−5 = 23,
+    //    L−box = 7, box−L = 11, sym = 18.
+    //  U = [0,5]x[0,4] minus slot [1,4]x[1,4] (11); bar [-1,6]x[2,3]
+    //    (7): ∩ = both arm slices [0,1]x[2,3]+[4,5]x[2,3] = 2
+    //    (a MULTIPOLYGON), ∪ = 16.
+    //  sq6 = [0,6]^2; tri = (4 −1, 8 3, 4 7) pierces it: ∩ = ∫₄⁵6dx +
+    //    ∫₅⁶(16−2x)dx = 11 → sq6−tri = 25, tri−sq6 = 5.
+    //  arch = [0,10]^2 minus slot [3,7]x[0,8] (68); plug [2,8]x[1,3]
+    //    (12) bridges the slot → ∪ = 100−20−4 = 76 with the enclosed
+    //    [3,7]x(3,8) as ONE interior ring.
+    "fn_geo_concave_overlay" -> QueryDef(
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        s.sql("""WITH g AS (SELECT
+                |  'POLYGON ((0 0, 4 0, 4 2, 2 2, 2 4, 0 4, 0 0))' AS l,
+                |  'POLYGON ((1 1, 5 1, 5 5, 1 5, 1 1))' AS box,
+                |  'POLYGON ((0 0, 5 0, 5 4, 4 4, 4 1, 1 1, 1 4, 0 4, 0 0))' AS u,
+                |  'POLYGON ((-1 2, 6 2, 6 3, -1 3, -1 2))' AS bar,
+                |  'POLYGON ((0 0, 6 0, 6 6, 0 6, 0 0))' AS sq6,
+                |  'POLYGON ((4 -1, 8 3, 4 7, 4 -1))' AS tri,
+                |  'POLYGON ((0 0, 3 0, 3 8, 7 8, 7 0, 10 0, 10 10, 0 10, 0 0))' AS arch,
+                |  'POLYGON ((2 1, 8 1, 8 3, 2 3, 2 1))' AS plug)
+                |SELECT
+                |  round(geom_area(st_intersection(l, box)), 6) AS l_int_area,
+                |  round(geom_area(st_union(l, box)), 6) AS l_union_area,
+                |  round(geom_area(st_difference(l, box)), 6) AS l_diff_area,
+                |  round(geom_area(st_difference(box, l)), 6) AS box_diff_area,
+                |  round(geom_area(st_sym_difference(l, box)), 6) AS l_sym_area,
+                |  round(geom_area(st_intersection(u, bar)), 6) AS u_int_area,
+                |  st_geometry_type(st_intersection(u, bar)) AS u_int_type,
+                |  round(geom_area(st_union(u, bar)), 6) AS u_union_area,
+                |  round(geom_area(st_intersection(sq6, tri)), 6) AS tri_int_area,
+                |  round(geom_area(st_difference(sq6, tri)), 6) AS tri_diff_area,
+                |  round(geom_area(st_difference(tri, sq6)), 6) AS tri_rev_diff_area,
+                |  round(geom_area(st_sym_difference(sq6, tri)), 6) AS tri_sym_area,
+                |  round(geom_area(st_union(arch, plug)), 6) AS arch_union_area,
+                |  st_num_interior_ring(st_union(arch, plug)) AS arch_union_holes,
+                |  round(st_length(st_interior_ring_n(st_union(arch, plug), 1)), 6)
+                |    AS arch_hole_perim,
+                |  CAST(size(st_interior_rings(st_union(arch, plug))) AS INT)
+                |    AS arch_n_irings,
+                |  CAST(size(st_interior_rings(box)) AS INT) AS box_n_irings
+                |FROM g""".stripMargin)
+      },
+      Some("""SELECT 5.0 AS l_int_area, 23.0 AS l_union_area,
+             |  7.0 AS l_diff_area, 11.0 AS box_diff_area, 18.0 AS l_sym_area,
+             |  2.0 AS u_int_area, 'ST_MultiPolygon' AS u_int_type,
+             |  16.0 AS u_union_area, 11.0 AS tri_int_area,
+             |  25.0 AS tri_diff_area, 5.0 AS tri_rev_diff_area,
+             |  30.0 AS tri_sym_area, 76.0 AS arch_union_area,
+             |  CAST(1 AS BIGINT) AS arch_union_holes,
+             |  18.0 AS arch_hole_perim, CAST(1 AS INT) AS arch_n_irings,
+             |  CAST(0 AS INT) AS box_n_irings""".stripMargin))
   )
 }
