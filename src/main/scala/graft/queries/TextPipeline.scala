@@ -643,7 +643,134 @@ object TextPipeline extends QueryGroup {
              |  CAST(sum(doc_id) AS BIGINT) AS id_checksum,
              |  max(doc_id) AS max_sampled_id
              |FROM r WHERE rn <= ceil(n_total * 0.2)
-             |GROUP BY lang ORDER BY lang""".stripMargin))
+             |GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // Bigram language-model quality scoring (r4 late): train add-k
+    // smoothed bigram/unigram counts over the corpus in two hash
+    // aggregations, then score every document by joining its bigrams
+    // back to the model — per-doc log-probability and perplexity, the
+    // standard LM quality filter for training-data curation. 100 TB
+    // shape: tokenize is map-side; training = two shuffles keyed on
+    // token/bigram; scoring = equi-joins of exploded doc bigrams
+    // against the model (AQE broadcasts them for bounded vocabularies;
+    // beyond that they are plain shuffle joins, never quadratic).
+    // Every value is exact — DuckDB recomputes the same counts and the
+    // same smoothed log-sum.
+    "lm_train_perplexity" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val k = 0.5
+        val toksDf = Tables.documents(s, dir)
+          .select($"doc_id", split(normText($"text"), " ").as("toks"))
+        val docBi = toksDf
+          .select($"doc_id", explode(expr(
+            "transform(slice(toks, 1, size(toks) - 1), " +
+              "(t, i) -> struct(t AS w1, toks[i + 1] AS w2))")).as("bg"))
+          .select($"doc_id", $"bg.w1", $"bg.w2")
+        val uni = toksDf.select(explode($"toks").as("w1"))
+          .groupBy($"w1").agg(count(lit(1)).as("c1"))
+        val bi = docBi.groupBy($"w1", $"w2").agg(count(lit(1)).as("c12"))
+        val vocab = uni.agg(count(lit(1)).as("v"))
+        val lp = log(($"c12" + k) / ($"c1" + lit(k) * $"v"))
+        docBi
+          .join(bi, Seq("w1", "w2"))
+          .join(uni, Seq("w1"))
+          .crossJoin(broadcast(vocab))
+          .groupBy($"doc_id")
+          .agg(count(lit(1)).as("n_bigrams"),
+            r4(sum(lp)).as("logprob"),
+            r4(exp(-sum(lp) / count(lit(1)))).as("perplexity"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id,
+             |    string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS toks
+             |  FROM documents),
+             |db AS (
+             |  SELECT doc_id,
+             |    unnest(list_transform(range(1, len(toks)), i -> toks[i])) AS w1,
+             |    unnest(list_transform(range(1, len(toks)), i -> toks[i + 1])) AS w2
+             |  FROM t),
+             |uni AS (SELECT w1, count(*) AS c1
+             |        FROM (SELECT unnest(toks) AS w1 FROM t) GROUP BY w1),
+             |bi AS (SELECT w1, w2, count(*) AS c12 FROM db GROUP BY w1, w2),
+             |vc AS (SELECT count(*) AS v FROM uni)
+             |SELECT d.doc_id, count(*) AS n_bigrams,
+             |  round(sum(ln((c12 + 0.5) / (c1 + 0.5 * vc.v))), 4) AS logprob,
+             |  round(exp(-sum(ln((c12 + 0.5) / (c1 + 0.5 * vc.v))) / count(*)), 4)
+             |    AS perplexity
+             |FROM db d JOIN bi USING (w1, w2) JOIN uni USING (w1) CROSS JOIN vc
+             |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin)),
+
+    // BM25 relevance scoring (Robertson/Sparck Jones as in Lucene:
+    // idf = ln(1 + (N − df + 0.5)/(df + 0.5)), k1 = 1.2, b = 0.75)
+    // of the whole corpus against a query-term set. 100 TB shape: df
+    // for the five terms is ONE partial-aggregating scan pivoted to a
+    // single broadcast row; scoring is then entirely map-side per
+    // document — no shuffle of the corpus at all, one final sort for
+    // the deterministic output. Exact oracle: DuckDB recomputes df,
+    // avgdl, and the same score sum.
+    "bm25_score" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val terms = Seq("query", "join", "fast", "table", "data")
+        val k1 = 1.2; val b = 0.75
+        val toksDf = Tables.documents(s, dir)
+          .select($"doc_id", split(normText($"text"), " ").as("toks"))
+        val statCols = Seq(
+          count(lit(1)).as("n_docs"),
+          avg(size($"toks")).as("avgdl")) ++
+          terms.map(t =>
+            sum(when(array_contains($"toks", t), 1L).otherwise(0L))
+              .as(s"df_$t"))
+        val stats = toksDf.agg(statCols.head, statCols.tail: _*)
+        val scored = toksDf.crossJoin(broadcast(stats))
+          .withColumn("dl", size($"toks").cast("double"))
+        val score = terms.map { t =>
+          val tf = size(filter($"toks", x => x === lit(t))).cast("double")
+          val idf = log(lit(1.0) + (($"n_docs" - col(s"df_$t") + 0.5) /
+            (col(s"df_$t") + 0.5)))
+          idf * tf * (k1 + 1.0) / (tf + lit(k1) * (lit(1.0 - b) + lit(b) * $"dl" / $"avgdl"))
+        }.reduce(_ + _)
+        scored
+          .select($"doc_id", r4(score).as("bm25"),
+            $"dl".cast("long").as("doc_len"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id,
+             |    string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS toks
+             |  FROM documents),
+             |stats AS (
+             |  SELECT count(*) AS n_docs, avg(len(toks)) AS avgdl,
+             |    sum(CASE WHEN list_contains(toks, 'query') THEN 1 ELSE 0 END) AS df_query,
+             |    sum(CASE WHEN list_contains(toks, 'join') THEN 1 ELSE 0 END) AS df_join,
+             |    sum(CASE WHEN list_contains(toks, 'fast') THEN 1 ELSE 0 END) AS df_fast,
+             |    sum(CASE WHEN list_contains(toks, 'table') THEN 1 ELSE 0 END) AS df_table,
+             |    sum(CASE WHEN list_contains(toks, 'data') THEN 1 ELSE 0 END) AS df_data
+             |  FROM t),
+             |scored AS (
+             |  SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl,
+             |    len(list_filter(toks, x -> x = 'query')) AS tf_query,
+             |    len(list_filter(toks, x -> x = 'join')) AS tf_join,
+             |    len(list_filter(toks, x -> x = 'fast')) AS tf_fast,
+             |    len(list_filter(toks, x -> x = 'table')) AS tf_table,
+             |    len(list_filter(toks, x -> x = 'data')) AS tf_data
+             |  FROM t)
+             |SELECT doc_id,
+             |  round(
+             |    ln(1 + (n_docs - df_query + 0.5) / (df_query + 0.5)) * tf_query * 2.2
+             |      / (tf_query + 1.2 * (0.25 + 0.75 * dl / avgdl)) +
+             |    ln(1 + (n_docs - df_join + 0.5) / (df_join + 0.5)) * tf_join * 2.2
+             |      / (tf_join + 1.2 * (0.25 + 0.75 * dl / avgdl)) +
+             |    ln(1 + (n_docs - df_fast + 0.5) / (df_fast + 0.5)) * tf_fast * 2.2
+             |      / (tf_fast + 1.2 * (0.25 + 0.75 * dl / avgdl)) +
+             |    ln(1 + (n_docs - df_table + 0.5) / (df_table + 0.5)) * tf_table * 2.2
+             |      / (tf_table + 1.2 * (0.25 + 0.75 * dl / avgdl)) +
+             |    ln(1 + (n_docs - df_data + 0.5) / (df_data + 0.5)) * tf_data * 2.2
+             |      / (tf_data + 1.2 * (0.25 + 0.75 * dl / avgdl)), 4) AS bm25,
+             |  CAST(dl AS BIGINT) AS doc_len
+             |FROM scored CROSS JOIN stats ORDER BY doc_id""".stripMargin))
   )
 
   /** Shared MinHash+LSH pipeline: 64 perms, 16 bands × 4 rows. */

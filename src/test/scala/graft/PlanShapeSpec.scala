@@ -153,6 +153,24 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture with Matchers {
     plan should not include "BroadcastNestedLoopJoin"
   }
 
+  test("bm25 scoring never shuffle-joins the corpus: one broadcast of stats") {
+    val plan = planOf("bm25_score")
+    plan should not include "CartesianProduct"
+    plan should not include "SortMergeJoin"
+    plan should not include "ShuffledHashJoin"
+    // the only nested-loop join is the broadcast of the 1-row stats
+    plan.sliding("BroadcastNestedLoopJoin".length)
+      .count(_ == "BroadcastNestedLoopJoin") should be <= 1
+  }
+
+  test("LM scoring joins model tables by key, never quadratic") {
+    val plan = planOf("lm_train_perplexity")
+    plan should not include "CartesianProduct"
+    // one 1-row vocab broadcast; bigram/unigram model joins are keyed
+    plan.sliding("BroadcastNestedLoopJoin".length)
+      .count(_ == "BroadcastNestedLoopJoin") should be <= 1
+  }
+
   test("KDB-partitioned distance join equi-joins on leaf id, never quadratic") {
     val plan = planOf("join_spatial_kdb")
     plan should not include "CartesianProduct"
