@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{ArrayAggregate, Cast, CreateMap, CreateStruct, Exp, Expression, ExpressionInfo, Flatten, LambdaFunction, Literal, Log, MapEntries, MapFromEntries, TryEval, UnresolvedNamedLambdaVariable, XxHash64}
+import org.apache.spark.sql.catalyst.expressions.{ApplyLambda, ArrayAggregate, Cast, CreateMap, CreateStruct, Exp, Expression, ExpressionInfo, Flatten, LambdaFunction, Literal, Log, MapEntries, MapFromEntries, TryEval, UnresolvedNamedLambdaVariable, XxHash64}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{Average, BitXorAgg, CollectList, HistogramNumeric}
 import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
 
@@ -228,6 +228,14 @@ object GraftFunctions {
       (args: Seq[Expression]) =>
         MapFromEntries(Flatten(CollectList(MapEntries(args(0)))
           .toAggregateExpression()))),
+    // ApplyFunction.java: apply(input, f) evaluates a unary lambda at
+    // a scalar — a true HigherOrderFunction (see ApplyLambda.scala).
+    // (invoke(f) — the ZERO-arg lambda cousin, InvokeFunction.java —
+    // cannot be spelled: Spark's lambda grammar requires >=1 parameter;
+    // declared out in SURVEY §2.2.)
+    ("apply",
+      new ExpressionInfo(classOf[ApplyLambda].getName, "apply"),
+      (args: Seq[Expression]) => ApplyLambda(args(0), args(1))),
     ("reduce_agg",
       new ExpressionInfo(classOf[ArrayAggregate].getName, "reduce_agg"),
       (args: Seq[Expression]) => {

@@ -246,7 +246,77 @@ object PrestoCatalog {
         |  WHEN length(a) = 0 THEN 0L
         |  ELSE cast(aggregate(sequence(1, length(a)), 0,
         |    (acc, i) -> acc + IF(substr(a, i, 1) = substr(b, i, 1), 0, 1)) AS BIGINT)
-        |END""".stripMargin)
+        |END""".stripMargin),
+    // BitwiseFunctions.java:50-79 — the named scalar spellings of the
+    // 2's-complement BIGINT operators (bit_count is already a builtin)
+    ("bitwise_and", "(x BIGINT, y BIGINT) RETURNS BIGINT", "x & y"),
+    ("bitwise_or", "(x BIGINT, y BIGINT) RETURNS BIGINT", "x | y"),
+    ("bitwise_xor", "(x BIGINT, y BIGINT) RETURNS BIGINT", "x ^ y"),
+    ("bitwise_not", "(x BIGINT) RETURNS BIGINT", "~x"),
+    // WilsonInterval.java:29-57 — binomial confidence bounds by the
+    // Wilson score; input guards raise as in the reference
+    ("wilson_interval_lower", "(s BIGINT, t BIGINT, z DOUBLE) RETURNS DOUBLE",
+      """CASE
+        |  WHEN s < 0 THEN cast(raise_error('number of successes must not be negative') AS DOUBLE)
+        |  WHEN t <= 0 THEN cast(raise_error('number of trials must be positive') AS DOUBLE)
+        |  WHEN s > t THEN cast(raise_error('number of successes must not be larger than number of trials') AS DOUBLE)
+        |  WHEN z < 0 THEN cast(raise_error('z-score must not be negative') AS DOUBLE)
+        |  ELSE (s / t + z * z / (2 * cast(t AS DOUBLE))
+        |        - z * sqrt((s / t) * (1 - s / t) / t
+        |                   + z * z / (4 * cast(t AS DOUBLE) * t)))
+        |       / (1 + z * z / t)
+        |END""".stripMargin),
+    ("wilson_interval_upper", "(s BIGINT, t BIGINT, z DOUBLE) RETURNS DOUBLE",
+      """CASE
+        |  WHEN s < 0 THEN cast(raise_error('number of successes must not be negative') AS DOUBLE)
+        |  WHEN t <= 0 THEN cast(raise_error('number of trials must be positive') AS DOUBLE)
+        |  WHEN s > t THEN cast(raise_error('number of successes must not be larger than number of trials') AS DOUBLE)
+        |  WHEN z < 0 THEN cast(raise_error('z-score must not be negative') AS DOUBLE)
+        |  ELSE (s / t + z * z / (2 * cast(t AS DOUBLE))
+        |        + z * sqrt((s / t) * (1 - s / t) / t
+        |                   + z * z / (4 * cast(t AS DOUBLE) * t)))
+        |       / (1 + z * z / t)
+        |END""".stripMargin),
+    // GeoFunctions.java:1199-1227 great_circle_distance — Vincenty
+    // arc-length form on a sphere of radius 6371.01 km, with the same
+    // latitude/longitude range checks
+    ("great_circle_distance",
+      "(lat1 DOUBLE, lon1 DOUBLE, lat2 DOUBLE, lon2 DOUBLE) RETURNS DOUBLE",
+      """CASE
+        |  WHEN isnan(lat1) OR abs(lat1) > 90 OR isnan(lat2) OR abs(lat2) > 90
+        |    THEN cast(raise_error('Latitude must be between -90 and 90') AS DOUBLE)
+        |  WHEN isnan(lon1) OR abs(lon1) > 180 OR isnan(lon2) OR abs(lon2) > 180
+        |    THEN cast(raise_error('Longitude must be between -180 and 180') AS DOUBLE)
+        |  ELSE atan2(
+        |    sqrt(pow(cos(radians(lat2)) * sin(radians(lon1) - radians(lon2)), 2)
+        |       + pow(cos(radians(lat1)) * sin(radians(lat2))
+        |           - sin(radians(lat1)) * cos(radians(lat2))
+        |             * cos(radians(lon1) - radians(lon2)), 2)),
+        |    sin(radians(lat1)) * sin(radians(lat2))
+        |      + cos(radians(lat1)) * cos(radians(lat2))
+        |        * cos(radians(lon1) - radians(lon2))) * 6371.01
+        |END""".stripMargin),
+    // MathFunctions.java:1240-1252 cosine_similarity over SPARSE map
+    // vectors (the dense-array spelling is cosine_similarity_arr above)
+    ("cosine_similarity",
+      "(a MAP<STRING, DOUBLE>, b MAP<STRING, DOUBLE>) RETURNS DOUBLE",
+      """aggregate(map_entries(a), cast(0.0 AS DOUBLE),
+        |    (acc, e) -> acc + e.value * coalesce(element_at(b, e.key), cast(0.0 AS DOUBLE)))
+        |  / (sqrt(aggregate(map_values(a), cast(0.0 AS DOUBLE), (acc, v) -> acc + v * v))
+        |   * sqrt(aggregate(map_values(b), cast(0.0 AS DOUBLE), (acc, v) -> acc + v * v)))""".stripMargin),
+    // VarbinaryFunctions.java sha256/sha512 return VARBINARY in Presto
+    // (Spark's sha2 returns the hex string; unhex restores the bytes)
+    ("sha256", "(b BINARY) RETURNS BINARY", "unhex(sha2(b, 256))"),
+    ("sha512", "(b BINARY) RETURNS BINARY", "unhex(sha2(b, 512))"),
+    // UrlFunctions.java:86-99 url_extract_port — NULL when absent
+    ("url_extract_port", "(u STRING) RETURNS BIGINT",
+      """cast(nullif(regexp_extract(coalesce(parse_url(u, 'AUTHORITY'), ''),
+        |  ':([0-9]+)$', 1), '') AS BIGINT)""".stripMargin),
+    // HyperLogLogFunctions.java empty_approx_set() — a zero-item
+    // DataSketches HLL at the default lgK=12, as produced by
+    // hll_sketch_agg over no input; unions/estimates like any sketch
+    ("empty_approx_set", "() RETURNS BINARY",
+      "unhex('0201070C030400080000000000000000000000000000000000000000000000000000000000000000')")
   )
 
   /** Presto aggregate name → Spark builtin it aliases.

@@ -908,6 +908,79 @@ object ScalarFns extends QueryGroup {
              |FROM orders WHERE o_orderkey <= 300
              |ORDER BY o_orderkey""".stripMargin)),
 
+    // Tranche 6 — closed by the round-4 registry diff (DumpFunctions vs
+    // every name extracted from the reference's annotations): named
+    // bitwise scalars (BitwiseFunctions.java:50), Wilson score bounds
+    // (WilsonInterval.java:29), great_circle_distance
+    // (GeoFunctions.java:1199), sparse-map cosine_similarity
+    // (MathFunctions.java:1240), sha256/sha512 varbinary digests,
+    // url_extract_port, and empty_approx_set. Every value is exact:
+    // DuckDB recomputes the same formulas (sha512 is anchored to a
+    // precomputed constant — DuckDB ships no sha512).
+    "fn_presto_names6" -> QueryDef(
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        s.sql("""SELECT c_custkey,
+                |  bitwise_and(c_custkey, 255L) AS ba,
+                |  bitwise_or(c_custkey, 4096L) AS bo,
+                |  bitwise_xor(c_custkey, 170L) AS bx,
+                |  bitwise_not(c_custkey) AS bn,
+                |  round(wilson_interval_lower(c_custkey % 50, 100L, 1.96), 6) AS wl,
+                |  round(wilson_interval_upper(c_custkey % 50, 100L, 1.96), 6) AS wu,
+                |  round(great_circle_distance(
+                |    cast(c_custkey % 80 AS DOUBLE), cast(c_custkey % 160 AS DOUBLE),
+                |    cast(-(c_custkey % 45) AS DOUBLE), cast(c_custkey % 90 AS DOUBLE)), 4) AS gcd,
+                |  round(cosine_similarity(
+                |    map('a', cast(1 + c_custkey % 7 AS DOUBLE), 'b', 2.0D),
+                |    map('a', 3.0D, 'c', cast(1 + c_custkey % 5 AS DOUBLE))), 6) AS cs,
+                |  lower(hex(sha256(cast(c_name AS BINARY)))) AS sh256,
+                |  lower(hex(sha512(cast('graft' AS BINARY)))) AS sh512,
+                |  url_extract_port(concat('http://example.com:',
+                |    cast(8000 + c_custkey % 100 AS STRING), '/p')) AS port,
+                |  url_extract_port('http://example.com/p') IS NULL AS port_null,
+                |  hll_sketch_estimate(empty_approx_set()) AS empty_card,
+                |  hll_sketch_estimate(hll_union(
+                |    empty_approx_set(), empty_approx_set())) AS empty_merge_card,
+                |  apply(c_custkey, k -> k * 2 + 1) AS ap_num,
+                |  apply(c_name, nm -> upper(substr(nm, 1, 8))) AS ap_str
+                |FROM customer WHERE c_custkey <= 200
+                |ORDER BY c_custkey""".stripMargin)
+      },
+      Some("""SELECT c_custkey,
+             |  c_custkey & 255 AS ba,
+             |  c_custkey | 4096 AS bo,
+             |  xor(c_custkey, 170) AS bx,
+             |  ~c_custkey AS bn,
+             |  round(((c_custkey % 50) / 100.0 + 1.96 * 1.96 / 200.0
+             |    - 1.96 * sqrt(((c_custkey % 50) / 100.0) * (1 - (c_custkey % 50) / 100.0) / 100.0
+             |                  + 1.96 * 1.96 / 40000.0))
+             |    / (1 + 1.96 * 1.96 / 100.0), 6) AS wl,
+             |  round(((c_custkey % 50) / 100.0 + 1.96 * 1.96 / 200.0
+             |    + 1.96 * sqrt(((c_custkey % 50) / 100.0) * (1 - (c_custkey % 50) / 100.0) / 100.0
+             |                  + 1.96 * 1.96 / 40000.0))
+             |    / (1 + 1.96 * 1.96 / 100.0), 6) AS wu,
+             |  round(atan2(
+             |    sqrt(pow(cos(radians(-(c_custkey % 45))) * sin(radians(c_custkey % 160) - radians(c_custkey % 90)), 2)
+             |       + pow(cos(radians(c_custkey % 80)) * sin(radians(-(c_custkey % 45)))
+             |           - sin(radians(c_custkey % 80)) * cos(radians(-(c_custkey % 45)))
+             |             * cos(radians(c_custkey % 160) - radians(c_custkey % 90)), 2)),
+             |    sin(radians(c_custkey % 80)) * sin(radians(-(c_custkey % 45)))
+             |      + cos(radians(c_custkey % 80)) * cos(radians(-(c_custkey % 45)))
+             |        * cos(radians(c_custkey % 160) - radians(c_custkey % 90))) * 6371.01, 4) AS gcd,
+             |  round((1 + c_custkey % 7) * 3.0
+             |    / (sqrt(pow(1 + c_custkey % 7, 2) + 4.0)
+             |     * sqrt(9.0 + pow(1 + c_custkey % 5, 2))), 6) AS cs,
+             |  sha256(c_name) AS sh256,
+             |  '9c44f55c8de907639d0523a52334481349eceb2026e01915e6ef670097086f5d1c95a486fe5736af87dd4e9f79fbd59814cf8b4d73bcfda3cf6e7f23b081e077' AS sh512,
+             |  CAST(8000 + c_custkey % 100 AS BIGINT) AS port,
+             |  true AS port_null,
+             |  CAST(0 AS BIGINT) AS empty_card,
+             |  CAST(0 AS BIGINT) AS empty_merge_card,
+             |  c_custkey * 2 + 1 AS ap_num,
+             |  upper(substr(c_name, 1, 8)) AS ap_str
+             |FROM customer WHERE c_custkey <= 200
+             |ORDER BY c_custkey""".stripMargin)),
+
     // geometric_mean as a callable aggregate, value-matched against
     // the exp∘avg∘ln rewrite in DuckDB.
     "agg_geomean_callable" -> QueryDef(
