@@ -16,6 +16,9 @@ object GraftSession {
     val spark = SparkSession.builder()
       .appName(appName)
       .master(s"local[$cpus]")
+      // WKT point codec cancellation (see PointCodecSimplification):
+      // spatial-join refine steps become plain double arithmetic.
+      .withExtensions(_.injectOptimizerRule(_ => graft.plans.PointCodecSimplification))
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       // events.ts is TIMESTAMP(NANOS) parquet, unsupported by Spark's

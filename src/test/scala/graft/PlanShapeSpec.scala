@@ -180,6 +180,14 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture with Matchers {
       .count(_ == "BroadcastNestedLoopJoin") should be <= 2
   }
 
+  test("point codec is cancelled: KDB refine distance is plain arithmetic") {
+    // PointCodecSimplification must strip every st_x/st_y-over-st_point
+    // regex parse from the refine step (5.9 s -> 1.4 s at sf0.1);
+    // without it the join filter regex-parses WKT per candidate pair
+    val plan = planOf("join_spatial_kdb").toLowerCase
+    plan should not include "regexp_extract"
+  }
+
   test("tpch_q9 broadcasts part/supplier/nation; shuffles only fact edges") {
     val plan = planOf("tpch_q9")
     plan should include("BroadcastHashJoin")
