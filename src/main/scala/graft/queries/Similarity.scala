@@ -412,6 +412,53 @@ object Similarity extends QueryGroup {
              |  FROM c JOIN cent ON c.label = cent.label)
              |SELECT d.label, max(cent.n) AS n, round(avg(d.dist2), 4) AS avg_dist2
              |FROM d JOIN cent ON d.label = cent.label
-             |GROUP BY d.label ORDER BY d.label""".stripMargin))
+             |GROUP BY d.label ORDER BY d.label""".stripMargin)),
+
+    // SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup =
+    // k-means cluster the embeddings, compare pairs ONLY within a
+    // cluster, drop every member whose cosine to a lower-id member
+    // exceeds the threshold (one representative per semantic group
+    // survives). Here the coarse cluster is the IVF cell (`label`,
+    // exactly as sim_ann_ivf partitions the space); near-dups are the
+    // planted jittered replays (cos ≈ 0.99997 — the corpus has no
+    // natural pair above 0.46, so the expected drop set is exactly the
+    // plants and the verdict is value-checked, not invariant-checked).
+    // Scale shape: the join key is the cluster id, so pair count is
+    // sum(cluster_size²), bounded by centroid count — at 100 TB you
+    // raise k so cluster sizes stay O(10³) and the within-cluster
+    // pair stage never approaches all-pairs; no driver-side state.
+    "sim_semdedup" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val all = withPlanted(vecs(s, dir), 40)
+        val a = all.select($"label", $"vec_id".as("id_a"),
+          $"v".as("va"), $"nrm".as("na"))
+        val b = all.select($"label".as("lb"), $"vec_id".as("id_b"),
+          $"v".as("vb"), $"nrm".as("nb"))
+        a.join(b, $"label" === $"lb" && $"id_a" < $"id_b")
+          .withColumn("cos", expr("vec_dot(va, vb)") / ($"na" * $"nb"))
+          .filter($"cos" >= 0.97)
+          .groupBy($"id_b".as("dropped_id"))
+          .agg(min($"id_a").as("kept_id"),
+            round(max($"cos"), 4).as("max_cos"))
+          .orderBy($"dropped_id")
+      },
+      Some(s"""WITH c AS ($duckVecs),
+             |allv AS (SELECT vec_id, label, v FROM c
+             |         UNION ALL
+             |         SELECT vec_id + 100000 AS vec_id, label,
+             |           list_transform(v, x -> x + 0.001) AS v
+             |         FROM c WHERE vec_id < 40),
+             |pairs AS (
+             |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             |    list_dot_product(a.v, b.v) /
+             |      (sqrt(list_dot_product(a.v, a.v)) *
+             |       sqrt(list_dot_product(b.v, b.v))) AS cos
+             |  FROM allv a JOIN allv b
+             |    ON a.label = b.label AND a.vec_id < b.vec_id)
+             |SELECT id_b AS dropped_id, min(id_a) AS kept_id,
+             |  round(max(cos), 4) AS max_cos
+             |FROM pairs WHERE cos >= 0.97
+             |GROUP BY id_b ORDER BY dropped_id""".stripMargin))
   )
 }

@@ -770,7 +770,123 @@ object TextPipeline extends QueryGroup {
              |    ln(1 + (n_docs - df_data + 0.5) / (df_data + 0.5)) * tf_data * 2.2
              |      / (tf_data + 1.2 * (0.25 + 0.75 * dl / avgdl)), 4) AS bm25,
              |  CAST(dl AS BIGINT) AS doc_len
-             |FROM scored CROSS JOIN stats ORDER BY doc_id""".stripMargin))
+             |FROM scored CROSS JOIN stats ORDER BY doc_id""".stripMargin)),
+
+    // Gopher quality-rule filter (Rae et al. 2021, table A1): word
+    // count bounds, mean word length bounds, symbol-to-word ratio,
+    // alphabetic-word fraction, and the >=2-stopwords rule, combined
+    // into a keep/drop verdict per document. Entirely map-side (one
+    // scan, zero shuffles beyond the output sort) — at 100 TB this is
+    // a pure pass-through filter stage.
+    "text_gopher_rules" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val gopherStops =
+          array(Seq("the", "be", "to", "of", "and", "that", "have", "with")
+            .map(lit): _*)
+        Tables.documents(s, dir)
+          .withColumn("toks", split(normText($"text"), " "))
+          .withColumn("n_words", size($"toks").cast("long"))
+          .withColumn("mean_word_len",
+            r4(aggregate($"toks", lit(0L), (acc, t) => acc + length(t))
+              .cast("double") / $"n_words"))
+          .withColumn("symbol_ratio",
+            r4(size(filter($"toks", t =>
+              t.contains("#") || t.contains("..."))).cast("double") / $"n_words"))
+          .withColumn("alpha_ratio",
+            r4(size(filter($"toks", t => t.rlike("[a-z]"))).cast("double")
+              / $"n_words"))
+          .withColumn("n_stop",
+            size(array_intersect(array_distinct($"toks"), gopherStops))
+              .cast("long"))
+          .withColumn("keep",
+            $"n_words".between(30, 100000) &&
+              $"mean_word_len".between(3.0, 10.0) &&
+              $"symbol_ratio" <= 0.1 && $"alpha_ratio" >= 0.8 &&
+              $"n_stop" >= 2)
+          .select($"doc_id", $"n_words", $"mean_word_len", $"symbol_ratio",
+            $"alpha_ratio", $"n_stop", $"keep")
+          .orderBy($"doc_id")
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id,
+             |    string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS toks
+             |  FROM documents),
+             |m AS (
+             |  SELECT doc_id,
+             |    CAST(len(toks) AS BIGINT) AS n_words,
+             |    round(list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |      list_transform(toks, t -> CAST(length(t) AS BIGINT))),
+             |      (a, b) -> a + b) * 1.0 / len(toks), 4) AS mean_word_len,
+             |    round(len(list_filter(toks, t ->
+             |      contains(t, '#') OR contains(t, '...'))) * 1.0 / len(toks), 4)
+             |      AS symbol_ratio,
+             |    round(len(list_filter(toks, t -> regexp_matches(t, '[a-z]')))
+             |      * 1.0 / len(toks), 4) AS alpha_ratio,
+             |    CAST(len(list_intersect(list_distinct(toks),
+             |      ['the','be','to','of','and','that','have','with'])) AS BIGINT)
+             |      AS n_stop
+             |  FROM t)
+             |SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_ratio,
+             |  n_stop,
+             |  (n_words BETWEEN 30 AND 100000) AND
+             |    (mean_word_len BETWEEN 3.0 AND 10.0) AND
+             |    symbol_ratio <= 0.1 AND alpha_ratio >= 0.8 AND n_stop >= 2
+             |    AS keep
+             |FROM m ORDER BY doc_id""".stripMargin)),
+
+    // PII scrubbing: redact emails, phone numbers, and IPv4 addresses
+    // with typed placeholders and count each hit. The corpus is
+    // synthetic word salad, so PII spans are PLANTED deterministically
+    // from doc_id (both engines construct the identical text) — the
+    // scrubber itself is the generic regex pass a real pipeline runs.
+    // Map-side only; the three regexes are RE2-compatible so the
+    // DuckDB oracle replays them verbatim.
+    "pipeline_pii_scrub" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val emailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+        val ipRe = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+        val phoneRe = "\\b\\d{3}-\\d{4}\\b"
+        Tables.documents(s, dir)
+          .withColumn("text",
+            concat($"text", lit(" contact user"), $"doc_id",
+              lit("@example.com tel 555-"),
+              lpad(($"doc_id" % 10000).cast("string"), 4, "0"),
+              lit(" host 10.0."), ($"doc_id" % 256).cast("string"),
+              lit(".7")))
+          .withColumn("n_emails", regexp_count($"text", lit(emailRe)))
+          .withColumn("n_ips", regexp_count($"text", lit(ipRe)))
+          .withColumn("n_phones", regexp_count($"text", lit(phoneRe)))
+          .withColumn("clean",
+            regexp_replace(regexp_replace(regexp_replace($"text",
+              emailRe, "<EMAIL>"), ipRe, "<IP>"), phoneRe, "<PHONE>"))
+          .select($"doc_id", $"n_emails", $"n_phones", $"n_ips",
+            substring($"clean", -64, 64).as("clean_tail"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id,
+             |    text || ' contact user' || doc_id ||
+             |      '@example.com tel 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+             |      ' host 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7' AS text
+             |  FROM documents)
+             |SELECT doc_id,
+             |  CAST(len(regexp_extract_all(text,
+             |    '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS INT) AS n_emails,
+             |  CAST(len(regexp_extract_all(text, '\b\d{3}-\d{4}\b')) AS INT) AS n_phones,
+             |  CAST(len(regexp_extract_all(text,
+             |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS INT) AS n_ips,
+             |  CASE WHEN length(clean) <= 64 THEN clean
+             |       ELSE substring(clean, length(clean) - 63, 64) END AS clean_tail
+             |FROM (
+             |  SELECT doc_id, text,
+             |    regexp_replace(regexp_replace(regexp_replace(text,
+             |      '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+             |      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+             |      '\b\d{3}-\d{4}\b', '<PHONE>', 'g') AS clean
+             |  FROM t)
+             |ORDER BY doc_id""".stripMargin))
   )
 
   /** Shared MinHash+LSH pipeline: 64 perms, 16 bands × 4 rows. */

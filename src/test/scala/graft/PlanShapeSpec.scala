@@ -188,6 +188,24 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture with Matchers {
     plan should not include "regexp_extract"
   }
 
+  test("gopher rules and PII scrub are map-side: no join, no aggregate") {
+    // pure filter/transform stages — at 100 TB these must stay a
+    // single pass over the corpus with no shuffle beyond output order
+    for (q <- Seq("text_gopher_rules", "pipeline_pii_scrub")) {
+      withClue(q) {
+        val plan = planOf(q)
+        plan should not include "Join"
+        plan should not include "HashAggregate"
+      }
+    }
+  }
+
+  test("semdedup pairs only within a cluster: equi-join, no cartesian") {
+    val plan = planOf("sim_semdedup")
+    plan should not include "CartesianProduct"
+    plan should not include "BroadcastNestedLoopJoin"
+  }
+
   test("tpch_q9 broadcasts part/supplier/nation; shuffles only fact edges") {
     val plan = planOf("tpch_q9")
     plan should include("BroadcastHashJoin")
