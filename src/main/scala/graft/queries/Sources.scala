@@ -112,6 +112,32 @@ object Sources extends QueryGroup {
              |WHERE 'tag_' || (r.range % 7) <> 'tag_3'
              |ORDER BY id""".stripMargin)),
 
+    // Memory-connector sink+source roundtrip on the V2 SPI: write a
+    // derived aggregate into a named graft_mem table (overwrite), then
+    // APPEND a second slice, then read the union back and re-aggregate.
+    // Exercises BATCH_WRITE + TRUNCATE + append + BATCH_READ; the
+    // oracle recomputes the same union from the base tables.
+    "source_dsv2_memory_sink" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val byNation = Tables.customer(s, dir)
+          .groupBy($"c_nationkey")
+          .agg(count(lit(1)).as("n_cust"),
+            round(sum($"c_acctbal"), 2).as("bal"))
+        byNation.filter($"c_nationkey" < 10)
+          .write.format("graft_mem").option("name", "cust_stats")
+          .mode("overwrite").save()
+        byNation.filter($"c_nationkey" >= 10)
+          .write.format("graft_mem").option("name", "cust_stats")
+          .mode("append").save()
+        s.read.format("graft_mem").option("name", "cust_stats").load()
+          .orderBy($"c_nationkey")
+      },
+      Some("""SELECT c_nationkey, count(*) AS n_cust,
+             |  round(sum(c_acctbal), 2) AS bal
+             |FROM customer GROUP BY c_nationkey
+             |ORDER BY c_nationkey""".stripMargin)),
+
     // CTAS + INSERT INTO over an external parquet table (the DML tier:
     // SqlBase.g4 CTAS :41-44, INSERT :50 → TableWriterOperator).
     "ddl_ctas_insert" -> QueryDef(

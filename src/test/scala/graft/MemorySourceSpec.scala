@@ -1,0 +1,80 @@
+package graft
+
+import graft.sources.MemoryStore
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** DataSource V2 memory connector — [[graft.sources.MemorySource]]
+  * (SURVEY §2.1 sink SPI): overwrite/append semantics, roundtrip
+  * fidelity across types (incl. nulls and arrays), task-parallel
+  * writes flowing through commit messages, and failure isolation
+  * (nothing published without a driver-side commit). */
+class MemorySourceSpec extends AnyFunSuite with SparkFixture with Matchers {
+
+  private def writeMem(df: org.apache.spark.sql.DataFrame, name: String,
+      mode: String): Unit =
+    df.write.format("graft_mem").option("name", name).mode(mode).save()
+
+  private def readMem(name: String) =
+    spark.read.format("graft_mem").option("name", name).load()
+
+  test("overwrite publishes, append accumulates, overwrite resets") {
+    import spark.implicits._
+    MemoryStore.drop("t_modes")
+    writeMem(spark.range(5).toDF("id"), "t_modes", "overwrite")
+    readMem("t_modes").count() shouldBe 5
+    writeMem(spark.range(3).toDF("id"), "t_modes", "append")
+    readMem("t_modes").count() shouldBe 8
+    writeMem(spark.range(2).toDF("id"), "t_modes", "overwrite")
+    readMem("t_modes").as[Long].collect().sorted shouldBe Array(0L, 1L)
+  }
+
+  test("roundtrip preserves mixed types, nulls, and arrays") {
+    import spark.implicits._
+    MemoryStore.drop("t_types")
+    val df = Seq(
+      (1L, Some(1.5), Some("a"), Seq(1, 2, 3)),
+      (2L, None, None, Seq.empty[Int]),
+      (3L, Some(-0.0), Some(""), Seq(42))
+    ).toDF("id", "d", "s", "xs")
+    writeMem(df, "t_types", "overwrite")
+    val back = readMem("t_types").orderBy("id").collect()
+    back.length shouldBe 3
+    back(1).isNullAt(1) shouldBe true
+    back(1).isNullAt(2) shouldBe true
+    back(0).getSeq[Int](3) shouldBe Seq(1, 2, 3)
+    back(2).getDouble(1) shouldBe -0.0
+    back(2).getString(2) shouldBe ""
+  }
+
+  test("multi-partition write commits every task's rows exactly once") {
+    import spark.implicits._
+    MemoryStore.drop("t_par")
+    writeMem(spark.range(0, 10000, 1, 16).toDF("id"), "t_par", "overwrite")
+    val back = readMem("t_par").agg(count(lit(1)), sum($"id")).head()
+    back.getLong(0) shouldBe 10000L
+    back.getLong(1) shouldBe (0L until 10000L).sum
+  }
+
+  test("a failed job publishes nothing (commit-message isolation)") {
+    import spark.implicits._
+    MemoryStore.drop("t_fail")
+    writeMem(spark.range(4).toDF("id"), "t_fail", "overwrite")
+    val bad = spark.range(10).toDF("id")
+      .withColumn("boom",
+        when($"id" < 9, $"id").otherwise(expr("raise_error('fail')")))
+    intercept[Exception] {
+      writeMem(bad, "t_fail", "overwrite")
+    }
+    // the failed overwrite must not have truncated or replaced the table
+    readMem("t_fail").count() shouldBe 4
+  }
+
+  test("reading an unknown table raises a clear error") {
+    val e = intercept[Exception] {
+      readMem("never_written").collect()
+    }
+    e.getMessage should include("graft_mem table not found")
+  }
+}
