@@ -389,8 +389,42 @@ object GeoCatalog {
         |          + 2 * (shiftright(ty, i - 1) % 2) AS STRING)), ''))))))[0]""".stripMargin)
   )
 
-  def register(spark: SparkSession): Unit =
+  /** Presto resolves function names case-insensitively, so the SQL-level
+    * identifier for e.g. `ST_IsEmpty` is the case-collapsed `st_isempty`
+    * (GeoFunctions.java:136-1119) — NOT the snake_case `st_is_empty`
+    * spelling used internally above. Every multi-word ST_ macro is
+    * therefore also registered under its Presto-collapsed alias, as a
+    * one-line forwarding macro (macros may call macros; the analyzer
+    * inlines both layers).
+    */
+  private val prestoAliases: Seq[(String, String)] = Seq(
+    "st_geometryfromtext" -> "st_geometry_from_text",
+    "st_geometrytype"     -> "st_geometry_type",
+    "st_numpoints"        -> "st_npoints",
+    "st_exteriorring"     -> "st_exterior_ring",
+    "st_numinteriorring"  -> "st_num_interior_ring",
+    "st_interiorrings"    -> "st_interior_rings",
+    "st_interiorringn"    -> "st_interior_ring_n",
+    "st_isempty"          -> "st_is_empty",
+    "st_coorddim"         -> "st_coord_dim",
+    "st_envelopeaspts"    -> "st_envelope_as_pts",
+    "st_numgeometries"    -> "st_num_geometries",
+    "st_geometryn"        -> "st_geometry_n",
+    "st_isring"           -> "st_is_ring",
+    "st_linefromtext"     -> "st_line_from_text")
+
+  def register(spark: SparkSession): Unit = {
     macros.foreach { case (name, sig, body) =>
       spark.sql(s"CREATE OR REPLACE TEMPORARY FUNCTION $name $sig RETURN $body")
     }
+    val sigOf = macros.map { case (n, sig, _) => n -> sig }.toMap
+    prestoAliases.foreach { case (alias, orig) =>
+      val sig = sigOf(orig)
+      // "(poly STRING, n INT) RETURNS X" -> forwarded call "poly, n"
+      val params = sig.split(" RETURNS ")(0).stripPrefix("(").stripSuffix(")")
+        .split(",").map(_.trim.split("\\s+")(0)).mkString(", ")
+      spark.sql(
+        s"CREATE OR REPLACE TEMPORARY FUNCTION $alias $sig RETURN $orig($params)")
+    }
+  }
 }

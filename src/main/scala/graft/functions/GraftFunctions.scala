@@ -442,9 +442,29 @@ object GraftFunctions {
         "WARN graft: learn_libsvm_* ignores the libsvm params argument and trains " +
           "the centroid/OLS family instead (libsvm is not bundled; see SURVEY §2.8)")
 
+  /** Presto-collapsed alias names for the multi-word ST_ expressions
+    * (Presto is case-insensitive: `ST_IsValid` resolves as `st_isvalid`,
+    * not the internal snake_case spelling; GeoFunctions.java:136-1119).
+    * Registered alongside — not instead of — the snake_case names.
+    */
+  private val prestoGeoAliases: Seq[(String, String)] = Seq(
+    "st_asbinary"      -> "st_as_binary",
+    "st_convexhull"    -> "st_convex_hull",
+    "st_geomfrombinary" -> "st_geom_from_binary",
+    "st_issimple"      -> "st_is_simple",
+    "st_isvalid"       -> "st_is_valid",
+    "st_symdifference" -> "st_sym_difference")
+
+  lazy val allWithAliases: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] =
+    all ++ prestoGeoAliases.map { case (alias, orig) =>
+      val (_, info, builder) = all.find(_._1 == orig).getOrElse(
+        throw new IllegalStateException(s"alias target $orig not registered"))
+      (alias, info, builder)
+    }
+
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
-    all.foreach { case (name, info, builder) =>
+    allWithAliases.foreach { case (name, info, builder) =>
       registry.registerFunction(FunctionIdentifier(name), info, builder)
     }
   }
@@ -452,7 +472,7 @@ object GraftFunctions {
 
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
-    GraftFunctions.all.foreach { case (name, info, builder) =>
+    GraftFunctions.allWithAliases.foreach { case (name, info, builder) =>
       ext.injectFunction((FunctionIdentifier(name), info, builder))
     }
     ext.injectOptimizerRule(_ => graft.plans.PointCodecSimplification)

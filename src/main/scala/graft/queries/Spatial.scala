@@ -794,6 +794,66 @@ object Spatial extends QueryGroup {
              |  30.0 AS tri_sym_area, 76.0 AS arch_union_area,
              |  CAST(1 AS BIGINT) AS arch_union_holes,
              |  18.0 AS arch_hole_perim, CAST(1 AS INT) AS arch_n_irings,
-             |  CAST(0 AS INT) AS box_n_irings""".stripMargin))
+             |  CAST(0 AS INT) AS box_n_irings""".stripMargin)),
+
+    // Presto-cased name tier (r5): exercises the case-collapsed alias
+    // registrations end-to-end — Presto resolves identifiers
+    // case-insensitively, so `ST_IsEmpty(g)` in a user's query text IS
+    // `st_isempty` (GeoFunctions.java:136-1119). Every column below
+    // calls ONLY the collapsed spellings; values are closed-form
+    // (booleans folded into arithmetic, not `true AS` oracle literals).
+    "fn_geo_names" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        Tables.nation(s, dir)
+          .select($"n_nationkey".as("n"))
+          .select($"n",
+            expr("""st_geometrytype(st_geometryfromtext(
+              |concat('POINT (', n, ' 2)')))""".stripMargin).as("gtype"),
+            // polygon vertex count excludes the repeated closing vertex
+            expr("st_numpoints('POLYGON ((0 0, 4 0, 4 3, 0 3, 0 0))')").as("npts"),
+            expr("""round(st_length(st_exteriorring(
+              |'POLYGON ((0 0, 4 0, 4 3, 0 3, 0 0))')), 4)""".stripMargin).as("ring_len"),
+            expr("""st_numinteriorring('POLYGON ((0 0, 9 0, 9 9, 0 9, 0 0),
+              | (2 2, 3 2, 3 3, 2 3, 2 2))')""".stripMargin).as("n_holes"),
+            expr("""round(st_length(st_interiorringn(
+              |'POLYGON ((0 0, 9 0, 9 9, 0 9, 0 0), (2 2, 3 2, 3 3, 2 3, 2 2))',
+              |1)), 4)""".stripMargin).as("hole_len"),
+            expr("""CAST(size(st_interiorrings('POLYGON ((0 0, 9 0, 9 9, 0 9, 0 0),
+              | (2 2, 3 2, 3 3, 2 3, 2 2))')) AS INT)""".stripMargin).as("n_irings"),
+            expr("""IF(st_isempty('POLYGON EMPTY'), 1, 0)
+              |+ 10 * IF(st_isempty('POINT (1 2)'), 1, 0)""".stripMargin).as("empty_bits"),
+            expr("st_coorddim('POINT (1 2)')").as("cdim"),
+            expr("st_envelopeaspts('LINESTRING (0 0, 4 3)')[1]").as("env_hi"),
+            expr("st_numgeometries('MULTIPOINT (1 1, 2 2, 3 3)')").as("ngeom"),
+            expr("st_geometryn('MULTIPOINT (1 1, 2 2, 3 3)', 2)").as("geom2"),
+            expr("""IF(st_isring('LINESTRING (0 0, 1 0, 1 1, 0 0)'), 1, 0)
+              |+ 10 * IF(st_isring('LINESTRING (0 0, 1 0, 1 1, 0 1)'), 1, 0)"""
+              .stripMargin).as("ring_bits"),
+            expr("st_geometrytype(st_linefromtext('LINESTRING (0 0, 1 1)'))").as("ltype"),
+            expr("""IF(st_issimple('LINESTRING (0 0, 1 1)'), 1, 0)
+              |+ 10 * IF(st_isvalid('POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))'), 1, 0)"""
+              .stripMargin).as("simple_valid"),
+            // hull of the concave L adds the (4 2)-(2 4)-(4 4) triangle
+            expr("""round(geom_area(st_convexhull(
+              |'POLYGON ((0 0, 4 0, 4 2, 2 2, 2 4, 0 4, 0 0))')), 4)""".stripMargin)
+              .as("hull_area"),
+            expr("""round(geom_area(st_symdifference(
+              |'POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))',
+              |'POLYGON ((1 1, 3 1, 3 3, 1 3, 1 1))')), 4)""".stripMargin).as("sym_area"),
+            expr("""st_geometrytype(st_geomfrombinary(st_asbinary(
+              |concat('POINT (', n, ' 2)'))))""".stripMargin).as("wkb_rt"))
+          .orderBy($"n")
+      },
+      Some("""SELECT n_nationkey AS n, 'ST_Point' AS gtype,
+             |  CAST(4 AS BIGINT) AS npts, 14.0 AS ring_len,
+             |  CAST(1 AS BIGINT) AS n_holes, 4.0 AS hole_len,
+             |  CAST(1 AS INT) AS n_irings, 1 AS empty_bits,
+             |  CAST(2 AS INT) AS cdim, 'POINT (4.0 3.0)' AS env_hi,
+             |  CAST(3 AS INT) AS ngeom, 'POINT (2 2)' AS geom2,
+             |  1 AS ring_bits, 'ST_LineString' AS ltype,
+             |  11 AS simple_valid, 14.0 AS hull_area, 6.0 AS sym_area,
+             |  'ST_Point' AS wkb_rt
+             |FROM nation ORDER BY n""".stripMargin))
   )
 }
