@@ -11,9 +11,34 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * so everything downstream is scale-transparent.
   */
 object Tables {
+  /** Analyzed-relation cache, keyed by (session, dir, table).
+    *
+    * Every `spark.read.parquet` call yields a FRESH unresolved relation,
+    * and the analyzer's ResolveDataSource re-lists files and re-reads
+    * parquet footers for each one — measured at 0.99 s of the 1.3 s
+    * total rule time on tpch_q22 (10 resolutions of the same two
+    * tables). Reusing one analyzed DataFrame per table resolves each
+    * table once per session; self-joins on the shared plan are
+    * disambiguated by DeduplicateRelations as usual. This is exactly a
+    * metastore's cached table metadata on a real cluster — re-listing
+    * 100 TB of files per table reference would dominate planning.
+    * Testdata dirs are read-only, so entries can never go stale.
+    */
+  private val cache =
+    new scala.collection.concurrent.TrieMap[(String, String, String), DataFrame]
+
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
-    if (name == "events") events(spark, dir)
-    else spark.read.parquet(s"$dir/$name.parquet")
+    cache.getOrElseUpdate(
+      (System.identityHashCode(spark).toString, dir, name),
+      load(spark, dir, name))
+
+  private def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    if (name == "events") {
+      import org.apache.spark.sql.functions._
+      // `div` (integer division) — a double division here would lose
+      // precision above 2^53 ns and shift timestamps by ±1 µs.
+      eventsRaw(spark, dir).withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    } else spark.read.parquet(s"$dir/$name.parquet")
 
   /** events.ts is parquet TIMESTAMP(NANOS) which Spark's reader rejects;
     * sessions set spark.sql.legacy.parquet.nanosAsLong=true (see
@@ -29,12 +54,7 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = table(s, d, "part")
   def nation(s: SparkSession, d: String): DataFrame = table(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame = table(s, d, "region")
-  def events(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.functions._
-    // `div` (integer division) — a double division here would lose
-    // precision above 2^53 ns and shift timestamps by ±1 µs.
-    eventsRaw(s, d).withColumn("ts", timestamp_micros(expr("ts div 1000")))
-  }
+  def events(s: SparkSession, d: String): DataFrame = table(s, d, "events")
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 

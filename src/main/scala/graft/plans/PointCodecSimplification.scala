@@ -58,7 +58,24 @@ object PointCodecSimplification extends Rule[LogicalPlan] {
     else if (pattern == YPattern) parts._2
     else orElse
 
-  override def apply(plan: LogicalPlan): LogicalPlan = {
+  /** Cheap read-only gate: the rule sits in the operator-optimization
+    * fixed point, so EVERY plan pays its two rewrite traversals on each
+    * iteration — measured as a 1.4-1.5x tail on the big TPC-H
+    * multi-join plans (r4 bench q2/q18/q22), which contain no geometry
+    * at all. A codec round-trip requires a RegExpExtract whose pattern
+    * is literally the st_x/st_y pattern; one allocation-free exists()
+    * scan (early exit on first hit) decides whether rewriting can
+    * possibly apply.
+    */
+  private def hasCodecExtract(plan: LogicalPlan): Boolean =
+    plan.exists(_.expressions.exists(_.exists {
+      case RegExpExtract(_, Literal(p, StringType), _) if p != null =>
+        val s = p.toString
+        s == XPattern || s == YPattern
+      case _ => false
+    }))
+
+  override def apply(plan: LogicalPlan): LogicalPlan = if (!hasCodecExtract(plan)) plan else {
     // Shape 1: the st_point concat is directly under the extract.
     val inlined = plan.transformAllExpressions {
       case c @ Cast(RegExpExtract(subject, Str(pattern), Literal(1, _)),
