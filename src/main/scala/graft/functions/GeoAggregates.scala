@@ -37,6 +37,11 @@ import GeoAlgorithms.Rect
 final class GeomUnionBuffer {
   private[functions] var sawAny = false // any non-null input, incl. EMPTY
   private[functions] var soleWkt: String = null // single-input passthrough
+  // second input's WKT, retained only while nonEmpty <= 2 so a
+  // two-element group can take the EXACT scalar union path (st_union's
+  // Greiner–Hormann regime) instead of diverging into the envelope
+  // decomposition — keeps agg and scalar union consistent on pairs
+  private[functions] var secondWkt: String = null
   private[functions] var nonEmpty = 0L
   private[functions] val envs = ArrayBuffer.empty[Rect]
 
@@ -54,13 +59,17 @@ final class GeomUnionBuffer {
     sawAny = true
     if (wkt.endsWith("EMPTY")) return
     if (nonEmpty == 0) soleWkt = wkt
+    else if (nonEmpty == 1) secondWkt = wkt
+    else secondWkt = null
     nonEmpty += 1
     addEnv(GeoAlgorithms.envelope(wkt))
   }
 
   def mergeWith(o: GeomUnionBuffer): Unit = {
     sawAny ||= o.sawAny
-    if (nonEmpty == 0) soleWkt = o.soleWkt
+    if (nonEmpty == 0) { soleWkt = o.soleWkt; secondWkt = o.secondWkt }
+    else if (nonEmpty == 1 && o.nonEmpty == 1) secondWkt = o.soleWkt
+    else if (nonEmpty + o.nonEmpty > 2) secondWkt = null
     nonEmpty += o.nonEmpty
     o.envs.foreach(addEnv)
   }
@@ -72,6 +81,16 @@ final class GeomUnionBuffer {
     if (!sawAny) return null
     if (nonEmpty == 0L) return "POLYGON EMPTY"
     if (nonEmpty == 1L) return soleWkt
+    // two-element groups route through the scalar binary union so agg
+    // and scalar answers agree (incl. the exact Greiner–Hormann
+    // regime); WKTs sorted first — scalar union's output shape is
+    // argument-order dependent, the sort restores partition-order
+    // determinism
+    if (nonEmpty == 2L && soleWkt != null && secondWkt != null) {
+      val (a, b) =
+        if (soleWkt <= secondWkt) (soleWkt, secondWkt) else (secondWkt, soleWkt)
+      return GeoAlgorithms.union(a, b)
+    }
     val sortedEnvs = envs.sortBy(identity)
     var parts = Seq(sortedEnvs.head)
     sortedEnvs.tail.foreach { e =>
@@ -82,14 +101,25 @@ final class GeomUnionBuffer {
     GeoAlgorithms.partsWkt(parts)
   }
 
+  // length-prefixed UTF-8, not writeUTF: modified-UTF's 64 KiB cap
+  // would crash partial-agg shuffle serialization on a single
+  // many-vertex polygon
+  private def writeStr(out: DataOutputStream, s: String): Unit =
+    if (s == null) out.writeInt(-1)
+    else {
+      val b = s.getBytes("UTF-8")
+      out.writeInt(b.length)
+      out.write(b)
+    }
+
   def serialize(): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
-    out.writeInt(1)
+    out.writeInt(2)
     out.writeBoolean(sawAny)
     out.writeLong(nonEmpty)
-    out.writeBoolean(soleWkt != null)
-    if (soleWkt != null) out.writeUTF(soleWkt)
+    writeStr(out, soleWkt)
+    writeStr(out, secondWkt)
     out.writeInt(envs.length)
     envs.foreach { e =>
       out.writeDouble(e._1); out.writeDouble(e._2)
@@ -101,13 +131,24 @@ final class GeomUnionBuffer {
 }
 
 object GeomUnionBuffer {
+  private def readStr(in: DataInputStream): String = {
+    val n = in.readInt()
+    if (n < 0) null
+    else {
+      val b = new Array[Byte](n)
+      in.readFully(b)
+      new String(b, "UTF-8")
+    }
+  }
+
   def deserialize(bytes: Array[Byte]): GeomUnionBuffer = {
     val in = new DataInputStream(new ByteArrayInputStream(bytes))
-    require(in.readInt() == 1, "unknown geometry_union_agg buffer version")
+    require(in.readInt() == 2, "unknown geometry_union_agg buffer version")
     val buf = new GeomUnionBuffer
     buf.sawAny = in.readBoolean()
     buf.nonEmpty = in.readLong()
-    if (in.readBoolean()) buf.soleWkt = in.readUTF()
+    buf.soleWkt = readStr(in)
+    buf.secondWkt = readStr(in)
     val n = in.readInt()
     var i = 0
     while (i < n) {

@@ -121,6 +121,10 @@ final class SpatialPartBuffer(val maxSample: Int, var partitions: Int) {
       implicitly[Ordering[(Long, Double, Double)]])
 
   def add(wkt: UTF8String): Unit = {
+    // empty geometries have no envelope; the reference's aggregate skips
+    // them (SpatialPartitioningInternalAggregateFunction.input returns
+    // on null envelope)
+    if (wkt.toString.endsWith("EMPTY")) return
     val (x0, y0, x1, y1) = GeoAlgorithms.envelope(wkt.toString)
     val key = (XXH64.hashUnsafeBytes(wkt.getBaseObject, wkt.getBaseOffset,
       wkt.numBytes, 0L), (x0 + x1) / 2, (y0 + y1) / 2)
@@ -245,10 +249,15 @@ case class SpatialPartitions(left: Expression, right: Expression)
   extends BinaryExpression with CodegenFallback {
   override def prettyName: String = "spatial_partitions"
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  // EMPTY geometry → NULL even when both inputs are non-null
+  override def nullable: Boolean = true
 
   override def nullSafeEval(tree: Any, geom: Any): Any = {
+    val wkt = geom.asInstanceOf[UTF8String].toString
+    // empty geometry → NULL, as in the reference (GeoFunctions.java:1133)
+    if (wkt.endsWith("EMPTY")) return null
     val node = KdbTreeCache.parse(tree.asInstanceOf[UTF8String].toString)
-    val (x0, y0, x1, y1) = GeoAlgorithms.envelope(geom.asInstanceOf[UTF8String].toString)
+    val (x0, y0, x1, y1) = GeoAlgorithms.envelope(wkt)
     new GenericArrayData(
       KdbTree.partitionsFor(node, x0, y0, x1, y1).sorted.toArray)
   }
@@ -265,11 +274,21 @@ case class SpatialPartitionsWithin(
   extends TernaryExpression with CodegenFallback {
   override def prettyName: String = "spatial_partitions"
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  // EMPTY geometry → NULL even when all inputs are non-null
+  override def nullable: Boolean = true
 
   override def nullSafeEval(tree: Any, geom: Any, dist: Any): Any = {
-    val node = KdbTreeCache.parse(tree.asInstanceOf[UTF8String].toString)
     val d = dist.asInstanceOf[Double]
-    val (x0, y0, x1, y1) = GeoAlgorithms.envelope(geom.asInstanceOf[UTF8String].toString)
+    // reference raises INVALID_FUNCTION_ARGUMENT for all three
+    // (GeoFunctions.java:1147-1157); a silently-accepted negative
+    // distance would SHRINK the envelope and drop within-distance pairs
+    if (d.isNaN) throw new IllegalArgumentException("distance is NaN")
+    if (d.isInfinite) throw new IllegalArgumentException("distance is infinite")
+    if (d < 0) throw new IllegalArgumentException("distance is negative")
+    val wkt = geom.asInstanceOf[UTF8String].toString
+    if (wkt.endsWith("EMPTY")) return null
+    val node = KdbTreeCache.parse(tree.asInstanceOf[UTF8String].toString)
+    val (x0, y0, x1, y1) = GeoAlgorithms.envelope(wkt)
     new GenericArrayData(
       KdbTree.partitionsFor(node, x0 - d, y0 - d, x1 + d, y1 + d).sorted.toArray)
   }

@@ -82,7 +82,15 @@ object MemoryStore {
       truncate: Boolean): Unit =
     tables.compute(name, (_, prev) =>
       if (truncate || prev == null) (schema, rows)
-      else (prev._1, prev._2 ++ rows))
+      else {
+        // appended row bytes are UnsafeRows serialized under the NEW
+        // write's schema; reinterpreting them with a different stored
+        // schema (column order/types) would silently corrupt reads
+        require(prev._1 == schema,
+          s"graft_mem append to '$name': schema ${schema.simpleString} does not " +
+            s"match stored schema ${prev._1.simpleString}")
+        (prev._1, prev._2 ++ rows)
+      })
 
   def drop(name: String): Unit = tables.remove(name)
 }

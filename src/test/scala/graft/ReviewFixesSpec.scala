@@ -127,4 +127,83 @@ class ReviewFixesSpec extends AnyFunSuite with SparkFixture with Matchers {
     a.mergeWith(b) // existing-key and under-budget merges still work
     a.summary should include("Accuracy: 2/2")
   }
+
+  // ---- round-4 review (ADVICE r4) regression pins ----
+
+  test("spatial_partitioning skips EMPTY geometries; spatial_partitions returns NULL") {
+    Tables.registerAll(spark, sfDir)
+    val tree = spark.sql(
+      """SELECT spatial_partitioning(g, 4) AS t FROM (
+        |  SELECT concat('POINT (', id, ' ', id, ')') AS g FROM range(16)
+        |  UNION ALL SELECT 'POLYGON EMPTY' AS g
+        |  UNION ALL SELECT 'POINT EMPTY' AS g)""".stripMargin).head().getString(0)
+    tree should include("leaf") // empties did not crash the aggregate
+    val r = spark.sql(
+      s"""SELECT spatial_partitions('$tree', 'POLYGON EMPTY') AS a,
+         |  spatial_partitions('$tree', 'POINT EMPTY', 1.0) AS b,
+         |  spatial_partitions('$tree', 'POINT (3 3)') AS c""".stripMargin).head()
+    assert(r.isNullAt(0) && r.isNullAt(1) && !r.isNullAt(2))
+  }
+
+  test("spatial_partitions rejects NaN/infinite/negative distance") {
+    Tables.registerAll(spark, sfDir)
+    val tree = spark.sql(
+      """SELECT spatial_partitioning(concat('POINT (', id, ' ', id, ')'), 4)
+        |FROM range(16)""".stripMargin).head().getString(0)
+    Seq("cast('NaN' AS DOUBLE)" -> "distance is NaN",
+        "cast('Infinity' AS DOUBLE)" -> "distance is infinite",
+        "-1.0" -> "distance is negative").foreach { case (d, msg) =>
+      val ex = intercept[Exception] {
+        spark.sql(s"SELECT spatial_partitions('$tree', 'POINT (1 1)', $d)").collect()
+      }
+      ex.getMessage should include(msg)
+    }
+  }
+
+  test("geometry_union_agg buffer serializes WKT past the 64 KiB writeUTF cap") {
+    // one many-vertex polygon as a group's sole input must survive the
+    // partial-agg serialize/deserialize round trip
+    val n = 9000 // ~70 KB of WKT text
+    val ring = (0 until n).map(i => f"${math.cos(i * 2 * math.Pi / n)}%.6f " +
+      f"${math.sin(i * 2 * math.Pi / n)}%.6f").mkString(", ")
+    val wkt = s"POLYGON (($ring, ${"%.6f".format(1.0)} ${"%.6f".format(0.0)}))"
+    wkt.length should be > 65535
+    val buf = new graft.functions.GeomUnionBuffer
+    buf.addWkt(wkt)
+    val rt = graft.functions.GeomUnionBuffer.deserialize(buf.serialize())
+    rt.result() shouldBe wkt
+  }
+
+  test("geometry_union_agg of two geometries equals scalar st_union") {
+    Tables.registerAll(spark, sfDir)
+    // non-rectangle pair → the exact Greiner–Hormann regime; the agg
+    // must agree with the scalar union on area (within rounding)
+    val r = spark.sql(
+      """WITH two AS (
+        |  SELECT 'POLYGON ((0 0, 4 0, 4 2, 2 2, 2 4, 0 4, 0 0))' AS g
+        |  UNION ALL SELECT 'POLYGON ((1 1, 5 1, 5 5, 1 5, 1 1))' AS g)
+        |SELECT round(geom_area(geometry_union_agg(g)), 6) AS agg_area,
+        |  (SELECT round(geom_area(st_union(
+        |     'POLYGON ((0 0, 4 0, 4 2, 2 2, 2 4, 0 4, 0 0))',
+        |     'POLYGON ((1 1, 5 1, 5 5, 1 5, 1 1))')), 6)) AS scalar_area
+        |FROM two""".stripMargin).head()
+    r.getDouble(0) shouldBe r.getDouble(1)
+  }
+
+  test("graft_mem append with a different schema is rejected, not corrupted") {
+    import spark.implicits._
+    Seq((1, "a")).toDF("id", "s").write.format("graft_mem")
+      .option("name", "schema_guard").mode("overwrite").save()
+    val ex = intercept[Exception] {
+      // same column names, swapped order → different UnsafeRow layout
+      Seq(("b", 2)).toDF("s", "id").write.format("graft_mem")
+        .option("name", "schema_guard").mode("append").save()
+    }
+    ex.getMessage should include("does not match stored schema")
+    // matching-schema append still works
+    Seq((3, "c")).toDF("id", "s").write.format("graft_mem")
+      .option("name", "schema_guard").mode("append").save()
+    spark.read.format("graft_mem").option("name", "schema_guard")
+      .load().count() shouldBe 2
+  }
 }
