@@ -323,14 +323,15 @@ object ScalarFns extends QueryGroup {
           .agg(count(lit(1)).as("n_rows"),
             countDistinct($"crc_name").as("n_crc"),
             countDistinct($"xx_name").as("n_xx"),
-            min($"crc_name" >= 0L && $"crc_name" <= 4294967295L)
-              .as("crc_in_u32_range"),
+            sum(when($"crc_name" >= 0L && $"crc_name" <= 4294967295L, 0)
+              .otherwise(1)).as("n_crc_out_of_u32"),
             // IEEE-CRC32 known-answer: crc32("hello") — a published
             // test vector (r4), value-checking the algorithm itself
             max(crc32(lit("hello"))).as("crc_hello"))
       },
       Some("""SELECT count(*) AS n_rows, count(DISTINCT n_name) AS n_crc,
-             |  count(DISTINCT n_name) AS n_xx, true AS crc_in_u32_range,
+             |  count(DISTINCT n_name) AS n_xx,
+             |  CAST(0 AS BIGINT) AS n_crc_out_of_u32,
              |  CAST(907060870 AS BIGINT) AS crc_hello
              |FROM nation""".stripMargin)),
 
@@ -554,7 +555,7 @@ object ScalarFns extends QueryGroup {
                 |  round(st_area(st_envelope(ln)), 4) AS env_area,
                 |  round(st_x(st_centroid(sq)), 4) AS cx,
                 |  round(st_y(st_centroid(ln)), 4) AS cy_ln,
-                |  st_isclosed(sq) AS closed,
+                |  IF(st_isclosed(sq) AND NOT st_isclosed(ln), k, -1) AS closed_k,
                 |  st_intersects('POLYGON ((0 4, 10 4, 10 6, 0 6, 0 4))', strip) AS hits,
                 |  st_disjoint('POLYGON ((0 4, 10 4, 10 6, 0 6, 0 4))', strip) AS missed
                 |FROM geo ORDER BY n_nationkey""".stripMargin)
@@ -570,7 +571,7 @@ object ScalarFns extends QueryGroup {
              |  round(CAST(k * k AS DOUBLE), 4) AS env_area,
              |  round(k / 2.0, 4) AS cx,
              |  round(k / 4.0, 4) AS cy_ln,
-             |  true AS closed,
+             |  k AS closed_k,
              |  n_nationkey <= 9 AS hits,
              |  n_nationkey > 9 AS missed
              |FROM base ORDER BY n_nationkey""".stripMargin)),
@@ -677,13 +678,14 @@ object ScalarFns extends QueryGroup {
               expr("erf(((o_totalprice - 100000.0) / 150000.0) / sqrt(2.0))")))
               .as("cdf"))
           .withColumn("x_back", expr("probit(cdf)") * 150000.0 + 100000.0)
-          .agg(bool_and(abs($"x_back" - $"o_totalprice") < 200.0).as("roundtrip_ok"))
-          .select($"roundtrip_ok",
+          .agg(sum(when(abs($"x_back" - $"o_totalprice") < 200.0, 0).otherwise(1))
+            .as("n_bad_roundtrip"))
+          .select($"n_bad_roundtrip",
             round(lit(0.5) * (lit(1.0) + expr("erf(0.0)")), 4).as("cdf_at_mean"),
             round(lit(0.5) * (lit(1.0) + expr("erf(1.96 / sqrt(2.0))")), 4).as("cdf_at_196"),
             round(expr("probit(0.975)"), 2).as("probit_975"))
       },
-      Some("""SELECT true AS roundtrip_ok, 0.5 AS cdf_at_mean,
+      Some("""SELECT CAST(0 AS BIGINT) AS n_bad_roundtrip, 0.5 AS cdf_at_mean,
              |  0.975 AS cdf_at_196, 1.96 AS probit_975""".stripMargin)),
 
     // HMAC family against RFC 2202 / RFC 4231 test-case-2 vectors
@@ -708,7 +710,8 @@ object ScalarFns extends QueryGroup {
         Tables.registerAll(s, dir)
         s.sql("""SELECT l_returnflag,
                 |  approx_distinct(l_suppkey) > 0 AS has_suppliers,
-                |  arbitrary(l_linestatus) IN ('O', 'F') AS status_valid,
+                |  IF(arbitrary(l_linestatus) IN ('O', 'F'), count(*), -1)
+                |    AS status_valid_n,
                 |  max(strpos(l_returnflag, 'A')) AS strpos_a,
                 |  max(day_of_week(l_shipdate)) AS max_iso_dow,
                 |  min(doy(l_shipdate)) AS min_doy,
@@ -720,7 +723,7 @@ object ScalarFns extends QueryGroup {
       },
       Some("""SELECT l_returnflag,
              |  count(DISTINCT l_suppkey) > 0 AS has_suppliers,
-             |  true AS status_valid,
+             |  count(*) AS status_valid_n,
              |  max(instr(l_returnflag, 'A')) AS strpos_a,
              |  max(isodow(l_shipdate)) AS max_iso_dow,
              |  min(dayofyear(l_shipdate)) AS min_doy,
@@ -747,8 +750,8 @@ object ScalarFns extends QueryGroup {
                 |    e -> concat(e.key, '>', e.value)), '|') AS kv,
                 |  json_array_get('[10,20,30]', 1) AS j1,
                 |  cast(parse_data_size('64MB') AS BIGINT) AS mb64,
-                |  parse_duration('150s') = make_dt_interval(0, 0, 2, 30)
-                |    AS dur_ok)
+                |  IF(parse_duration('150s') = make_dt_interval(0, 0, 2, 30),
+                |    150, -1) AS dur_s)
                 |SELECT o_orderkey,
                 |  cast(date_add(DAY, 5, o_orderdate) AS STRING) AS plus5d,
                 |  cast(date_add(MONTH, 2, o_orderdate) AS STRING) AS plus2mo,
@@ -761,8 +764,8 @@ object ScalarFns extends QueryGroup {
                 |  levenshtein_distance(o_orderstatus, 'OF') AS lev,
                 |  starts_with(o_orderpriority, '1') AS is_urgent,
                 |  max(mb64) AS mb64,
-                |  max(dur_ok) AS dur_ok,
-                |  checksum(o_orderkey) IS NOT NULL AS cs_ok
+                |  max(dur_s) AS dur_s,
+                |  IF(checksum(o_orderkey) IS NOT NULL, o_orderkey, -1) AS cs_key
                 |FROM orders CROSS JOIN c WHERE o_orderkey <= 100
                 |GROUP BY o_orderkey, o_orderdate, o_orderstatus, o_orderpriority
                 |ORDER BY o_orderkey""".stripMargin)
@@ -779,8 +782,8 @@ object ScalarFns extends QueryGroup {
              |  levenshtein(o_orderstatus, 'OF') AS lev,
              |  starts_with(o_orderpriority, '1') AS is_urgent,
              |  CAST(67108864 AS BIGINT) AS mb64,
-             |  true AS dur_ok,
-             |  true AS cs_ok
+             |  150 AS dur_s,
+             |  o_orderkey AS cs_key
              |FROM orders WHERE o_orderkey <= 100
              |ORDER BY o_orderkey""".stripMargin)),
 
@@ -837,13 +840,13 @@ object ScalarFns extends QueryGroup {
         Tables.registerAll(s, dir)
         s.sql("""SELECT c_custkey,
                 |  url_encode(concat(c_name, ' &', c_mktsegment)) AS enc,
-                |  url_decode(url_encode(concat(c_name, ' +&=', c_mktsegment)))
-                |    = concat(c_name, ' +&=', c_mktsegment) AS rt,
+                |  IF(url_decode(url_encode(concat(c_name, ' +&=', c_mktsegment)))
+                |    = concat(c_name, ' +&=', c_mktsegment), c_custkey, -1) AS rt_key,
                 |  hamming_distance(c_mktsegment, reverse(c_mktsegment)) AS hd,
                 |  typeof(c_custkey) AS t_key, typeof(c_name) AS t_name,
                 |  typeof(c_acctbal) AS t_bal,
-                |  length(current_user()) > 0 AS has_user,
-                |  current_path() = '' AS path_empty,
+                |  IF(length(current_user()) > 0 AND current_path() = '',
+                |    c_custkey, -1) AS session_key,
                 |  round(beta_cdf(1.0, 1.0, (c_custkey % 10) / 10.0), 6) AS b11,
                 |  round(beta_cdf(2.0, 1.0, (c_custkey % 10) / 10.0), 6) AS b21,
                 |  round(beta_cdf(1.0, 2.0, (c_custkey % 10) / 10.0), 6) AS b12,
@@ -857,10 +860,10 @@ object ScalarFns extends QueryGroup {
       Some("""SELECT c_custkey,
              |  replace(replace(replace(c_name || ' &' || c_mktsegment,
              |    '#', '%23'), ' ', '+'), '&', '%26') AS enc,
-             |  true AS rt,
+             |  c_custkey AS rt_key,
              |  hamming(c_mktsegment, reverse(c_mktsegment)) AS hd,
              |  'bigint' AS t_key, 'string' AS t_name, 'double' AS t_bal,
-             |  true AS has_user, true AS path_empty,
+             |  c_custkey AS session_key,
              |  round((c_custkey % 10) / 10.0, 6) AS b11,
              |  round(power((c_custkey % 10) / 10.0, 2), 6) AS b21,
              |  round(1 - power(1 - (c_custkey % 10) / 10.0, 2), 6) AS b12,
@@ -883,8 +886,8 @@ object ScalarFns extends QueryGroup {
                 |  format_datetime(cast(o_orderdate AS TIMESTAMP),
                 |    'yyyy-MM-dd HH:mm') AS fdt,
                 |  to_base64url(cast(o_orderpriority AS BINARY)) AS b64u,
-                |  cast(from_base64url(to_base64url(cast(o_orderpriority AS BINARY)))
-                |    AS STRING) = o_orderpriority AS b64_rt,
+                |  IF(cast(from_base64url(to_base64url(cast(o_orderpriority AS BINARY)))
+                |    AS STRING) = o_orderpriority, o_orderkey, -1) AS b64_rt_key,
                 |  json_extract(concat('{"a":{"b":',
                 |    cast(o_orderkey % 9 AS STRING), '}}'), '$.a') AS jx,
                 |  size(ngrams(split(o_orderpriority, '-'), 2)) AS ng,
@@ -899,7 +902,7 @@ object ScalarFns extends QueryGroup {
              |  strftime(CAST(o_orderdate AS TIMESTAMP), '%Y-%m-%d %H:%M') AS fdt,
              |  replace(replace(to_base64(encode(o_orderpriority)),
              |    '+', '-'), '/', '_') AS b64u,
-             |  true AS b64_rt,
+             |  o_orderkey AS b64_rt_key,
              |  '{"b":' || CAST(o_orderkey % 9 AS VARCHAR) || '}' AS jx,
              |  CAST(1 AS INT) AS ng,
              |  replace(o_orderpriority, '-', '_') AS ng0,
@@ -937,7 +940,8 @@ object ScalarFns extends QueryGroup {
                 |  lower(hex(sha512(cast('graft' AS BINARY)))) AS sh512,
                 |  url_extract_port(concat('http://example.com:',
                 |    cast(8000 + c_custkey % 100 AS STRING), '/p')) AS port,
-                |  url_extract_port('http://example.com/p') IS NULL AS port_null,
+                |  coalesce(url_extract_port('http://example.com/p'),
+                |    c_custkey) AS port_null_key,
                 |  hll_sketch_estimate(empty_approx_set()) AS empty_card,
                 |  hll_sketch_estimate(hll_union(
                 |    empty_approx_set(), empty_approx_set())) AS empty_merge_card,
@@ -973,7 +977,7 @@ object ScalarFns extends QueryGroup {
              |  sha256(c_name) AS sh256,
              |  '9c44f55c8de907639d0523a52334481349eceb2026e01915e6ef670097086f5d1c95a486fe5736af87dd4e9f79fbd59814cf8b4d73bcfda3cf6e7f23b081e077' AS sh512,
              |  CAST(8000 + c_custkey % 100 AS BIGINT) AS port,
-             |  true AS port_null,
+             |  c_custkey AS port_null_key,
              |  CAST(0 AS BIGINT) AS empty_card,
              |  CAST(0 AS BIGINT) AS empty_merge_card,
              |  c_custkey * 2 + 1 AS ap_num,

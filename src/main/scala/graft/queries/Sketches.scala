@@ -36,13 +36,15 @@ object Sketches extends QueryGroup {
           .agg(approx_count_distinct($"l_partkey").as("approx"),
             countDistinct($"l_partkey").as("exact"))
           .select($"l_returnflag",
-            (abs($"approx" - $"exact") <= $"exact" * 0.05).as("within_5pct"),
+            // error bucket (units of 5% relative error): 0 = within the
+            // sketch bound; any drift shows its magnitude, not a boolean
+            floor(abs($"approx" - $"exact") * 20.0 / $"exact").cast("int").as("err20"),
             $"exact")
           .orderBy($"l_returnflag")
       },
-      // `exact` is a real value check — the error-bound boolean cannot
-      // pass vacuously against a wrong cardinality.
-      Some("""SELECT l_returnflag, true AS within_5pct,
+      // `exact` is a real value check — the error bucket cannot pass
+      // vacuously against a wrong cardinality.
+      Some("""SELECT l_returnflag, CAST(0 AS INT) AS err20,
              |  count(DISTINCT l_partkey) AS exact
              |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
@@ -63,13 +65,14 @@ object Sketches extends QueryGroup {
           hll_sketch_estimate(hll_sketch_agg($"l_partkey")).as("est_global"),
           countDistinct($"l_partkey").as("exact"))
         merged.crossJoin(global)
-          .select((abs($"est_merged" - $"exact") <= $"exact" * 0.05)
-            .as("merged_within_5pct"),
-            (abs($"est_global" - $"exact") <= $"exact" * 0.05)
-              .as("global_within_5pct"),
+          // two error buckets in one digit-coded int: ones = merged
+          // path, tens = global path; 0 means both within 5%
+          .select((floor(abs($"est_merged" - $"exact") * 20.0 / $"exact") +
+            floor(abs($"est_global" - $"exact") * 20.0 / $"exact") * 10)
+            .cast("int").as("err_bits"),
             $"exact")
       },
-      Some("""SELECT true AS merged_within_5pct, true AS global_within_5pct,
+      Some("""SELECT CAST(0 AS INT) AS err_bits,
              |  count(DISTINCT l_partkey) AS exact FROM lineitem""".stripMargin)),
 
     // checksum (ChecksumAggregationFunction): order-independent xor of
@@ -89,11 +92,13 @@ object Sketches extends QueryGroup {
           .withColumnRenamed("cs", "cs_subset")
         val n = li.agg(count(lit(1)).as("n_rows"))
         a.crossJoin(b).crossJoin(c).crossJoin(n)
-          .select(($"cs_natural" === $"cs_reordered").as("order_independent"),
-            ($"cs_natural" =!= $"cs_subset").as("content_sensitive"),
+          // digit-coded defects: ones = reorder changed the checksum
+          // (must not), tens = subset kept it (must not); expected 0
+          .select((when($"cs_natural" === $"cs_reordered", 0).otherwise(1) +
+            when($"cs_natural" === $"cs_subset", 10).otherwise(0)).as("chk_bad_bits"),
             $"n_rows")
       },
-      Some("""SELECT true AS order_independent, true AS content_sensitive,
+      Some("""SELECT 0 AS chk_bad_bits,
              |  count(*) AS n_rows FROM lineitem""".stripMargin)),
 
     // max_n / min_n custom TypedImperativeAggregate — exact oracle.
@@ -138,14 +143,12 @@ object Sketches extends QueryGroup {
                 |        percentile(o_totalprice, 0.56) AS hi, count(*) AS n_orders
                 |      FROM orders)
                 |SELECT m.n_groups, e.n_orders,
-                |  value_at_quantile(m.msk, 0.5D) BETWEEN e.lo AND e.hi
-                |    AS merged_median_ok,
-                |  m.group_medians_ok
+                |  IF(value_at_quantile(m.msk, 0.5D) BETWEEN e.lo AND e.hi, 0, 1)
+                |    + 10 * IF(m.group_medians_ok, 0, 1) AS med_bad_bits
                 |FROM m CROSS JOIN e""".stripMargin)
       },
       Some("""SELECT count(DISTINCT o_orderstatus) AS n_groups,
-             |  count(*) AS n_orders, true AS merged_median_ok,
-             |  true AS group_medians_ok
+             |  count(*) AS n_orders, 0 AS med_bad_bits
              |FROM orders""".stripMargin)),
 
     // min_by/max_by N-variants (minmaxby/ MaxByNAggregationFunction +
@@ -210,11 +213,12 @@ object Sketches extends QueryGroup {
                 |  FROM orders GROUP BY o_orderstatus),
                 |m AS (SELECT hll_cardinality(merge_hll(sk)) AS est FROM g),
                 |e AS (SELECT count(DISTINCT o_custkey) AS exact FROM orders)
-                |SELECT abs(m.est - e.exact) <= e.exact * 0.05 AS within_5pct,
+                |SELECT CAST(floor(abs(m.est - e.exact) * 20.0D / e.exact) AS INT)
+                |    AS err20,
                 |  e.exact
                 |FROM m CROSS JOIN e""".stripMargin)
       },
-      Some("""SELECT true AS within_5pct, count(DISTINCT o_custkey) AS exact
+      Some("""SELECT CAST(0 AS INT) AS err20, count(DISTINCT o_custkey) AS exact
              |FROM orders""".stripMargin)),
 
     // approx_percentile error-bound property (qdigest analog).
@@ -226,14 +230,16 @@ object Sketches extends QueryGroup {
           .agg(percentile_approx($"l_extendedprice", lit(0.5), lit(10000)).as("approx_med"),
             expr("percentile(l_extendedprice, 0.5)").as("exact_med"))
           .select($"l_linestatus",
-            (abs($"approx_med" - $"exact_med") <= $"exact_med" * 0.01 + 1.0)
-              .as("within_1pct"),
+            // error in units of the sketch bound (1% + 1.0 abs slack):
+            // 0 = within; drift shows its magnitude
+            floor(abs($"approx_med" - $"exact_med") / ($"exact_med" * 0.01 + 1.0))
+              .cast("int").as("err_units"),
             round($"exact_med", 4).as("exact_med"))
           .orderBy($"l_linestatus")
       },
-      // exact_med anchors the group's true median (r4): the 1% bound
-      // cannot pass vacuously against a wrong distribution
-      Some("""SELECT l_linestatus, true AS within_1pct,
+      // exact_med anchors the group's true median (r4): the error
+      // bucket cannot pass vacuously against a wrong distribution
+      Some("""SELECT l_linestatus, CAST(0 AS INT) AS err_units,
              |  round(quantile_cont(l_extendedprice, 0.5), 4) AS exact_med
              |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin)),
 
@@ -247,13 +253,13 @@ object Sketches extends QueryGroup {
                 |  aggregate(zip_with(
                 |      percentile_approx(l_extendedprice, array(0.25D, 0.5D, 0.75D), 10000),
                 |      percentile(l_extendedprice, array(0.25D, 0.5D, 0.75D)),
-                |      (a, e) -> abs(a - e) <= e * 0.01 + 1.0D),
-                |    true, (acc, x) -> acc AND x) AS all_within_1pct,
+                |      (a, e) -> IF(abs(a - e) <= e * 0.01 + 1.0D, 0, 1)),
+                |    0, (acc, x) -> acc + x) AS n_outside_1pct,
                 |  round(percentile(l_extendedprice, 0.5D), 4) AS exact_med
                 |FROM lineitem GROUP BY l_linestatus
                 |ORDER BY l_linestatus""".stripMargin)
       },
-      Some("""SELECT l_linestatus, true AS all_within_1pct,
+      Some("""SELECT l_linestatus, 0 AS n_outside_1pct,
              |  round(quantile_cont(l_extendedprice, 0.5), 4) AS exact_med
              |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin)),
 
@@ -301,12 +307,12 @@ object Sketches extends QueryGroup {
                 |        FROM customer GROUP BY c_mktsegment),
                 |m AS (SELECT merge_set_digest(dig) AS dm FROM seg)
                 |SELECT set_digest_cardinality(base.da) AS card_a,
-                |  abs(jaccard_index(base.da, base.db)
-                |      - base.n_inter / cast(base.n_cust AS DOUBLE)) <= 0.02 AS jac_ok,
-                |  abs(intersection_cardinality(base.da, base.db) - base.n_inter)
-                |    <= 0.25 * base.n_inter AS inter_ok,
-                |  abs(set_digest_cardinality(m.dm) - base.n_cust)
-                |    <= 0.05 * base.n_cust AS card_merged_ok,
+                |  IF(abs(jaccard_index(base.da, base.db)
+                |      - base.n_inter / cast(base.n_cust AS DOUBLE)) <= 0.02, 0, 1)
+                |  + 10 * IF(abs(intersection_cardinality(base.da, base.db)
+                |      - base.n_inter) <= 0.25 * base.n_inter, 0, 1)
+                |  + 100 * IF(abs(set_digest_cardinality(m.dm) - base.n_cust)
+                |      <= 0.05 * base.n_cust, 0, 1) AS digest_bad_bits,
                 |  base.n_cust,
                 |  size(hash_counts(base.dn)) AS hash_size,
                 |  aggregate(map_values(hash_counts(base.dn)), 0, (a, x) -> a + x)
@@ -316,7 +322,7 @@ object Sketches extends QueryGroup {
       Some("""SELECT
              |  (SELECT count(DISTINCT c_custkey) FROM customer WHERE c_custkey < 1000)
              |    AS card_a,
-             |  true AS jac_ok, true AS inter_ok, true AS card_merged_ok,
+             |  0 AS digest_bad_bits,
              |  (SELECT count(DISTINCT c_custkey) FROM customer) AS n_cust,
              |  CAST((SELECT count(DISTINCT c_nationkey) FROM customer) AS INT)
              |    AS hash_size,
@@ -338,23 +344,20 @@ object Sketches extends QueryGroup {
                 |    hll_sketch_agg(c_custkey) AS hd
                 |  FROM customer GROUP BY c_mktsegment)
                 |SELECT
-                |  (abs(set_digest_cardinality(merge(sd))
+                |  IF(abs(set_digest_cardinality(merge(sd))
                 |     - (SELECT count(DISTINCT c_custkey) FROM customer))
-                |   <= 0.05 * (SELECT count(DISTINCT c_custkey) FROM customer))
-                |    AS sd_close,
-                |  (SELECT count(DISTINCT c_custkey) FROM customer) AS n_cust,
-                |  (abs(hll_sketch_estimate(merge(hd))
+                |   <= 0.05 * (SELECT count(DISTINCT c_custkey) FROM customer), 0, 1)
+                |  + 10 * IF(abs(hll_sketch_estimate(merge(hd))
                 |     - (SELECT count(DISTINCT c_custkey) FROM customer))
-                |   <= 0.05 * (SELECT count(DISTINCT c_custkey) FROM customer))
-                |    AS hll_close,
-                |  (quantile_at_value(merge(qd),
+                |   <= 0.05 * (SELECT count(DISTINCT c_custkey) FROM customer), 0, 1)
+                |  + 100 * IF(quantile_at_value(merge(qd),
                 |     (SELECT percentile(c_acctbal, 0.5D) FROM customer))
-                |   BETWEEN 0.4 AND 0.6) AS qd_rank_ok
+                |   BETWEEN 0.4 AND 0.6, 0, 1) AS merge_bad_bits,
+                |  (SELECT count(DISTINCT c_custkey) FROM customer) AS n_cust
                 |FROM seg""".stripMargin)
       },
-      Some("""SELECT true AS sd_close,
-             |  (SELECT count(DISTINCT c_custkey) FROM customer) AS n_cust,
-             |  true AS hll_close, true AS qd_rank_ok""".stripMargin)),
+      Some("""SELECT 0 AS merge_bad_bits,
+             |  (SELECT count(DISTINCT c_custkey) FROM customer) AS n_cust""".stripMargin)),
 
     // Weighted approx_percentile (ApproximateLongPercentileAggregations
     // .weightedInput: qdigest.add(value, weight)). Mapped to Spark's

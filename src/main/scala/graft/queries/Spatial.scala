@@ -237,7 +237,6 @@ object Spatial extends QueryGroup {
           .withColumn("env", expr("st_envelope(line)"))
           .select($"n",
             expr("st_x(st_pointn(line, 2))").as("pn_x"),
-            expr("st_pointn(line, 9) IS NULL").as("pn_null"),
             expr("size(st_points(line))").as("n_pts"),
             expr("round(st_length(st_exterior_ring(env)), 4)").as("ring_len"),
             expr("st_num_interior_ring(env)").as("n_int"),
@@ -248,26 +247,32 @@ object Spatial extends QueryGroup {
             expr("st_dimension(env)").as("dim_env"),
             expr("st_coord_dim(line)").as("cdim"),
             expr("st_x(st_envelope_as_pts(line)[1])").as("env_max_x"),
-            expr("st_is_empty('POLYGON EMPTY')").as("empty_true"),
             expr("st_num_geometries('MULTIPOINT EMPTY')").as("n_empty"),
-            expr("st_is_ring(st_exterior_ring(env))").as("ring_true"),
-            expr("st_is_ring(line)").as("ring_false"),
-            expr("st_is_simple(line)").as("simple_true"),
-            expr("st_is_simple('LINESTRING (0 0, 2 2, 2 0, 0 2)')").as("bowtie_false"))
+            // predicate truth table as one bit string (expected
+            // '111010'): out-of-range pointn NULL, EMPTY is-empty,
+            // closed ring is-ring, open line not, simple line
+            // is-simple, bowtie not
+            expr("""concat(
+              |IF(st_pointn(line, 9) IS NULL, '1', '0'),
+              |IF(st_is_empty('POLYGON EMPTY'), '1', '0'),
+              |IF(st_is_ring(st_exterior_ring(env)), '1', '0'),
+              |IF(st_is_ring(line), '1', '0'),
+              |IF(st_is_simple(line), '1', '0'),
+              |IF(st_is_simple('LINESTRING (0 0, 2 2, 2 0, 0 2)'), '1', '0'))"""
+              .stripMargin).as("pred_bits"))
           .orderBy($"n")
       },
       // envelope of the 3-point line spans [d, d+3] × [0, 3] →
       // perimeter 12; boundary endpoints are (d, 0) and (d+3, 3)
       Some("""SELECT n_nationkey AS n,
-             |  n_nationkey + 2.0 AS pn_x, true AS pn_null,
+             |  n_nationkey + 2.0 AS pn_x,
              |  CAST(3 AS INT) AS n_pts, 12.0 AS ring_len,
              |  CAST(0 AS BIGINT) AS n_int, CAST(2 AS INT) AS n_bnd,
              |  n_nationkey + 3.0 AS bnd_x2, CAST(3 AS INT) AS n_mp,
              |  CAST(1 AS INT) AS dim_line, CAST(2 AS INT) AS dim_env,
              |  CAST(2 AS INT) AS cdim, n_nationkey + 3.0 AS env_max_x,
-             |  true AS empty_true, CAST(0 AS INT) AS n_empty,
-             |  true AS ring_true, false AS ring_false,
-             |  true AS simple_true, false AS bowtie_false
+             |  CAST(0 AS INT) AS n_empty,
+             |  '111010' AS pred_bits
              |FROM nation ORDER BY n""".stripMargin)),
 
     // Topology/overlay/serialization tier: st_equals up to ring
@@ -280,28 +285,34 @@ object Spatial extends QueryGroup {
         Tables.nation(s, dir)
           .select($"n_nationkey".as("n"), $"n_nationkey".cast("double").as("d"))
           .select($"n",
-            expr("""st_equals('POLYGON ((0 0, 4 0, 4 3, 0 3, 0 0))',
-              |'POLYGON ((4 0, 4 3, 0 3, 0 0, 4 0))')""".stripMargin).as("eq_rot"),
-            expr("""st_equals('LINESTRING (0 0, 1 1, 2 0)',
-              |'LINESTRING (2 0, 1 1, 0 0)')""".stripMargin).as("eq_rev"),
-            expr("""st_equals('POLYGON ((0 0, 4 0, 4 3, 0 3, 0 0))',
-              |'POLYGON ((0 0, 5 0, 4 3, 0 3, 0 0))')""".stripMargin).as("eq_false"),
-            expr("""st_touches('POLYGON ((0 0, 4 0, 4 3, 0 3, 0 0))',
-              |'POLYGON ((4 0, 8 0, 8 3, 4 3, 4 0))')""".stripMargin).as("touch_edge"),
-            expr("""st_touches('POLYGON ((0 0, 4 0, 4 3, 0 3, 0 0))',
-              |'POLYGON ((2 1, 6 1, 6 5, 2 5, 2 1))')""".stripMargin).as("touch_false"),
-            expr("""st_overlaps('POLYGON ((0 0, 4 0, 4 3, 0 3, 0 0))',
-              |'POLYGON ((2 1, 6 1, 6 5, 2 5, 2 1))')""".stripMargin).as("ovl_true"),
-            expr("""st_overlaps('POLYGON ((0 0, 4 0, 4 3, 0 3, 0 0))',
-              |'POLYGON ((1 1, 2 1, 2 2, 1 2, 1 1))')""".stripMargin).as("ovl_contained"),
-            expr("st_crosses('LINESTRING (0 0, 4 4)', 'LINESTRING (0 4, 4 0)')")
-              .as("cross_ll"),
-            expr("st_crosses('LINESTRING (0 0, 2 2)', 'LINESTRING (2 2, 4 0)')")
-              .as("cross_ll_touch"),
-            expr("""st_crosses('LINESTRING (-1 1, 5 1)',
-              |'POLYGON ((0 0, 4 0, 4 3, 0 3, 0 0))')""".stripMargin).as("cross_lp"),
-            expr("""st_crosses('LINESTRING (1 1, 2 2)',
-              |'POLYGON ((0 0, 4 0, 4 3, 0 3, 0 0))')""".stripMargin).as("cross_lp_inside"),
+            // topology truth table as one bit string (expected
+            // '11010101010'): equals under rotation/reversal but not
+            // shape change; touches on edge contact only; overlaps on
+            // partial overlap only; crosses for proper crossings only
+            expr("""concat(
+              |IF(st_equals('POLYGON ((0 0, 4 0, 4 3, 0 3, 0 0))',
+              |  'POLYGON ((4 0, 4 3, 0 3, 0 0, 4 0))'), '1', '0'),
+              |IF(st_equals('LINESTRING (0 0, 1 1, 2 0)',
+              |  'LINESTRING (2 0, 1 1, 0 0)'), '1', '0'),
+              |IF(st_equals('POLYGON ((0 0, 4 0, 4 3, 0 3, 0 0))',
+              |  'POLYGON ((0 0, 5 0, 4 3, 0 3, 0 0))'), '1', '0'),
+              |IF(st_touches('POLYGON ((0 0, 4 0, 4 3, 0 3, 0 0))',
+              |  'POLYGON ((4 0, 8 0, 8 3, 4 3, 4 0))'), '1', '0'),
+              |IF(st_touches('POLYGON ((0 0, 4 0, 4 3, 0 3, 0 0))',
+              |  'POLYGON ((2 1, 6 1, 6 5, 2 5, 2 1))'), '1', '0'),
+              |IF(st_overlaps('POLYGON ((0 0, 4 0, 4 3, 0 3, 0 0))',
+              |  'POLYGON ((2 1, 6 1, 6 5, 2 5, 2 1))'), '1', '0'),
+              |IF(st_overlaps('POLYGON ((0 0, 4 0, 4 3, 0 3, 0 0))',
+              |  'POLYGON ((1 1, 2 1, 2 2, 1 2, 1 1))'), '1', '0'),
+              |IF(st_crosses('LINESTRING (0 0, 4 4)', 'LINESTRING (0 4, 4 0)'),
+              |  '1', '0'),
+              |IF(st_crosses('LINESTRING (0 0, 2 2)', 'LINESTRING (2 2, 4 0)'),
+              |  '1', '0'),
+              |IF(st_crosses('LINESTRING (-1 1, 5 1)',
+              |  'POLYGON ((0 0, 4 0, 4 3, 0 3, 0 0))'), '1', '0'),
+              |IF(st_crosses('LINESTRING (1 1, 2 2)',
+              |  'POLYGON ((0 0, 4 0, 4 3, 0 3, 0 0))'), '1', '0'))""".stripMargin)
+              .as("topo_bits"),
             expr("""round(geom_area(st_difference('POLYGON ((0 0, 4 0, 4 3, 0 3, 0 0))',
               |'POLYGON ((2 1, 6 1, 6 5, 2 5, 2 1))')), 6)""".stripMargin).as("diff_area"),
             expr("""round(geom_area(st_sym_difference('POLYGON ((0 0, 4 0, 4 3, 0 3, 0 0))',
@@ -332,10 +343,11 @@ object Spatial extends QueryGroup {
               |'POLYGON ((20 20, 21 20, 21 21, 20 21, 20 20))')), 6)""".stripMargin)
               .as("diff_disjoint_area"),
             expr("hex(st_as_binary('POINT (1 2)'))").as("wkb_hex"),
-            expr("""st_equals(st_geom_from_binary(st_as_binary(
+            expr("""IF(st_equals(st_geom_from_binary(st_as_binary(
               |st_linestring(array(st_point(d, 1.0), st_point(d + 1.0, 2.0))))),
-              |st_linestring(array(st_point(d, 1.0), st_point(d + 1.0, 2.0))))""".stripMargin)
-              .as("wkb_rt_line"),
+              |st_linestring(array(st_point(d, 1.0), st_point(d + 1.0, 2.0)))),
+              |n, -1)""".stripMargin)
+              .as("wkb_rt_key"),
             expr("""st_geometry_type(st_geom_from_binary(st_as_binary(
               |'POLYGON ((0 0, 4 0, 4 3, 0 3, 0 0))')))""".stripMargin).as("wkb_rt_type"))
           .orderBy($"n")
@@ -344,17 +356,13 @@ object Spatial extends QueryGroup {
       // → 2×2=4; diff = 12−4=8... values pinned below are recomputed:
       // diff_area = area(A)−area(A∩C) = 12−4 = 8, sym = 12+16−2·4 = 20
       Some("""SELECT n_nationkey AS n,
-             |  true AS eq_rot, true AS eq_rev, false AS eq_false,
-             |  true AS touch_edge, false AS touch_false,
-             |  true AS ovl_true, false AS ovl_contained,
-             |  true AS cross_ll, false AS cross_ll_touch,
-             |  true AS cross_lp, false AS cross_lp_inside,
+             |  '11010101010' AS topo_bits,
              |  8.0 AS diff_area, 20.0 AS sym_area,
              |  45.0 AS hole_int_area, 55.0 AS hole_diff_area,
              |  62.0 AS hole_diff_nested, 64.0 AS diff_disjoint_area,
              |  CAST(2 AS INT) AS simp_dropped, CAST(3 AS INT) AS simp_kept,
              |  '0101000000000000000000F03F0000000000000040' AS wkb_hex,
-             |  true AS wkb_rt_line, 'ST_Polygon' AS wkb_rt_type
+             |  n_nationkey AS wkb_rt_key, 'ST_Polygon' AS wkb_rt_type
              |FROM nation ORDER BY n""".stripMargin)),
 
     // Round-4 registration-gap tier (VERDICT r3 "What's missing" 1-5):
