@@ -23,14 +23,33 @@ object Tables {
     * metastore's cached table metadata on a real cluster — re-listing
     * 100 TB of files per table reference would dominate planning.
     * Testdata dirs are read-only, so entries can never go stale.
+    *
+    * The cache lives INSIDE each session's own temp-view catalog (a
+    * hidden `__graft_rel_<dirhash>_<table>` view holding the analyzed
+    * plan) rather than in any JVM-global map. A global map keyed by
+    * session — even a WeakHashMap — would pin sessions forever, because
+    * the cached DataFrames strongly reference their session (value →
+    * key keeps weak keys reachable). Session-owned state has none of
+    * that: entries die with the session, distinct sessions can never
+    * collide, and a long-lived JVM running many sessions accumulates
+    * nothing.
     */
-  private val cache =
-    new scala.collection.concurrent.TrieMap[(String, String, String), DataFrame]
+  private def cacheViewName(dir: String, name: String): String = {
+    val h = Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(dir))
+    s"__graft_rel_${h}_$name"
+  }
 
-  def table(spark: SparkSession, dir: String, name: String): DataFrame =
-    cache.getOrElseUpdate(
-      (System.identityHashCode(spark).toString, dir, name),
-      load(spark, dir, name))
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val v = cacheViewName(dir, name)
+    if (spark.sessionState.catalog.getTempView(v).isEmpty) {
+      load(spark, dir, name).createOrReplaceTempView(v)
+    }
+    spark.table(v)
+  }
+
+  /** Test hook: whether this session has a cached relation for (dir, name). */
+  private[graft] def isCached(spark: SparkSession, dir: String, name: String): Boolean =
+    spark.sessionState.catalog.getTempView(cacheViewName(dir, name)).isDefined
 
   private def load(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {

@@ -421,7 +421,13 @@ object GeoCatalog {
     prestoAliases.foreach { case (alias, orig) =>
       val sig = sigOf(orig)
       // "(poly STRING, n INT) RETURNS X" -> forwarded call "poly, n"
-      val params = sig.split(" RETURNS ")(0).stripPrefix("(").stripSuffix(")")
+      val paramList = sig.split(" RETURNS ")(0).stripPrefix("(").stripSuffix(")")
+      // comma-split is only safe for simple scalar param types; a future
+      // STRUCT<..>/MAP<..>/DECIMAL(p,s) param would silently generate a
+      // broken forwarder — fail loudly instead
+      require(!paramList.contains('<') && !paramList.contains('('),
+        s"alias forwarder for '$orig' cannot parse nested param types: $sig")
+      val params = paramList
         .split(",").map(_.trim.split("\\s+")(0)).mkString(", ")
       spark.sql(
         s"CREATE OR REPLACE TEMPORARY FUNCTION $alias $sig RETURN $orig($params)")

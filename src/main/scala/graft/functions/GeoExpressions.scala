@@ -43,10 +43,14 @@ object GeoAlgorithms {
     }.toSeq
 
   def parseCoords(wkt: String): Array[(Double, Double)] =
-    if (wkt.endsWith("EMPTY")) Array.empty
-    else wkt.replaceAll("^[A-Z_ ]+\\(+|\\)+$", "").split(",").iterator
-      .map(_.trim).filter(_.nonEmpty).map { c =>
-        val parts = c.replaceAll("[()]", "").trim.split("\\s+")
+    if (wkt.trim.endsWith("EMPTY")) Array.empty
+    else wkt.trim.replaceAll("^[A-Z_ ]+\\(+|\\)+$", "").split(",").iterator
+      .map(_.replaceAll("[()]", "").trim)
+      // collection members carry their own type keyword ('POINT 1 2')
+      // and may themselves be EMPTY ('POINT EMPTY' → no coords)
+      .map(_.replaceAll("^[A-Za-z_ ]+", "").trim)
+      .filter(_.nonEmpty).map { c =>
+        val parts = c.split("\\s+")
         (parts(0).toDouble, parts(1).toDouble)
       }.toArray
 
@@ -98,6 +102,16 @@ object GeoAlgorithms {
   private[functions] def envelope(wkt: String): (Double, Double, Double, Double) = {
     val pts = parseCoords(wkt)
     (pts.map(_._1).min, pts.map(_._2).min, pts.map(_._1).max, pts.map(_._2).max)
+  }
+
+  /** None for geometries with no coordinates (POINT EMPTY,
+    * GEOMETRYCOLLECTION (POINT EMPTY), ...) — mirrors the reference's
+    * deserializeEnvelope == null branch rather than a textual
+    * endsWith("EMPTY") heuristic. */
+  private[functions] def envelopeOpt(wkt: String): Option[(Double, Double, Double, Double)] = {
+    val pts = parseCoords(wkt)
+    if (pts.isEmpty) None
+    else Some((pts.map(_._1).min, pts.map(_._2).min, pts.map(_._1).max, pts.map(_._2).max))
   }
 
   private def rectWkt(x0: Double, y0: Double, x1: Double, y1: Double): String =

@@ -254,12 +254,16 @@ case class SpatialPartitions(left: Expression, right: Expression)
 
   override def nullSafeEval(tree: Any, geom: Any): Any = {
     val wkt = geom.asInstanceOf[UTF8String].toString
-    // empty geometry → NULL, as in the reference (GeoFunctions.java:1133)
-    if (wkt.endsWith("EMPTY")) return null
-    val node = KdbTreeCache.parse(tree.asInstanceOf[UTF8String].toString)
-    val (x0, y0, x1, y1) = GeoAlgorithms.envelope(wkt)
-    new GenericArrayData(
-      KdbTree.partitionsFor(node, x0, y0, x1, y1).sorted.toArray)
+    // empty geometry → NULL, as in the reference (GeoFunctions.java:1133);
+    // branch on an empty envelope (no coordinates), not a textual EMPTY
+    // suffix — catches 'GEOMETRYCOLLECTION (POINT EMPTY)', whitespace, etc.
+    GeoAlgorithms.envelopeOpt(wkt) match {
+      case None => null
+      case Some((x0, y0, x1, y1)) =>
+        val node = KdbTreeCache.parse(tree.asInstanceOf[UTF8String].toString)
+        new GenericArrayData(
+          KdbTree.partitionsFor(node, x0, y0, x1, y1).sorted.toArray)
+    }
   }
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): SpatialPartitions =
@@ -286,11 +290,13 @@ case class SpatialPartitionsWithin(
     if (d.isInfinite) throw new IllegalArgumentException("distance is infinite")
     if (d < 0) throw new IllegalArgumentException("distance is negative")
     val wkt = geom.asInstanceOf[UTF8String].toString
-    if (wkt.endsWith("EMPTY")) return null
-    val node = KdbTreeCache.parse(tree.asInstanceOf[UTF8String].toString)
-    val (x0, y0, x1, y1) = GeoAlgorithms.envelope(wkt)
-    new GenericArrayData(
-      KdbTree.partitionsFor(node, x0 - d, y0 - d, x1 + d, y1 + d).sorted.toArray)
+    GeoAlgorithms.envelopeOpt(wkt) match {
+      case None => null
+      case Some((x0, y0, x1, y1)) =>
+        val node = KdbTreeCache.parse(tree.asInstanceOf[UTF8String].toString)
+        new GenericArrayData(
+          KdbTree.partitionsFor(node, x0 - d, y0 - d, x1 + d, y1 + d).sorted.toArray)
+    }
   }
 
   override protected def withNewChildrenInternal(

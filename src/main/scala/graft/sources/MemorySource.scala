@@ -85,12 +85,30 @@ object MemoryStore {
       else {
         // appended row bytes are UnsafeRows serialized under the NEW
         // write's schema; reinterpreting them with a different stored
-        // schema (column order/types) would silently corrupt reads
-        require(prev._1 == schema,
+        // schema (column order/types) would silently corrupt reads.
+        // Nullability and field metadata do NOT change UnsafeRow layout,
+        // so a non-nullable Seq.toDF append onto a nullable parquet-read
+        // table (or vice versa) is safe and accepted.
+        require(normalize(prev._1) == normalize(schema),
           s"graft_mem append to '$name': schema ${schema.simpleString} does not " +
             s"match stored schema ${prev._1.simpleString}")
         (prev._1, prev._2 ++ rows)
       })
+
+  /** Strip nullability + field metadata recursively — neither affects
+    * UnsafeRow layout, so schemas differing only there are append-compatible.
+    */
+  private def normalize(dt: org.apache.spark.sql.types.DataType)
+      : org.apache.spark.sql.types.DataType = dt match {
+    case s: StructType =>
+      StructType(s.fields.map(f =>
+        org.apache.spark.sql.types.StructField(f.name, normalize(f.dataType))))
+    case a: org.apache.spark.sql.types.ArrayType =>
+      org.apache.spark.sql.types.ArrayType(normalize(a.elementType))
+    case m: org.apache.spark.sql.types.MapType =>
+      org.apache.spark.sql.types.MapType(normalize(m.keyType), normalize(m.valueType))
+    case other => other
+  }
 
   def drop(name: String): Unit = tables.remove(name)
 }
