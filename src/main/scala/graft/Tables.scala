@@ -34,8 +34,10 @@ object Tables {
     * collide, and a long-lived JVM running many sessions accumulates
     * nothing.
     */
-  private def cacheViewName(dir: String, name: String): String = {
-    val h = Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(dir))
+  private[graft] def cacheViewName(dir: String, name: String): String = {
+    // hex of the path bytes, not a hash: two dirs can never share a view
+    // name, so a collision can never serve the wrong directory's data.
+    val h = dir.getBytes("UTF-8").map(b => f"${b & 0xff}%02x").mkString
     s"__graft_rel_${h}_$name"
   }
 

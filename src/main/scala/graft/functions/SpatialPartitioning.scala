@@ -121,15 +121,18 @@ final class SpatialPartBuffer(val maxSample: Int, var partitions: Int) {
       implicitly[Ordering[(Long, Double, Double)]])
 
   def add(wkt: UTF8String): Unit = {
-    // empty geometries have no envelope; the reference's aggregate skips
+    // coordinate-free geometries (POINT EMPTY, GEOMETRYCOLLECTION of
+    // empties, …) have no envelope; the reference's aggregate skips
     // them (SpatialPartitioningInternalAggregateFunction.input returns
     // on null envelope)
-    if (wkt.toString.endsWith("EMPTY")) return
-    val (x0, y0, x1, y1) = GeoAlgorithms.envelope(wkt.toString)
-    val key = (XXH64.hashUnsafeBytes(wkt.getBaseObject, wkt.getBaseOffset,
-      wkt.numBytes, 0L), (x0 + x1) / 2, (y0 + y1) / 2)
-    sample.put(key, ())
-    if (sample.size > maxSample) sample.remove(sample.lastKey())
+    GeoAlgorithms.envelopeOpt(wkt.toString) match {
+      case None => ()
+      case Some((x0, y0, x1, y1)) =>
+        val key = (XXH64.hashUnsafeBytes(wkt.getBaseObject, wkt.getBaseOffset,
+          wkt.numBytes, 0L), (x0 + x1) / 2, (y0 + y1) / 2)
+        sample.put(key, ())
+        if (sample.size > maxSample) sample.remove(sample.lastKey())
+    }
   }
 
   def mergeWith(o: SpatialPartBuffer): Unit = {

@@ -92,8 +92,36 @@ object MemoryStore {
         require(normalize(prev._1) == normalize(schema),
           s"graft_mem append to '$name': schema ${schema.simpleString} does not " +
             s"match stored schema ${prev._1.simpleString}")
-        (prev._1, prev._2 ++ rows)
+        // Layout-safe is not semantics-safe: if the appended batch is
+        // nullable where the stored schema is not, readers trusting the
+        // stored non-nullability could elide null checks and read the
+        // null slot as 0/false. Widen to the union of both sides.
+        (widen(prev._1, schema).asInstanceOf[StructType], prev._2 ++ rows)
       })
+
+  /** Nullability union of two layout-identical schemas: a field (or
+    * array element / map value) is nullable if either side says so.
+    */
+  private def widen(a: org.apache.spark.sql.types.DataType,
+      b: org.apache.spark.sql.types.DataType): org.apache.spark.sql.types.DataType =
+    (a, b) match {
+      case (sa: StructType, sb: StructType) =>
+        StructType(sa.fields.zip(sb.fields).map { case (fa, fb) =>
+          fa.copy(dataType = widen(fa.dataType, fb.dataType),
+            nullable = fa.nullable || fb.nullable)
+        })
+      case (aa: org.apache.spark.sql.types.ArrayType,
+            ab: org.apache.spark.sql.types.ArrayType) =>
+        org.apache.spark.sql.types.ArrayType(
+          widen(aa.elementType, ab.elementType),
+          aa.containsNull || ab.containsNull)
+      case (ma: org.apache.spark.sql.types.MapType,
+            mb: org.apache.spark.sql.types.MapType) =>
+        org.apache.spark.sql.types.MapType(
+          widen(ma.keyType, mb.keyType), widen(ma.valueType, mb.valueType),
+          ma.valueContainsNull || mb.valueContainsNull)
+      case _ => a
+    }
 
   /** Strip nullability + field metadata recursively — neither affects
     * UnsafeRow layout, so schemas differing only there are append-compatible.
