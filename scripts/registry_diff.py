@@ -13,6 +13,14 @@ Usage: python3 scripts/registry_diff.py [/tmp/graft_fn_names.txt]
 """
 import re, sys, os, json
 
+def camel_to_snake(name):
+    """Presto's bare-annotation name derivation: Guava
+    LOWER_CAMEL.to(LOWER_UNDERSCORE, methodName) — see
+    presto-main/.../scalar/annotations/ScalarImplementationHeader.java:67,81
+    (bare @ScalarFunction hammingDistance registers hamming_distance).
+    """
+    return re.sub(r'([A-Z])', r'_\1', name).lower()
+
 REF = "/root/reference"
 MODULES = [
     "presto-main/src/main/java",
@@ -64,7 +72,7 @@ for mod in MODULES:
             for m in ann_val.finditer(s):
                 add(m.group(2), rel)
             for m in ann_bare.finditer(s):
-                add(m.group(2), rel)
+                add(camel_to_snake(m.group(2)), rel)
             for m in ann_alias.finditer(s):
                 seg = m.group(1)
                 # alias = {"a", "b"} or alias = "a"
@@ -74,7 +82,10 @@ for mod in MODULES:
                         add(n, rel)
             if "presto-main" in rel or "geospatial" in rel or "-ml" in rel:
                 for m in sig_name.finditer(s):
-                    add(m.group(1), rel)
+                    # single-letter captures are Signature type variables
+                    # (f/s/t/u/v), not function names — regex over-capture
+                    if len(m.group(1)) > 1:
+                        add(m.group(1), rel)
                 for m in dot_name.finditer(s):
                     add(m.group(1), rel)
 
@@ -95,12 +106,29 @@ ours = set()
 if os.path.exists(ours_path):
     ours = {l.strip().lower() for l in open(ours_path) if l.strip()}
 
+# Names extracted from the reference source that are NOT user-callable
+# registry entries, plus capabilities declared out in SURVEY.md — the
+# parity gate (RegistryParitySpec) asserts the missing set is a subset
+# of exactly this list.
+DECLARED_OUT = {
+    "unknown",            # the UNKNOWN type's literal marker, not a function
+    "array_constructor",  # internal ARRAY[...] operator
+    "geometry",           # captured from an optimizer-rule Signature, a type
+    "model",              # presto-ml ModelType — a type name, not a function
+    "invoke",             # declared out (SURVEY.md §2.11, r2)
+    "try_cast",           # TRY_CAST is grammar syntax in both engines
+}
+
 missing = sorted(n for n in ref_names if n not in ours)
+unexpected = [n for n in missing if n not in DECLARED_OUT]
 print(f"reference public names extracted: {len(ref_names)}")
 print(f"our resolvable names: {len(ours)}")
-print(f"missing ({len(missing)}):")
+print(f"missing ({len(missing)}), declared-out {len(missing) - len(unexpected)}:")
 for n in missing:
-    print(f"  {n:40s} {ref_names[n]}")
+    tag = " [declared-out]" if n in DECLARED_OUT else ""
+    print(f"  {n:40s} {ref_names[n]}{tag}")
 json.dump({"missing": missing,
+           "unexpected": unexpected,
            "sources": {n: ref_names[n] for n in missing}},
           open("/tmp/registry_diff.json", "w"), indent=1)
+sys.exit(0 if not unexpected else 1)

@@ -7,20 +7,25 @@ object Bench {
     val selected =
       if (args.nonEmpty) SparkEntry.queries.view.filterKeys(args.contains).toMap
       else SparkEntry.queries
-    // Unmeasured warmup: the first executed query otherwise pays
-    // several seconds of JVM/JIT/session initialization, which showed
-    // up as a phantom 10x outlier on whichever query ran first.
-    try { SparkEntry.queries("tpch_q1")(spark, sfDir).count() }
-    catch { case _: Throwable => () }
-    spark.catalog.clearCache()
-    // Min of three INTERLEAVED passes over the whole suite (not three
+    val ordered = selected.toSeq.sortBy(_._1)
+    // Pass 0: UNMEASURED full-suite warm-up. Interleaving alone (r6)
+    // destroyed the JIT/code-cache warmth back-to-back repeats had, and
+    // every per-query number drifted up ~1.4x with unchanged code
+    // (VERDICT r7 "Performance"). One full unmeasured pass compiles
+    // every query's generated code and faults in the page cache before
+    // anything is timed, so measured passes see a warm JVM regardless
+    // of suite order.
+    for ((name, fn) <- ordered) {
+      try fn(spark, sfDir).count() catch { case _: Throwable => () }
+      spark.catalog.clearCache()
+    }
+    // Min + median of three INTERLEAVED measured passes (not three
     // consecutive runs per query): a multi-second machine stall spans
     // consecutive samples of ONE query and fabricates a regression
     // (BENCH_r05's q12-q15 block), but it cannot span the same query
-    // in three suite-wide passes minutes apart. Min still absorbs the
-    // ±50% JIT/GC noise single shots carry at this scale.
-    val ordered = selected.toSeq.sortBy(_._1)
-    val best = scala.collection.mutable.Map.empty[String, Double]
+    // in three suite-wide passes minutes apart. Min absorbs ±JIT/GC
+    // noise; median is robust to one lucky sample.
+    val samples = scala.collection.mutable.Map.empty[String, List[Double]]
     val failed = scala.collection.mutable.Set.empty[String]
     for (_ <- 1 to 3; (name, fn) <- ordered) {
       val t0 = System.nanoTime()
@@ -32,14 +37,18 @@ object Bench {
       spark.catalog.clearCache()
       // a fast-failing query must not record its (tiny) elapsed time as
       // a legitimate sample and deflate the total — flag it instead
-      if (ok) best(name) = math.min(best.getOrElse(name, Double.MaxValue), d)
+      if (ok) samples(name) = d :: samples.getOrElse(name, Nil)
       else failed += name
     }
+    def minOf(xs: List[Double]) = xs.min
+    def medianOf(xs: List[Double]) = xs.sorted.apply(xs.size / 2)
     val results = ordered.map { case (name, _) =>
-      val dt = best.getOrElse(name, Double.NaN)
-      System.err.println(f"[bench] $name%-30s $dt%8.2fs" +
-        (if (failed(name) && !best.contains(name)) "  FAILED" else ""))
-      name -> dt
+      val xs = samples.getOrElse(name, Nil)
+      val (mn, md) =
+        if (xs.isEmpty) (Double.NaN, Double.NaN) else (minOf(xs), medianOf(xs))
+      System.err.println(f"[bench] $name%-30s min $mn%8.2fs  med $md%8.2fs" +
+        (if (xs.isEmpty && failed(name)) "  FAILED" else ""))
+      (name, mn, md)
     }
     // Locale.ROOT: f-interpolation uses the default locale, which can
     // emit ',' decimal separators and break the JSON
@@ -49,14 +58,20 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + (if (v.isNaN) "null" else num(v)) }
       .mkString("{", ",", "}")
     // only queries with NO successful pass count as failed
-    val failedJson = failed.toSeq.filterNot(best.contains).sorted
-      .map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = num(results.map(_._2).filterNot(_.isNaN).sum)
+    val failedNames = failed.toSeq.filterNot(samples.contains).sorted
+    val failedJson = failedNames.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val nFailed = failedNames.size
+    val mins = results.map { case (n, mn, _) => (n, mn) }
+    val medians = results.map { case (n, _, md) => (n, md) }
+    val total = num(mins.map(_._2).filterNot(_.isNaN).sum)
+    val totalMedian = num(medians.map(_._2).filterNot(_.isNaN).sum)
     // Full per-query detail: the one-line form blows past the driver's
-    // ~1.7 KB stdout-tail window at 169 queries (BENCH_r02 "parsed":
+    // ~1.7 KB stdout-tail window at 200+ queries (BENCH_r02 "parsed":
     // null), so it goes to a file the driver/judge can read whole.
+    // n_failed rides alongside value so a round where queries newly fail
+    // can never be misread as a speedup (ADVICE r7).
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonOf(results)},"failed":$failedJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"value_median":$totalMedian,"unit":"sec","queries":${jsonOf(mins)},"queries_median":${jsonOf(medians)},"failed":$failedJson,"n_failed":$nFailed,"sf":"$sfDir"}"""
     // selective runs (explicit query args) are local iteration — they
     // must not clobber the committed full-registry artifact
     if (args.isEmpty)
@@ -64,9 +79,9 @@ object Bench {
         full.getBytes("UTF-8"))
     // stdout line stays within the tail window: total over ALL queries,
     // per-query detail limited to the TPC-H headline set.
-    val headline = results.filter(_._1.startsWith("tpch_"))
+    val headline = mins.filter(_._1.startsWith("tpch_"))
     val headlineJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonOf(headline)},"failed":$failedJson,"sf":"$sfDir","n_queries":${results.size},"detail":"bench_full.json"}"""
+      s"""{"metric":"total","value":$total,"value_median":$totalMedian,"unit":"sec","queries":${jsonOf(headline)},"failed":$failedJson,"n_failed":$nFailed,"sf":"$sfDir","n_queries":${results.size},"detail":"bench_full.json"}"""
     // The driver's stdout parser has recorded "parsed": null three
     // rounds running (VERDICT r3 #4 suspects the sbt "[info] " prefix),
     // so the same line also lands in a FIXED file it can read whole.

@@ -56,14 +56,32 @@ object Tables {
   private def load(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
       import org.apache.spark.sql.functions._
-      // `div` (integer division) — a double division here would lose
-      // precision above 2^53 ns and shift timestamps by ±1 µs.
-      eventsRaw(spark, dir).withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      import org.apache.spark.sql.types._
+      val raw = eventsRaw(spark, dir)
+      raw.schema("ts").dataType match {
+        // parquet TIMESTAMP(NANOS) surfaced as BIGINT via
+        // spark.sql.legacy.parquet.nanosAsLong. `div` (integer division) —
+        // a double division here would lose precision above 2^53 ns and
+        // shift timestamps by ±1 µs.
+        case LongType =>
+          raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        // parquet timestamp[us] arrives as a timestamp type directly
+        // (NTZ when isAdjustedToUTC=false); normalize to session-TZ
+        // TimestampType so downstream schemas are stable either way.
+        case _: TimestampNTZType | _: TimestampType =>
+          raw.withColumn("ts", col("ts").cast(TimestampType))
+        case other =>
+          throw new IllegalStateException(
+            s"events.ts: unexpected parquet-surfaced type $other")
+      }
     } else spark.read.parquet(s"$dir/$name.parquet")
 
-  /** events.ts is parquet TIMESTAMP(NANOS) which Spark's reader rejects;
-    * sessions set spark.sql.legacy.parquet.nanosAsLong=true (see
-    * [[GraftSession]]) and we convert nanos→micros TimestampType here.
+  /** events.ts has shipped as both parquet TIMESTAMP(NANOS) — which
+    * Spark's reader rejects unless spark.sql.legacy.parquet.nanosAsLong
+    * =true (set in [[GraftSession]]) surfaces it as BIGINT nanos — and as
+    * plain timestamp[us]. [[load]] branches on the surfaced type so both
+    * vintages of the driver's testdata produce the same TimestampType
+    * column.
     */
   private def eventsRaw(s: SparkSession, d: String): DataFrame =
     s.read.parquet(s"$d/events.parquet")
@@ -81,10 +99,23 @@ object Tables {
 
   /** Register every table as a temp view so queries can use spark.sql —
     * mirrors Presto's catalog.schema.table resolution (SURVEY.md §3).
+    *
+    * Failure-isolated: one unreadable table must not poison queries that
+    * never reference it (at 100 TB-catalog scale a single corrupt table
+    * taking down the whole SQL surface is an outage, not an error). A
+    * table that fails to load is skipped with a warning; a query that
+    * actually references it then fails at resolution with
+    * TABLE_OR_VIEW_NOT_FOUND — scoped to that query alone.
     */
   def registerAll(spark: SparkSession, dir: String): Unit = {
     Seq("region", "nation", "customer", "supplier", "part", "orders",
-      "lineitem", "events", "documents", "embeddings")
-      .foreach(n => table(spark, dir, n).createOrReplaceTempView(n))
+      "lineitem", "events", "documents", "embeddings").foreach { n =>
+      try table(spark, dir, n).createOrReplaceTempView(n)
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          org.slf4j.LoggerFactory.getLogger(getClass)
+            .warn(s"graft: skipping unloadable table '$n' in $dir: $e")
+      }
+    }
   }
 }

@@ -17,7 +17,7 @@ class StreamingSpec extends AnyFunSuite with SparkFixture with Matchers {
   test("streaming tumbling-window counts equal the batch result") {
     import spark.implicits._
     val schema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("event_id", LongType), StructField("ts", TimestampType),
       StructField("user_id", LongType), StructField("event_type", StringType),
       StructField("value", DoubleType), StructField("props", StringType)))
 
@@ -29,7 +29,6 @@ class StreamingSpec extends AnyFunSuite with SparkFixture with Matchers {
 
     val stream = spark.readStream.schema(schema)
       .parquet(streamDir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
       .withWatermark("ts", "1 hour")
       .groupBy(window($"ts", "1 hour"), $"event_type")
       .agg(count(lit(1)).as("n"))
@@ -57,7 +56,7 @@ class StreamingSpec extends AnyFunSuite with SparkFixture with Matchers {
   test("streaming dedup within watermark drops replayed events") {
     import spark.implicits._
     val schema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("event_id", LongType), StructField("ts", TimestampType),
       StructField("user_id", LongType), StructField("event_type", StringType),
       StructField("value", DoubleType), StructField("props", StringType)))
 
@@ -72,7 +71,6 @@ class StreamingSpec extends AnyFunSuite with SparkFixture with Matchers {
 
     val stream = spark.readStream.schema(schema)
       .parquet(streamDir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
       .groupBy($"event_type")
@@ -98,7 +96,7 @@ class StreamingSpec extends AnyFunSuite with SparkFixture with Matchers {
   test("stream-static join enriches events with the dimension table") {
     import spark.implicits._
     val schema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("event_id", LongType), StructField("ts", TimestampType),
       StructField("user_id", LongType), StructField("event_type", StringType),
       StructField("value", DoubleType), StructField("props", StringType)))
 
@@ -138,7 +136,7 @@ class StreamingSpec extends AnyFunSuite with SparkFixture with Matchers {
   test("stream-stream interval join matches the batch time-bounded join") {
     import spark.implicits._
     val schema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("event_id", LongType), StructField("ts", TimestampType),
       StructField("user_id", LongType), StructField("event_type", StringType),
       StructField("value", DoubleType), StructField("props", StringType)))
 
@@ -149,7 +147,6 @@ class StreamingSpec extends AnyFunSuite with SparkFixture with Matchers {
 
     def side(types: Seq[String], idAs: String, tsAs: String) =
       spark.readStream.schema(schema).parquet(streamDir.toString)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
         .filter($"event_type".isin(types: _*))
         .select($"user_id", $"ts".as(tsAs), $"event_id".as(idAs))
         .withWatermark(tsAs, "1 hour")
