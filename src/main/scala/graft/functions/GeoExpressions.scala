@@ -1133,6 +1133,184 @@ object GeoAlgorithms {
     GhRings(out.result())
   }
 
+  // --- Degenerate-contact exact overlay (r4 #5, closed r8) ------------
+  // When boundaries meet in shared vertices, vertex-on-edge contact, or
+  // collinear overlap, Greiner–Hormann's entry/exit alternation breaks
+  // down and [[ghClip]] refuses. This path computes the overlay on the
+  // REFINED planar subdivision instead (the classical map-overlay idea,
+  // de Berg et al. "Computational Geometry" ch. 2; the same regime
+  // Foster/Hormann/Popa 2019 extend GH to): insert every
+  // boundary-boundary incidence point into both rings — after which any
+  // A-edge and B-edge are disjoint, endpoint-sharing, or identical —
+  // then select directed edges per op by midpoint / shared-direction
+  // classification and stitch result rings with leftmost-turn traversal
+  // (pinch vertices resolve into separate simple rings). Exact for
+  // simple single-ring polygons in ANY contact regime; the reference
+  // gets this from ESRI (presto-geospatial GeoFunctions.java:560,627,
+  // 698 via OperatorIntersection/Union/Difference).
+
+  private val GhSnap = 1e-9
+
+  private def snapKey(p: (Double, Double)): (Long, Long) =
+    (math.round(p._1 / GhSnap), math.round(p._2 / GhSnap))
+
+  /** Split every edge of `ring` at its incidence points with `other`'s
+    * edges (proper crossings, endpoint contacts, collinear-overlap
+    * endpoints). Returns the refined directed edge list. */
+  private def refineRing(ring: Array[(Double, Double)],
+      other: Array[(Double, Double)]): Array[((Double, Double), (Double, Double))] = {
+    val n = ring.length; val m = other.length
+    val out = Array.newBuilder[((Double, Double), (Double, Double))]
+    var i = 0
+    while (i < n) {
+      val p1 = ring(i); val p2 = ring((i + 1) % n)
+      val rx = p2._1 - p1._1; val ry = p2._2 - p1._2
+      val rLen2 = rx * rx + ry * ry
+      var ts = List.empty[Double]
+      var j = 0
+      while (j < m) {
+        val q1 = other(j); val q2 = other((j + 1) % m)
+        val sx = q2._1 - q1._1; val sy = q2._2 - q1._2
+        val den = rx * sy - ry * sx
+        val lenScale = math.sqrt(rLen2 * (sx * sx + sy * sy))
+        if (math.abs(den) <= GhEps * math.max(lenScale, 1.0)) {
+          val c = (q1._1 - p1._1) * ry - (q1._2 - p1._2) * rx
+          if (math.abs(c) <= GhEps * math.max(lenScale, 1.0)) {
+            // collinear: project q1/q2 onto [p1,p2]; interior hits split
+            for (q <- Seq(q1, q2)) {
+              val t = ((q._1 - p1._1) * rx + (q._2 - p1._2) * ry) / rLen2
+              if (t > GhEps && t < 1.0 - GhEps) ts ::= t
+            }
+          }
+        } else {
+          val t = ((q1._1 - p1._1) * sy - (q1._2 - p1._2) * sx) / den
+          val u = ((q1._1 - p1._1) * ry - (q1._2 - p1._2) * rx) / den
+          if (t > GhEps && t < 1.0 - GhEps && u > -GhEps && u < 1.0 + GhEps)
+            ts ::= t
+        }
+        j += 1
+      }
+      val cuts = ts.sorted.foldLeft(List.empty[Double]) { (acc, t) =>
+        if (acc.nonEmpty && t - acc.head < GhEps) acc else t :: acc
+      }.reverse
+      var prev = p1
+      for (t <- cuts) {
+        val q = (p1._1 + t * rx, p1._2 + t * ry)
+        if (snapKey(q) != snapKey(prev)) { out += ((prev, q)); prev = q }
+      }
+      if (snapKey(prev) != snapKey(p2)) out += ((prev, p2))
+      i += 1
+    }
+    out.result()
+  }
+
+  /** Exact overlay for the degenerate-contact regime. Inputs are OPEN
+    * rings; returns the assembled WKT, or None if stitching fails (the
+    * caller then keeps its documented envelope fallback). */
+  private[functions] def degenerateOverlay(aIn: Array[(Double, Double)],
+      bIn: Array[(Double, Double)], op: String): Option[String] = {
+    val aOpen = if (signedArea(aIn) >= 0) aIn else aIn.reverse
+    val bOpen = if (signedArea(bIn) >= 0) bIn else bIn.reverse
+
+    // canonical point registry: A's and B's float versions of the same
+    // incidence point must unify exactly for edge matching / stitching
+    val reps = scala.collection.mutable.Map.empty[(Long, Long), (Double, Double)]
+    def canon(p: (Double, Double)): (Double, Double) =
+      reps.getOrElseUpdate(snapKey(p), p)
+
+    val aEdges = refineRing(aOpen, bOpen).map { case (s, e) => (canon(s), canon(e)) }
+    val bEdges = refineRing(bOpen, aOpen).map { case (s, e) => (canon(s), canon(e)) }
+
+    // undirected edge key → direction, for shared-edge detection
+    def undirected(e: ((Double, Double), (Double, Double))) = {
+      val (ks, ke) = (snapKey(e._1), snapKey(e._2))
+      if (Ordering[(Long, Long)].lteq(ks, ke)) ((ks, ke), true)
+      else ((ke, ks), false)
+    }
+    val bDirByKey = bEdges.map { e =>
+      val (k, fwd) = undirected(e); k -> fwd
+    }.toMap
+    val aKeys = aEdges.map(e => undirected(e)._1).toSet
+
+    val aClosed = closedRing(aOpen); val bClosed = closedRing(bOpen)
+    val selected = Vector.newBuilder[((Double, Double), (Double, Double))]
+
+    for (e <- aEdges) {
+      val (k, fwd) = undirected(e)
+      bDirByKey.get(k) match {
+        case Some(bFwd) =>
+          val sameDir = fwd == bFwd
+          // shared edge: interiors locally on the same side iff the two
+          // CCW boundaries traverse it in the same direction
+          val keep = op match {
+            case "intersection" | "union" => sameDir
+            case "difference" => !sameDir
+          }
+          if (keep) selected += e
+        case None =>
+          val mid = ((e._1._1 + e._2._1) / 2, (e._1._2 + e._2._2) / 2)
+          val in = pointInRing(bClosed, mid._1, mid._2)
+          val keep = op match {
+            case "intersection" => in
+            case "union" | "difference" => !in
+          }
+          if (keep) selected += e
+      }
+    }
+    for (e <- bEdges if !aKeys.contains(undirected(e)._1)) {
+      val mid = ((e._1._1 + e._2._1) / 2, (e._1._2 + e._2._2) / 2)
+      val in = pointInRing(aClosed, mid._1, mid._2)
+      op match {
+        case "intersection" => if (in) selected += e
+        case "union" => if (!in) selected += e
+        case "difference" => if (in) selected += e.swap // reversed: hole side
+      }
+    }
+
+    val edges = selected.result()
+    if (edges.isEmpty) return Some("POLYGON EMPTY")
+
+    // stitch: leftmost-turn traversal keeps the result interior on the
+    // left and splits pinch vertices into separate simple rings
+    val used = Array.fill(edges.length)(false)
+    val byStart = edges.indices.groupBy(i => snapKey(edges(i)._1))
+    val rings = Vector.newBuilder[Array[(Double, Double)]]
+    var steps = 0
+    val cap = 4 * edges.length + 8
+    for (s <- edges.indices if !used(s)) {
+      val buf = scala.collection.mutable.ArrayBuffer[(Double, Double)](edges(s)._1)
+      var cur = s
+      var closed = false
+      var stuck = false
+      while (!closed && !stuck && steps < cap) {
+        used(cur) = true
+        steps += 1
+        val end = edges(cur)._2
+        buf += end
+        if (snapKey(end) == snapKey(edges(s)._1)) closed = true
+        else {
+          val dIn = (end._1 - edges(cur)._1._1, end._2 - edges(cur)._1._2)
+          val cands = byStart.getOrElse(snapKey(end), Seq.empty).filterNot(used)
+          if (cands.isEmpty) stuck = true
+          else cur = cands.maxBy { c =>
+            val d = (edges(c)._2._1 - edges(c)._1._1, edges(c)._2._2 - edges(c)._1._2)
+            val ang = math.atan2(dIn._1 * d._2 - dIn._2 * d._1,
+              dIn._1 * d._1 + dIn._2 * d._2)
+            // a U-turn (ang == π) must rank WORST, not best
+            if (ang > math.Pi - 1e-9) -math.Pi else ang
+          }
+        }
+      }
+      if (stuck || (!closed && steps >= cap)) return None
+      val ring = buf.dropRight(1).toArray
+      // drop lower-dimensional slivers (contact lines traced both ways)
+      if (ring.length >= 3 && math.abs(signedArea(ring)) > 1e-12)
+        rings += ring
+    }
+    val rs = rings.result()
+    Some(if (rs.isEmpty) "POLYGON EMPTY" else assembleRingsWkt(rs))
+  }
+
   /** Shell/hole nesting of disjoint traversal rings → canonical WKT. */
   private def assembleRingsWkt(ringsIn: Vector[Array[(Double, Double)]]): String = {
     if (ringsIn.isEmpty) return "POLYGON EMPTY"
@@ -1194,7 +1372,7 @@ object GeoAlgorithms {
       case "difference"   => ghClip(aO, bO, flipA = true, flipB = false)
     }
     clipped match {
-      case GhDegenerate => None
+      case GhDegenerate => degenerateOverlay(aO, bO, op)
       case GhRings(rs)  => Some(assembleRingsWkt(rs))
       case GhNoCross =>
         val aInB = pointInRing(closedRing(bO), aO.head._1, aO.head._2)
@@ -1249,7 +1427,23 @@ object GeoAlgorithms {
           else if (bInA) polyWithHole(aO, bO)
           else s"MULTIPOLYGON ((${ringWkt(closedRing(canonRing(aO)).toSeq)}), " +
             s"(${ringWkt(closedRing(canonRing(bO)).toSeq)}))")
-      case _ => None
+      case _ =>
+        // degenerate contact on either direction: refined-subdivision
+        // overlay of both one-sided differences, combined part-wise
+        def partsOf(w: String): Seq[String] =
+          if (w.endsWith("EMPTY")) Seq.empty
+          else if (geomType(w) == "POLYGON") Seq(w.substring(w.indexOf('(')))
+          else multiParts(w)
+        (degenerateOverlay(aO, bO, "difference"),
+          degenerateOverlay(bO, aO, "difference")) match {
+          case (Some(w1), Some(w2)) =>
+            val all = partsOf(w1) ++ partsOf(w2)
+            Some(
+              if (all.isEmpty) "POLYGON EMPTY"
+              else if (all.length == 1) s"POLYGON ${all.head}"
+              else all.mkString("MULTIPOLYGON (", ", ", ")"))
+          case _ => None
+        }
     }
   }
 }

@@ -154,9 +154,18 @@ object PrestoCatalog {
     ("to_milliseconds", "(d INTERVAL DAY TO SECOND) RETURNS BIGINT",
       "cast(extract(DAY FROM d) * 86400000 + extract(HOUR FROM d) * 3600000 + " +
         "extract(MINUTE FROM d) * 60000 + extract(SECOND FROM d) * 1000 AS BIGINT)"),
-    // at_timezone(t, zone) — same instant re-expressed in another zone
+    // at_timezone / with_timezone — Presto's TIMESTAMP WITH TIME ZONE
+    // pair (DateTimeFunctions.java), shimmed over zone-less TimestampType
+    // (documented divergence, SURVEY §1.2): Spark timestamps are instants
+    // rendered in the session zone, so the zone FIELD of Presto's result
+    // is lost; the instant/wall-clock arithmetic is preserved exactly.
+    // at_timezone: same instant, wall-clock re-expressed in `z`.
     ("at_timezone", "(t TIMESTAMP, z STRING) RETURNS TIMESTAMP",
       "convert_timezone(current_timezone(), z, t)"),
+    // with_timezone: t's wall-clock fields declared to be in `z`; the
+    // result is the corresponding instant (re-rendered in session zone).
+    ("with_timezone", "(t TIMESTAMP, z STRING) RETURNS TIMESTAMP",
+      "convert_timezone(z, current_timezone(), cast(t AS TIMESTAMP_NTZ))"),
     // MapFunctions.java: split_to_multimap / multimap_from_entries
     // group duplicate keys into value arrays. The outer
     // transform(array(…), e -> …)[0] is the let-binding trick — the

@@ -231,6 +231,34 @@ object ScalarFns extends QueryGroup {
              |FROM lineitem WHERE l_orderkey <= 100
              |ORDER BY l_orderkey, l_linenumber, epoch_s""".stripMargin)),
 
+    // at_timezone / with_timezone — Presto's TIMESTAMP WITH TIME ZONE
+    // pair shimmed over zone-less TimestampType (SURVEY §1.2 divergence
+    // made executable): the zone FIELD is lost, the instant/wall-clock
+    // arithmetic is exact. Oracle is hand-derived literals (session TZ
+    // is UTC): NY is UTC-5 in January and UTC-4 in July (DST), Kolkata
+    // a fixed UTC+5:30; with_timezone inverts at_timezone's direction.
+    "fn_timezone_shim" -> QueryDef(
+      (s, dir) => s.sql(
+        """SELECT label,
+          |  at_timezone(ts, 'America/New_York') AS at_ny,
+          |  at_timezone(ts, 'Asia/Kolkata') AS at_kolkata,
+          |  with_timezone(ts, 'America/New_York') AS with_ny,
+          |  with_timezone(at_timezone(ts, 'America/New_York'),
+          |                'America/New_York') AS round_trip
+          |FROM VALUES
+          |  ('winter', TIMESTAMP '2024-01-15 12:00:00'),
+          |  ('summer', TIMESTAMP '2024-07-15 12:00:00') t(label, ts)
+          |ORDER BY label""".stripMargin),
+      Some("""SELECT * FROM (VALUES
+             |  ('summer', TIMESTAMP '2024-07-15 08:00:00',
+             |   TIMESTAMP '2024-07-15 17:30:00', TIMESTAMP '2024-07-15 16:00:00',
+             |   TIMESTAMP '2024-07-15 12:00:00'),
+             |  ('winter', TIMESTAMP '2024-01-15 07:00:00',
+             |   TIMESTAMP '2024-01-15 17:30:00', TIMESTAMP '2024-01-15 17:00:00',
+             |   TIMESTAMP '2024-01-15 12:00:00'))
+             |  t(label, at_ny, at_kolkata, with_ny, round_trip)
+             |ORDER BY label""".stripMargin)),
+
     // Presto date_format('%Y-%m-%d %H:%i') — MySQL patterns translated
     // at plan time by PrestoDatetime.translateFormat; oracle uses the
     // strftime equivalent of the same Presto pattern.

@@ -112,6 +112,27 @@ object Sources extends QueryGroup {
              |WHERE 'tag_' || (r.range % 7) <> 'tag_3'
              |ORDER BY id""".stripMargin)),
 
+    // DSv2 aggregate pushdown + stats (r4 #6 carried): global COUNT /
+    // MIN / MAX over the generating connector complete-push into the
+    // scan — the closed-form id range answers in O(1) and the scan
+    // NEVER materializes the 5M filtered rows (plan-asserted in
+    // SequenceSourceSpec). Presto's ConnectorMetadata stats +
+    // pushdown-into-connector capability, Spark-first.
+    "source_dsv2_agg_pushdown" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        s.read.format("graft_seq")
+          .option("rows", "5000000").option("parts", "8").load()
+          .filter($"id" >= 1000L && $"id" < 4000000L)
+          .agg(count(lit(1)).as("n"), count($"tag").as("n_tag"),
+            min($"id").as("min_id"), max($"id").as("max_id"),
+            min($"val").as("min_val"), max($"val").as("max_val"))
+      },
+      Some("""SELECT count(*) AS n, count('x') AS n_tag,
+             |  min(r.range) AS min_id, max(r.range) AS max_id,
+             |  min(r.range * 0.5) AS min_val, max(r.range * 0.5) AS max_val
+             |FROM range(1000, 4000000) r""".stripMargin)),
+
     // Memory-connector sink+source roundtrip on the V2 SPI: write a
     // derived aggregate into a named graft_mem table (overwrite), then
     // APPEND a second slice, then read the union back and re-aggregate.

@@ -804,6 +804,56 @@ object Spatial extends QueryGroup {
              |  18.0 AS arch_hole_perim, CAST(1 AS INT) AS arch_n_irings,
              |  CAST(0 AS INT) AS box_n_irings""".stripMargin)),
 
+    // Degenerate boundary contact EXACT overlay (r4 #5, closed r8):
+    // shared full edge, shared corner (pinch), vertex-on-edge with a
+    // crossing, collinear partial overlap, identical inputs, corner
+    // containment sharing two boundary segments, and a hole formed
+    // purely through collinear contact. The reference gets these from
+    // ESRI's topological operators (GeoFunctions.java:560,627,698);
+    // here the refined-subdivision overlay answers them exactly —
+    // every oracle value is hand-derived.
+    "fn_geo_degenerate_overlay" -> QueryDef(
+      (s, dir) => {
+        s.sql("""WITH g AS (SELECT
+                |  'POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))' AS sq,
+                |  'POLYGON ((1 0, 2 0, 2 1, 1 1, 1 0))' AS adj,
+                |  'POLYGON ((1 1, 2 1, 2 2, 1 2, 1 1))' AS diag,
+                |  'POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))' AS sq2,
+                |  'POLYGON ((1 2, 3 1, 3 3, 1 2))' AS tri,
+                |  'POLYGON ((0 0, 2 0, 2 1, 0 1, 0 0))' AS ra,
+                |  'POLYGON ((1 0, 3 0, 3 1, 1 1, 1 0))' AS rb,
+                |  'POLYGON ((0 0, 3 0, 3 3, 0 3, 0 0))' AS sq3,
+                |  'POLYGON ((0 0, 3 0, 3 3, 2 3, 2 1, 1 1, 1 3, 0 3, 0 0))' AS ushape,
+                |  'POLYGON ((0 3, 3 3, 3 4, 0 4, 0 3))' AS cap)
+                |SELECT
+                |  round(geom_area(st_intersection(sq, adj)), 6) AS edge_int,
+                |  round(geom_area(st_union(sq, adj)), 6) AS edge_union,
+                |  round(geom_area(st_difference(sq, adj)), 6) AS edge_diff,
+                |  round(geom_area(st_sym_difference(sq, adj)), 6) AS edge_sym,
+                |  round(geom_area(st_intersection(sq, diag)), 6) AS pinch_int,
+                |  round(geom_area(st_union(sq, diag)), 6) AS pinch_union,
+                |  round(geom_area(st_intersection(sq2, tri)), 6) AS voe_int,
+                |  round(geom_area(st_difference(sq2, tri)), 6) AS voe_diff,
+                |  round(geom_area(st_intersection(ra, rb)), 6) AS coll_int,
+                |  round(geom_area(st_union(ra, rb)), 6) AS coll_union,
+                |  round(geom_area(st_sym_difference(ra, rb)), 6) AS coll_sym,
+                |  round(geom_area(st_intersection(sq, sq)), 6) AS ident_int,
+                |  round(geom_area(st_difference(sq, sq)), 6) AS ident_diff,
+                |  round(geom_area(st_intersection(sq3, sq)), 6) AS corner_int,
+                |  round(geom_area(st_difference(sq3, sq)), 6) AS corner_diff,
+                |  round(geom_area(st_union(ushape, cap)), 6) AS hole_union_area,
+                |  st_num_interior_ring(st_union(ushape, cap)) AS hole_union_holes
+                |FROM g""".stripMargin)
+      },
+      Some("""SELECT 0.0 AS edge_int, 2.0 AS edge_union, 1.0 AS edge_diff,
+             |  2.0 AS edge_sym, 0.0 AS pinch_int, 2.0 AS pinch_union,
+             |  0.25 AS voe_int, 3.75 AS voe_diff,
+             |  1.0 AS coll_int, 3.0 AS coll_union, 2.0 AS coll_sym,
+             |  1.0 AS ident_int, 0.0 AS ident_diff,
+             |  1.0 AS corner_int, 8.0 AS corner_diff,
+             |  10.0 AS hole_union_area,
+             |  CAST(1 AS BIGINT) AS hole_union_holes""".stripMargin)),
+
     // Presto-cased name tier (r5): exercises the case-collapsed alias
     // registrations end-to-end — Presto resolves identifiers
     // case-insensitively, so `ST_IsEmpty(g)` in a user's query text IS

@@ -86,18 +86,130 @@ class GreinerHormannSpec extends AnyFunSuite with Matchers {
     GeoAlgorithms.area(GeoAlgorithms.union(L, far)) shouldBe 13.0 +- 1e-9
   }
 
-  test("degenerate contact refuses the exact path but still answers") {
-    // shared edge x=4: vertex-on-edge contact → envelope fallback
+  test("edge-touching polygons intersect to EMPTY (exact, r8 degenerate path)") {
+    // shared edge x=4: vertex-on-edge contact, handled exactly by the
+    // refined-subdivision overlay since r8 (no envelope fallback)
     val touching = "POLYGON ((4 0, 8 0, 8 2, 4 2, 4 0))"
     val w = GeoAlgorithms.intersection(L, touching)
-    // envelope fallback of L's bbox [0,4]x[0,4] ∩ [4,8]x[0,2] = empty strip
     w shouldBe "POLYGON EMPTY"
+    GeoAlgorithms.area(GeoAlgorithms.union(L, touching)) shouldBe
+      (GeoAlgorithms.area(L) + 8.0) +- 1e-9
   }
 
   test("traversal is input-order invariant: ops commute where they should") {
     GeoAlgorithms.area(GeoAlgorithms.intersection(box, L)) shouldBe 5.0 +- 1e-9
     GeoAlgorithms.area(GeoAlgorithms.union(box, L)) shouldBe 23.0 +- 1e-9
     GeoAlgorithms.area(GeoAlgorithms.symDifference(box, L)) shouldBe 18.0 +- 1e-9
+  }
+
+  // --- Degenerate-contact regime (r8): shared vertices, vertex-on-edge,
+  // collinear overlap — previously refused into the envelope fallback,
+  // now exact via the refined-subdivision overlay.
+
+  private def areaOf(w: String): Double = GeoAlgorithms.area(w)
+  private def ops(a: String, b: String): (Double, Double, Double, Double) = (
+    areaOf(GeoAlgorithms.intersection(a, b)),
+    areaOf(GeoAlgorithms.union(a, b)),
+    areaOf(GeoAlgorithms.difference(a, b)),
+    areaOf(GeoAlgorithms.symDifference(a, b)))
+
+  test("adjacent squares sharing a full edge") {
+    val a = "POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))"
+    val b = "POLYGON ((1 0, 2 0, 2 1, 1 1, 1 0))"
+    val (i, u, d, sd) = ops(a, b)
+    i shouldBe 0.0 +- 1e-9
+    u shouldBe 2.0 +- 1e-9
+    d shouldBe 1.0 +- 1e-9
+    sd shouldBe 2.0 +- 1e-9
+  }
+
+  test("squares sharing exactly one corner (pinch vertex)") {
+    val a = "POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))"
+    val b = "POLYGON ((1 1, 2 1, 2 2, 1 2, 1 1))"
+    val (i, u, d, sd) = ops(a, b)
+    i shouldBe 0.0 +- 1e-9
+    u shouldBe 2.0 +- 1e-9
+    d shouldBe 1.0 +- 1e-9
+    sd shouldBe 2.0 +- 1e-9
+  }
+
+  test("triangle vertex resting on a square's edge, crossing out") {
+    val a = "POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))"
+    val t = "POLYGON ((1 2, 3 1, 3 3, 1 2))"
+    val (i, u, d, sd) = ops(a, t)
+    val triArea = areaOf(t)
+    i shouldBe 0.25 +- 1e-9
+    u shouldBe (4.0 + triArea - 0.25) +- 1e-9
+    d shouldBe 3.75 +- 1e-9
+    sd shouldBe (4.0 + triArea - 0.5) +- 1e-9
+  }
+
+  test("overlapping rectangles with collinear top/bottom edges") {
+    val a = "POLYGON ((0 0, 2 0, 2 1, 0 1, 0 0))"
+    val b = "POLYGON ((1 0, 3 0, 3 1, 1 1, 1 0))"
+    val (i, u, d, sd) = ops(a, b)
+    i shouldBe 1.0 +- 1e-9
+    u shouldBe 3.0 +- 1e-9
+    d shouldBe 1.0 +- 1e-9
+    sd shouldBe 2.0 +- 1e-9
+  }
+
+  test("identical polygons") {
+    val a = "POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))"
+    val (i, u, d, sd) = ops(a, a)
+    i shouldBe 1.0 +- 1e-9
+    u shouldBe 1.0 +- 1e-9
+    d shouldBe 0.0 +- 1e-9
+    sd shouldBe 0.0 +- 1e-9
+  }
+
+  test("corner sub-square sharing two boundary segments") {
+    val a = "POLYGON ((0 0, 3 0, 3 3, 0 3, 0 0))"
+    val b = "POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))"
+    val (i, u, d, sd) = ops(a, b)
+    i shouldBe 1.0 +- 1e-9
+    u shouldBe 9.0 +- 1e-9
+    d shouldBe 8.0 +- 1e-9
+    sd shouldBe 8.0 +- 1e-9
+  }
+
+  test("U-shape capped by a bar touching along two collinear segments forms a hole") {
+    val u = "POLYGON ((0 0, 3 0, 3 3, 2 3, 2 1, 1 1, 1 3, 0 3, 0 0))"
+    val cap = "POLYGON ((0 3, 3 3, 3 4, 0 4, 0 3))"
+    val un = GeoAlgorithms.union(u, cap)
+    areaOf(un) shouldBe 10.0 +- 1e-9
+    // the notch [1,2]x[1,3] is enclosed: one interior ring of area 2
+    un should startWith("POLYGON")
+    un.count(_ == '(') shouldBe 3 // outer paren + shell + one hole
+    areaOf(GeoAlgorithms.intersection(u, cap)) shouldBe 0.0 +- 1e-9
+    areaOf(GeoAlgorithms.symDifference(u, cap)) shouldBe 10.0 +- 1e-9
+  }
+
+  test("inclusion–exclusion holds on randomized GRID-ALIGNED pairs (degenerate-rich)") {
+    val rng = new scala.util.Random(20260814)
+    for (_ <- 1 to 200) {
+      // integer-aligned L-shape and rect: contacts constantly share
+      // vertices/edges — the regime that used to refuse into envelope
+      val ox = rng.nextInt(6).toDouble; val oy = rng.nextInt(6).toDouble
+      val w = (rng.nextInt(2) + 1) * 2.0; val h = (rng.nextInt(2) + 1) * 2.0
+      val a = s"POLYGON (($ox $oy, ${ox + w} $oy, ${ox + w} ${oy + h / 2}, " +
+        s"${ox + w / 2} ${oy + h / 2}, ${ox + w / 2} ${oy + h}, $ox ${oy + h}, $ox $oy))"
+      val bx = rng.nextInt(8).toDouble; val by = rng.nextInt(8).toDouble
+      val bw = rng.nextInt(5) + 1.0; val bh = rng.nextInt(5) + 1.0
+      val b = s"POLYGON (($bx $by, ${bx + bw} $by, ${bx + bw} ${by + bh}, " +
+        s"$bx ${by + bh}, $bx $by))"
+      val areaA = GeoAlgorithms.area(a)
+      val areaB = GeoAlgorithms.area(b)
+      val inter = GeoAlgorithms.area(GeoAlgorithms.intersection(a, b))
+      withClue(s"a=$a b=$b") {
+        GeoAlgorithms.area(GeoAlgorithms.union(a, b)) shouldBe
+          (areaA + areaB - inter +- 1e-6)
+        GeoAlgorithms.area(GeoAlgorithms.difference(a, b)) shouldBe
+          (areaA - inter +- 1e-6)
+        GeoAlgorithms.area(GeoAlgorithms.symDifference(a, b)) shouldBe
+          (areaA + areaB - 2 * inter +- 1e-6)
+      }
+    }
   }
 
   test("inclusion–exclusion holds on randomized concave/rect pairs") {

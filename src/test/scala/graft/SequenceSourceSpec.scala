@@ -41,6 +41,50 @@ class SequenceSourceSpec extends AnyFunSuite with SparkFixture with Matchers {
     df.distinct().count() shouldBe 7
   }
 
+  test("global count/min/max complete-push into the scan (no row materialization)") {
+    import spark.implicits._
+    // 40 BILLION rows: if the aggregate were computed by generating
+    // rows this would run for hours — completing at all proves the
+    // closed-form pushdown answered it
+    val df = seq(40000000000L, 8)
+      .filter($"id" >= 1000L)
+      .agg(count(lit(1)).as("n"), min($"id").as("min_id"),
+        max($"id").as("max_id"), max($"val").as("max_val"))
+    val plan = df.queryExecution.executedPlan.toString
+    plan should include("pushed-aggregate")
+    val r = df.head()
+    r.getLong(0) shouldBe 40000000000L - 1000L
+    r.getLong(1) shouldBe 1000L
+    r.getLong(2) shouldBe 39999999999L
+    r.getDouble(3) shouldBe 39999999999L * 0.5
+  }
+
+  test("aggregate pushdown declines when a residual filter blocks it") {
+    import spark.implicits._
+    // tag filter cannot push into the scan, so the aggregate must not
+    // complete-push either (it would be computed over unfiltered rows)
+    val df = seq(1000, 2).filter($"tag" === "tag_0").agg(count(lit(1)))
+    df.queryExecution.executedPlan.toString should not include "pushed-aggregate"
+    df.head().getLong(0) shouldBe (0L to 999L).count(_ % 7 == 0)
+  }
+
+  test("empty filtered range aggregates to count 0 with null min/max") {
+    import spark.implicits._
+    val df = seq(1000, 2).filter($"id" >= 5000L)
+      .agg(count(lit(1)).as("n"), min($"id").as("min_id"))
+    val r = df.head()
+    r.getLong(0) shouldBe 0L
+    r.isNullAt(1) shouldBe true
+  }
+
+  test("scan reports exact post-pushdown statistics") {
+    import spark.implicits._
+    val df = seq(1000000, 4).filter($"id" < 10L)
+    val stats = df.queryExecution.optimizedPlan.stats
+    // numRows flows from the filter-narrowed range, not the raw table
+    stats.rowCount.map(_.toLong) shouldBe Some(10L)
+  }
+
   test("residual filters stay in the plan, range filters are consumed") {
     import spark.implicits._
     val df = seq(1000, 2).filter($"id" >= 500L && $"tag" === "tag_0")
