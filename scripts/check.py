@@ -8,7 +8,7 @@ matching oracle SQL from oracle_sql.json in DuckDB over views of the
 sf_dir parquet tables, sorts columns by name and rows by all columns,
 and compares values (floats with tolerance).
 """
-import json, math, sys
+import json, math, os, sys
 import duckdb
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
@@ -41,22 +41,51 @@ def approx_eq(a, b):
     return a == b
 
 
+def connect(sf_dir):
+    con = duckdb.connect()
+    # cap the buffer pool well below physical RAM and give it a spill
+    # path: at sf1 the heaviest oracle SQL (LSH-clustering fixpoint)
+    # otherwise balloons to the default 80%-of-RAM limit and the
+    # process never recovers (glibc keeps the peak heap; every later
+    # malloc fails) — with a cap it spills to disk and stays healthy
+    con.execute("SET memory_limit='%s'"
+                % os.environ.get("GRAFT_DUCKDB_MEMLIMIT", "24GB"))
+    con.execute("SET temp_directory='/tmp/duckdb_spill'")
+    for t in TABLES:
+        # driver testdata ships single files; derived scale-ups (e.g.
+        # scratch/sf1 from DeriveSf1) are Spark-written directories
+        path = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(path):
+            path = f"{path}/*.parquet"
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
+    return con
+
+
 def main():
     out_dir, sf_dir = sys.argv[1], sys.argv[2]
     only = set(sys.argv[3:])
-    con = duckdb.connect()
-    for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    con = connect(sf_dir)
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
         if only and name not in only:
             continue
         try:
-            spark_df = con.execute(
-                f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')").fetchdf()
-            duck_df = con.execute(sql).fetchdf()
+            # at sf1-scale a single long-lived connection accumulates
+            # buffer-pool state across 200+ queries until tiny
+            # allocations start failing; retry once on a FRESH
+            # connection before declaring an error
+            try:
+                spark_df = con.execute(
+                    f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')").fetchdf()
+                duck_df = con.execute(sql).fetchdf()
+            except duckdb.Error:
+                con.close()
+                con = connect(sf_dir)
+                spark_df = con.execute(
+                    f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')").fetchdf()
+                duck_df = con.execute(sql).fetchdf()
             # sort columns by name (the driver's normalization)
             s_cols = sorted(spark_df.columns)
             d_cols = sorted(duck_df.columns)

@@ -201,7 +201,12 @@ object GeoAlgorithms {
     if (geomType(a) == "POLYGON" && geomType(b) == "POLYGON") {
       val ringsA = parseRings(a)
       val ringsB = parseRings(b)
-      if ((ringsA ++ ringsB).forall(isConvexRing)) {
+      // convex fast path is single-ring only: clipping each hole into
+      // the result separately double-subtracts wherever holes from the
+      // two sides overlap — hole-y inputs take the exact subdivision
+      // overlay below (r8)
+      if (ringsA.length == 1 && ringsB.length == 1 &&
+        (ringsA ++ ringsB).forall(isConvexRing)) {
         val clipped = clipConvex(ringsA.head, ringsB.head)
         if (clipped.length < 3) return "POLYGON EMPTY"
         val outer = closedRing(clipped)
@@ -522,8 +527,14 @@ object GeoAlgorithms {
     if (b.endsWith("EMPTY")) return a
     if (geomType(a) == "POLYGON" && geomType(b) == "POLYGON") {
       val ringsA = parseRings(a)
-      val outerB = parseRings(b).head
-      if ((ringsA :+ outerB).forall(isConvexRing)) {
+      val ringsB = parseRings(b)
+      val outerB = ringsB.head
+      // single-ring-only fast path: appending B as one more hole is
+      // wrong when A's existing holes overlap B (double-subtraction),
+      // and ignores B's own holes — hole-y inputs take the exact
+      // subdivision overlay below (r8)
+      if (ringsA.length == 1 && ringsB.length == 1 &&
+        (ringsA :+ outerB).forall(isConvexRing)) {
         val outerA = closedRing(ringsA.head)
         val bIn = clipConvex(outerB, outerA)
         if (bIn.length < 3) return a // B outside A's outer ring
@@ -598,10 +609,12 @@ object GeoAlgorithms {
     new String(Array(m(0), m(3), m(6), m(1), m(4), m(7), m(2), m(5), m(8)))
 
   /** ST_Relate's DE-9IM matrix [II IB IE / BI BB BE / EI EB EE] for the
-    * regimes this tier models — point/line/convex-polygon pairs in
-    * general position (boundary-tangent containment is out of scope
-    * with the rest of the exact concave overlay, SURVEY §7.2). The
-    * canonical matrices are standard OGC SFS facts. */
+    * regimes this tier models — point/line pairs in general position,
+    * and since r8 ANY simple polygon pair (concave, holed,
+    * boundary-tangent containment included — interior terms from the
+    * exact subdivision-overlay intersection area, boundary terms from
+    * ring contact dimensions). The canonical matrices are standard OGC
+    * SFS facts. */
   def relateMatrix(a: String, b: String): String = {
     if (a.endsWith("EMPTY") || b.endsWith("EMPTY"))
       throw new IllegalArgumentException("st_relate: EMPTY geometry is not supported")
@@ -646,21 +659,51 @@ object GeoAlgorithms {
       case ("POLYGON", "LINESTRING") => transposeMatrix(relateMatrix(b, a))
       case ("POLYGON", "POLYGON") =>
         if (equalsGeom(a, b)) return "2FFF1FFF2"
-        val ra = closedRing(parseRings(a).head)
-        val rb = closedRing(parseRings(b).head)
-        require(isConvexRing(ra) && isConvexRing(rb),
-          "st_relate: non-convex polygons are not supported")
-        val areaC = ringArea(clipConvex(ra, rb))
-        if (areaC > 1e-12) {
-          val aArea = ringArea(ra)
-          val bArea = ringArea(rb)
-          if (math.abs(areaC - bArea) <= 1e-9 * bArea) "212FF1FF2"      // contains B
-          else if (math.abs(areaC - aArea) <= 1e-9 * aArea) "2FF1FF212" // within B
-          else "212101212"                                              // overlap
-        } else boundaryContactDim(ra, rb) match {
-          case 1 => "FF2F11212"  // touch along an edge
-          case 0 => "FF2F01212"  // touch at a point
-          case _ => "FF2FF1212"  // disjoint
+        // r8: exact for ANY simple polygon pair (concave, holed,
+        // boundary-tangent) — interior relations decided from the
+        // subdivision overlay's exact intersection area, boundary
+        // relations from the max pairwise ring contact dimension.
+        // Closes the boundary-tangent containment regimes previously
+        // declared out.
+        exactIntArea(a, b) match {
+          case Some(ia) =>
+            val aArea = area(a); val bArea = area(b)
+            val tol = 1e-9 * math.max(1.0, math.max(aArea, bArea))
+            val ringsA = parseRings(a).map(closedRing)
+            val ringsB = parseRings(b).map(closedRing)
+            val bbDim = ringsA.flatMap(ra =>
+              ringsB.map(rb => boundaryContactDim(ra, rb))).max
+            val bb = bbDim match { case 1 => '1'; case 0 => '0'; case _ => 'F' }
+            if (ia <= tol) bbDim match {
+              case 1 => "FF2F11212"  // touch along an edge
+              case 0 => "FF2F01212"  // touch at a point
+              case _ => "FF2FF1212"  // disjoint
+            }
+            else if (math.abs(ia - aArea) <= tol && math.abs(ia - bArea) <= tol)
+              "2FFF1FFF2"            // same region, different vertex chain
+            else if (math.abs(ia - bArea) <= tol)
+              s"212F${bb}1FF2"       // contains B (bb: tangent boundary dim)
+            else if (math.abs(ia - aArea) <= tol)
+              s"2FF1${bb}F212"       // within B
+            else
+              s"2121${if (bb == 'F') '0' else bb}1212" // interiors overlap
+          case None =>
+            val ra = closedRing(parseRings(a).head)
+            val rb = closedRing(parseRings(b).head)
+            require(isConvexRing(ra) && isConvexRing(rb),
+              "st_relate: non-simple polygons are not supported")
+            val areaC = ringArea(clipConvex(ra, rb))
+            if (areaC > 1e-12) {
+              val aArea = ringArea(ra)
+              val bArea = ringArea(rb)
+              if (math.abs(areaC - bArea) <= 1e-9 * bArea) "212FF1FF2"
+              else if (math.abs(areaC - aArea) <= 1e-9 * aArea) "2FF1FF212"
+              else "212101212"
+            } else boundaryContactDim(ra, rb) match {
+              case 1 => "FF2F11212"
+              case 0 => "FF2F01212"
+              case _ => "FF2FF1212"
+            }
         }
       case (ta, tb) =>
         throw new IllegalArgumentException(
@@ -694,28 +737,55 @@ object GeoAlgorithms {
       partsWkt(rectMinus(envelope(a), envelope(b)) ++
         rectMinus(envelope(b), envelope(a))))
 
-  /** Envelope-scope ST_Overlaps: interiors properly overlap and neither
-    * envelope contains the other. */
+  /** Exact interior-intersection area for POLYGON/POLYGON pairs the
+    * overlay engine can answer (single-ring or holed, any contact
+    * regime since r8); None → caller keeps its envelope fallback. */
+  private def exactIntArea(a: String, b: String): Option[Double] =
+    if (geomType(a) == "POLYGON" && geomType(b) == "POLYGON")
+      overlayExact(a, b, "intersection").map(area)
+    else None
+
+  /** ST_Overlaps. Exact for polygon pairs since r8 (OGC area/area
+    * semantics: interiors intersect, neither contains the other —
+    * decided from the exact intersection area); envelope-scope
+    * otherwise. */
   def overlaps(a: String, b: String): Boolean = {
     if (a.endsWith("EMPTY") || b.endsWith("EMPTY")) return false
-    val (ax0, ay0, ax1, ay1) = envelope(a)
-    val (bx0, by0, bx1, by1) = envelope(b)
-    val proper = math.max(ax0, bx0) < math.min(ax1, bx1) &&
-      math.max(ay0, by0) < math.min(ay1, by1)
-    val aInB = ax0 >= bx0 && ax1 <= bx1 && ay0 >= by0 && ay1 <= by1
-    val bInA = bx0 >= ax0 && bx1 <= ax1 && by0 >= ay0 && by1 <= ay1
-    proper && !aInB && !bInA
+    exactIntArea(a, b) match {
+      case Some(ia) =>
+        val tol = 1e-12 * math.max(1.0, math.max(area(a), area(b)))
+        ia > tol && area(a) - ia > tol && area(b) - ia > tol
+      case None =>
+        val (ax0, ay0, ax1, ay1) = envelope(a)
+        val (bx0, by0, bx1, by1) = envelope(b)
+        val proper = math.max(ax0, bx0) < math.min(ax1, bx1) &&
+          math.max(ay0, by0) < math.min(ay1, by1)
+        val aInB = ax0 >= bx0 && ax1 <= bx1 && ay0 >= by0 && ay1 <= by1
+        val bInA = bx0 >= ax0 && bx1 <= ax1 && by0 >= ay0 && by1 <= ay1
+        proper && !aInB && !bInA
+    }
   }
 
-  /** Envelope-scope ST_Touches: envelopes meet only along a shared
-    * edge or corner (zero-area intersection). */
+  /** ST_Touches. Exact for polygon pairs since r8 (boundaries meet —
+    * point or segment contact — while the exact interior intersection
+    * is empty); envelope-scope otherwise. */
   def touches(a: String, b: String): Boolean = {
     if (a.endsWith("EMPTY") || b.endsWith("EMPTY")) return false
-    val (ax0, ay0, ax1, ay1) = envelope(a)
-    val (bx0, by0, bx1, by1) = envelope(b)
-    val ix0 = math.max(ax0, bx0); val ix1 = math.min(ax1, bx1)
-    val iy0 = math.max(ay0, by0); val iy1 = math.min(ay1, by1)
-    ix0 <= ix1 && iy0 <= iy1 && (ix0 == ix1 || iy0 == iy1)
+    exactIntArea(a, b) match {
+      case Some(ia) =>
+        val tol = 1e-12 * math.max(1.0, math.max(area(a), area(b)))
+        ia <= tol && {
+          val ringsA = parseRings(a).map(closedRing)
+          val ringsB = parseRings(b).map(closedRing)
+          ringsA.exists(ra => ringsB.exists(rb => boundaryContactDim(ra, rb) >= 0))
+        }
+      case None =>
+        val (ax0, ay0, ax1, ay1) = envelope(a)
+        val (bx0, by0, bx1, by1) = envelope(b)
+        val ix0 = math.max(ax0, bx0); val ix1 = math.min(ax1, bx1)
+        val iy0 = math.max(ay0, by0); val iy1 = math.min(ay1, by1)
+        ix0 <= ix1 && iy0 <= iy1 && (ix0 == ix1 || iy0 == iy1)
+    }
   }
 
   /** OGC well-known-binary encoding, little-endian, for POINT /
@@ -1154,12 +1224,15 @@ object GeoAlgorithms {
   private def snapKey(p: (Double, Double)): (Long, Long) =
     (math.round(p._1 / GhSnap), math.round(p._2 / GhSnap))
 
-  /** Split every edge of `ring` at its incidence points with `other`'s
-    * edges (proper crossings, endpoint contacts, collinear-overlap
-    * endpoints). Returns the refined directed edge list. */
+  /** Split every edge of `ring` at its incidence points with the other
+    * polygon's edges (proper crossings, endpoint contacts,
+    * collinear-overlap endpoints). `otherEdges` is the other polygon's
+    * full directed edge list (all rings). Returns the refined directed
+    * edge list. */
   private def refineRing(ring: Array[(Double, Double)],
-      other: Array[(Double, Double)]): Array[((Double, Double), (Double, Double))] = {
-    val n = ring.length; val m = other.length
+      otherEdges: Array[((Double, Double), (Double, Double))])
+      : Array[((Double, Double), (Double, Double))] = {
+    val n = ring.length; val m = otherEdges.length
     val out = Array.newBuilder[((Double, Double), (Double, Double))]
     var i = 0
     while (i < n) {
@@ -1169,7 +1242,7 @@ object GeoAlgorithms {
       var ts = List.empty[Double]
       var j = 0
       while (j < m) {
-        val q1 = other(j); val q2 = other((j + 1) % m)
+        val (q1, q2) = otherEdges(j)
         val sx = q2._1 - q1._1; val sy = q2._2 - q1._2
         val den = rx * sy - ry * sx
         val lenScale = math.sqrt(rLen2 * (sx * sx + sy * sy))
@@ -1204,13 +1277,35 @@ object GeoAlgorithms {
     out.result()
   }
 
-  /** Exact overlay for the degenerate-contact regime. Inputs are OPEN
-    * rings; returns the assembled WKT, or None if stitching fails (the
-    * caller then keeps its documented envelope fallback). */
+  /** Single-ring convenience wrapper over [[subdivisionOverlay]]. */
   private[functions] def degenerateOverlay(aIn: Array[(Double, Double)],
-      bIn: Array[(Double, Double)], op: String): Option[String] = {
-    val aOpen = if (signedArea(aIn) >= 0) aIn else aIn.reverse
-    val bOpen = if (signedArea(bIn) >= 0) bIn else bIn.reverse
+      bIn: Array[(Double, Double)], op: String): Option[String] =
+    subdivisionOverlay(Seq(aIn), Seq(bIn), op)
+
+  /** Exact overlay on the refined planar subdivision, for polygons WITH
+    * interior rings (r4 missing #4, closed r8) and any contact regime
+    * (proper crossings included — refinement inserts those too). Inputs
+    * are OPEN rings, shell first, holes after; returns the assembled
+    * WKT, or None if stitching fails (the caller then keeps its
+    * documented envelope fallback). Orientation is normalized so the
+    * polygon interior lies LEFT of every directed edge (shell CCW,
+    * holes CW); the shared-edge same-direction rule and the midpoint
+    * even-odd classification then hold unchanged with holes. */
+  private[functions] def subdivisionOverlay(aRingsIn: Seq[Array[(Double, Double)]],
+      bRingsIn: Seq[Array[(Double, Double)]], op: String): Option[String] = {
+    def orient(rings: Seq[Array[(Double, Double)]]): Seq[Array[(Double, Double)]] =
+      rings.zipWithIndex.map { case (r, i) =>
+        val ccw = signedArea(r) >= 0
+        if (i == 0) { if (ccw) r else r.reverse } // shell CCW
+        else { if (ccw) r.reverse else r }        // holes CW
+      }
+    val aRings = orient(aRingsIn)
+    val bRings = orient(bRingsIn)
+
+    def ringEdges(r: Array[(Double, Double)]) =
+      Array.tabulate(r.length)(i => (r(i), r((i + 1) % r.length)))
+    val aRawEdges = aRings.toArray.flatMap(ringEdges)
+    val bRawEdges = bRings.toArray.flatMap(ringEdges)
 
     // canonical point registry: A's and B's float versions of the same
     // incidence point must unify exactly for edge matching / stitching
@@ -1218,8 +1313,10 @@ object GeoAlgorithms {
     def canon(p: (Double, Double)): (Double, Double) =
       reps.getOrElseUpdate(snapKey(p), p)
 
-    val aEdges = refineRing(aOpen, bOpen).map { case (s, e) => (canon(s), canon(e)) }
-    val bEdges = refineRing(bOpen, aOpen).map { case (s, e) => (canon(s), canon(e)) }
+    val aEdges = aRings.toArray.flatMap(r => refineRing(r, bRawEdges))
+      .map { case (s, e) => (canon(s), canon(e)) }
+    val bEdges = bRings.toArray.flatMap(r => refineRing(r, aRawEdges))
+      .map { case (s, e) => (canon(s), canon(e)) }
 
     // undirected edge key → direction, for shared-edge detection
     def undirected(e: ((Double, Double), (Double, Double))) = {
@@ -1232,7 +1329,12 @@ object GeoAlgorithms {
     }.toMap
     val aKeys = aEdges.map(e => undirected(e)._1).toSet
 
-    val aClosed = closedRing(aOpen); val bClosed = closedRing(bOpen)
+    // even-odd point-in-polygon across ALL rings (shell + holes)
+    val aClosed = aRings.map(closedRing)
+    val bClosed = bRings.map(closedRing)
+    def inPoly(rings: Seq[Array[(Double, Double)]], x: Double, y: Double): Boolean =
+      rings.count(r => pointInRing(r, x, y)) % 2 == 1
+
     val selected = Vector.newBuilder[((Double, Double), (Double, Double))]
 
     for (e <- aEdges) {
@@ -1240,8 +1342,9 @@ object GeoAlgorithms {
       bDirByKey.get(k) match {
         case Some(bFwd) =>
           val sameDir = fwd == bFwd
-          // shared edge: interiors locally on the same side iff the two
-          // CCW boundaries traverse it in the same direction
+          // shared edge: interiors locally on the same side iff both
+          // boundaries (interior-left oriented) traverse it in the
+          // same direction — holds for hole edges too
           val keep = op match {
             case "intersection" | "union" => sameDir
             case "difference" => !sameDir
@@ -1249,7 +1352,7 @@ object GeoAlgorithms {
           if (keep) selected += e
         case None =>
           val mid = ((e._1._1 + e._2._1) / 2, (e._1._2 + e._2._2) / 2)
-          val in = pointInRing(bClosed, mid._1, mid._2)
+          val in = inPoly(bClosed, mid._1, mid._2)
           val keep = op match {
             case "intersection" => in
             case "union" | "difference" => !in
@@ -1259,7 +1362,7 @@ object GeoAlgorithms {
     }
     for (e <- bEdges if !aKeys.contains(undirected(e)._1)) {
       val mid = ((e._1._1 + e._2._1) / 2, (e._1._2 + e._2._2) / 2)
-      val in = pointInRing(aClosed, mid._1, mid._2)
+      val in = inPoly(aClosed, mid._1, mid._2)
       op match {
         case "intersection" => if (in) selected += e
         case "union" => if (!in) selected += e
@@ -1362,10 +1465,27 @@ object GeoAlgorithms {
     if (geomType(a) != "POLYGON" || geomType(b) != "POLYGON" ||
       a.endsWith("EMPTY") || b.endsWith("EMPTY")) return None
     val ringsA = parseRings(a); val ringsB = parseRings(b)
-    if (ringsA.length != 1 || ringsB.length != 1) return None
-    if (!isSimple(a) || !isSimple(b)) return None
+    if (ringsA.exists(openRing(_).length < 3) ||
+      ringsB.exists(openRing(_).length < 3)) return None
+    // simplicity per RING (isSimple flattens all rings into one chain
+    // and would false-flag the shell/hole closure vertices)
+    def simpleRing(r: Array[(Double, Double)]): Boolean = {
+      val open = openRing(r)
+      val n = open.length
+      if (open.distinct.length != n) return false
+      val segs = Array.tabulate(n)(i => (open(i), open((i + 1) % n)))
+      segs.indices.forall { i =>
+        val jMax = if (i == 0) n - 1 else n
+        (i + 2 until jMax).forall(j =>
+          !properCross(segs(i)._1, segs(i)._2, segs(j)._1, segs(j)._2))
+      }
+    }
+    if (!(ringsA ++ ringsB).forall(simpleRing)) return None
+    // interior rings (holes) on either side: the refined-subdivision
+    // overlay handles holes AND every contact regime directly (r8)
+    if (ringsA.length != 1 || ringsB.length != 1)
+      return subdivisionOverlay(ringsA.map(openRing), ringsB.map(openRing), op)
     val aO = openRing(ringsA.head); val bO = openRing(ringsB.head)
-    if (aO.length < 3 || bO.length < 3) return None
     val clipped = op match {
       case "intersection" => ghClip(aO, bO, flipA = false, flipB = false)
       case "union"        => ghClip(aO, bO, flipA = true, flipB = true)
@@ -1398,7 +1518,22 @@ object GeoAlgorithms {
     if (geomType(a) != "POLYGON" || geomType(b) != "POLYGON" ||
       a.endsWith("EMPTY") || b.endsWith("EMPTY")) return None
     val ringsA = parseRings(a); val ringsB = parseRings(b)
-    if (ringsA.length != 1 || ringsB.length != 1) return None
+    if (ringsA.length != 1 || ringsB.length != 1) {
+      // holes: sym-diff = (A−B) ⊎ (B−A), each via the refined overlay
+      def partsOf(w: String): Seq[String] =
+        if (w.endsWith("EMPTY")) Seq.empty
+        else if (geomType(w) == "POLYGON") Seq(w.substring(w.indexOf('(')))
+        else multiParts(w)
+      return (overlayExact(a, b, "difference"), overlayExact(b, a, "difference")) match {
+        case (Some(w1), Some(w2)) =>
+          val all = partsOf(w1) ++ partsOf(w2)
+          Some(
+            if (all.isEmpty) "POLYGON EMPTY"
+            else if (all.length == 1) s"POLYGON ${all.head}"
+            else all.mkString("MULTIPOLYGON (", ", ", ")"))
+        case _ => None
+      }
+    }
     if (!isSimple(a) || !isSimple(b)) return None
     val aO = openRing(ringsA.head); val bO = openRing(ringsB.head)
     if (aO.length < 3 || bO.length < 3) return None

@@ -74,11 +74,17 @@ object PortableLsh {
     * `edges`. The per-permutation constants are joined in from a
     * 64-row `consts` CTE — inlining the literal arrays inside the
     * nested lambda re-materializes them per word × permutation and is
-    * ~200× slower in DuckDB 1.0. */
+    * ~200× slower in DuckDB 1.0. The per-permutation minimum is
+    * computed ROW-based (unnest the shingle hashes, then a grouped
+    * min) rather than `list_min(list_transform(...))`: the list form
+    * materializes a |tokens|-length list per doc × permutation —
+    * tens of GB at 50k docs, and DuckDB list intermediates don't
+    * spill (sf1 gate OOM) — while the grouped min is a spilling
+    * hash aggregate at any scale. */
   def duckMinhashEdges: String = {
     val alphaList = alphas.mkString("[", ", ", "]")
     val betaList = betas.mkString("[", ", ", "]")
-    s"""xs AS (
+    s"""xs AS MATERIALIZED (
        |  SELECT doc_id,
        |    list_transform(
        |      list_distinct(string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ')),
@@ -89,12 +95,12 @@ object PortableLsh {
        |    list_extract(CAST($alphaList AS BIGINT[]), CAST(r.range + 1 AS INT)) AS a,
        |    list_extract(CAST($betaList AS BIGINT[]), CAST(r.range + 1 AS INT)) AS b
        |  FROM range(0, $NumPerms) r),
+       |xr AS (SELECT doc_id, unnest(x) AS v FROM xs),
        |mhrow AS (
-       |  SELECT doc_id, c.i,
-       |    list_min(list_transform(x, v -> (c.a * v + c.b) % $P)) AS mi
-       |  FROM xs, consts c),
-       |mh AS (SELECT doc_id, list(mi ORDER BY i) AS m FROM mhrow GROUP BY doc_id),
-       |edges AS (
+       |  SELECT doc_id, c.i, min((c.a * v + c.b) % $P) AS mi
+       |  FROM xr, consts c GROUP BY doc_id, c.i),
+       |mh AS MATERIALIZED (SELECT doc_id, list(mi ORDER BY i) AS m FROM mhrow GROUP BY doc_id),
+       |edges AS MATERIALIZED (
        |  SELECT doc_id AS id,
        |    unnest(list_transform(range(0, $NumBands), b ->
        |      b::VARCHAR || ':' ||
@@ -107,7 +113,14 @@ object PortableLsh {
 
   /** DuckDB fragment: exact connected components over a CTE
     * `edges(id, bucket)` — the independent recomputation of
-    * [[Clustering.propagateToFixpoint]]'s fixpoint. Must follow
+    * [[Clustering.propagateToFixpoint]]'s fixpoint. The label graph is
+    * first CONTRACTED by four unrolled neighbor-min rounds (f1..f4 —
+    * plain joins, label-count-sized) and only the residual edges enter
+    * the recursive reachability: the raw all-pairs recursion
+    * materializes |component labels|^2 rows and OOMs DuckDB on
+    * sf1-scale merged components, while after contraction the residue
+    * is near-empty and the recursion still restores full exactness
+    * whatever the contraction left unfinished. Must follow
     * `WITH RECURSIVE`; final SELECT yields (id, cluster).
     *
     * Shape matters even in the oracle: a naive reflexive-transitive
@@ -125,15 +138,37 @@ object PortableLsh {
       |r2 AS (SELECT e.id, min(bm1.m) AS l FROM edges e JOIN bm1 USING (bucket) GROUP BY e.id),
       |bm2 AS (SELECT e.bucket, min(r2.l) AS m FROM edges e JOIN r2 ON r2.id = e.id GROUP BY e.bucket),
       |r3 AS (SELECT e.id, min(bm2.m) AS l FROM edges e JOIN bm2 USING (bucket) GROUP BY e.id),
-      |lb AS (SELECT e.bucket, r.l FROM edges e JOIN r3 r ON r.id = e.id),
+      |lb AS MATERIALIZED (SELECT e.bucket, r.l FROM edges e JOIN r3 r ON r.id = e.id),
       |bmin AS (SELECT bucket, min(l) AS m FROM lb GROUP BY bucket),
       |le AS (SELECT DISTINCT bmin.m AS x, lb.l AS y FROM lb JOIN bmin USING (bucket)
       |       WHERE bmin.m <> lb.l),
-      |und AS (SELECT x, y FROM le UNION ALL SELECT y AS x, x AS y FROM le),
+      |und AS MATERIALIZED (SELECT x, y FROM le UNION ALL SELECT y AS x, x AS y FROM le),
+      |f0 AS MATERIALIZED (SELECT DISTINCT l AS x, l AS f FROM lb),
+      |f1 AS MATERIALIZED (SELECT p.x, least(p.f, coalesce(min(q.f), p.f)) AS f
+      |       FROM f0 p LEFT JOIN und u ON u.x = p.x
+      |                 LEFT JOIN f0 q ON q.x = u.y
+      |       GROUP BY p.x, p.f),
+      |f2 AS MATERIALIZED (SELECT p.x, least(p.f, coalesce(min(q.f), p.f)) AS f
+      |       FROM f1 p LEFT JOIN und u ON u.x = p.x
+      |                 LEFT JOIN f1 q ON q.x = u.y
+      |       GROUP BY p.x, p.f),
+      |f3 AS MATERIALIZED (SELECT p.x, least(p.f, coalesce(min(q.f), p.f)) AS f
+      |       FROM f2 p LEFT JOIN und u ON u.x = p.x
+      |                 LEFT JOIN f2 q ON q.x = u.y
+      |       GROUP BY p.x, p.f),
+      |f4 AS MATERIALIZED (SELECT p.x, least(p.f, coalesce(min(q.f), p.f)) AS f
+      |       FROM f3 p LEFT JOIN und u ON u.x = p.x
+      |                 LEFT JOIN f3 q ON q.x = u.y
+      |       GROUP BY p.x, p.f),
+      |und2 AS MATERIALIZED (SELECT DISTINCT fa.f AS x, fb.f AS y
+      |         FROM und u JOIN f4 fa ON fa.x = u.x JOIN f4 fb ON fb.x = u.y
+      |         WHERE fa.f <> fb.f),
       |reach AS (
-      |  SELECT DISTINCT l AS lid, l AS rid FROM lb
+      |  SELECT DISTINCT f AS lid, f AS rid FROM f4
       |  UNION
-      |  SELECT u.y AS lid, r.rid FROM und u JOIN reach r ON r.lid = u.x),
-      |lc AS (SELECT lid, min(rid) AS cluster FROM reach GROUP BY lid)
+      |  SELECT u.y AS lid, r.rid FROM und2 u JOIN reach r ON r.lid = u.x),
+      |rm AS (SELECT lid, min(rid) AS m FROM reach GROUP BY lid),
+      |lc AS (SELECT f4.x AS lid, coalesce(rm.m, f4.f) AS cluster
+      |       FROM f4 LEFT JOIN rm ON rm.lid = f4.f)
       |SELECT r3.id, lc.cluster FROM r3 JOIN lc ON lc.lid = r3.l ORDER BY r3.id""".stripMargin
 }

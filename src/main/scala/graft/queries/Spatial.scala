@@ -471,6 +471,46 @@ object Spatial extends QueryGroup {
              |  'EQ' AS rel_pat_equal, 'MEET' AS rel_pat_disjoint
              |FROM nation ORDER BY n""".stripMargin)),
 
+    // ST_Relate boundary-tangent + holed + concave regimes (declared
+    // out through r7, closed r8 by the subdivision overlay): tangent
+    // containment (edge and point contact), overlap with collinear
+    // boundary segments, island-in-hole touching, concave containment.
+    "fn_st_relate_tangent" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        Tables.region(s, dir)
+          .select($"r_regionkey".as("r"))
+          .select($"r",
+            expr("""st_relate('POLYGON ((0 0, 8 0, 8 8, 0 8, 0 0))',
+              |'POLYGON ((0 0, 3 0, 3 3, 0 3, 0 0))')""".stripMargin)
+              .as("rel_contains_edge_tangent"),
+            expr("""st_relate('POLYGON ((0 0, 3 0, 3 3, 0 3, 0 0))',
+              |'POLYGON ((0 0, 8 0, 8 8, 0 8, 0 0))')""".stripMargin)
+              .as("rel_within_edge_tangent"),
+            expr("""st_relate('POLYGON ((0 0, 8 0, 8 8, 0 8, 0 0))',
+              |'POLYGON ((0 0, 3 1, 1 3, 0 0))')""".stripMargin)
+              .as("rel_contains_pt_tangent"),
+            expr("""st_relate('POLYGON ((0 0, 2 0, 2 1, 0 1, 0 0))',
+              |'POLYGON ((1 0, 3 0, 3 1, 1 1, 1 0))')""".stripMargin)
+              .as("rel_overlap_shared_seg"),
+            expr("""st_relate('POLYGON ((0 0, 9 0, 9 9, 0 9, 0 0),
+              | (2 2, 6 2, 6 6, 2 6, 2 2))',
+              |'POLYGON ((2 2, 4 2, 4 4, 2 4, 2 2))')""".stripMargin)
+              .as("rel_island_in_hole_touch"),
+            expr("""st_relate('POLYGON ((0 0, 6 0, 6 2, 2 2, 2 6, 0 6, 0 0))',
+              |'POLYGON ((3 0.5, 4 0.5, 4 1.5, 3 1.5, 3 0.5))')""".stripMargin)
+              .as("rel_concave_contains"))
+          .orderBy($"r")
+      },
+      Some("""SELECT r_regionkey AS r,
+             |  '212F11FF2' AS rel_contains_edge_tangent,
+             |  '2FF11F212' AS rel_within_edge_tangent,
+             |  '212F01FF2' AS rel_contains_pt_tangent,
+             |  '212111212' AS rel_overlap_shared_seg,
+             |  'FF2F11212' AS rel_island_in_hole_touch,
+             |  '212FF1FF2' AS rel_concave_contains
+             |FROM region ORDER BY r""".stripMargin)),
+
     // Constructive geometry tier: buffer, convex hull, bbox
     // union/intersection — every value checked against a closed form.
     "fn_geo_tier3" -> QueryDef(
@@ -853,6 +893,49 @@ object Spatial extends QueryGroup {
              |  1.0 AS corner_int, 8.0 AS corner_diff,
              |  10.0 AS hole_union_area,
              |  CAST(1 AS BIGINT) AS hole_union_holes""".stripMargin)),
+
+    // Interior rings in overlay (r4 missing #4, closed r8): polygons
+    // WITH holes through intersection/union/difference/sym-difference,
+    // exact in every contact regime — hole fully covered by the other
+    // operand (fills on union, subsumes on difference), a rect crossing
+    // partially into a hole (hole shrinks to an L), an island nested
+    // inside the other's hole (union is a MULTIPOLYGON), and a square
+    // plugging a hole exactly (all-shared boundary). Hand-derived
+    // oracle areas; reference exactness via ESRI (GeoFunctions.java).
+    "fn_geo_holes_overlay" -> QueryDef(
+      (s, dir) => {
+        s.sql("""WITH g AS (SELECT
+                |  'POLYGON ((0 0, 9 0, 9 9, 0 9, 0 0), (2 2, 3 2, 3 3, 2 3, 2 2))' AS donut,
+                |  'POLYGON ((1 1, 4 1, 4 4, 1 4, 1 1))' AS cover,
+                |  'POLYGON ((0 0, 6 0, 6 6, 0 6, 0 0), (1 1, 3 1, 3 3, 1 3, 1 1))' AS frame,
+                |  'POLYGON ((2 2, 5 2, 5 5, 2 5, 2 2))' AS crosser,
+                |  'POLYGON ((0 0, 5 0, 5 5, 0 5, 0 0), (1 1, 4 1, 4 4, 1 4, 1 1))' AS ring5,
+                |  'POLYGON ((2 2, 3 2, 3 3, 2 3, 2 2))' AS island,
+                |  'POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0), (1 1, 2 1, 2 2, 1 2, 1 1))' AS donut4,
+                |  'POLYGON ((1 1, 2 1, 2 2, 1 2, 1 1))' AS plug)
+                |SELECT
+                |  round(geom_area(st_intersection(donut, cover)), 6) AS cov_int,
+                |  round(geom_area(st_union(donut, cover)), 6) AS cov_union,
+                |  round(geom_area(st_difference(donut, cover)), 6) AS cov_diff,
+                |  round(geom_area(st_difference(cover, donut)), 6) AS cov_rev_diff,
+                |  st_num_interior_ring(st_difference(donut, cover)) AS cov_diff_holes,
+                |  round(geom_area(st_intersection(frame, crosser)), 6) AS cross_int,
+                |  round(geom_area(st_union(frame, crosser)), 6) AS cross_union,
+                |  round(geom_area(st_sym_difference(frame, crosser)), 6) AS cross_sym,
+                |  round(geom_area(st_union(ring5, island)), 6) AS island_union,
+                |  st_geometry_type(st_union(ring5, island)) AS island_union_type,
+                |  round(geom_area(st_intersection(donut4, plug)), 6) AS plug_int,
+                |  round(geom_area(st_union(donut4, plug)), 6) AS plug_union,
+                |  round(geom_area(st_difference(donut4, plug)), 6) AS plug_diff,
+                |  st_num_interior_ring(st_union(donut4, plug)) AS plug_union_holes
+                |FROM g""".stripMargin)
+      },
+      Some("""SELECT 8.0 AS cov_int, 81.0 AS cov_union, 72.0 AS cov_diff,
+             |  1.0 AS cov_rev_diff, CAST(1 AS BIGINT) AS cov_diff_holes,
+             |  8.0 AS cross_int, 33.0 AS cross_union, 25.0 AS cross_sym,
+             |  17.0 AS island_union, 'ST_MultiPolygon' AS island_union_type,
+             |  0.0 AS plug_int, 16.0 AS plug_union, 15.0 AS plug_diff,
+             |  CAST(0 AS BIGINT) AS plug_union_holes""".stripMargin)),
 
     // Presto-cased name tier (r5): exercises the case-collapsed alias
     // registrations end-to-end — Presto resolves identifiers

@@ -185,6 +185,105 @@ class GreinerHormannSpec extends AnyFunSuite with Matchers {
     areaOf(GeoAlgorithms.symDifference(u, cap)) shouldBe 10.0 +- 1e-9
   }
 
+  // --- Interior rings in overlay (r8): holes exact in every regime ----
+
+  test("hole fully covered by the other operand") {
+    val a = "POLYGON ((0 0, 9 0, 9 9, 0 9, 0 0), (2 2, 3 2, 3 3, 2 3, 2 2))"
+    val b = "POLYGON ((1 1, 4 1, 4 4, 1 4, 1 1))"
+    val (i, u, d, sd) = ops(a, b)
+    i shouldBe 8.0 +- 1e-9   // B (9) minus A's hole (1)
+    u shouldBe 81.0 +- 1e-9  // hole filled by B
+    d shouldBe 72.0 +- 1e-9  // shell minus B, hole subsumed
+    sd shouldBe 73.0 +- 1e-9 // 72 + (B − A = the hole, 1)
+    areaOf(GeoAlgorithms.difference(b, a)) shouldBe 1.0 +- 1e-9
+  }
+
+  test("rect crossing partially into a hole") {
+    val a = "POLYGON ((0 0, 6 0, 6 6, 0 6, 0 0), (1 1, 3 1, 3 3, 1 3, 1 1))"
+    val b = "POLYGON ((2 2, 5 2, 5 5, 2 5, 2 2))"
+    val (i, u, d, sd) = ops(a, b)
+    i shouldBe 8.0 +- 1e-9   // B (9) minus overlap with hole (1)
+    u shouldBe 33.0 +- 1e-9  // 32 + 9 − 8
+    d shouldBe 24.0 +- 1e-9  // 32 − 8
+    sd shouldBe 25.0 +- 1e-9 // 32 + 9 − 2·8
+  }
+
+  test("square sharing an edge with a hole (degenerate + hole)") {
+    val a = "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0), (1 1, 2 1, 2 2, 1 2, 1 1))"
+    val b = "POLYGON ((2 1, 3 1, 3 2, 2 2, 2 1))"
+    val (i, u, d, sd) = ops(a, b)
+    i shouldBe 1.0 +- 1e-9   // B sits in A's solid region, edge on hole
+    u shouldBe 15.0 +- 1e-9  // A unchanged
+    d shouldBe 14.0 +- 1e-9
+    sd shouldBe 14.0 +- 1e-9
+  }
+
+  test("island polygon nested inside the other's hole") {
+    val a = "POLYGON ((0 0, 5 0, 5 5, 0 5, 0 0), (1 1, 4 1, 4 4, 1 4, 1 1))"
+    val b = "POLYGON ((2 2, 3 2, 3 3, 2 3, 2 2))"
+    val (i, u, d, sd) = ops(a, b)
+    i shouldBe 0.0 +- 1e-9
+    u shouldBe 17.0 +- 1e-9  // ring polygon (16) + island (1)
+    GeoAlgorithms.union(a, b) should startWith("MULTIPOLYGON")
+    d shouldBe 16.0 +- 1e-9
+    sd shouldBe 17.0 +- 1e-9
+  }
+
+  test("square plugging a hole exactly (all-shared hole boundary)") {
+    val a = "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0), (1 1, 2 1, 2 2, 1 2, 1 1))"
+    val b = "POLYGON ((1 1, 2 1, 2 2, 1 2, 1 1))"
+    val (i, u, d, sd) = ops(a, b)
+    i shouldBe 0.0 +- 1e-9   // B occupies exactly the hole: no interior overlap
+    u shouldBe 16.0 +- 1e-9  // hole plugged
+    d shouldBe 15.0 +- 1e-9  // A unchanged
+    sd shouldBe 16.0 +- 1e-9
+  }
+
+  test("st_touches/st_overlaps are exact for polygon pairs (r8)") {
+    val l = "POLYGON ((0 0, 4 0, 4 2, 2 2, 2 4, 0 4, 0 0))"
+    // square filling the notch, sharing two edge segments with L:
+    // envelopes properly overlap (envelope heuristic would say NOT
+    // touching) but interiors are disjoint with boundary contact
+    val notch = "POLYGON ((2 2, 3 2, 3 3, 2 3, 2 2))"
+    GeoAlgorithms.touches(l, notch) shouldBe true
+    GeoAlgorithms.overlaps(l, notch) shouldBe false
+    // square in the notch QUADRANT but clear of L entirely: envelopes
+    // properly overlap (envelope heuristic would say overlapping) but
+    // the exact intersection is empty with no contact
+    val clear = "POLYGON ((2.5 2.5, 5 2.5, 5 5, 2.5 5, 2.5 2.5))"
+    GeoAlgorithms.overlaps(l, clear) shouldBe false
+    GeoAlgorithms.touches(l, clear) shouldBe false
+    // genuine partial overlap
+    val over = "POLYGON ((3 1, 5 1, 5 3, 3 3, 3 1))"
+    GeoAlgorithms.overlaps(l, over) shouldBe true
+    GeoAlgorithms.touches(l, over) shouldBe false
+    // containment is NOT overlaps (OGC): box inside L's solid arm
+    val inner = "POLYGON ((0.5 0.5, 1.5 0.5, 1.5 1.5, 0.5 1.5, 0.5 0.5))"
+    GeoAlgorithms.overlaps(l, inner) shouldBe false
+  }
+
+  test("ST_Relate covers boundary-tangent containment and holed regimes (r8)") {
+    import graft.functions.GeoAlgorithms.relateMatrix
+    // containment with shared-edge tangency (was a declared-out regime)
+    relateMatrix("POLYGON ((0 0, 8 0, 8 8, 0 8, 0 0))",
+      "POLYGON ((0 0, 3 0, 3 3, 0 3, 0 0))") shouldBe "212F11FF2"
+    // within with tangency = transpose regime
+    relateMatrix("POLYGON ((0 0, 3 0, 3 3, 0 3, 0 0))",
+      "POLYGON ((0 0, 8 0, 8 8, 0 8, 0 0))") shouldBe "2FF11F212"
+    // containment with point tangency
+    relateMatrix("POLYGON ((0 0, 8 0, 8 8, 0 8, 0 0))",
+      "POLYGON ((0 0, 3 1, 1 3, 0 0))") shouldBe "212F01FF2"
+    // overlap whose boundaries share a collinear segment
+    relateMatrix("POLYGON ((0 0, 2 0, 2 1, 0 1, 0 0))",
+      "POLYGON ((1 0, 3 0, 3 1, 1 1, 1 0))") shouldBe "212111212"
+    // island inside a donut's hole, touching the hole boundary
+    relateMatrix("POLYGON ((0 0, 9 0, 9 9, 0 9, 0 0), (2 2, 6 2, 6 6, 2 6, 2 2))",
+      "POLYGON ((2 2, 4 2, 4 4, 2 4, 2 2))") shouldBe "FF2F11212"
+    // concave containment (L-shape strictly containing a square)
+    relateMatrix("POLYGON ((0 0, 6 0, 6 2, 2 2, 2 6, 0 6, 0 0))",
+      "POLYGON ((3 0.5, 4 0.5, 4 1.5, 3 1.5, 3 0.5))") shouldBe "212FF1FF2"
+  }
+
   test("inclusion–exclusion holds on randomized GRID-ALIGNED pairs (degenerate-rich)") {
     val rng = new scala.util.Random(20260814)
     for (_ <- 1 to 200) {
