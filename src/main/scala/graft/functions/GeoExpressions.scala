@@ -1278,7 +1278,7 @@ object GeoAlgorithms {
   }
 
   /** Single-ring convenience wrapper over [[subdivisionOverlay]]. */
-  private[functions] def degenerateOverlay(aIn: Array[(Double, Double)],
+  private[graft] def degenerateOverlay(aIn: Array[(Double, Double)],
       bIn: Array[(Double, Double)], op: String): Option[String] =
     subdivisionOverlay(Seq(aIn), Seq(bIn), op)
 

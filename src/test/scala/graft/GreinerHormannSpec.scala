@@ -311,6 +311,41 @@ class GreinerHormannSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("subdivision overlay cross-validates Greiner–Hormann on general-position pairs") {
+    // two independent exact engines must agree wherever both apply:
+    // ghClip (entry/exit tracing) on the off-grid pairs it accepts vs
+    // the refined-subdivision overlay on the same inputs
+    import graft.functions.GeoAlgorithms
+    val rng = new scala.util.Random(20260815)
+    var compared = 0
+    for (_ <- 1 to 150) {
+      val ox = rng.nextInt(6) + 0.137; val oy = rng.nextInt(6) + 0.261
+      val w = rng.nextInt(4) + 2.0; val h = rng.nextInt(4) + 2.0
+      val a = s"POLYGON (($ox $oy, ${ox + w} $oy, ${ox + w} ${oy + h / 2}, " +
+        s"${ox + w / 2} ${oy + h / 2}, ${ox + w / 2} ${oy + h}, $ox ${oy + h}, $ox $oy))"
+      val bx = rng.nextInt(8) + 0.413; val by = rng.nextInt(8) + 0.617
+      val bw = rng.nextInt(5) + 1.0; val bh = rng.nextInt(5) + 1.0
+      val b = s"POLYGON (($bx $by, ${bx + bw} $by, ${bx + bw} ${by + bh}, " +
+        s"$bx ${by + bh}, $bx $by))"
+      val aO = GeoAlgorithms.parseRings(a).head.dropRight(1)
+      val bO = GeoAlgorithms.parseRings(b).head.dropRight(1)
+      for (op <- Seq("intersection", "union", "difference")) {
+        GeoAlgorithms.degenerateOverlay(aO, bO, op).foreach { w2 =>
+          val viaGh = op match {
+            case "intersection" => GeoAlgorithms.intersection(a, b)
+            case "union" => GeoAlgorithms.union(a, b)
+            case "difference" => GeoAlgorithms.difference(a, b)
+          }
+          withClue(s"op=$op a=$a b=$b gh=$viaGh subdiv=$w2") {
+            GeoAlgorithms.area(w2) shouldBe GeoAlgorithms.area(viaGh) +- 1e-6
+          }
+          compared += 1
+        }
+      }
+    }
+    compared should be > 300
+  }
+
   test("inclusion–exclusion holds on randomized concave/rect pairs") {
     val rng = new scala.util.Random(20260813)
     for (_ <- 1 to 200) {
