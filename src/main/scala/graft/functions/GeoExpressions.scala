@@ -647,15 +647,55 @@ object GeoAlgorithms {
         else if (aEndOnB) "FF10F0102"
         else "FF1FF0102"
       case ("LINESTRING", "POLYGON") =>
+        // r8: computed exactly for every regime (line along the
+        // boundary, endpoint tangency, crossings, holes) — refine the
+        // line at its boundary incidences, then classify each
+        // sub-segment midpoint and each refined junction against the
+        // polygon's interior/boundary/exterior.
         val pa = parseCoords(a)
-        val ring = closedRing(parseRings(b).head)
-        val ins = pa.count(p => pointInRing(ring, p._1, p._2))
-        val crosses = (0 until pa.length - 1).exists(i =>
-          (0 until ring.length - 1).exists(j =>
-            properCross(pa(i), pa(i + 1), ring(j), ring(j + 1))))
-        if (!crosses && ins == pa.length) "1FF0FF212"      // line inside area
-        else if (crosses) "101FF0212"                      // line crosses boundary
-        else "FF1FF0212"                                   // disjoint
+        val rings = parseRings(b)
+        val closed = rings.map(closedRing)
+        val polyEdges = rings.toArray.flatMap { r =>
+          val o = openRing(r)
+          Array.tabulate(o.length)(i => (o(i), o((i + 1) % o.length)))
+        }
+        val segs = refinePolyline(pa, polyEdges)
+        def onB(p: (Double, Double)) = closed.exists(r => onRingBoundary(r, p))
+        def inP(p: (Double, Double)) =
+          closed.count(r => pointInRing(r, p._1, p._2)) % 2 == 1
+        var ii = false; var ibSeg = false; var ibPt = false; var ie = false
+        var onLen = 0.0
+        for ((s, e) <- segs) {
+          val mid = ((s._1 + e._1) / 2, (s._2 + e._2) / 2)
+          if (onB(mid)) {
+            ibSeg = true
+            onLen += math.hypot(e._1 - s._1, e._2 - s._2)
+          } else if (inP(mid)) ii = true
+          else ie = true
+        }
+        // refined junctions are line-INTERIOR points; one on the
+        // boundary is a dim-0 contact (a crossing or a tangent touch)
+        for (k <- 1 until segs.length)
+          if (onB(segs(k)._1)) ibPt = true
+        // line boundary = its two endpoints; a closed line has none
+        val closedLine = pa.head == pa.last
+        val epCls =
+          if (closedLine) Seq.empty
+          else Seq(pa.head, pa.last).map(p =>
+            if (onB(p)) 'B' else if (inP(p)) 'I' else 'E')
+        val perim = closed.map(r =>
+          (0 until r.length - 1).map(i =>
+            math.hypot(r(i + 1)._1 - r(i)._1, r(i + 1)._2 - r(i)._2)).sum).sum
+        new String(Array(
+          if (ii) '1' else 'F',
+          if (ibSeg) '1' else if (ibPt) '0' else 'F',
+          if (ie) '1' else 'F',
+          if (epCls.contains('I')) '0' else 'F',
+          if (epCls.contains('B')) '0' else 'F',
+          if (epCls.contains('E')) '0' else 'F',
+          '2',
+          if (ibSeg && onLen >= perim - 1e-9) 'F' else '1',
+          '2'))
       case ("POLYGON", "LINESTRING") => transposeMatrix(relateMatrix(b, a))
       case ("POLYGON", "POLYGON") =>
         if (equalsGeom(a, b)) return "2FFF1FFF2"
@@ -1224,56 +1264,70 @@ object GeoAlgorithms {
   private def snapKey(p: (Double, Double)): (Long, Long) =
     (math.round(p._1 / GhSnap), math.round(p._2 / GhSnap))
 
+  /** Split one directed segment at its incidence points with the given
+    * edge set (proper crossings, endpoint contacts, collinear-overlap
+    * endpoints), appending sub-segments to `out`. */
+  private def splitSegInto(p1: (Double, Double), p2: (Double, Double),
+      otherEdges: Array[((Double, Double), (Double, Double))],
+      out: scala.collection.mutable.Builder[
+        ((Double, Double), (Double, Double)),
+        Array[((Double, Double), (Double, Double))]]): Unit = {
+    val rx = p2._1 - p1._1; val ry = p2._2 - p1._2
+    val rLen2 = rx * rx + ry * ry
+    var ts = List.empty[Double]
+    var j = 0
+    while (j < otherEdges.length) {
+      val (q1, q2) = otherEdges(j)
+      val sx = q2._1 - q1._1; val sy = q2._2 - q1._2
+      val den = rx * sy - ry * sx
+      val lenScale = math.sqrt(rLen2 * (sx * sx + sy * sy))
+      if (math.abs(den) <= GhEps * math.max(lenScale, 1.0)) {
+        val c = (q1._1 - p1._1) * ry - (q1._2 - p1._2) * rx
+        if (math.abs(c) <= GhEps * math.max(lenScale, 1.0)) {
+          // collinear: project q1/q2 onto [p1,p2]; interior hits split
+          for (q <- Seq(q1, q2)) {
+            val t = ((q._1 - p1._1) * rx + (q._2 - p1._2) * ry) / rLen2
+            if (t > GhEps && t < 1.0 - GhEps) ts ::= t
+          }
+        }
+      } else {
+        val t = ((q1._1 - p1._1) * sy - (q1._2 - p1._2) * sx) / den
+        val u = ((q1._1 - p1._1) * ry - (q1._2 - p1._2) * rx) / den
+        if (t > GhEps && t < 1.0 - GhEps && u > -GhEps && u < 1.0 + GhEps)
+          ts ::= t
+      }
+      j += 1
+    }
+    val cuts = ts.sorted.foldLeft(List.empty[Double]) { (acc, t) =>
+      if (acc.nonEmpty && t - acc.head < GhEps) acc else t :: acc
+    }.reverse
+    var prev = p1
+    for (t <- cuts) {
+      val q = (p1._1 + t * rx, p1._2 + t * ry)
+      if (snapKey(q) != snapKey(prev)) { out += ((prev, q)); prev = q }
+    }
+    if (snapKey(prev) != snapKey(p2)) out += ((prev, p2))
+  }
+
   /** Split every edge of `ring` at its incidence points with the other
-    * polygon's edges (proper crossings, endpoint contacts,
-    * collinear-overlap endpoints). `otherEdges` is the other polygon's
-    * full directed edge list (all rings). Returns the refined directed
-    * edge list. */
+    * polygon's edges. `otherEdges` is the other polygon's full directed
+    * edge list (all rings). Returns the refined directed edge list. */
   private def refineRing(ring: Array[(Double, Double)],
       otherEdges: Array[((Double, Double), (Double, Double))])
       : Array[((Double, Double), (Double, Double))] = {
-    val n = ring.length; val m = otherEdges.length
     val out = Array.newBuilder[((Double, Double), (Double, Double))]
-    var i = 0
-    while (i < n) {
-      val p1 = ring(i); val p2 = ring((i + 1) % n)
-      val rx = p2._1 - p1._1; val ry = p2._2 - p1._2
-      val rLen2 = rx * rx + ry * ry
-      var ts = List.empty[Double]
-      var j = 0
-      while (j < m) {
-        val (q1, q2) = otherEdges(j)
-        val sx = q2._1 - q1._1; val sy = q2._2 - q1._2
-        val den = rx * sy - ry * sx
-        val lenScale = math.sqrt(rLen2 * (sx * sx + sy * sy))
-        if (math.abs(den) <= GhEps * math.max(lenScale, 1.0)) {
-          val c = (q1._1 - p1._1) * ry - (q1._2 - p1._2) * rx
-          if (math.abs(c) <= GhEps * math.max(lenScale, 1.0)) {
-            // collinear: project q1/q2 onto [p1,p2]; interior hits split
-            for (q <- Seq(q1, q2)) {
-              val t = ((q._1 - p1._1) * rx + (q._2 - p1._2) * ry) / rLen2
-              if (t > GhEps && t < 1.0 - GhEps) ts ::= t
-            }
-          }
-        } else {
-          val t = ((q1._1 - p1._1) * sy - (q1._2 - p1._2) * sx) / den
-          val u = ((q1._1 - p1._1) * ry - (q1._2 - p1._2) * rx) / den
-          if (t > GhEps && t < 1.0 - GhEps && u > -GhEps && u < 1.0 + GhEps)
-            ts ::= t
-        }
-        j += 1
-      }
-      val cuts = ts.sorted.foldLeft(List.empty[Double]) { (acc, t) =>
-        if (acc.nonEmpty && t - acc.head < GhEps) acc else t :: acc
-      }.reverse
-      var prev = p1
-      for (t <- cuts) {
-        val q = (p1._1 + t * rx, p1._2 + t * ry)
-        if (snapKey(q) != snapKey(prev)) { out += ((prev, q)); prev = q }
-      }
-      if (snapKey(prev) != snapKey(p2)) out += ((prev, p2))
-      i += 1
-    }
+    for (i <- ring.indices)
+      splitSegInto(ring(i), ring((i + 1) % ring.length), otherEdges, out)
+    out.result()
+  }
+
+  /** Same refinement for an OPEN polyline (no closing edge). */
+  private def refinePolyline(pts: Array[(Double, Double)],
+      otherEdges: Array[((Double, Double), (Double, Double))])
+      : Array[((Double, Double), (Double, Double))] = {
+    val out = Array.newBuilder[((Double, Double), (Double, Double))]
+    for (i <- 0 until pts.length - 1)
+      splitSegInto(pts(i), pts(i + 1), otherEdges, out)
     out.result()
   }
 

@@ -499,7 +499,20 @@ object Spatial extends QueryGroup {
               .as("rel_island_in_hole_touch"),
             expr("""st_relate('POLYGON ((0 0, 6 0, 6 2, 2 2, 2 6, 0 6, 0 0))',
               |'POLYGON ((3 0.5, 4 0.5, 4 1.5, 3 1.5, 3 0.5))')""".stripMargin)
-              .as("rel_concave_contains"))
+              .as("rel_concave_contains"),
+            expr("""st_relate('LINESTRING (1 0, 3 0)',
+              |'POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))')""".stripMargin)
+              .as("rel_line_on_edge"),
+            expr("""st_relate('LINESTRING (4 2, 6 2)',
+              |'POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))')""".stripMargin)
+              .as("rel_line_touch"),
+            expr("""st_relate('LINESTRING (2 2, 4 2)',
+              |'POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))')""".stripMargin)
+              .as("rel_line_reach"),
+            expr("""st_relate('LINESTRING (1 4.5, 8 4.5)',
+              |'POLYGON ((0 0, 9 0, 9 9, 0 9, 0 0),
+              | (3 3, 6 3, 6 6, 3 6, 3 3))')""".stripMargin)
+              .as("rel_line_donut_cross"))
           .orderBy($"r")
       },
       Some("""SELECT r_regionkey AS r,
@@ -508,7 +521,11 @@ object Spatial extends QueryGroup {
              |  '212F01FF2' AS rel_contains_pt_tangent,
              |  '212111212' AS rel_overlap_shared_seg,
              |  'FF2F11212' AS rel_island_in_hole_touch,
-             |  '212FF1FF2' AS rel_concave_contains
+             |  '212FF1FF2' AS rel_concave_contains,
+             |  'F1FF0F212' AS rel_line_on_edge,
+             |  'FF1F00212' AS rel_line_touch,
+             |  '1FF00F212' AS rel_line_reach,
+             |  '1010FF212' AS rel_line_donut_cross
              |FROM region ORDER BY r""".stripMargin)),
 
     // Constructive geometry tier: buffer, convex hull, bbox

@@ -284,6 +284,27 @@ class GreinerHormannSpec extends AnyFunSuite with Matchers {
       "POLYGON ((3 0.5, 4 0.5, 4 1.5, 3 1.5, 3 0.5))") shouldBe "212FF1FF2"
   }
 
+  test("ST_Relate LINESTRING/POLYGON is exact in every regime (r8)") {
+    import graft.functions.GeoAlgorithms.relateMatrix
+    val sq = "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))"
+    // pinned coarse regimes stay identical
+    relateMatrix("LINESTRING (1 1, 3 3)", sq) shouldBe "1FF0FF212"
+    relateMatrix("LINESTRING (-1 2, 5 2)", sq) shouldBe "101FF0212"
+    relateMatrix("LINESTRING (5 5, 7 7)", sq) shouldBe "FF1FF0212"
+    // line lying along a boundary edge segment
+    relateMatrix("LINESTRING (1 0, 3 0)", sq) shouldBe "F1FF0F212"
+    // touch from outside at a line endpoint
+    relateMatrix("LINESTRING (4 2, 6 2)", sq) shouldBe "FF1F00212"
+    // interior-to-boundary reach
+    relateMatrix("LINESTRING (2 2, 4 2)", sq) shouldBe "1FF00F212"
+    // through a donut: the hole is EXTERIOR
+    val donut = "POLYGON ((0 0, 9 0, 9 9, 0 9, 0 0), (3 3, 6 3, 6 6, 3 6, 3 3))"
+    relateMatrix("LINESTRING (4 4.5, 5 4.5)", donut) shouldBe "FF1FF0212"
+    relateMatrix("LINESTRING (1 4.5, 8 4.5)", donut) shouldBe "1010FF212"
+    // transpose direction consistent
+    relateMatrix(sq, "LINESTRING (1 0, 3 0)") shouldBe "FF2101FF2"
+  }
+
   test("inclusion–exclusion holds on randomized GRID-ALIGNED pairs (degenerate-rich)") {
     val rng = new scala.util.Random(20260814)
     for (_ <- 1 to 200) {
