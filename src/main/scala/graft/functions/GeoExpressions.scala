@@ -630,22 +630,43 @@ object GeoAlgorithms {
       case ("POLYGON", "POINT") => transposeMatrix(relateMatrix(b, a))
       case ("LINESTRING", "LINESTRING") =>
         if (equalsGeom(a, b)) return "1FFF0FFF2"
+        // r8: computed for every regime incl. collinear partial overlap
+        // and containment — mutually refine the two polylines, then
+        // derive each matrix cell from shared sub-segments, junction
+        // contacts, and endpoint classifications.
         val pa = parseCoords(a)
         val pb = parseCoords(b)
-        val crosses = (0 until pa.length - 1).exists(i =>
-          (0 until pb.length - 1).exists(j =>
-            properCross(pa(i), pa(i + 1), pb(j), pb(j + 1))))
-        if (crosses) return "0F1FF0102"
-        val ea = Set(pa.head, pa.last)
-        val eb = Set(pb.head, pb.last)
-        if (ea.exists(eb.contains)) return "FF1F00102"
-        val bEndOnA = eb.exists(p => (0 until pa.length - 1).exists(i =>
-          ptOnSeg(p, pa(i), pa(i + 1))))
-        val aEndOnB = ea.exists(p => (0 until pb.length - 1).exists(j =>
-          ptOnSeg(p, pb(j), pb(j + 1))))
-        if (bEndOnA) "F01FF0102"
-        else if (aEndOnB) "FF10F0102"
-        else "FF1FF0102"
+        def edgesOf(p: Array[(Double, Double)]) =
+          Array.tabulate(p.length - 1)(i => (p(i), p(i + 1)))
+        val segsA = refinePolyline(pa, edgesOf(pb))
+        val segsB = refinePolyline(pb, edgesOf(pa))
+        def uKey(e: ((Double, Double), (Double, Double))) = {
+          val (ks, ke) = (snapKey(e._1), snapKey(e._2))
+          if (Ordering[(Long, Long)].lteq(ks, ke)) (ks, ke) else (ke, ks)
+        }
+        val keysB = segsB.map(uKey).toSet
+        val sharedA = segsA.count(e => keysB.contains(uKey(e)))
+        def onLine(p: Array[(Double, Double)], q: (Double, Double)) =
+          (0 until p.length - 1).exists(i => ptOnSeg(q, p(i), p(i + 1)))
+        // boundaries: endpoint pairs (empty for a closed line, OGC)
+        val ba = if (pa.head == pa.last) Seq.empty else Seq(pa.head, pa.last)
+        val bb = if (pb.head == pb.last) Seq.empty else Seq(pb.head, pb.last)
+        def isEndOf(ends: Seq[(Double, Double)], q: (Double, Double)) =
+          ends.exists(e => nearPt(e, q))
+        // interior-interior point contact: a refined junction of A that
+        // lies on B, excluding both lines' endpoints
+        val iiPoint = (1 until segsA.length).map(segsA(_)._1).exists(j =>
+          !isEndOf(ba, j) && onLine(pb, j) && !isEndOf(bb, j))
+        val ii = if (sharedA > 0) '1' else if (iiPoint) '0' else 'F'
+        val ibC = if (bb.exists(e => onLine(pa, e) && !isEndOf(ba, e))) '0' else 'F'
+        val ieC = if (sharedA < segsA.length) '1' else 'F'
+        val biC = if (ba.exists(e => onLine(pb, e) && !isEndOf(bb, e))) '0' else 'F'
+        val bbC = if (ba.exists(e => isEndOf(bb, e))) '0' else 'F'
+        val beC = if (ba.exists(e => !onLine(pb, e))) '0' else 'F'
+        val keysA = segsA.map(uKey).toSet
+        val eiC = if (segsB.exists(e => !keysA.contains(uKey(e)))) '1' else 'F'
+        val ebC = if (bb.exists(e => !onLine(pa, e))) '0' else 'F'
+        new String(Array(ii, ibC, ieC, biC, bbC, beC, eiC, ebC, '2'))
       case ("LINESTRING", "POLYGON") =>
         // r8: computed exactly for every regime (line along the
         // boundary, endpoint tangency, crossings, holes) — refine the

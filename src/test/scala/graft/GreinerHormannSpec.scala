@@ -305,6 +305,22 @@ class GreinerHormannSpec extends AnyFunSuite with Matchers {
     relateMatrix(sq, "LINESTRING (1 0, 3 0)") shouldBe "FF2101FF2"
   }
 
+  test("ST_Relate LINESTRING/LINESTRING covers collinear overlap and containment (r8)") {
+    import graft.functions.GeoAlgorithms.relateMatrix
+    // pinned coarse regimes stay identical
+    relateMatrix("LINESTRING (0 0, 4 4)", "LINESTRING (0 4, 4 0)") shouldBe "0F1FF0102"
+    relateMatrix("LINESTRING (0 0, 2 2)", "LINESTRING (2 2, 4 0)") shouldBe "FF1F00102"
+    relateMatrix("LINESTRING (0 0, 4 0)", "LINESTRING (2 0, 2 2)") shouldBe "F01FF0102"
+    relateMatrix("LINESTRING (2 0, 2 2)", "LINESTRING (0 0, 4 0)") shouldBe "FF10F0102"
+    relateMatrix("LINESTRING (0 0, 1 1)", "LINESTRING (5 5, 9 9)") shouldBe "FF1FF0102"
+    // NEW: collinear partial overlap — interiors share a 1-dim segment
+    relateMatrix("LINESTRING (0 0, 2 0)", "LINESTRING (1 0, 3 0)") shouldBe "1010F0102"
+    // NEW: proper containment — B's interior entirely within A's
+    relateMatrix("LINESTRING (0 0, 4 0)", "LINESTRING (1 0, 2 0)") shouldBe "101FF0FF2"
+    // equality up to reversal still short-circuits
+    relateMatrix("LINESTRING (0 0, 1 1, 2 0)", "LINESTRING (2 0, 1 1, 0 0)") shouldBe "1FFF0FFF2"
+  }
+
   test("inclusion–exclusion holds on randomized GRID-ALIGNED pairs (degenerate-rich)") {
     val rng = new scala.util.Random(20260814)
     for (_ <- 1 to 200) {
