@@ -436,11 +436,49 @@ object GraftFunctions {
   )
 
   private val libsvmWarned = new java.util.concurrent.atomic.AtomicBoolean(false)
+
+  /** Validate a libsvm hyperparameter string with EXACTLY the
+    * reference's grammar (presto-ml `LibSvmUtils.parseParameters`:
+    * comma-separated key=value pairs, known keys kernel/degree/gamma/
+    * coef0/C/nu/eps, unknown key → INVALID_FUNCTION_ARGUMENT; kernel ∈
+    * linear/poly/rbf/sigmoid per `parseKernelType`). A query ported
+    * from the reference fails on the same typos it would fail on there
+    * — the values themselves are then IGNORED, because training is the
+    * documented divergent centroid/OLS family (SURVEY §2.8).
+    */
+  private[graft] def validateLibsvmParams(s: String): Unit =
+    s.split(',').map(_.trim).filter(_.nonEmpty).foreach { split =>
+      val pair = split.split("=")
+      require(pair.length == 2, "Invalid hyperparameters string for libsvm")
+      val key = pair(0).trim
+      val value = pair(1).trim
+      key match {
+        case "kernel" =>
+          val kernels = Set("linear", "poly", "rbf", "sigmoid")
+          if (!kernels.contains(value.toLowerCase(java.util.Locale.ENGLISH)))
+            throw new IllegalArgumentException(s"Unknown kernel type $value")
+        case "degree" => value.toInt
+        case "gamma" | "coef0" | "C" | "nu" | "eps" => value.toDouble
+        case other =>
+          throw new IllegalArgumentException(s"Unknown parameter $other")
+      }
+    }
+
   private def warnLibsvmParamsIgnored(args: Seq[Expression]): Unit =
-    if (args.length >= 3 && libsvmWarned.compareAndSet(false, true))
-      System.err.println(
-        "WARN graft: learn_libsvm_* ignores the libsvm params argument and trains " +
-          "the centroid/OLS family instead (libsvm is not bundled; see SURVEY §2.8)")
+    if (args.length >= 3) {
+      // plan-time validation when the params argument is a literal —
+      // the common shape in the reference's own tests
+      args(2) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v, _: org.apache.spark.sql.types.StringType) if v != null =>
+          validateLibsvmParams(v.toString)
+        case _ =>
+      }
+      if (libsvmWarned.compareAndSet(false, true))
+        System.err.println(
+          "WARN graft: learn_libsvm_* validates but IGNORES the libsvm params " +
+            "argument and trains the centroid/OLS family instead (libsvm is " +
+            "not bundled; see SURVEY §2.8)")
+    }
 
   /** Presto-collapsed alias names for the multi-word ST_ expressions
     * (Presto is case-insensitive: `ST_IsValid` resolves as `st_isvalid`,

@@ -13,7 +13,7 @@ class MlSpec extends AnyFunSuite with SparkFixture with Matchers {
   test("learn_libsvm_* aliases are SQL-callable and train the same models") {
     val row = spark.sql(
       """WITH t AS (SELECT * FROM VALUES (1.0D, 1.0D), (2.0D, 2.0D), (3.0D, 3.0D) v(y, x)),
-        |m AS (SELECT learn_libsvm_regressor(y, features(x), 'ignored params') AS r,
+        |m AS (SELECT learn_libsvm_regressor(y, features(x), 'kernel=linear, C=1') AS r,
         |             learn_libsvm_classifier(CAST(y >= 2 AS INT), features(x), '') AS c
         |      FROM t)
         |SELECT round(regress(features(2.5D), r), 6) AS pred,
@@ -21,6 +21,28 @@ class MlSpec extends AnyFunSuite with SparkFixture with Matchers {
         |FROM m""".stripMargin).head()
     row.getDouble(0) shouldBe 2.5 +- 1e-9 // exact fit y = x
     row.getLong(1) shouldBe 1L // nearer the y>=2 centroid
+  }
+
+  test("learn_libsvm_* validates the params string with the reference grammar") {
+    import graft.functions.GraftFunctions.validateLibsvmParams
+    // the reference's full key set parses
+    validateLibsvmParams("kernel=rbf, degree=3, gamma=0.5, coef0=0, C=10, nu=0.5, eps=0.01")
+    validateLibsvmParams("") // empty = all defaults
+    // same failures the reference raises (LibSvmUtils.parseParameters)
+    an[IllegalArgumentException] should be thrownBy
+      validateLibsvmParams("unknown_key=1")
+    an[IllegalArgumentException] should be thrownBy
+      validateLibsvmParams("not a pair")
+    an[IllegalArgumentException] should be thrownBy
+      validateLibsvmParams("kernel=quantum")
+    a[NumberFormatException] should be thrownBy
+      validateLibsvmParams("C=abc")
+    // plan-time rejection through the SQL surface for literal params
+    val e = intercept[Exception] {
+      spark.sql("SELECT learn_libsvm_regressor(y, features(x), 'bogus=1') " +
+        "FROM VALUES (1.0D, 1.0D) v(y, x)").collect()
+    }
+    e.getMessage should include("Unknown parameter")
   }
 
   test("OLS recovers an exact linear relationship") {
