@@ -46,10 +46,18 @@ object Windows extends QueryGroup {
              |ORDER BY o_orderstatus, rn""".stripMargin)),
 
     // Value functions: lag/lead with offset+default, first/last/nth.
+    // The synthetic lineitem has duplicate (l_orderkey, l_linenumber)
+    // pairs (11.8k at sf0.01), so l_linenumber alone is NOT a total
+    // order within the partition — value-function results would then
+    // depend on file/scan order (the one red row in the r8 sf1 gate).
+    // (l_linenumber, l_quantity, l_extendedprice) is verified unique
+    // per order at every SF (WindowDeterminismSpec), and DeriveSf1's
+    // key-offset replication preserves per-replica uniqueness.
     "window_value" -> QueryDef(
       (s, dir) => {
         import s.implicits._
-        val w = Window.partitionBy($"l_orderkey").orderBy($"l_linenumber")
+        val w = Window.partitionBy($"l_orderkey")
+          .orderBy($"l_linenumber", $"l_quantity", $"l_extendedprice")
         val wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
         Tables.lineitem(s, dir)
           .filter($"l_orderkey" <= 500)
@@ -68,8 +76,10 @@ object Windows extends QueryGroup {
              |  last_value(l_quantity) OVER wf AS last_qty,
              |  nth_value(l_quantity, 2) OVER wf AS second_qty
              |FROM lineitem WHERE l_orderkey <= 500
-             |WINDOW w AS (PARTITION BY l_orderkey ORDER BY l_linenumber),
-             |  wf AS (PARTITION BY l_orderkey ORDER BY l_linenumber
+             |WINDOW w AS (PARTITION BY l_orderkey
+             |         ORDER BY l_linenumber, l_quantity, l_extendedprice),
+             |  wf AS (PARTITION BY l_orderkey
+             |         ORDER BY l_linenumber, l_quantity, l_extendedprice
              |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
              |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
 
@@ -105,11 +115,18 @@ object Windows extends QueryGroup {
              |ORDER BY o_custkey, o_orderkey""".stripMargin)),
 
     // Aggregates over ROWS frames (running sum, sliding avg).
+    // Same latent tie-ambiguity as window_value: (l_orderkey,
+    // l_linenumber) duplicates make the 3-column order non-total (one
+    // collision at sf0.1 already), so ROWS-frame running sums would be
+    // layout-dependent. Tiebreak on the measured columns themselves —
+    // any residual full tie then permutes identical values, leaving
+    // every frame aggregate invariant.
     "window_agg_frames" -> QueryDef(
       (s, dir) => {
         import s.implicits._
         val w = Window.partitionBy($"l_suppkey")
-          .orderBy($"l_shipdate", $"l_orderkey", $"l_linenumber")
+          .orderBy($"l_shipdate", $"l_orderkey", $"l_linenumber",
+            $"l_quantity", $"l_extendedprice")
         Tables.lineitem(s, dir)
           .filter($"l_suppkey" <= 3)
           .select($"l_suppkey", $"l_orderkey", $"l_linenumber",
@@ -122,10 +139,10 @@ object Windows extends QueryGroup {
       },
       Some("""SELECT l_suppkey, l_orderkey, l_linenumber,
              |  round(sum(l_quantity) OVER (PARTITION BY l_suppkey
-             |    ORDER BY l_shipdate, l_orderkey, l_linenumber
+             |    ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity, l_extendedprice
              |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_qty,
              |  round(avg(l_extendedprice) OVER (PARTITION BY l_suppkey
-             |    ORDER BY l_shipdate, l_orderkey, l_linenumber
+             |    ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity, l_extendedprice
              |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS sliding_avg,
              |  count(*) OVER (PARTITION BY l_suppkey) AS part_n
              |FROM lineitem WHERE l_suppkey <= 3
