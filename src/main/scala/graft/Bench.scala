@@ -25,23 +25,47 @@ object Bench {
     // (BENCH_r05's q12-q15 block), but it cannot span the same query
     // in three suite-wide passes minutes apart. Min absorbs ±JIT/GC
     // noise; median is robust to one lucky sample.
+    // Noise canary (VERDICT r8 "What's wrong" #2): identical code
+    // measured twice in round 8 swung the suite total ~1.35x purely
+    // from sandbox load, and nothing in the JSON let a reader tell
+    // that from a regression. A fixed-cost, data-independent
+    // calibration kernel — sum(xxhash64) over a 128M range, pure
+    // codegen CPU, no IO, no shuffle — is timed once per measured
+    // pass; its min lands in the JSON as canary_s. Cross-round
+    // comparisons divide by the canary ratio to normalize out machine
+    // load (BENCH_NOTES.md).
+    def canaryOnce(): Double = {
+      val t0 = System.nanoTime()
+      // bit_xor, not sum: summing 128M 64-bit hashes overflows Long
+      // under ANSI mode
+      spark.range(0L, 134217728L, 1L, 32)
+        .selectExpr("bit_xor(xxhash64(id)) AS h").head()
+      (System.nanoTime() - t0) / 1e9
+    }
+    canaryOnce() // unmeasured warm-up, same as the suite
+    val canarySamples = scala.collection.mutable.ListBuffer.empty[Double]
     val samples = scala.collection.mutable.Map.empty[String, List[Double]]
     val failed = scala.collection.mutable.Set.empty[String]
-    for (_ <- 1 to 3; (name, fn) <- ordered) {
-      val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true }
-        catch { case _: Throwable => false }
-      val d = (System.nanoTime() - t0) / 1e9
-      // bench hygiene: queries that CACHE tables or register views
-      // must not bleed storage/GC pressure into later measurements
-      spark.catalog.clearCache()
-      // a fast-failing query must not record its (tiny) elapsed time as
-      // a legitimate sample and deflate the total — flag it instead
-      if (ok) samples(name) = d :: samples.getOrElse(name, Nil)
-      else failed += name
+    for (_ <- 1 to 3) {
+      canarySamples += canaryOnce()
+      for ((name, fn) <- ordered) {
+        val t0 = System.nanoTime()
+        val ok = try { fn(spark, sfDir).count(); true }
+          catch { case _: Throwable => false }
+        val d = (System.nanoTime() - t0) / 1e9
+        // bench hygiene: queries that CACHE tables or register views
+        // must not bleed storage/GC pressure into later measurements
+        spark.catalog.clearCache()
+        // a fast-failing query must not record its (tiny) elapsed time
+        // as a legitimate sample and deflate the total — flag it instead
+        if (ok) samples(name) = d :: samples.getOrElse(name, Nil)
+        else failed += name
+      }
     }
-    def minOf(xs: List[Double]) = xs.min
-    def medianOf(xs: List[Double]) = xs.sorted.apply(xs.size / 2)
+    import BenchFormat.{jsonOf, medianOf, minOf, num}
+    val canaryMin = minOf(canarySamples.toList)
+    System.err.println(f"[bench] canary min $canaryMin%8.2fs  " +
+      f"samples ${canarySamples.map(s => f"$s%.2f").mkString(" ")}")
     val results = ordered.map { case (name, _) =>
       val xs = samples.getOrElse(name, Nil)
       val (mn, md) =
@@ -50,28 +74,22 @@ object Bench {
         (if (xs.isEmpty && failed(name)) "  FAILED" else ""))
       (name, mn, md)
     }
-    // Locale.ROOT: f-interpolation uses the default locale, which can
-    // emit ',' decimal separators and break the JSON
-    def num(v: Double): String =
-      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    def jsonOf(rs: Seq[(String, Double)]): String = rs
-      .map { case (k, v) => "\"" + k + "\":" + (if (v.isNaN) "null" else num(v)) }
-      .mkString("{", ",", "}")
     // only queries with NO successful pass count as failed
     val failedNames = failed.toSeq.filterNot(samples.contains).sorted
     val failedJson = failedNames.map("\"" + _ + "\"").mkString("[", ",", "]")
     val nFailed = failedNames.size
     val mins = results.map { case (n, mn, _) => (n, mn) }
     val medians = results.map { case (n, _, md) => (n, md) }
-    val total = num(mins.map(_._2).filterNot(_.isNaN).sum)
-    val totalMedian = num(medians.map(_._2).filterNot(_.isNaN).sum)
+    val total = num(BenchFormat.totalOf(mins))
+    val totalMedian = num(BenchFormat.totalOf(medians))
+    val canaryJson = num(canaryMin)
     // Full per-query detail: the one-line form blows past the driver's
     // ~1.7 KB stdout-tail window at 200+ queries (BENCH_r02 "parsed":
     // null), so it goes to a file the driver/judge can read whole.
     // n_failed rides alongside value so a round where queries newly fail
     // can never be misread as a speedup (ADVICE r7).
     val full =
-      s"""{"metric":"total","value":$total,"value_median":$totalMedian,"unit":"sec","queries":${jsonOf(mins)},"queries_median":${jsonOf(medians)},"failed":$failedJson,"n_failed":$nFailed,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"value_median":$totalMedian,"unit":"sec","canary_s":$canaryJson,"queries":${jsonOf(mins)},"queries_median":${jsonOf(medians)},"failed":$failedJson,"n_failed":$nFailed,"sf":"$sfDir"}"""
     // selective runs (explicit query args) are local iteration — they
     // must not clobber the committed full-registry artifact
     if (args.isEmpty)
@@ -81,7 +99,7 @@ object Bench {
     // per-query detail limited to the TPC-H headline set.
     val headline = mins.filter(_._1.startsWith("tpch_"))
     val headlineJson =
-      s"""{"metric":"total","value":$total,"value_median":$totalMedian,"unit":"sec","queries":${jsonOf(headline)},"failed":$failedJson,"n_failed":$nFailed,"sf":"$sfDir","n_queries":${results.size},"detail":"bench_full.json"}"""
+      s"""{"metric":"total","value":$total,"value_median":$totalMedian,"unit":"sec","canary_s":$canaryJson,"queries":${jsonOf(headline)},"failed":$failedJson,"n_failed":$nFailed,"sf":"$sfDir","n_queries":${results.size},"detail":"bench_full.json"}"""
     // The driver's stdout parser has recorded "parsed": null three
     // rounds running (VERDICT r3 #4 suspects the sbt "[info] " prefix),
     // so the same line also lands in a FIXED file it can read whole.

@@ -49,12 +49,14 @@ class Round7FixesSpec extends AnyFunSuite with SparkFixture with Matchers {
   }
 
   test("bench JSON excludes failed-query samples") {
-    // unit-level pin of the Bench fix: a NaN sample renders as null and
-    // is excluded from the total (exercised via the same formatting
-    // helpers' contract rather than running the full bench)
-    val v = Double.NaN
-    (if (v.isNaN) "null"
-     else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))) shouldBe "null"
+    // unit-level pin of the Bench fix, now against Bench's OWN helpers
+    // (BenchFormat — extracted in r9 so this stops being tautological):
+    // a NaN sample renders as null and is excluded from the total
+    val rs = Seq("ok" -> 1.25, "boom" -> Double.NaN, "ok2" -> 0.75)
+    BenchFormat.jsonOf(rs) shouldBe """{"ok":1.250,"boom":null,"ok2":0.750}"""
+    BenchFormat.totalOf(rs) shouldBe 2.0
+    BenchFormat.medianOf(List(3.0, 1.0, 2.0)) shouldBe 2.0
+    BenchFormat.minOf(List(3.0, 1.0, 2.0)) shouldBe 1.0
   }
 
   test("Tables cache view name encodes the directory unambiguously") {
