@@ -30,6 +30,11 @@ object GraftSession {
       // map_agg/map_union keep one value per duplicate key (Presto
       // MapAggregationFunction behavior) instead of erroring.
       .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+      // in-memory connector catalog: lets CREATE/INSERT/DELETE/DROP
+      // SQL resolve against graft_mem tables (reference: presto-memory
+      // MemoryMetadata; DELETE per SqlBase.g4:51).
+      .config("spark.sql.catalog.graft_mem_cat",
+        classOf[graft.sources.MemoryCatalog].getName)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -184,6 +184,67 @@ object Sources extends QueryGroup {
       Some("""SELECT count(*) AS n, count(DISTINCT o_orderkey) AS n_keys
              |FROM orders WHERE o_orderstatus IN ('F', 'O')""".stripMargin)),
 
+    // DELETE FROM ... WHERE over the v2 memory connector (reference:
+    // DeleteOperator.java / MetadataDeleteOperator.java; grammar
+    // SqlBase.g4:51) — the last DML verb. The predicate travels
+    // Spark's RewriteDeleteFromTable into SupportsDelete.deleteWhere
+    // as source filters and is applied against the committed rows with
+    // SQL three-valued semantics (NULL predicate → row survives).
+    // Resolution goes through MemoryCatalog: DML only reaches a
+    // connector via a TableCatalog identifier.
+    "ddl_delete" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val t = "graft_mem_cat.default.orders_del"
+        s.sql(s"DROP TABLE IF EXISTS $t")
+        Tables.orders(s, dir).filter($"o_custkey" <= 200)
+          .select($"o_orderkey", $"o_custkey", $"o_orderstatus",
+            round($"o_totalprice", 4).as("price"))
+          .writeTo(t).create()
+        s.sql(s"DELETE FROM $t WHERE o_orderstatus = 'O' OR price > 200000.0")
+        s.sql(s"SELECT * FROM $t ORDER BY o_orderkey")
+      },
+      // oracle = the anti-filter: rows the DELETE left behind
+      Some("""SELECT o_orderkey, o_custkey, o_orderstatus,
+             |  round(o_totalprice, 4) AS price
+             |FROM orders
+             |WHERE o_custkey <= 200
+             |  AND NOT (o_orderstatus = 'O' OR round(o_totalprice, 4) > 200000.0)
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    // PREPARE / EXECUTE parameterized statements (grammar
+    // SqlBase.g4:93-95 → PrepareTask.java; every JDBC client of the
+    // reference uses them). Spark's parameterized `sql(text, args)` is
+    // the same contract: the text carries parameter markers — :named
+    // or positional ? — and values bind at execution, analyzed as
+    // literals (never string-spliced). Both marker styles exercised.
+    "ddl_prepare_execute" -> QueryDef(
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        val prepared =
+          """SELECT o_orderstatus, count(*) AS n,
+            |  round(sum(o_totalprice), 4) AS total
+            |FROM orders
+            |WHERE o_custkey <= :maxcust AND o_totalprice > :minprice
+            |GROUP BY o_orderstatus""".stripMargin
+        val named = s.sql(prepared,
+          Map("maxcust" -> 300, "minprice" -> 1000.0))
+        val positional = s.sql(
+          """SELECT count(*) AS n_small FROM orders
+            |WHERE o_custkey <= ? AND o_totalprice <= ?""".stripMargin,
+          Array(300, 1000.0))
+        named.crossJoin(positional).orderBy("o_orderstatus")
+      },
+      Some("""SELECT a.*, b.* FROM
+             | (SELECT o_orderstatus, count(*) AS n,
+             |    round(sum(o_totalprice), 4) AS total
+             |  FROM orders WHERE o_custkey <= 300 AND o_totalprice > 1000.0
+             |  GROUP BY o_orderstatus) a
+             |CROSS JOIN
+             | (SELECT count(*) AS n_small FROM orders
+             |  WHERE o_custkey <= 300 AND o_totalprice <= 1000.0) b
+             |ORDER BY a.o_orderstatus""".stripMargin)),
+
     // Hive-style partitioned layout + partition pruning — THE layout
     // lever at 100 TB (reference: Hive connector partitioned tables,
     // HivePartitionManager pruning). Writes orders partitioned by

@@ -139,10 +139,44 @@ object MemoryStore {
   }
 
   def drop(name: String): Unit = tables.remove(name)
+
+  def exists(name: String): Boolean = tables.containsKey(name)
+
+  def names(): Seq[String] = tables.keySet().asScala.toSeq.sorted
+
+  /** Register an empty table (TableCatalog.createTable). */
+  def create(name: String, schema: StructType): Unit = {
+    val prev = tables.putIfAbsent(name, (schema, Array.empty))
+    require(prev == null, s"graft_mem table already exists: $name")
+  }
+
+  def rename(from: String, to: String): Unit = {
+    val v = tables.remove(from)
+    require(v != null, s"graft_mem table not found: $from")
+    require(tables.putIfAbsent(to, v) == null,
+      s"graft_mem table already exists: $to")
+  }
+
+  /** Atomically drop every committed row matching the predicate
+    * (three-valued: rows where the predicate is NULL survive, like
+    * every SQL DELETE).
+    */
+  def deleteWhere(name: String,
+      matches: (StructType, UnsafeRow) => Option[Boolean]): Unit =
+    tables.compute(name, (_, prev) => {
+      require(prev != null, s"graft_mem table not found: $name")
+      val (schema, rows) = prev
+      val row = new UnsafeRow(schema.length)
+      (schema, rows.filterNot { bytes =>
+        row.pointTo(bytes, bytes.length)
+        matches(schema, row).contains(true)
+      })
+    })
 }
 
 class MemoryTable(name: String, writeSchema: StructType) extends Table
-    with SupportsRead with SupportsWrite {
+    with SupportsRead with SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
   override def name(): String = s"graft_mem($name)"
   override def schema(): StructType =
     if (writeSchema != null && writeSchema.nonEmpty) writeSchema
@@ -156,6 +190,26 @@ class MemoryTable(name: String, writeSchema: StructType) extends Table
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new MemoryWriteBuilder(name, info.schema())
+
+  // DELETE FROM ... WHERE ... (reference: DeleteOperator.java /
+  // SqlBase.g4:51) — Spark's RewriteDeleteFromTable hands the
+  // source-translatable predicate here; unsupported shapes are
+  // rejected in canDeleteWhere so the analyzer raises the standard
+  // "cannot translate" error instead of a silent wrong delete.
+  override def canDeleteWhere(filters: Array[org.apache.spark.sql.sources.Filter])
+      : Boolean = filters.forall(MemoryFilterEval.supported)
+
+  override def deleteWhere(filters: Array[org.apache.spark.sql.sources.Filter])
+      : Unit =
+    MemoryStore.deleteWhere(name, (schema, row) =>
+      // the filter array is a conjunction
+      filters.foldLeft(Option(true)) { (acc, f) =>
+        (acc, MemoryFilterEval.eval(f, schema, row)) match {
+          case (Some(false), _) | (_, Some(false)) => Some(false)
+          case (Some(true), Some(true)) => Some(true)
+          case _ => None
+        }
+      })
 }
 
 class MemoryWriteBuilder(name: String, schema: StructType)

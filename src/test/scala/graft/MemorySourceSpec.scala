@@ -77,4 +77,59 @@ class MemorySourceSpec extends AnyFunSuite with SparkFixture with Matchers {
     }
     e.getMessage should include("graft_mem table not found")
   }
+
+  test("DELETE FROM via the catalog applies the predicate to committed rows") {
+    import spark.implicits._
+    val t = "graft_mem_cat.default.del_spec"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "a", 30.0), (4L, "c", 40.0))
+      .toDF("id", "tag", "v").writeTo(t).create()
+    spark.sql(s"DELETE FROM $t WHERE tag = 'a' OR v > 35.0")
+    spark.table(t).orderBy("id").as[(Long, String, Double)].collect()
+      .toSeq shouldBe Seq((2L, "b", 20.0))
+    spark.sql(s"DROP TABLE $t")
+  }
+
+  test("DELETE three-valued logic: NULL predicate rows survive") {
+    import spark.implicits._
+    val t = "graft_mem_cat.default.del_null"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    Seq((1L, Some(5.0)), (2L, None), (3L, Some(50.0)))
+      .toDF("id", "v").writeTo(t).create()
+    // v > 10 is NULL for id=2 → it must NOT be deleted
+    spark.sql(s"DELETE FROM $t WHERE v > 10.0")
+    spark.table(t).select("id").as[Long].collect().sorted.toSeq shouldBe Seq(1L, 2L)
+    spark.sql(s"DROP TABLE $t")
+  }
+
+  test("DELETE with IN / IS NULL / NOT and always-true truncation") {
+    import spark.implicits._
+    val t = "graft_mem_cat.default.del_shapes"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    Seq((1L, Option("x")), (2L, Option("y")), (3L, None), (4L, Option("z")))
+      .toDF("id", "s").writeTo(t).create()
+    spark.sql(s"DELETE FROM $t WHERE id IN (1, 4)")
+    spark.table(t).count() shouldBe 2
+    spark.sql(s"DELETE FROM $t WHERE s IS NULL")
+    spark.table(t).select("id").as[Long].collect().toSeq shouldBe Seq(2L)
+    spark.sql(s"DELETE FROM $t WHERE true")
+    spark.table(t).count() shouldBe 0
+    spark.sql(s"DROP TABLE $t")
+  }
+
+  test("catalog lists, renames, and drops tables") {
+    import spark.implicits._
+    val ns = "graft_mem_cat.default"
+    spark.sql(s"DROP TABLE IF EXISTS $ns.cat_a")
+    spark.sql(s"DROP TABLE IF EXISTS $ns.cat_b")
+    Seq(1).toDF("x").writeTo(s"$ns.cat_a").create()
+    spark.sql(s"SHOW TABLES IN $ns").select("tableName")
+      .as[String].collect() should contain("cat_a")
+    // RENAME TO takes a catalog-relative name (Spark resolves the new
+    // identifier inside the source table's catalog)
+    spark.sql(s"ALTER TABLE $ns.cat_a RENAME TO default.cat_b")
+    spark.table(s"$ns.cat_b").count() shouldBe 1
+    intercept[Exception] { spark.table(s"$ns.cat_a").collect() }
+    spark.sql(s"DROP TABLE $ns.cat_b")
+  }
 }
