@@ -35,9 +35,15 @@ object Tables {
     * nothing.
     */
   private[graft] def cacheViewName(dir: String, name: String): String = {
-    // hex of the path bytes, not a hash: two dirs can never share a view
-    // name, so a collision can never serve the wrong directory's data.
-    val h = dir.getBytes("UTF-8").map(b => f"${b & 0xff}%02x").mkString
+    // SHA-256/128-bit of the path, not raw path hex: the identifier
+    // stays bounded (48 chars + table name) no matter how deep the
+    // data directory nests, instead of doubling the path length into
+    // every plan/catalog listing. 128 bits keeps cross-dir collision
+    // probability out of physical reach (~2^-64 at even 2^32 dirs),
+    // so a collision can never serve the wrong directory's data.
+    val digest = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(dir.getBytes("UTF-8"))
+    val h = digest.take(16).map(b => f"${b & 0xff}%02x").mkString
     s"__graft_rel_${h}_$name"
   }
 

@@ -197,6 +197,62 @@ object Collections extends QueryGroup {
              |  '[' || n_nationkey || ',' || (n_nationkey * 2) || ']' AS back_to_json
              |FROM nation ORDER BY n_nationkey""".stripMargin)),
 
+    // The rest of the JSON↔structured cast matrix (reference:
+    // JsonToRowCast.java / JsonToMapCast.java / JsonToArrayCast.java +
+    // RowToJsonCast in presto-main/.../type/): json→ROW with nested
+    // structs, explicit nulls, and ABSENT fields (both must surface as
+    // SQL NULL), json→MAP with non-varchar (bigint) keys, json→
+    // ARRAY(ROW), and the reverse row→json cast. coll_json_cast covers
+    // the common varchar-key/flat cases; this row covers the corners.
+    "coll_json_cast2" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        Tables.nation(s, dir)
+          // n_nationkey < 3 would collide with the fixed "1"/"2" map
+          // keys (LAST_WIN dedup) and complicate the oracle
+          .filter($"n_nationkey" >= 3)
+          .withColumn("j_row", concat(lit("{\"a\": "), $"n_nationkey",
+            lit(", \"b\": {\"x\": null, \"y\": [1, null, "),
+            $"n_nationkey", lit("]}}")))
+          .withColumn("j_mapk", concat(lit("{\"1\": 1.5, \"2\": 2.5, \""),
+            $"n_nationkey", lit("\": 9.5}")))
+          .withColumn("r", from_json($"j_row",
+            lit("struct<a:bigint,b:struct<x:string,y:array<bigint>>,missing:string>")))
+          // json object keys always parse as strings; the bigint-key
+          // cast is a key coercion, exactly JsonToMapCast's shape
+          .withColumn("mk_map", transform_keys(
+            from_json($"j_mapk", lit("map<string,double>")),
+            (k, _) => k.cast("bigint")))
+          .select($"n_nationkey",
+            $"r.a".as("a"),
+            $"r.b.x".as("b_x"),                       // explicit null
+            element_at($"r.b.y", 2).as("y2"),         // null inside array
+            element_at($"r.b.y", 3).as("y3"),
+            $"r.missing".as("missing"),               // absent field
+            element_at($"mk_map", $"n_nationkey".cast("bigint")).as("mk"),
+            element_at($"mk_map", lit(1L)).as("m1"),
+            array_join(transform(
+              from_json(concat(lit("[{\"p\": 1}, {\"p\": "), $"n_nationkey",
+                lit("}]")), lit("array<struct<p:bigint>>")),
+              x => x.getField("p").cast("string")), ",").as("ps"),
+            to_json(struct($"n_nationkey".as("k"),
+              array(lit(1L), $"n_nationkey").as("arr"))).as("rj"))
+          .orderBy($"n_nationkey")
+      },
+      // hand-derived values: the casts above are deterministic text math
+      Some("""SELECT n_nationkey,
+             |  n_nationkey AS a,
+             |  CAST(NULL AS VARCHAR) AS b_x,
+             |  CAST(NULL AS BIGINT) AS y2,
+             |  n_nationkey AS y3,
+             |  CAST(NULL AS VARCHAR) AS missing,
+             |  9.5 AS mk,
+             |  1.5 AS m1,
+             |  '1,' || n_nationkey AS ps,
+             |  '{"k":' || n_nationkey || ',"arr":[1,' || n_nationkey || ']}' AS rj
+             |FROM nation WHERE n_nationkey >= 3
+             |ORDER BY n_nationkey""".stripMargin)),
+
     // Date-stepped sequence (Presto SequenceFunction with INTERVAL step).
     "coll_sequence_dates" -> QueryDef(
       // anchored to month START: stepping from an end-of-month date

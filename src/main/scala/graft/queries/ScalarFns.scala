@@ -199,6 +199,58 @@ object ScalarFns extends QueryGroup {
     // Datetime extraction (DateTimeFunctions.java surface). Presto
     // day_of_week is ISO (1=Mon..7=Sun) — Spark dayofweek is 1=Sun, so
     // the shim recomputes the ISO form explicitly.
+    // TIME / TIME WITH TIME ZONE modeling (reference TypeRegistry.java
+    // :133-134; DateTimeFunctions.java current_time/localtime). Spark
+    // has no TIME type; SURVEY §1.2 models it as millis-since-midnight
+    // (exactly Presto's physical representation: TimeType is a long of
+    // millis in the session zone). This row makes that model
+    // executable: extraction from a timestamp, wraparound time
+    // arithmetic (+90 min mod 24 h — the TIME '+' operator), ordering,
+    // HH:mm:ss.SSS formatting (time→varchar cast), and a bounded
+    // current_time sanity bit (the only part of current_time/localtime
+    // an oracle can check — the value itself is wall-clock).
+    "fn_time_type" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val day = 86400000L
+        Tables.events(s, dir)
+          .filter($"event_id" <= 300)
+          .withColumn("t", unix_millis($"ts") % day) // TIME value
+          .withColumn("t2", ($"t" + 90L * 60000L) % day)
+          .select($"event_id", $"t",
+            ($"t" / 3600000L).cast("bigint").as("hh"),
+            ($"t" % 3600000L / 60000L).cast("bigint").as("mi"),
+            ($"t" % 60000L / 1000L).cast("bigint").as("ss"),
+            ($"t" % 1000L).as("ms"),
+            $"t2",
+            format_string("%02d:%02d:%02d.%03d",
+              ($"t2" / 3600000L).cast("bigint"),
+              ($"t2" % 3600000L / 60000L).cast("bigint"),
+              ($"t2" % 60000L / 1000L).cast("bigint"),
+              $"t2" % 1000L).as("t2_str"),
+            ($"t" < $"t2").as("lt"),
+            (unix_millis(current_timestamp()) % day >= 0L &&
+              unix_millis(current_timestamp()) % day < day).as("now_in_range"))
+          .orderBy($"event_id")
+      },
+      Some("""SELECT event_id,
+             |  epoch_ms(ts) % 86400000 AS t,
+             |  (epoch_ms(ts) % 86400000) // 3600000 AS hh,
+             |  (epoch_ms(ts) % 86400000) % 3600000 // 60000 AS mi,
+             |  (epoch_ms(ts) % 86400000) % 60000 // 1000 AS ss,
+             |  (epoch_ms(ts) % 86400000) % 1000 AS ms,
+             |  (epoch_ms(ts) % 86400000 + 5400000) % 86400000 AS t2,
+             |  printf('%02d:%02d:%02d.%03d',
+             |    ((epoch_ms(ts) % 86400000 + 5400000) % 86400000) // 3600000,
+             |    ((epoch_ms(ts) % 86400000 + 5400000) % 86400000) % 3600000 // 60000,
+             |    ((epoch_ms(ts) % 86400000 + 5400000) % 86400000) % 60000 // 1000,
+             |    ((epoch_ms(ts) % 86400000 + 5400000) % 86400000) % 1000) AS t2_str,
+             |  (epoch_ms(ts) % 86400000) <
+             |    (epoch_ms(ts) % 86400000 + 5400000) % 86400000 AS lt,
+             |  true AS now_in_range
+             |FROM events WHERE event_id <= 300
+             |ORDER BY event_id""".stripMargin)),
+
     "fn_datetime" -> QueryDef(
       (s, dir) => {
         import s.implicits._

@@ -60,11 +60,15 @@ class Round7FixesSpec extends AnyFunSuite with SparkFixture with Matchers {
   }
 
   test("Tables cache view name encodes the directory unambiguously") {
-    // hex-of-path-bytes: distinct dirs can never collide onto one view
+    // 128-bit digest (r9): distinct dirs map to distinct names...
     val a = Tables.cacheViewName("/tmp/a", "t")
     val b = Tables.cacheViewName("/tmp/b", "t")
     a should not be b
-    // and the encoding is invertible (contains the full path bytes)
-    a should include("2f746d702f61") // hex of "/tmp/a"
+    // ...and the identifier stays bounded however long the path is
+    // (previously raw path hex: 2x the path length in every plan)
+    val deep = Tables.cacheViewName("/" + ("x" * 500), "t")
+    deep.length shouldBe a.length
+    deep.length should be < 64
+    deep should not be Tables.cacheViewName("/" + ("x" * 499), "t")
   }
 }
