@@ -189,13 +189,12 @@ object GeoAlgorithms {
     }.sum) / 2.0
   }
 
-  /** ST_Intersection: EXACT Sutherland–Hodgman clip when both inputs'
-    * rings are convex — including POLYGONs WITH HOLES (r4: interior
-    * rings clip into the result and subtract, the regime geom_area
-    * already handles; holes are assumed mutually disjoint, as in the
-    * fixtures); envelope intersection otherwise (the documented
-    * non-convex fallback). EMPTY inputs — which this function itself
-    * produces — intersect to EMPTY, so the overlay functions compose. */
+  /** ST_Intersection: EXACT Sutherland–Hodgman clip when both inputs
+    * are SINGLE-RING convex polygons; holed inputs route to the exact
+    * subdivision overlay (r8), non-convex degenerate pairs to the
+    * documented envelope fallback. EMPTY inputs — which this function
+    * itself produces — intersect to EMPTY, so the overlay functions
+    * compose. */
   def intersection(a: String, b: String): String = {
     if (a.endsWith("EMPTY") || b.endsWith("EMPTY")) return "POLYGON EMPTY"
     if (geomType(a) == "POLYGON" && geomType(b) == "POLYGON") {
@@ -210,11 +209,7 @@ object GeoAlgorithms {
         val clipped = clipConvex(ringsA.head, ringsB.head)
         if (clipped.length < 3) return "POLYGON EMPTY"
         val outer = closedRing(clipped)
-        val holes = (ringsA.tail ++ ringsB.tail)
-          .map(h => clipConvex(h, outer))
-          .filter(_.length >= 3)
-          .map(h => closedRing(h).toSeq)
-        return s"POLYGON (${(outer.toSeq +: holes).map(ringWkt).mkString(", ")})"
+        return s"POLYGON (${ringWkt(outer.toSeq)})"
       }
       // r4 late: exact concave regime — Greiner–Hormann in general
       // position (single-ring simple pairs); degeneracy falls through
@@ -330,12 +325,32 @@ object GeoAlgorithms {
   private def orient(o: (Double, Double), a: (Double, Double), b: (Double, Double)): Double =
     (a._1 - o._1) * (b._2 - o._2) - (a._2 - o._2) * (b._1 - o._1)
 
-  /** p collinear with and strictly inside bbox of segment (s1, s2). */
+  /** Scale of the incidence tolerance below. Matches nearPt/GhSnap
+    * (1e-9): a point computed with rounding is "on" a boundary when it
+    * is within 1e-9·scale of it.
+    */
+  private val SegEps = 1e-9
+
+  /** p lies on segment (s1, s2) within an eps scaled to the segment.
+    *
+    * NOT an exact orient == 0 test (r9, ADVICE): the points classified
+    * here in the relate paths — refined split points and sub-segment
+    * midpoints from splitSegInto/refinePolyline — are computed with
+    * rounding, so exact float predicates silently miss collinearity on
+    * non-axis-aligned boundaries and emit wrong DE-9IM cells.
+    */
   private def onSegment(p: (Double, Double), s1: (Double, Double),
-      s2: (Double, Double)): Boolean =
-    orient(s1, s2, p) == 0.0 &&
-      p._1 >= math.min(s1._1, s2._1) && p._1 <= math.max(s1._1, s2._1) &&
-      p._2 >= math.min(s1._2, s2._2) && p._2 <= math.max(s1._2, s2._2)
+      s2: (Double, Double)): Boolean = {
+    val dx = s2._1 - s1._1; val dy = s2._2 - s1._2
+    val len2 = dx * dx + dy * dy
+    if (len2 == 0.0) return nearPt(p, s1)
+    val len = math.sqrt(len2)
+    val tol = SegEps * math.max(1.0, len)
+    // |orient| = perpendicular distance × segment length
+    if (math.abs(orient(s1, s2, p)) > tol * len) return false
+    val t = ((p._1 - s1._1) * dx + (p._2 - s1._2) * dy) / len2
+    t >= -tol / len && t <= 1.0 + tol / len
+  }
 
   /** OGC ST_Crosses (GeoFunctions.java stCrosses) for the line/line
     * and line/polygon regimes. Line/line: interiors share a point —
@@ -574,10 +589,12 @@ object GeoAlgorithms {
     (crossings & 1) == 1
   }
 
-  /** p lies on segment (s1, s2), endpoints included. */
+  /** p lies on segment (s1, s2), endpoints included — eps-tolerant
+    * like onSegment (exact tuple equality would miss computed points,
+    * r9 ADVICE). */
   private def ptOnSeg(p: (Double, Double), s1: (Double, Double),
       s2: (Double, Double)): Boolean =
-    p == s1 || p == s2 || onSegment(p, s1, s2)
+    nearPt(p, s1) || nearPt(p, s2) || onSegment(p, s1, s2)
 
   private def onRingBoundary(ring: Array[(Double, Double)], p: (Double, Double)): Boolean =
     (0 until ring.length - 1).exists(i => ptOnSeg(p, ring(i), ring(i + 1)))
@@ -590,14 +607,20 @@ object GeoAlgorithms {
     for (i <- 0 until ra.length - 1; j <- 0 until rb.length - 1) {
       val (s1, s2) = (ra(i), ra(i + 1))
       val (t1, t2) = (rb(j), rb(j + 1))
-      if (orient(s1, s2, t1) == 0.0 && orient(s1, s2, t2) == 0.0) {
+      // eps-tolerant collinearity (r9 ADVICE — edges may carry computed
+      // endpoints): t within SegEps·scale of the supporting line of s
+      val sLen = math.hypot(s2._1 - s1._1, s2._2 - s1._2)
+      val lineTol = SegEps * math.max(1.0, sLen) * math.max(sLen, 1.0)
+      if (sLen > 0.0 && math.abs(orient(s1, s2, t1)) <= lineTol &&
+        math.abs(orient(s1, s2, t2)) <= lineTol) {
         // collinear: positive-length interval overlap on the longer axis
         val horiz = math.abs(s2._1 - s1._1) >= math.abs(s2._2 - s1._2)
         def ax(p: (Double, Double)) = if (horiz) p._1 else p._2
         val lo = math.max(math.min(ax(s1), ax(s2)), math.min(ax(t1), ax(t2)))
         val hi = math.min(math.max(ax(s1), ax(s2)), math.max(ax(t1), ax(t2)))
-        if (hi > lo) return 1
-        if (hi == lo) dim = math.max(dim, 0)
+        val axTol = SegEps * math.max(1.0, math.max(math.abs(hi), math.abs(lo)))
+        if (hi > lo + axTol) return 1
+        if (hi >= lo - axTol) dim = math.max(dim, 0)
       } else if (properCross(s1, s2, t1, t2) ||
         ptOnSeg(t1, s1, s2) || ptOnSeg(t2, s1, s2) ||
         ptOnSeg(s1, t1, t2) || ptOnSeg(s2, t1, t2)) dim = math.max(dim, 0)
@@ -640,12 +663,8 @@ object GeoAlgorithms {
           Array.tabulate(p.length - 1)(i => (p(i), p(i + 1)))
         val segsA = refinePolyline(pa, edgesOf(pb))
         val segsB = refinePolyline(pb, edgesOf(pa))
-        def uKey(e: ((Double, Double), (Double, Double))) = {
-          val (ks, ke) = (snapKey(e._1), snapKey(e._2))
-          if (Ordering[(Long, Long)].lteq(ks, ke)) (ks, ke) else (ke, ks)
-        }
-        val keysB = segsB.map(uKey).toSet
-        val sharedA = segsA.count(e => keysB.contains(uKey(e)))
+        val keysB = segsB.map(segKey).toSet
+        val sharedA = segsA.count(e => keysB.contains(segKey(e)))
         def onLine(p: Array[(Double, Double)], q: (Double, Double)) =
           (0 until p.length - 1).exists(i => ptOnSeg(q, p(i), p(i + 1)))
         // boundaries: endpoint pairs (empty for a closed line, OGC)
@@ -663,8 +682,8 @@ object GeoAlgorithms {
         val biC = if (ba.exists(e => onLine(pb, e) && !isEndOf(bb, e))) '0' else 'F'
         val bbC = if (ba.exists(e => isEndOf(bb, e))) '0' else 'F'
         val beC = if (ba.exists(e => !onLine(pb, e))) '0' else 'F'
-        val keysA = segsA.map(uKey).toSet
-        val eiC = if (segsB.exists(e => !keysA.contains(uKey(e)))) '1' else 'F'
+        val keysA = segsA.map(segKey).toSet
+        val eiC = if (segsB.exists(e => !keysA.contains(segKey(e)))) '1' else 'F'
         val ebC = if (bb.exists(e => !onLine(pa, e))) '0' else 'F'
         new String(Array(ii, ibC, ieC, biC, bbC, beC, eiC, ebC, '2'))
       case ("LINESTRING", "POLYGON") =>
@@ -685,15 +704,21 @@ object GeoAlgorithms {
         def inP(p: (Double, Double)) =
           closed.count(r => pointInRing(r, p._1, p._2)) % 2 == 1
         var ii = false; var ibSeg = false; var ibPt = false; var ie = false
-        var onLen = 0.0
+        // boundary coverage over DEDUPLICATED undirected sub-segment
+        // keys (r9 ADVICE): a backtracking polyline retracing the same
+        // boundary edge must not double-count its length and falsely
+        // report the whole perimeter covered (EB 'F' instead of '1')
+        val onSegLen =
+          scala.collection.mutable.Map.empty[((Long, Long), (Long, Long)), Double]
         for ((s, e) <- segs) {
           val mid = ((s._1 + e._1) / 2, (s._2 + e._2) / 2)
           if (onB(mid)) {
             ibSeg = true
-            onLen += math.hypot(e._1 - s._1, e._2 - s._2)
+            onSegLen(segKey((s, e))) = math.hypot(e._1 - s._1, e._2 - s._2)
           } else if (inP(mid)) ii = true
           else ie = true
         }
+        val onLen = onSegLen.values.sum
         // refined junctions are line-INTERIOR points; one on the
         // boundary is a dim-0 contact (a crossing or a tangent touch)
         for (k <- 1 until segs.length)
@@ -728,26 +753,59 @@ object GeoAlgorithms {
         // declared out.
         exactIntArea(a, b) match {
           case Some(ia) =>
+            // Interior cells (II/IE/EI) from the exact intersection
+            // area; ALL four boundary-mixed cells (IB/BI/BE/EB) from a
+            // midpoint classification of each boundary's refined
+            // sub-segments against the other polygon — never hardcoded
+            // per regime (r9 ADVICE: the old fixed matrices emitted
+            // BE='1' when B's shell coincides with A's entire shell,
+            // and coerced BB='0' for hole-driven overlaps whose
+            // boundaries never touch).
             val aArea = area(a); val bArea = area(b)
             val tol = 1e-9 * math.max(1.0, math.max(aArea, bArea))
             val ringsA = parseRings(a).map(closedRing)
             val ringsB = parseRings(b).map(closedRing)
+            def edgesOf(rs: Seq[Array[(Double, Double)]]) = rs.toArray.flatMap { r =>
+              val o = openRing(r)
+              Array.tabulate(o.length)(i => (o(i), o((i + 1) % o.length)))
+            }
+            val edgesA = edgesOf(ringsA); val edgesB = edgesOf(ringsB)
+            def onBd(rs: Seq[Array[(Double, Double)]], p: (Double, Double)) =
+              rs.exists(r => onRingBoundary(r, p))
+            def inPoly(rs: Seq[Array[(Double, Double)]], p: (Double, Double)) =
+              rs.count(r => pointInRing(r, p._1, p._2)) % 2 == 1
+            /** (sharesBoundary, entersInterior, entersExterior) of X's
+              * boundary against polygon Y. */
+            def cls(ringsX: Seq[Array[(Double, Double)]],
+                edgesY: Array[((Double, Double), (Double, Double))],
+                ringsY: Seq[Array[(Double, Double)]]): (Boolean, Boolean, Boolean) = {
+              var sh = false; var in = false; var out = false
+              for (r <- ringsX; (s, e) <- refinePolyline(r, edgesY)) {
+                val mid = ((s._1 + e._1) / 2, (s._2 + e._2) / 2)
+                if (onBd(ringsY, mid)) sh = true
+                else if (inPoly(ringsY, mid)) in = true
+                else out = true
+              }
+              (sh, in, out)
+            }
+            val (shA, inA, outA) = cls(ringsA, edgesB, ringsB)
+            val (shB, inB, outB) = cls(ringsB, edgesA, ringsA)
             val bbDim = ringsA.flatMap(ra =>
               ringsB.map(rb => boundaryContactDim(ra, rb))).max
-            val bb = bbDim match { case 1 => '1'; case 0 => '0'; case _ => 'F' }
-            if (ia <= tol) bbDim match {
-              case 1 => "FF2F11212"  // touch along an edge
-              case 0 => "FF2F01212"  // touch at a point
-              case _ => "FF2FF1212"  // disjoint
-            }
-            else if (math.abs(ia - aArea) <= tol && math.abs(ia - bArea) <= tol)
-              "2FFF1FFF2"            // same region, different vertex chain
-            else if (math.abs(ia - bArea) <= tol)
-              s"212F${bb}1FF2"       // contains B (bb: tangent boundary dim)
-            else if (math.abs(ia - aArea) <= tol)
-              s"2FF1${bb}F212"       // within B
-            else
-              s"2121${if (bb == 'F') '0' else bb}1212" // interiors overlap
+            val bb =
+              if (shA || shB || bbDim == 1) '1'
+              else if (bbDim == 0) '0'
+              else 'F'
+            new String(Array(
+              if (ia > tol) '2' else 'F',        // II
+              if (inB) '1' else 'F',             // IB
+              if (aArea - ia > tol) '2' else 'F',// IE
+              if (inA) '1' else 'F',             // BI
+              bb,                                // BB
+              if (outA) '1' else 'F',            // BE
+              if (bArea - ia > tol) '2' else 'F',// EI
+              if (outB) '1' else 'F',            // EB
+              '2'))                              // EE
           case None =>
             val ra = closedRing(parseRings(a).head)
             val rb = closedRing(parseRings(b).head)
@@ -1284,6 +1342,15 @@ object GeoAlgorithms {
 
   private def snapKey(p: (Double, Double)): (Long, Long) =
     (math.round(p._1 / GhSnap), math.round(p._2 / GhSnap))
+
+  /** Undirected snapped identity of a sub-segment — the dedup key for
+    * refined edges (a backtracking polyline yields the same key for
+    * both directions of a retraced edge). */
+  private def segKey(e: ((Double, Double), (Double, Double)))
+      : ((Long, Long), (Long, Long)) = {
+    val (ks, ke) = (snapKey(e._1), snapKey(e._2))
+    if (Ordering[(Long, Long)].lteq(ks, ke)) (ks, ke) else (ke, ks)
+  }
 
   /** Split one directed segment at its incidence points with the given
     * edge set (proper crossings, endpoint contacts, collinear-overlap

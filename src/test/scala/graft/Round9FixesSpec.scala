@@ -68,4 +68,57 @@ class Round9FixesSpec extends AnyFunSuite with SparkFixture with Matchers {
     } finally spark.conf.set(key, prev)
     singleValue.size should be > 0
   }
+
+  // --- geometry robustness pins (r9 ADVICE items) ---------------------
+
+  import graft.functions.GeoAlgorithms.relateMatrix
+
+  test("polygon/polygon relate: shell-coincident containment with a hole") {
+    // A = [0,3]^2; B = same shell minus hole [1,2]^2. A contains B, the
+    // shells coincide, so A's boundary never meets B's exterior:
+    // BE must be 'F' (the old hardcoded contains-matrix said '1'),
+    // and B's hole ring lies in A's interior: IB = '1'.
+    val a = "POLYGON ((0 0, 3 0, 3 3, 0 3, 0 0))"
+    val b = "POLYGON ((0 0, 3 0, 3 3, 0 3, 0 0), (1 1, 2 1, 2 2, 1 2, 1 1))"
+    relateMatrix(a, b) shouldBe "212F1FFF2"
+    // and the transposed regime (within) is consistent
+    relateMatrix(b, a) shouldBe "2FF11F2F2"
+  }
+
+  test("polygon/polygon relate: hole-driven overlap with disjoint boundaries") {
+    // B = shell [0,10]^2 with hole [3,7]^2; A = [2,8]^2: interiors
+    // partially overlap but the boundaries never touch — BB must be
+    // 'F' (the old overlap branch coerced it to '0').
+    val a = "POLYGON ((2 2, 8 2, 8 8, 2 8, 2 2))"
+    val b = "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (3 3, 7 3, 7 7, 3 7, 3 3))"
+    relateMatrix(a, b) shouldBe "2121FF212"
+    relateMatrix(b, a) shouldBe "2121F12F2" // the transpose
+  }
+
+  test("line/polygon relate: a backtracking line does not fake full boundary coverage") {
+    // the line retraces the bottom edge 4 times: summed sub-segment
+    // length (16) reaches the perimeter (16) but actual coverage is
+    // one edge of length 4 — EB must stay '1'
+    val line = "LINESTRING (0 0, 4 0, 0 0, 4 0, 0 0, 4 0, 0 0, 4 0, 0 0)"
+    val poly = "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))"
+    val m = relateMatrix(line, poly)
+    m.charAt(7) shouldBe '1' // EB
+    m.charAt(1) shouldBe '1' // IB: the line lies on the boundary
+  }
+
+  test("relate classifies computed points on non-axis-aligned boundaries") {
+    // line collinear with a diagonal polygon edge: refined midpoints
+    // are computed with rounding; the eps-tolerant incidence test must
+    // still classify them as boundary contact (IB = '1', II = 'F')
+    val poly = "POLYGON ((0.1 0.1, 0.7 0.3, 0.4 0.9, 0.1 0.1))"
+    val line = "LINESTRING (0.1 0.1, 0.7 0.3)"
+    val m = relateMatrix(line, poly)
+    m.charAt(1) shouldBe '1' // IB: interior of line on boundary
+    m.charAt(0) shouldBe 'F' // II: never inside
+    // a strict sub-segment of that edge behaves the same
+    val sub = "LINESTRING (0.25 0.15, 0.55 0.25)"
+    val m2 = relateMatrix(sub, poly)
+    m2.charAt(1) shouldBe '1'
+    m2.charAt(0) shouldBe 'F'
+  }
 }
