@@ -212,6 +212,23 @@ object Sources extends QueryGroup {
              |  AND NOT (o_orderstatus = 'O' OR round(o_totalprice, 4) > 200000.0)
              |ORDER BY o_orderkey""".stripMargin)),
 
+    // EXPLAIN ANALYZE analog (ExplainAnalyzeOperator.java): execute,
+    // then surface the plan's ACTUAL per-operator runtime metrics.
+    // Metric values (times, spills, per-stage row counts) are run-
+    // dependent by nature, so this is a rows-only gate row (no SQL
+    // oracle); the exact semantics — final aggregate rows == result
+    // count, scan rows == table count — are pinned in Round9FixesSpec.
+    "explain_analyze" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val q = Tables.orders(s, dir).filter($"o_totalprice" > 100000.0)
+          .groupBy($"o_orderstatus").agg(count(lit(1)).as("n"))
+        graft.plans.ExplainAnalyze.analyze(s, q)
+          .filter($"metric" === "numOutputRows")
+          .orderBy($"op_id")
+      },
+      None),
+
     // PREPARE / EXECUTE parameterized statements (grammar
     // SqlBase.g4:93-95 → PrepareTask.java; every JDBC client of the
     // reference uses them). Spark's parameterized `sql(text, args)` is

@@ -121,4 +121,24 @@ class Round9FixesSpec extends AnyFunSuite with SparkFixture with Matchers {
     m2.charAt(1) shouldBe '1'
     m2.charAt(0) shouldBe 'F'
   }
+
+  test("explain_analyze surfaces actual per-operator runtime metrics") {
+    import spark.implicits._
+    val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+    val q = orders.filter($"o_totalprice" > 100000.0)
+      .groupBy($"o_orderstatus").agg(count(lit(1)).as("n"))
+    val metrics = graft.plans.ExplainAnalyze.analyze(spark, q)
+      .filter($"metric" === "numOutputRows")
+      .select("operator", "value").as[(String, Long)].collect()
+    // the walk reached a scan, an exchange, and the aggregates
+    metrics.map(_._1).exists(_.contains("Scan")) shouldBe true
+    metrics.map(_._1).count(_.contains("HashAggregate")) should be >= 2
+    // actual (not estimated) values: the final aggregate emitted
+    // exactly the query's result rows, the scan the table's rows
+    val resultRows = q.count()
+    metrics.filter(_._1.contains("HashAggregate")).map(_._2)
+      .min shouldBe resultRows
+    metrics.filter(_._1.contains("Scan")).map(_._2)
+      .max shouldBe orders.count()
+  }
 }
