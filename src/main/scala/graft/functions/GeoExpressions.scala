@@ -645,12 +645,30 @@ object GeoAlgorithms {
       case ("POINT", "POINT") =>
         if (parseCoords(a)(0) == parseCoords(b)(0)) "0FFFFFFF2" else "FF0FFF0F2"
       case ("POINT", "POLYGON") =>
+        // all rings (r9): a hole ring is polygon boundary too, and a
+        // point INSIDE a hole is in the polygon's exterior (even-odd)
         val p = parseCoords(a)(0)
-        val ring = closedRing(parseRings(b).head)
-        if (onRingBoundary(ring, p)) "F0FFFF212"
-        else if (pointInRing(ring, p._1, p._2)) "0FFFFF212"
+        val rings = parseRings(b).map(closedRing)
+        if (rings.exists(r => onRingBoundary(r, p))) "F0FFFF212"
+        else if (rings.count(r => pointInRing(r, p._1, p._2)) % 2 == 1)
+          "0FFFFF212"
         else "FF0FFF212"
       case ("POLYGON", "POINT") => transposeMatrix(relateMatrix(b, a))
+      case ("POINT", "LINESTRING") =>
+        // the missing point/line regime (r9): classify the point
+        // against the line's interior/boundary; a closed line has no
+        // boundary (OGC), open endpoints are its boundary
+        val p = parseCoords(a)(0)
+        val lb = parseCoords(b)
+        val ends = if (lb.head == lb.last) Seq.empty else Seq(lb.head, lb.last)
+        val eb = if (ends.exists(e => !nearPt(e, p))) '0' else 'F'
+        if (ends.exists(e => nearPt(e, p)))
+          new String(Array('F', '0', 'F', 'F', 'F', 'F', '1', eb, '2'))
+        else if ((0 until lb.length - 1).exists(i => ptOnSeg(p, lb(i), lb(i + 1))))
+          new String(Array('0', 'F', 'F', 'F', 'F', 'F', '1', eb, '2'))
+        else
+          new String(Array('F', 'F', '0', 'F', 'F', 'F', '1', eb, '2'))
+      case ("LINESTRING", "POINT") => transposeMatrix(relateMatrix(b, a))
       case ("LINESTRING", "LINESTRING") =>
         if (equalsGeom(a, b)) return "1FFF0FFF2"
         // r8: computed for every regime incl. collinear partial overlap

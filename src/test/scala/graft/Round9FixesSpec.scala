@@ -122,6 +122,24 @@ class Round9FixesSpec extends AnyFunSuite with SparkFixture with Matchers {
     m2.charAt(0) shouldBe 'F'
   }
 
+  test("point/linestring relate and point-in-hole classification") {
+    // the previously-missing POINT/LINESTRING regime
+    val line = "LINESTRING (0 0, 4 0, 4 4)"
+    relateMatrix("POINT (2 0)", line) shouldBe "0FFFFF102"   // on interior
+    relateMatrix("POINT (0 0)", line) shouldBe "F0FFFF102"   // on boundary
+    relateMatrix("POINT (9 9)", line) shouldBe "FF0FFF102"   // disjoint
+    relateMatrix(line, "POINT (2 0)") shouldBe "0F1FF0FF2"   // transpose
+    // closed line: no boundary
+    val ring = "LINESTRING (0 0, 4 0, 4 4, 0 0)"
+    relateMatrix("POINT (2 0)", ring) shouldBe "0FFFFF1F2"
+    // point inside a polygon's hole is in the polygon's EXTERIOR,
+    // and the hole ring is polygon boundary
+    val holed = "POLYGON ((0 0, 9 0, 9 9, 0 9, 0 0), (3 3, 6 3, 6 6, 3 6, 3 3))"
+    relateMatrix("POINT (4 4)", holed) shouldBe "FF0FFF212"
+    relateMatrix("POINT (3 4)", holed) shouldBe "F0FFFF212"
+    relateMatrix("POINT (1 1)", holed) shouldBe "0FFFFF212"
+  }
+
   test("explain_analyze surfaces actual per-operator runtime metrics") {
     import spark.implicits._
     val orders = spark.read.parquet(s"$sfDir/orders.parquet")
