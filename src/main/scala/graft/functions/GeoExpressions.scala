@@ -641,34 +641,57 @@ object GeoAlgorithms {
   def relateMatrix(a: String, b: String): String = {
     if (a.endsWith("EMPTY") || b.endsWith("EMPTY"))
       throw new IllegalArgumentException("st_relate: EMPTY geometry is not supported")
+    def pointy(t: String) = t == "POINT" || t == "MULTIPOINT"
     (geomType(a), geomType(b)) match {
-      case ("POINT", "POINT") =>
-        if (parseCoords(a)(0) == parseCoords(b)(0)) "0FFFFFFF2" else "FF0FFF0F2"
-      case ("POINT", "POLYGON") =>
+      // POINT and MULTIPOINT are both finite point SETS (dim 0, empty
+      // boundary) — one classification covers all four pairings (r9;
+      // the single-point matrices are the one-element special case).
+      case (ta, tb) if pointy(ta) && pointy(tb) =>
+        val pa = parseCoords(a).distinct
+        val pb = parseCoords(b).distinct
+        val shared = pa.exists(p => pb.exists(q => nearPt(p, q)))
+        val aOnly = pa.exists(p => !pb.exists(q => nearPt(p, q)))
+        val bOnly = pb.exists(q => !pa.exists(p => nearPt(p, q)))
+        new String(Array(
+          if (shared) '0' else 'F', 'F', if (aOnly) '0' else 'F',
+          'F', 'F', 'F',
+          if (bOnly) '0' else 'F', 'F', '2'))
+      case (ta, "POLYGON") if pointy(ta) =>
         // all rings (r9): a hole ring is polygon boundary too, and a
         // point INSIDE a hole is in the polygon's exterior (even-odd)
-        val p = parseCoords(a)(0)
+        val pts = parseCoords(a).distinct
         val rings = parseRings(b).map(closedRing)
-        if (rings.exists(r => onRingBoundary(r, p))) "F0FFFF212"
-        else if (rings.count(r => pointInRing(r, p._1, p._2)) % 2 == 1)
-          "0FFFFF212"
-        else "FF0FFF212"
-      case ("POLYGON", "POINT") => transposeMatrix(relateMatrix(b, a))
-      case ("POINT", "LINESTRING") =>
-        // the missing point/line regime (r9): classify the point
-        // against the line's interior/boundary; a closed line has no
-        // boundary (OGC), open endpoints are its boundary
-        val p = parseCoords(a)(0)
+        val cs = pts.map { p =>
+          if (rings.exists(r => onRingBoundary(r, p))) 'B'
+          else if (rings.count(r => pointInRing(r, p._1, p._2)) % 2 == 1) 'I'
+          else 'E'
+        }
+        new String(Array(
+          if (cs.contains('I')) '0' else 'F',
+          if (cs.contains('B')) '0' else 'F',
+          if (cs.contains('E')) '0' else 'F',
+          'F', 'F', 'F', '2', '1', '2'))
+      case ("POLYGON", tb) if pointy(tb) => transposeMatrix(relateMatrix(b, a))
+      case (ta, "LINESTRING") if pointy(ta) =>
+        // point set vs line (r9): classify each point against the
+        // line's interior/boundary; a closed line has no boundary
+        // (OGC), open endpoints are its boundary
+        val pts = parseCoords(a).distinct
         val lb = parseCoords(b)
         val ends = if (lb.head == lb.last) Seq.empty else Seq(lb.head, lb.last)
-        val eb = if (ends.exists(e => !nearPt(e, p))) '0' else 'F'
-        if (ends.exists(e => nearPt(e, p)))
-          new String(Array('F', '0', 'F', 'F', 'F', 'F', '1', eb, '2'))
-        else if ((0 until lb.length - 1).exists(i => ptOnSeg(p, lb(i), lb(i + 1))))
-          new String(Array('0', 'F', 'F', 'F', 'F', 'F', '1', eb, '2'))
-        else
-          new String(Array('F', 'F', '0', 'F', 'F', 'F', '1', eb, '2'))
-      case ("LINESTRING", "POINT") => transposeMatrix(relateMatrix(b, a))
+        val cs = pts.map { p =>
+          if (ends.exists(e => nearPt(e, p))) 'B'
+          else if ((0 until lb.length - 1).exists(i =>
+            ptOnSeg(p, lb(i), lb(i + 1)))) 'I'
+          else 'E'
+        }
+        val eb = if (ends.exists(e => !pts.exists(p => nearPt(e, p)))) '0' else 'F'
+        new String(Array(
+          if (cs.contains('I')) '0' else 'F',
+          if (cs.contains('B')) '0' else 'F',
+          if (cs.contains('E')) '0' else 'F',
+          'F', 'F', 'F', '1', eb, '2'))
+      case ("LINESTRING", tb) if pointy(tb) => transposeMatrix(relateMatrix(b, a))
       case ("LINESTRING", "LINESTRING") =>
         if (equalsGeom(a, b)) return "1FFF0FFF2"
         // r8: computed for every regime incl. collinear partial overlap

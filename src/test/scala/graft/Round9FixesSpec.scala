@@ -140,6 +140,23 @@ class Round9FixesSpec extends AnyFunSuite with SparkFixture with Matchers {
     relateMatrix("POINT (1 1)", holed) shouldBe "0FFFFF212"
   }
 
+  test("MULTIPOINT relate regimes as finite point sets") {
+    // set relations
+    relateMatrix("MULTIPOINT (1 1, 2 2)", "MULTIPOINT (2 2, 3 3)") shouldBe
+      "0F0FFF0F2"
+    relateMatrix("MULTIPOINT (1 1, 2 2)", "MULTIPOINT (1 1, 2 2)") shouldBe
+      "0FFFFFFF2"
+    relateMatrix("POINT (1 1)", "MULTIPOINT (1 1, 2 2)") shouldBe "0FFFFF0F2"
+    // vs polygon: one in, one on boundary, one out
+    val poly = "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))"
+    relateMatrix("MULTIPOINT (1 1, 4 2, 9 9)", poly) shouldBe "000FFF212"
+    relateMatrix(poly, "MULTIPOINT (1 1)") shouldBe "0F2FF1FF2" // transpose
+    // vs line: covering both endpoints flips EB to F
+    val line = "LINESTRING (0 0, 4 0)"
+    relateMatrix("MULTIPOINT (0 0, 4 0, 2 0)", line) shouldBe "00FFFF1F2"
+    relateMatrix("MULTIPOINT (0 0, 9 9)", line) shouldBe "F00FFF102"
+  }
+
   test("explain_analyze surfaces actual per-operator runtime metrics") {
     import spark.implicits._
     val orders = spark.read.parquet(s"$sfDir/orders.parquet")
