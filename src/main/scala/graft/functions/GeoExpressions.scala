@@ -197,7 +197,8 @@ object GeoAlgorithms {
     * compose. */
   def intersection(a: String, b: String): String = {
     if (a.endsWith("EMPTY") || b.endsWith("EMPTY")) return "POLYGON EMPTY"
-    if (geomType(a) == "POLYGON" && geomType(b) == "POLYGON") {
+    // MULTIPOLYGON rides the exact subdivision overlay too (r9)
+    if (Seq(a, b).forall(w => geomType(w) == "POLYGON" || geomType(w) == "MULTIPOLYGON")) {
       val ringsA = parseRings(a)
       val ringsB = parseRings(b)
       // convex fast path is single-ring only: clipping each hole into
@@ -540,7 +541,8 @@ object GeoAlgorithms {
   def difference(a: String, b: String): String = {
     if (a.endsWith("EMPTY")) return "POLYGON EMPTY"
     if (b.endsWith("EMPTY")) return a
-    if (geomType(a) == "POLYGON" && geomType(b) == "POLYGON") {
+    // MULTIPOLYGON rides the exact subdivision overlay too (r9)
+    if (Seq(a, b).forall(w => geomType(w) == "POLYGON" || geomType(w) == "MULTIPOLYGON")) {
       val ringsA = parseRings(a)
       val ringsB = parseRings(b)
       val outerB = ringsB.head
@@ -642,6 +644,7 @@ object GeoAlgorithms {
     if (a.endsWith("EMPTY") || b.endsWith("EMPTY"))
       throw new IllegalArgumentException("st_relate: EMPTY geometry is not supported")
     def pointy(t: String) = t == "POINT" || t == "MULTIPOINT"
+    def polyish(t: String) = t == "POLYGON" || t == "MULTIPOLYGON"
     (geomType(a), geomType(b)) match {
       // POINT and MULTIPOINT are both finite point SETS (dim 0, empty
       // boundary) — one classification covers all four pairings (r9;
@@ -656,9 +659,10 @@ object GeoAlgorithms {
           if (shared) '0' else 'F', 'F', if (aOnly) '0' else 'F',
           'F', 'F', 'F',
           if (bOnly) '0' else 'F', 'F', '2'))
-      case (ta, "POLYGON") if pointy(ta) =>
+      case (ta, tb) if pointy(ta) && polyish(tb) =>
         // all rings (r9): a hole ring is polygon boundary too, and a
-        // point INSIDE a hole is in the polygon's exterior (even-odd)
+        // point INSIDE a hole is in the polygon's exterior (even-odd;
+        // a MULTIPOLYGON's flat ring list classifies the same way)
         val pts = parseCoords(a).distinct
         val rings = parseRings(b).map(closedRing)
         val cs = pts.map { p =>
@@ -671,7 +675,8 @@ object GeoAlgorithms {
           if (cs.contains('B')) '0' else 'F',
           if (cs.contains('E')) '0' else 'F',
           'F', 'F', 'F', '2', '1', '2'))
-      case ("POLYGON", tb) if pointy(tb) => transposeMatrix(relateMatrix(b, a))
+      case (ta, tb) if polyish(ta) && pointy(tb) =>
+        transposeMatrix(relateMatrix(b, a))
       case (ta, "LINESTRING") if pointy(ta) =>
         // point set vs line (r9): classify each point against the
         // line's interior/boundary; a closed line has no boundary
@@ -727,7 +732,7 @@ object GeoAlgorithms {
         val eiC = if (segsB.exists(e => !keysA.contains(segKey(e)))) '1' else 'F'
         val ebC = if (bb.exists(e => !onLine(pa, e))) '0' else 'F'
         new String(Array(ii, ibC, ieC, biC, bbC, beC, eiC, ebC, '2'))
-      case ("LINESTRING", "POLYGON") =>
+      case ("LINESTRING", tb) if polyish(tb) =>
         // r8: computed exactly for every regime (line along the
         // boundary, endpoint tangency, crossings, holes) — refine the
         // line at its boundary incidences, then classify each
@@ -783,8 +788,9 @@ object GeoAlgorithms {
           '2',
           if (ibSeg && onLen >= perim - 1e-9) 'F' else '1',
           '2'))
-      case ("POLYGON", "LINESTRING") => transposeMatrix(relateMatrix(b, a))
-      case ("POLYGON", "POLYGON") =>
+      case (ta, "LINESTRING") if polyish(ta) =>
+        transposeMatrix(relateMatrix(b, a))
+      case (ta, tb) if polyish(ta) && polyish(tb) =>
         if (equalsGeom(a, b)) return "2FFF1FFF2"
         // r8: exact for ANY simple polygon pair (concave, holed,
         // boundary-tangent) — interior relations decided from the
@@ -900,10 +906,12 @@ object GeoAlgorithms {
   /** Exact interior-intersection area for POLYGON/POLYGON pairs the
     * overlay engine can answer (single-ring or holed, any contact
     * regime since r8); None → caller keeps its envelope fallback. */
-  private def exactIntArea(a: String, b: String): Option[Double] =
-    if (geomType(a) == "POLYGON" && geomType(b) == "POLYGON")
+  private def exactIntArea(a: String, b: String): Option[Double] = {
+    def polyish(t: String) = t == "POLYGON" || t == "MULTIPOLYGON"
+    if (polyish(geomType(a)) && polyish(geomType(b)))
       overlayExact(a, b, "intersection").map(area)
     else None
+  }
 
   /** ST_Overlaps. Exact for polygon pairs since r8 (OGC area/area
     * semantics: interiors intersect, neither contains the other —
@@ -1476,12 +1484,25 @@ object GeoAlgorithms {
     * even-odd classification then hold unchanged with holes. */
   private[functions] def subdivisionOverlay(aRingsIn: Seq[Array[(Double, Double)]],
       bRingsIn: Seq[Array[(Double, Double)]], op: String): Option[String] = {
-    def orient(rings: Seq[Array[(Double, Double)]]): Seq[Array[(Double, Double)]] =
+    // Ring role by containment-depth parity, not list position (r9):
+    // a ring nested inside an EVEN number of the geometry's other
+    // rings is an outer boundary (CCW), odd depth is a hole (CW).
+    // Position-based "first = shell, rest = holes" broke MULTIPOLYGON
+    // inputs, whose later shells are NOT holes; depth parity
+    // reproduces shell/hole for single polygons and generalizes to
+    // disjoint parts and nested islands.
+    def orient(rings: Seq[Array[(Double, Double)]]): Seq[Array[(Double, Double)]] = {
+      val closed = rings.map(closedRing)
       rings.zipWithIndex.map { case (r, i) =>
+        val v = r(0)
+        val depth = closed.zipWithIndex.count { case (r2, j) =>
+          j != i && pointInRing(r2, v._1, v._2)
+        }
         val ccw = signedArea(r) >= 0
-        if (i == 0) { if (ccw) r else r.reverse } // shell CCW
-        else { if (ccw) r.reverse else r }        // holes CW
+        if (depth % 2 == 0) { if (ccw) r else r.reverse } // outer CCW
+        else { if (ccw) r.reverse else r }                // hole CW
       }
+    }
     val aRings = orient(aRingsIn)
     val bRings = orient(bRingsIn)
 
@@ -1645,7 +1666,12 @@ object GeoAlgorithms {
   /** Exact overlay for simple single-ring POLYGON pairs in general
     * position. None → caller's documented fallback applies. */
   private[functions] def overlayExact(a: String, b: String, op: String): Option[String] = {
-    if (geomType(a) != "POLYGON" || geomType(b) != "POLYGON" ||
+    // MULTIPOLYGON accepted since r9: the subdivision overlay's
+    // containment-depth ring orientation + even-odd classification
+    // treat a flat ring list with several outer shells correctly, so
+    // multipart inputs ride the same path as holed polygons.
+    def polyish(t: String) = t == "POLYGON" || t == "MULTIPOLYGON"
+    if (!polyish(geomType(a)) || !polyish(geomType(b)) ||
       a.endsWith("EMPTY") || b.endsWith("EMPTY")) return None
     val ringsA = parseRings(a); val ringsB = parseRings(b)
     if (ringsA.exists(openRing(_).length < 3) ||
@@ -1698,7 +1724,7 @@ object GeoAlgorithms {
   /** Exact ST_SymDifference for the same regime: (A−B) ⊎ (B−A) pooled
     * into one shell/hole assembly. */
   private[functions] def symDifferenceExact(a: String, b: String): Option[String] = {
-    if (geomType(a) != "POLYGON" || geomType(b) != "POLYGON" ||
+    if (!Seq(a, b).forall(w => geomType(w) == "POLYGON" || geomType(w) == "MULTIPOLYGON") ||
       a.endsWith("EMPTY") || b.endsWith("EMPTY")) return None
     val ringsA = parseRings(a); val ringsB = parseRings(b)
     if (ringsA.length != 1 || ringsB.length != 1) {

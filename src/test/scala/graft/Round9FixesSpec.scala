@@ -157,6 +157,25 @@ class Round9FixesSpec extends AnyFunSuite with SparkFixture with Matchers {
     relateMatrix("MULTIPOINT (0 0, 9 9)", line) shouldBe "F00FFF102"
   }
 
+  test("MULTIPOLYGON overlay and relate ride the subdivision engine") {
+    import graft.functions.GeoAlgorithms
+    // two disjoint unit squares vs a rectangle containing only the first
+    val mp = "MULTIPOLYGON (((0 0, 1 0, 1 1, 0 1, 0 0)), ((5 0, 6 0, 6 1, 5 1, 5 0)))"
+    val big = "POLYGON ((-1 -1, 2 -1, 2 2, -1 2, -1 -1))"
+    // exact intersection = just the first part (area 1)
+    val inter = GeoAlgorithms.intersection(mp, big)
+    GeoAlgorithms.area(inter) shouldBe 1.0 +- 1e-9
+    // relate: part1 strictly inside big, part2 disjoint from it
+    relateMatrix(mp, big) shouldBe "2F21F1212"
+    relateMatrix(big, mp) shouldBe "212FF1212" // transpose
+    // multipolygon containing a polygon: B inside part2
+    val b2 = "POLYGON ((5.2 0.2, 5.8 0.2, 5.8 0.8, 5.2 0.8, 5.2 0.2))"
+    relateMatrix(mp, b2) shouldBe "212FF1FF2"
+    // point-set and line regimes against a multipolygon
+    relateMatrix("MULTIPOINT (0.5 0.5, 5.5 0.5, 3 3)", mp) shouldBe "0F0FFF212"
+    relateMatrix("LINESTRING (0.2 0.5, 0.8 0.5)", mp).charAt(0) shouldBe '1'
+  }
+
   test("explain_analyze surfaces actual per-operator runtime metrics") {
     import spark.implicits._
     val orders = spark.read.parquet(s"$sfDir/orders.parquet")
