@@ -633,18 +633,30 @@ object GeoAlgorithms {
   private def transposeMatrix(m: String): String =
     new String(Array(m(0), m(3), m(6), m(1), m(4), m(7), m(2), m(5), m(8)))
 
-  /** ST_Relate's DE-9IM matrix [II IB IE / BI BB BE / EI EB EE] for the
-    * regimes this tier models — point/line pairs in general position,
-    * and since r8 ANY simple polygon pair (concave, holed,
-    * boundary-tangent containment included — interior terms from the
-    * exact subdivision-overlay intersection area, boundary terms from
-    * ring contact dimensions). The canonical matrices are standard OGC
-    * SFS facts. */
+  /** ST_Relate's DE-9IM matrix [II IB IE / BI BB BE / EI EB EE].
+    * Since r9 every pairing of {POINT, MULTIPOINT, LINESTRING,
+    * MULTILINESTRING, POLYGON, MULTIPOLYGON} is computed: point sets
+    * classify per-point, line sets mutually refine with the OGC mod-2
+    * boundary rule, and polygon pairs (concave, holed, multi-part,
+    * boundary-tangent) take interior terms from the exact
+    * subdivision-overlay intersection area and boundary terms from
+    * midpoint classification of each boundary against the other
+    * operand. The canonical matrices are standard OGC SFS facts. */
   def relateMatrix(a: String, b: String): String = {
     if (a.endsWith("EMPTY") || b.endsWith("EMPTY"))
       throw new IllegalArgumentException("st_relate: EMPTY geometry is not supported")
     def pointy(t: String) = t == "POINT" || t == "MULTIPOINT"
     def polyish(t: String) = t == "POLYGON" || t == "MULTIPOLYGON"
+    def liny(t: String) = t == "LINESTRING" || t == "MULTILINESTRING"
+    // one polyline per part (each depth-1 group of a MULTILINESTRING)
+    def lineParts(w: String): Seq[Array[(Double, Double)]] =
+      if (geomType(w) == "LINESTRING") Seq(parseCoords(w)) else parseRings(w)
+    // OGC mod-2 rule: a point is on a (multi)linestring's BOUNDARY
+    // when it terminates an ODD number of parts; closed parts
+    // contribute no boundary, an even-degree junction is interior
+    def mod2Boundary(parts: Seq[Array[(Double, Double)]]): Seq[(Double, Double)] =
+      parts.filter(p => p.head != p.last).flatMap(p => Seq(p.head, p.last))
+        .groupBy(snapKey).values.filter(_.size % 2 == 1).map(_.head).toSeq
     (geomType(a), geomType(b)) match {
       // POINT and MULTIPOINT are both finite point SETS (dim 0, empty
       // boundary) — one classification covers all four pairings (r9;
@@ -677,17 +689,16 @@ object GeoAlgorithms {
           'F', 'F', 'F', '2', '1', '2'))
       case (ta, tb) if polyish(ta) && pointy(tb) =>
         transposeMatrix(relateMatrix(b, a))
-      case (ta, "LINESTRING") if pointy(ta) =>
-        // point set vs line (r9): classify each point against the
-        // line's interior/boundary; a closed line has no boundary
-        // (OGC), open endpoints are its boundary
+      case (ta, tb) if pointy(ta) && liny(tb) =>
+        // point set vs (multi)line (r9): classify each point against
+        // the line set's interior / mod-2 boundary
         val pts = parseCoords(a).distinct
-        val lb = parseCoords(b)
-        val ends = if (lb.head == lb.last) Seq.empty else Seq(lb.head, lb.last)
+        val parts = lineParts(b)
+        val ends = mod2Boundary(parts)
         val cs = pts.map { p =>
           if (ends.exists(e => nearPt(e, p))) 'B'
-          else if ((0 until lb.length - 1).exists(i =>
-            ptOnSeg(p, lb(i), lb(i + 1)))) 'I'
+          else if (parts.exists(lb => (0 until lb.length - 1).exists(i =>
+            ptOnSeg(p, lb(i), lb(i + 1))))) 'I'
           else 'E'
         }
         val eb = if (ends.exists(e => !pts.exists(p => nearPt(e, p)))) '0' else 'F'
@@ -696,56 +707,59 @@ object GeoAlgorithms {
           if (cs.contains('B')) '0' else 'F',
           if (cs.contains('E')) '0' else 'F',
           'F', 'F', 'F', '1', eb, '2'))
-      case ("LINESTRING", tb) if pointy(tb) => transposeMatrix(relateMatrix(b, a))
-      case ("LINESTRING", "LINESTRING") =>
+      case (ta, tb) if liny(ta) && pointy(tb) =>
+        transposeMatrix(relateMatrix(b, a))
+      case (ta, tb) if liny(ta) && liny(tb) =>
         if (equalsGeom(a, b)) return "1FFF0FFF2"
-        // r8: computed for every regime incl. collinear partial overlap
-        // and containment — mutually refine the two polylines, then
-        // derive each matrix cell from shared sub-segments, junction
-        // contacts, and endpoint classifications.
-        val pa = parseCoords(a)
-        val pb = parseCoords(b)
-        def edgesOf(p: Array[(Double, Double)]) =
-          Array.tabulate(p.length - 1)(i => (p(i), p(i + 1)))
-        val segsA = refinePolyline(pa, edgesOf(pb))
-        val segsB = refinePolyline(pb, edgesOf(pa))
+        // r8 (multi-part since r9): computed for every regime incl.
+        // collinear partial overlap and containment — mutually refine
+        // the two polyline SETS, then derive each matrix cell from
+        // shared sub-segments, junction contacts, and mod-2 endpoint
+        // classifications.
+        val partsA = lineParts(a)
+        val partsB = lineParts(b)
+        def edgesOf(ps: Seq[Array[(Double, Double)]]) = ps.toArray.flatMap(p =>
+          Array.tabulate(p.length - 1)(i => (p(i), p(i + 1))))
+        val segsA = partsA.toArray.flatMap(p => refinePolyline(p, edgesOf(partsB)))
+        val segsB = partsB.toArray.flatMap(p => refinePolyline(p, edgesOf(partsA)))
         val keysB = segsB.map(segKey).toSet
         val sharedA = segsA.count(e => keysB.contains(segKey(e)))
-        def onLine(p: Array[(Double, Double)], q: (Double, Double)) =
-          (0 until p.length - 1).exists(i => ptOnSeg(q, p(i), p(i + 1)))
-        // boundaries: endpoint pairs (empty for a closed line, OGC)
-        val ba = if (pa.head == pa.last) Seq.empty else Seq(pa.head, pa.last)
-        val bb = if (pb.head == pb.last) Seq.empty else Seq(pb.head, pb.last)
+        def onLine(ps: Seq[Array[(Double, Double)]], q: (Double, Double)) =
+          ps.exists(p => (0 until p.length - 1).exists(i =>
+            ptOnSeg(q, p(i), p(i + 1))))
+        val ba = mod2Boundary(partsA)
+        val bb = mod2Boundary(partsB)
         def isEndOf(ends: Seq[(Double, Double)], q: (Double, Double)) =
           ends.exists(e => nearPt(e, q))
         // interior-interior point contact: a refined junction of A that
-        // lies on B, excluding both lines' endpoints
+        // lies on B, excluding both line sets' boundary points (a part
+        // head at a flattened-part seam is either boundary — excluded —
+        // or an even-degree junction, which IS interior)
         val iiPoint = (1 until segsA.length).map(segsA(_)._1).exists(j =>
-          !isEndOf(ba, j) && onLine(pb, j) && !isEndOf(bb, j))
+          !isEndOf(ba, j) && onLine(partsB, j) && !isEndOf(bb, j))
         val ii = if (sharedA > 0) '1' else if (iiPoint) '0' else 'F'
-        val ibC = if (bb.exists(e => onLine(pa, e) && !isEndOf(ba, e))) '0' else 'F'
+        val ibC = if (bb.exists(e => onLine(partsA, e) && !isEndOf(ba, e))) '0' else 'F'
         val ieC = if (sharedA < segsA.length) '1' else 'F'
-        val biC = if (ba.exists(e => onLine(pb, e) && !isEndOf(bb, e))) '0' else 'F'
+        val biC = if (ba.exists(e => onLine(partsB, e) && !isEndOf(bb, e))) '0' else 'F'
         val bbC = if (ba.exists(e => isEndOf(bb, e))) '0' else 'F'
-        val beC = if (ba.exists(e => !onLine(pb, e))) '0' else 'F'
+        val beC = if (ba.exists(e => !onLine(partsB, e))) '0' else 'F'
         val keysA = segsA.map(segKey).toSet
         val eiC = if (segsB.exists(e => !keysA.contains(segKey(e)))) '1' else 'F'
-        val ebC = if (bb.exists(e => !onLine(pa, e))) '0' else 'F'
+        val ebC = if (bb.exists(e => !onLine(partsA, e))) '0' else 'F'
         new String(Array(ii, ibC, ieC, biC, bbC, beC, eiC, ebC, '2'))
-      case ("LINESTRING", tb) if polyish(tb) =>
-        // r8: computed exactly for every regime (line along the
-        // boundary, endpoint tangency, crossings, holes) — refine the
-        // line at its boundary incidences, then classify each
-        // sub-segment midpoint and each refined junction against the
-        // polygon's interior/boundary/exterior.
-        val pa = parseCoords(a)
+      case (ta, tb) if liny(ta) && polyish(tb) =>
+        // r8 (multi-part since r9): computed exactly for every regime
+        // (line along the boundary, endpoint tangency, crossings,
+        // holes) — refine each part at its boundary incidences, then
+        // classify each sub-segment midpoint and each refined junction
+        // against the polygon's interior/boundary/exterior.
+        val partsA = lineParts(a)
         val rings = parseRings(b)
         val closed = rings.map(closedRing)
         val polyEdges = rings.toArray.flatMap { r =>
           val o = openRing(r)
           Array.tabulate(o.length)(i => (o(i), o((i + 1) % o.length)))
         }
-        val segs = refinePolyline(pa, polyEdges)
         def onB(p: (Double, Double)) = closed.exists(r => onRingBoundary(r, p))
         def inP(p: (Double, Double)) =
           closed.count(r => pointInRing(r, p._1, p._2)) % 2 == 1
@@ -756,25 +770,34 @@ object GeoAlgorithms {
         // report the whole perimeter covered (EB 'F' instead of '1')
         val onSegLen =
           scala.collection.mutable.Map.empty[((Long, Long), (Long, Long)), Double]
-        for ((s, e) <- segs) {
-          val mid = ((s._1 + e._1) / 2, (s._2 + e._2) / 2)
-          if (onB(mid)) {
-            ibSeg = true
-            onSegLen(segKey((s, e))) = math.hypot(e._1 - s._1, e._2 - s._2)
-          } else if (inP(mid)) ii = true
-          else ie = true
+        for (pa <- partsA) {
+          val segs = refinePolyline(pa, polyEdges)
+          for ((s, e) <- segs) {
+            val mid = ((s._1 + e._1) / 2, (s._2 + e._2) / 2)
+            if (onB(mid)) {
+              ibSeg = true
+              onSegLen(segKey((s, e))) = math.hypot(e._1 - s._1, e._2 - s._2)
+            } else if (inP(mid)) ii = true
+            else ie = true
+          }
+          // refined junctions are line-INTERIOR points; one on the
+          // boundary is a dim-0 contact (a crossing or tangent touch)
+          for (k <- 1 until segs.length)
+            if (onB(segs(k)._1)) ibPt = true
         }
+        // interior vertices not covered by the junction scan: even-
+        // degree part seams and the start vertex of a closed part are
+        // line-interior, so a tangent touch exactly there is IB dim-0
+        val partEnds = partsA.filter(p => p.head != p.last)
+          .flatMap(p => Seq(p.head, p.last))
+        for (grp <- partEnds.groupBy(snapKey).values if grp.size % 2 == 0)
+          if (onB(grp.head)) ibPt = true
+        for (p <- partsA if p.head == p.last)
+          if (onB(p.head)) ibPt = true
         val onLen = onSegLen.values.sum
-        // refined junctions are line-INTERIOR points; one on the
-        // boundary is a dim-0 contact (a crossing or a tangent touch)
-        for (k <- 1 until segs.length)
-          if (onB(segs(k)._1)) ibPt = true
-        // line boundary = its two endpoints; a closed line has none
-        val closedLine = pa.head == pa.last
-        val epCls =
-          if (closedLine) Seq.empty
-          else Seq(pa.head, pa.last).map(p =>
-            if (onB(p)) 'B' else if (inP(p)) 'I' else 'E')
+        // line-set boundary: mod-2 endpoints (a closed part has none)
+        val epCls = mod2Boundary(partsA).map(p =>
+          if (onB(p)) 'B' else if (inP(p)) 'I' else 'E')
         val perim = closed.map(r =>
           (0 until r.length - 1).map(i =>
             math.hypot(r(i + 1)._1 - r(i)._1, r(i + 1)._2 - r(i)._2)).sum).sum
@@ -788,7 +811,7 @@ object GeoAlgorithms {
           '2',
           if (ibSeg && onLen >= perim - 1e-9) 'F' else '1',
           '2'))
-      case (ta, "LINESTRING") if polyish(ta) =>
+      case (ta, tb) if polyish(ta) && liny(tb) =>
         transposeMatrix(relateMatrix(b, a))
       case (ta, tb) if polyish(ta) && polyish(tb) =>
         if (equalsGeom(a, b)) return "2FFF1FFF2"

@@ -176,6 +176,32 @@ class Round9FixesSpec extends AnyFunSuite with SparkFixture with Matchers {
     relateMatrix("LINESTRING (0.2 0.5, 0.8 0.5)", mp).charAt(0) shouldBe '1'
   }
 
+  test("MULTILINESTRING relate: mod-2 boundary and multi-part refinement") {
+    // two parts joined end-to-end: the seam (4 0) ends BOTH parts, so
+    // by the mod-2 rule it is INTERIOR; the line set's boundary is
+    // {(0 0), (4 4)} — against the same path as one LINESTRING the
+    // matrices must agree
+    val ml = "MULTILINESTRING ((0 0, 4 0), (4 0, 4 4))"
+    val sl = "LINESTRING (0 0, 4 0, 4 4)"
+    relateMatrix(ml, sl) shouldBe "1FFF0FFF2" // equal as point sets
+    relateMatrix(sl, ml) shouldBe "1FFF0FFF2"
+    // point at the seam is line-INTERIOR, not boundary
+    relateMatrix("POINT (4 0)", ml) shouldBe "0FFFFF102"
+    // point at a true end is boundary
+    relateMatrix("POINT (4 4)", ml) shouldBe "F0FFFF102"
+    // crossing line vs multi-part
+    relateMatrix("LINESTRING (2 -1, 2 1)", ml) shouldBe
+      relateMatrix("LINESTRING (2 -1, 2 1)", sl)
+    // multilinestring vs polygon: one part inside, one outside
+    val poly = "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))"
+    val ml2 = "MULTILINESTRING ((1 1, 2 2), (20 20, 30 30))"
+    val m = relateMatrix(ml2, poly)
+    m.charAt(0) shouldBe '1' // II: first part inside
+    m.charAt(2) shouldBe '1' // IE: second part outside
+    m.charAt(3) shouldBe '0' // BI: endpoints (1 1),(2 2) in interior
+    m.charAt(5) shouldBe '0' // BE: endpoints (20 20),(30 30) outside
+  }
+
   test("explain_analyze surfaces actual per-operator runtime metrics") {
     import spark.implicits._
     val orders = spark.read.parquet(s"$sfDir/orders.parquet")
