@@ -528,6 +528,57 @@ object Spatial extends QueryGroup {
              |  '1010FF212' AS rel_line_donut_cross
              |FROM region ORDER BY r""".stripMargin)),
 
+    // MULTI*-operand DE-9IM + exact multipart overlay (r9): relate and
+    // intersection accept MULTIPOLYGON / MULTILINESTRING / MULTIPOINT
+    // through the same subdivision engine (containment-depth ring
+    // orientation; polyline sets under the OGC mod-2 boundary rule).
+    // Every matrix below is a hand-derived OGC SFS fact.
+    "fn_st_relate_multi" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val mp = "MULTIPOLYGON (((0 0, 1 0, 1 1, 0 1, 0 0)), " +
+          "((5 0, 6 0, 6 1, 5 1, 5 0)))"
+        val big = "POLYGON ((-1 -1, 2 -1, 2 2, -1 2, -1 -1))"
+        val ml = "MULTILINESTRING ((0 0, 4 0), (4 0, 4 4))"
+        Tables.region(s, dir)
+          .select($"r_regionkey".as("r"))
+          .select($"r",
+            expr(s"st_relate('$mp', '$big')").as("rel_mp_one_part_in"),
+            expr(s"st_relate('$big', '$mp')").as("rel_mp_transposed"),
+            expr(s"""st_relate('$mp',
+              |'POLYGON ((5.2 0.2, 5.8 0.2, 5.8 0.8, 5.2 0.8, 5.2 0.2))')""".stripMargin)
+              .as("rel_mp_contains_poly"),
+            expr(s"st_relate('MULTIPOINT (0.5 0.5, 5.5 0.5, 3 3)', '$mp')")
+              .as("rel_mpt_vs_mp"),
+            expr("""st_relate('MULTIPOINT (1 1, 2 2)',
+              |'MULTIPOINT (2 2, 3 3)')""".stripMargin)
+              .as("rel_mpt_sets"),
+            expr(s"st_relate('$ml', 'LINESTRING (0 0, 4 0, 4 4)')")
+              .as("rel_ml_equal_path"),
+            expr(s"st_relate('POINT (4 0)', '$ml')")
+              .as("rel_pt_at_seam"),
+            expr(s"st_relate('MULTILINESTRING ((0 0, 2 0))', '$ml')")
+              .as("rel_ml_sub_path"),
+            expr("""st_relate('MULTILINESTRING ((1 1, 2 2), (20 20, 30 30))',
+              |'POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))')""".stripMargin)
+              .as("rel_ml_split_in_out"),
+            round(expr(s"st_area(st_intersection('$mp', '$big'))"), 6)
+              .as("mp_exact_int_area"))
+          .orderBy($"r")
+      },
+      Some("""SELECT r_regionkey AS r,
+             |  '2F21F1212' AS rel_mp_one_part_in,
+             |  '212FF1212' AS rel_mp_transposed,
+             |  '212FF1FF2' AS rel_mp_contains_poly,
+             |  '0F0FFF212' AS rel_mpt_vs_mp,
+             |  '0F0FFF0F2' AS rel_mpt_sets,
+             |  '1FFF0FFF2' AS rel_ml_equal_path,
+             |  '0FFFFF102' AS rel_pt_at_seam,
+             |  '1FF00F102' AS rel_ml_sub_path,
+             |  '1F10F0212' AS rel_ml_split_in_out,
+             |  1.0 AS mp_exact_int_area
+             |FROM region ORDER BY r""".stripMargin)),
+
     // Constructive geometry tier: buffer, convex hull, bbox
     // union/intersection — every value checked against a closed form.
     "fn_geo_tier3" -> QueryDef(

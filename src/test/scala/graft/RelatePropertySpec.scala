@@ -96,4 +96,26 @@ class RelatePropertySpec extends AnyFunSuite with Matchers {
       checkPair(s"LINESTRING (${v._1} ${v._2}, ${w._1} ${w._2})", p)
     }
   }
+
+  test("multi-geometry pairs: transpose identity + legal cells") {
+    def multiPoly(i: Int): String = {
+      // two disjoint convex parts (x-offset separates them)
+      def shift(w: String, dx: Double) =
+        "(" + GeoAlgorithms.parseCoords(w)
+          .map(p => s"${p._1 + dx} ${p._2}").mkString(", ") + ")"
+      s"MULTIPOLYGON ((${shift(convexPoly(i), 0)}), (${shift(convexPoly(i + 50), 40)}))"
+    }
+    def multiLine(i: Int): String =
+      s"MULTILINESTRING ((${GeoAlgorithms.parseCoords(randLine(i)).map(p => s"${p._1} ${p._2}").mkString(", ")}), " +
+        s"(${GeoAlgorithms.parseCoords(randLine(i + 60)).map(p => s"${p._1} ${p._2}").mkString(", ")}))"
+    def multiPoint(i: Int): String =
+      s"MULTIPOINT (${(0 to 2).map(k => randPoint(i * 3 + k).stripPrefix("POINT (").stripSuffix(")")).mkString(", ")})"
+    for (i <- 1 to 12) {
+      checkPair(multiPoly(i), convexPoly(i + 500))
+      checkPair(multiLine(i), convexPoly(i + 600))
+      checkPair(multiLine(i), randLine(i + 700))
+      checkPair(multiPoint(i), multiPoly(i + 7))
+      checkPair(multiPoint(i), multiLine(i + 13))
+    }
+  }
 }
