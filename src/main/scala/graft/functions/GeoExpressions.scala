@@ -363,8 +363,33 @@ object GeoAlgorithms {
     * strictly outside. Point/point and polygon/polygon pairs can
     * never satisfy the dimension rule
     * (dim(intersection) < max(dim a, dim b)) in these regimes. */
+  /** Topological dimension of a WKT type. */
+  private def dimOf(t: String): Int = t match {
+    case "POINT" | "MULTIPOINT" => 0
+    case "LINESTRING" | "MULTILINESTRING" => 1
+    case _ => 2
+  }
+
+  /** relateMatrix where the regime is supported, None otherwise — the
+    * boolean predicates (r9) decide from the exact DE-9IM matrix first
+    * and keep their documented envelope-scope fallbacks only for
+    * regimes relate cannot answer (e.g. GEOMETRYCOLLECTION, degenerate
+    * non-simple polygons). */
+  private def tryRelate(a: String, b: String): Option[String] =
+    try Some(relateMatrix(a, b)) catch { case _: Exception => None }
+
   def crosses(a: String, b: String): Boolean = {
     if (a.endsWith("EMPTY") || b.endsWith("EMPTY")) return false
+    // OGC: dim(a)<dim(b) → "T*T******"; dim(a)>dim(b) → "T*****T**";
+    // two lines → "0********"; equal dims 0/2 never cross
+    tryRelate(a, b) match {
+      case Some(m) =>
+        val da = dimOf(geomType(a)); val db = dimOf(geomType(b))
+        return if (da < db) m(0) != 'F' && m(2) != 'F'
+        else if (da > db) m(0) != 'F' && m(6) != 'F'
+        else da == 1 && m(0) == '0'
+      case None =>
+    }
     (geomType(a), geomType(b)) match {
       case ("LINESTRING", "LINESTRING") =>
         val pa = parseCoords(a); val pb = parseCoords(b)
@@ -942,6 +967,15 @@ object GeoAlgorithms {
     * otherwise. */
   def overlaps(a: String, b: String): Boolean = {
     if (a.endsWith("EMPTY") || b.endsWith("EMPTY")) return false
+    // OGC: equal dims only; "T*T***T**" (dim 0/2) / "1*T***T**" (lines)
+    tryRelate(a, b) match {
+      case Some(m) =>
+        val da = dimOf(geomType(a)); val db = dimOf(geomType(b))
+        return da == db &&
+          (if (da == 1) m(0) == '1' else m(0) != 'F') &&
+          m(2) != 'F' && m(6) != 'F'
+      case None =>
+    }
     exactIntArea(a, b) match {
       case Some(ia) =>
         val tol = 1e-12 * math.max(1.0, math.max(area(a), area(b)))
@@ -962,6 +996,13 @@ object GeoAlgorithms {
     * is empty); envelope-scope otherwise. */
   def touches(a: String, b: String): Boolean = {
     if (a.endsWith("EMPTY") || b.endsWith("EMPTY")) return false
+    // OGC: interiors disjoint, boundaries meet — "FT*******" |
+    // "F**T*****" | "F***T****"
+    tryRelate(a, b) match {
+      case Some(m) =>
+        return m(0) == 'F' && (m(1) != 'F' || m(3) != 'F' || m(4) != 'F')
+      case None =>
+    }
     exactIntArea(a, b) match {
       case Some(ia) =>
         val tol = 1e-12 * math.max(1.0, math.max(area(a), area(b)))
