@@ -311,6 +311,22 @@ object GeoAlgorithms {
     containsPoint(polyWkt, p(0)._1, p(0)._2)
   }
 
+  /** ST_Contains for ANY supported operand pair (r9). POINT right
+    * operands keep the ray-cast fast path — it is the spatial-join
+    * hot path and containsPoint is branch-free per edge; every other
+    * regime decides the OGC pattern "T*****FF*" from the exact DE-9IM
+    * matrix (reference GeoFunctions.java stContains delegates the
+    * same way to its relate operator). Previously non-point right
+    * operands were silently reduced to their first vertex. */
+  def containsGeom(a: String, b: String): Boolean = {
+    if (a.endsWith("EMPTY") || b.endsWith("EMPTY")) return false
+    if (geomType(b) == "POINT") return containsPointWkt(a, b)
+    tryRelate(a, b) match {
+      case Some(m) => m(0) != 'F' && m(6) == 'F' && m(7) == 'F'
+      case None => containsPointWkt(a, b) // legacy first-vertex approximation
+    }
+  }
+
   // --- topology / overlay / serialization tier -----------------------
 
   /** True when segments (p1,p2) and (p3,p4) properly cross (strict
@@ -1924,13 +1940,12 @@ case class StContains(left: Expression, right: Expression)
   extends BinaryExpression {
   override def dataType: DataType = BooleanType
   override def prettyName: String = "st_contains"
-  override def nullSafeEval(poly: Any, pt: Any): Any = {
-    val p = GeoAlgorithms.parseCoords(pt.asInstanceOf[UTF8String].toString)
-    GeoAlgorithms.containsPoint(poly.asInstanceOf[UTF8String].toString, p(0)._1, p(0)._2)
-  }
+  override def nullSafeEval(poly: Any, pt: Any): Any =
+    GeoAlgorithms.containsGeom(poly.asInstanceOf[UTF8String].toString,
+      pt.asInstanceOf[UTF8String].toString)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, (poly, pt) =>
-      s"graft.functions.GeoAlgorithms.containsPointWkt($poly.toString(), $pt.toString())")
+      s"graft.functions.GeoAlgorithms.containsGeom($poly.toString(), $pt.toString())")
   override protected def withNewChildrenInternal(l: Expression, r: Expression): StContains =
     copy(left = l, right = r)
 }

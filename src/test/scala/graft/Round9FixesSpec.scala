@@ -202,6 +202,28 @@ class Round9FixesSpec extends AnyFunSuite with SparkFixture with Matchers {
     m.charAt(5) shouldBe '0' // BE: endpoints (20 20),(30 30) outside
   }
 
+  test("st_contains with non-point operands uses the full geometry") {
+    import graft.functions.GeoAlgorithms.containsGeom
+    val poly = "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))"
+    // a line whose FIRST vertex is inside but which exits the polygon —
+    // the old first-vertex reduction would say contained
+    containsGeom(poly, "LINESTRING (1 1, 20 1)") shouldBe false
+    containsGeom(poly, "LINESTRING (1 1, 9 9)") shouldBe true
+    // line on the boundary only: no interior intersection → false
+    containsGeom(poly, "LINESTRING (0 0, 10 0)") shouldBe false
+    // polygon operands
+    containsGeom(poly, "POLYGON ((2 2, 4 2, 4 4, 2 4, 2 2))") shouldBe true
+    containsGeom(poly, "POLYGON ((8 8, 12 8, 12 12, 8 12, 8 8))") shouldBe false
+    // multi operands
+    containsGeom(poly,
+      "MULTIPOINT (1 1, 9 9)") shouldBe true
+    containsGeom(poly,
+      "MULTIPOINT (1 1, 11 11)") shouldBe false
+    // point fast path unchanged
+    containsGeom(poly, "POINT (5 5)") shouldBe true
+    containsGeom(poly, "POINT (15 5)") shouldBe false
+  }
+
   test("explain_analyze surfaces actual per-operator runtime metrics") {
     import spark.implicits._
     val orders = spark.read.parquet(s"$sfDir/orders.parquet")
