@@ -106,10 +106,21 @@ object MemoryFilterEval {
       else Some(CatalystTypeConverters.createToScalaConverter(schema(i).dataType)
         .apply(row.get(i, schema(i).dataType)))
     }
+    def isIntegral(n: Number): Boolean = n match {
+      case _: java.lang.Byte | _: java.lang.Short | _: java.lang.Integer |
+           _: java.lang.Long => true
+      case _ => false
+    }
+    def toExact(n: Number): java.math.BigDecimal = n match {
+      case d: java.math.BigDecimal => d
+      case n if isIntegral(n) => java.math.BigDecimal.valueOf(n.longValue())
+      // doubleValue on a >2^53 long would silently round; only floats reach here.
+      case n => java.math.BigDecimal.valueOf(n.doubleValue())
+    }
     def cmp(a: Any, b: Any): Int = (a, b) match {
-      case (x: Number, y: Number) =>
-        java.math.BigDecimal.valueOf(x.doubleValue())
-          .compareTo(java.math.BigDecimal.valueOf(y.doubleValue()))
+      case (x: Number, y: Number) if isIntegral(x) && isIntegral(y) =>
+        java.lang.Long.compare(x.longValue(), y.longValue())
+      case (x: Number, y: Number) => toExact(x).compareTo(toExact(y))
       case (x: String, y: String) => x.compareTo(y)
       case (x: java.sql.Date, y: java.sql.Date) => x.compareTo(y)
       case (x: java.sql.Timestamp, y: java.sql.Timestamp) => x.compareTo(y)
@@ -143,7 +154,14 @@ object MemoryFilterEval {
       case GreaterThanOrEqual(a, v) => binary(a, v)(_ >= 0)
       case LessThan(a, v) => binary(a, v)(_ < 0)
       case LessThanOrEqual(a, v) => binary(a, v)(_ <= 0)
-      case In(a, vs) => valueOf(a).map(x => vs.exists(v => v != null && cmp(x, v) == 0))
+      // SQL IN three-valued logic: a non-null probe with no match is FALSE
+      // only when the list has no NULLs; with a NULL present the verdict is
+      // NULL, so Not(In(...)) must not delete the row (x NOT IN (1, NULL)).
+      case In(a, vs) => valueOf(a).flatMap { x =>
+        if (vs.exists(v => v != null && cmp(x, v) == 0)) Some(true)
+        else if (vs.contains(null)) None
+        else Some(false)
+      }
       case IsNull(a) => Some(valueOf(a).isEmpty)
       case IsNotNull(a) => Some(valueOf(a).nonEmpty)
       case StringStartsWith(a, p) =>

@@ -117,6 +117,35 @@ class MemorySourceSpec extends AnyFunSuite with SparkFixture with Matchers {
     spark.sql(s"DROP TABLE $t")
   }
 
+  test("DELETE NOT IN with a NULL in the list deletes nothing (NULL verdict)") {
+    import spark.implicits._
+    val t = "graft_mem_cat.default.del_notin_null"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    Seq(1L, 2L, 3L).toDF("id").writeTo(t).create()
+    // id NOT IN (1, NULL) is NULL for ids 2 and 3 (and FALSE for 1), so
+    // every row must survive — Not(In) over a NULL-bearing list is never TRUE.
+    spark.sql(s"DELETE FROM $t WHERE id NOT IN (1, NULL)")
+    spark.table(t).count() shouldBe 3
+    // without the NULL the non-members are definitively deleted
+    spark.sql(s"DELETE FROM $t WHERE id NOT IN (1)")
+    spark.table(t).select("id").as[Long].collect().toSeq shouldBe Seq(1L)
+    spark.sql(s"DROP TABLE $t")
+  }
+
+  test("DELETE compares bigints above 2^53 exactly") {
+    import spark.implicits._
+    val t = "graft_mem_cat.default.del_bigid"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    val base = 1L << 53 // 9007199254740992; +1 is not representable as a double
+    Seq(base, base + 1, base + 2).toDF("id").writeTo(t).create()
+    spark.sql(s"DELETE FROM $t WHERE id = ${base + 1}")
+    spark.table(t).select("id").as[Long].collect().sorted.toSeq shouldBe
+      Seq(base, base + 2)
+    spark.sql(s"DELETE FROM $t WHERE id > ${base + 1}")
+    spark.table(t).select("id").as[Long].collect().toSeq shouldBe Seq(base)
+    spark.sql(s"DROP TABLE $t")
+  }
+
   test("catalog lists, renames, and drops tables") {
     import spark.implicits._
     val ns = "graft_mem_cat.default"
