@@ -311,20 +311,86 @@ object GeoAlgorithms {
     containsPoint(polyWkt, p(0)._1, p(0)._2)
   }
 
+  /** Top-level member WKTs of a GEOMETRYCOLLECTION (split at depth-0
+    * commas; members keep their own type keyword). */
+  private[functions] def collectionMembers(wkt: String): Seq[String] = {
+    val body = wkt.trim.stripPrefix("GEOMETRYCOLLECTION").trim
+    if (body == "EMPTY") return Seq.empty
+    val inner = body.stripPrefix("(").stripSuffix(")")
+    val out = Seq.newBuilder[String]
+    var depth = 0; var start = 0
+    var i = 0
+    while (i < inner.length) {
+      inner.charAt(i) match {
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case ',' if depth == 0 =>
+          out += inner.substring(start, i).trim; start = i + 1
+        case _ =>
+      }
+      i += 1
+    }
+    out += inner.substring(start).trim
+    out.result().filter(_.nonEmpty)
+  }
+
+  /** Flatten nested collections to their simple-geometry members. */
+  private[functions] def flattenCollection(wkt: String): Seq[String] =
+    if (geomType(wkt) != "GEOMETRYCOLLECTION") Seq(wkt)
+    else collectionMembers(wkt).flatMap(flattenCollection)
+
   /** ST_Contains for ANY supported operand pair (r9). POINT right
     * operands keep the ray-cast fast path — it is the spatial-join
     * hot path and containsPoint is branch-free per edge; every other
     * regime decides the OGC pattern "T*****FF*" from the exact DE-9IM
     * matrix (reference GeoFunctions.java stContains delegates the
-    * same way to its relate operator). Previously non-point right
-    * operands were silently reduced to their first vertex. */
+    * same way to its relate operator). GEOMETRYCOLLECTION operands
+    * (r10) decompose to their members; regimes the matrix cannot
+    * answer RAISE — the pre-r10 first-vertex fallback could silently
+    * return true for a geometry that is not contained. */
   def containsGeom(a: String, b: String): Boolean = {
     if (a.endsWith("EMPTY") || b.endsWith("EMPTY")) return false
+    if (geomType(a) == "GEOMETRYCOLLECTION" || geomType(b) == "GEOMETRYCOLLECTION")
+      return containsCollection(a, b)
     if (geomType(b) == "POINT") return containsPointWkt(a, b)
     tryRelate(a, b) match {
       case Some(m) => m(0) != 'F' && m(6) == 'F' && m(7) == 'F'
-      case None => containsPointWkt(a, b) // legacy first-vertex approximation
+      case None => throw new IllegalArgumentException(
+        s"st_contains: unsupported geometry regime " +
+          s"(${geomType(a)}, ${geomType(b)})")
     }
+  }
+
+  /** st_contains with a GEOMETRYCOLLECTION on either side, by member
+    * decomposition. Right collection: contained iff every member avoids
+    * A's exterior (EI and EB cells both F) and some member's interior
+    * meets A's interior. Left collection: a single member containing B
+    * decides true; B meeting no member (or exactly one, which was just
+    * shown not to contain it) decides false; B spanning several
+    * members raises — the union's interior is not derivable from
+    * per-member matrices, and a guess would be a silent wrong answer. */
+  private def containsCollection(a: String, b: String): Boolean = {
+    if (geomType(b) == "GEOMETRYCOLLECTION") {
+      val ms = flattenCollection(b).filterNot(_.endsWith("EMPTY"))
+      if (ms.isEmpty) return false
+      if (geomType(a) == "GEOMETRYCOLLECTION")
+        return ms.forall(m => containsGeom(a, m)) // recurses into left-collection case
+      def rel(m: String) = relateMatrix(a, m)
+      return ms.forall { m => val r = rel(m); r(6) == 'F' && r(7) == 'F' } &&
+        ms.exists(m => rel(m)(0) != 'F')
+    }
+    val ms = flattenCollection(a).filterNot(_.endsWith("EMPTY"))
+    if (ms.exists(m => containsGeom(m, b))) return true
+    def envTouches(m: String): Boolean =
+      (envelopeOpt(m), envelopeOpt(b)) match {
+        case (Some((ax0, ay0, ax1, ay1)), Some((bx0, by0, bx1, by1))) =>
+          ax0 <= bx1 && bx0 <= ax1 && ay0 <= by1 && by0 <= ay1
+        case _ => false
+      }
+    if (ms.count(envTouches) <= 1) false
+    else throw new IllegalArgumentException(
+      "st_contains: GEOMETRYCOLLECTION left operand whose members jointly " +
+        "cover the right operand is not supported")
   }
 
   // --- topology / overlay / serialization tier -----------------------
@@ -695,8 +761,11 @@ object GeoAlgorithms {
     // OGC mod-2 rule: a point is on a (multi)linestring's BOUNDARY
     // when it terminates an ODD number of parts; closed parts
     // contribute no boundary, an even-degree junction is interior
+    // closedness is eps-tolerant like the rest of the tier (r10 ADVICE):
+    // a part closed only to within computed-coordinate rounding must
+    // not grow phantom boundary points
     def mod2Boundary(parts: Seq[Array[(Double, Double)]]): Seq[(Double, Double)] =
-      parts.filter(p => p.head != p.last).flatMap(p => Seq(p.head, p.last))
+      parts.filter(p => !nearPt(p.head, p.last)).flatMap(p => Seq(p.head, p.last))
         .groupBy(snapKey).values.filter(_.size % 2 == 1).map(_.head).toSeq
     (geomType(a), geomType(b)) match {
       // POINT and MULTIPOINT are both finite point SETS (dim 0, empty
@@ -829,11 +898,11 @@ object GeoAlgorithms {
         // interior vertices not covered by the junction scan: even-
         // degree part seams and the start vertex of a closed part are
         // line-interior, so a tangent touch exactly there is IB dim-0
-        val partEnds = partsA.filter(p => p.head != p.last)
+        val partEnds = partsA.filter(p => !nearPt(p.head, p.last))
           .flatMap(p => Seq(p.head, p.last))
         for (grp <- partEnds.groupBy(snapKey).values if grp.size % 2 == 0)
           if (onB(grp.head)) ibPt = true
-        for (p <- partsA if p.head == p.last)
+        for (p <- partsA if nearPt(p.head, p.last))
           if (onB(p.head)) ibPt = true
         val onLen = onSegLen.values.sum
         // line-set boundary: mod-2 endpoints (a closed part has none)
@@ -1574,10 +1643,19 @@ object GeoAlgorithms {
     def orient(rings: Seq[Array[(Double, Double)]]): Seq[Array[(Double, Double)]] = {
       val closed = rings.map(closedRing)
       rings.zipWithIndex.map { case (r, i) =>
-        val v = r(0)
-        val depth = closed.zipWithIndex.count { case (r2, j) =>
-          j != i && pointInRing(r2, v._1, v._2)
-        }
+        val others = closed.zipWithIndex.collect { case (r2, j) if j != i => r2 }
+        // Depth parity must be probed OFF other rings' boundaries (r10
+        // ADVICE): pointInRing is unspecified exactly on an edge, so a
+        // hole tangent to its shell at the probe vertex could be
+        // mis-oriented. Try the ring's vertices, then edge midpoints —
+        // rings of a valid input don't cross, so any incidence-free
+        // point of r carries the ring's true depth.
+        val v = (r.iterator ++ r.indices.iterator.map { k =>
+          val s = r(k); val e = r((k + 1) % r.length)
+          ((s._1 + e._1) / 2, (s._2 + e._2) / 2)
+        }).find(p => !others.exists(o => onRingBoundary(o, p)))
+          .getOrElse(r(0))
+        val depth = others.count(o => pointInRing(o, v._1, v._2))
         val ccw = signedArea(r) >= 0
         if (depth % 2 == 0) { if (ccw) r else r.reverse } // outer CCW
         else { if (ccw) r.reverse else r }                // hole CW
@@ -1597,9 +1675,17 @@ object GeoAlgorithms {
     def canon(p: (Double, Double)): (Double, Double) =
       reps.getOrElseUpdate(snapKey(p), p)
 
-    val aEdges = aRings.toArray.flatMap(r => refineRing(r, bRawEdges))
+    // refine BOTH subdivisions against the union of all edges (r10):
+    // refining each side only against the other polygon missed splits
+    // where a ring is incident on its OWN geometry's other rings — e.g.
+    // a hole tangent to the shell at a vertex: the other polygon's
+    // coincident shell edge got split there but this one's didn't, so
+    // the shared-edge keys disagreed and stitching failed. Self-edges
+    // are harmless: splitSegInto only inserts strictly interior cuts.
+    val allRawEdges = aRawEdges ++ bRawEdges
+    val aEdges = aRings.toArray.flatMap(r => refineRing(r, allRawEdges))
       .map { case (s, e) => (canon(s), canon(e)) }
-    val bEdges = bRings.toArray.flatMap(r => refineRing(r, aRawEdges))
+    val bEdges = bRings.toArray.flatMap(r => refineRing(r, allRawEdges))
       .map { case (s, e) => (canon(s), canon(e)) }
 
     // undirected edge key → direction, for shared-edge detection

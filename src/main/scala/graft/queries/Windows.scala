@@ -51,8 +51,9 @@ object Windows extends QueryGroup {
     // order within the partition — value-function results would then
     // depend on file/scan order (the one red row in the r8 sf1 gate).
     // (l_linenumber, l_quantity, l_extendedprice) is verified unique
-    // per order at every SF (WindowDeterminismSpec), and DeriveSf1's
-    // key-offset replication preserves per-replica uniqueness.
+    // per order at every SF (Round9FixesSpec's determinism tests), and
+    // DeriveSf1's key-offset replication preserves per-replica
+    // uniqueness.
     "window_value" -> QueryDef(
       (s, dir) => {
         import s.implicits._
