@@ -1,0 +1,840 @@
+package graft.functions
+
+/** Snowball stemmers for German, French, Spanish, Portuguese, and
+  * Italian, implemented from the published algorithm descriptions
+  * (snowballstem.org / M.F. Porter). Backs the 2-arg `word_stem` —
+  * the reference dispatches ~20 Snowball stemmers by 2-letter code
+  * (presto-main/.../scalar/WordStemFunction.java:48-76); these five
+  * cover its own non-English test vectors
+  * (TestWordStemFunction.java:39-43), every one of which is
+  * reproduced here (see SnowballStemmerSpec's 160-vector table).
+  *
+  * Shared machinery: R1 = region after the first non-vowel following
+  * a vowel; R2 = the same, starting from R1; RV per language. All
+  * region marks are ABSOLUTE positions computed once up front (after
+  * the prelude) — suffix conditions compare start offsets against
+  * them, exactly like the Snowball runtime's integer marks. Suffix
+  * tables use longest-match-wins with NO fallthrough: the longest
+  * matching suffix is chosen first and its condition tested once.
+  */
+object SnowballStemmers {
+
+  private def regionAfter(w: String, start: Int, isV: Char => Boolean): Int = {
+    var i = start
+    while (i < w.length && !isV(w.charAt(i))) i += 1
+    while (i < w.length && isV(w.charAt(i))) i += 1
+    if (i < w.length) i + 1 else w.length
+  }
+
+  /** RV for Spanish/Portuguese/Italian: second letter consonant → after
+    * the next vowel; first two letters vowels → after the next
+    * consonant; consonant-vowel → after the third letter. */
+  private def rvRomance(w: String, isV: Char => Boolean): Int = {
+    val n = w.length
+    if (n < 3) return n
+    if (!isV(w.charAt(1))) {
+      var i = 2
+      while (i < n && !isV(w.charAt(i))) i += 1
+      if (i < n) i + 1 else n
+    } else if (isV(w.charAt(0))) {
+      var i = 2
+      while (i < n && isV(w.charAt(i))) i += 1
+      if (i < n) i + 1 else n
+    } else 3
+  }
+
+  /** First (longest) suffix of `w` from `sufs`, which MUST be sorted by
+    * length descending. */
+  private def longest(w: String, sufs: Seq[String]): Option[String] =
+    sufs.find(w.endsWith)
+
+  private def byLen(ss: String*): Seq[String] = ss.sortBy(-_.length)
+
+  // ===================================================================
+  // German
+  // ===================================================================
+  object German {
+    private val vowels = "aeiouyäöü"
+    private def isV(c: Char) = vowels.indexOf(c) >= 0
+    private val sEnding = "bdfghklmnrt"
+    private val stEnding = "bdfghklmnt"
+    private val step1 = byLen("ern", "em", "er", "en", "es", "e", "s")
+    private val step2 = byLen("est", "en", "er", "st")
+    private val step3 = byLen("isch", "lich", "heit", "keit", "end", "ung", "ig", "ik")
+
+    def stem(input: String): String = {
+      var w = input.replace("ß", "ss")
+      val sb = new java.lang.StringBuilder(w)
+      var i = 1
+      while (i < sb.length - 1) {
+        val c = sb.charAt(i)
+        if ((c == 'u' || c == 'y') && isV(sb.charAt(i - 1)) && isV(sb.charAt(i + 1)))
+          sb.setCharAt(i, Character.toUpperCase(c))
+        i += 1
+      }
+      w = sb.toString
+      val r1raw = regionAfter(w, 0, isV)
+      val r1 = math.max(r1raw, 3) // region before R1 must hold >= 3 letters
+      val r2 = regionAfter(w, r1raw, isV)
+
+      // step 1
+      longest(w, step1) match {
+        case Some("s") =>
+          val st = w.length - 1
+          if (st >= r1 && st >= 1 && sEnding.indexOf(w.charAt(st - 1)) >= 0)
+            w = w.substring(0, st)
+        case Some(s) =>
+          val st = w.length - s.length
+          if (st >= r1) {
+            w = w.substring(0, st)
+            // group (b) e/en/es: an ending preceded by niss loses the
+            // double s too (bedürfnissen → bedürfnis)
+            if ((s == "e" || s == "en" || s == "es") && w.endsWith("niss"))
+              w = w.substring(0, w.length - 1)
+          }
+        case None =>
+      }
+      // step 2
+      longest(w, step2) match {
+        case Some("st") =>
+          val st = w.length - 2
+          if (st >= r1 && st >= 4 && stEnding.indexOf(w.charAt(st - 1)) >= 0)
+            w = w.substring(0, st)
+        case Some(s) =>
+          val st = w.length - s.length
+          if (st >= r1) w = w.substring(0, st)
+        case None =>
+      }
+      // step 3 (d-suffixes)
+      longest(w, step3) match {
+        case Some(s @ ("end" | "ung")) =>
+          val st = w.length - s.length
+          if (st >= r2) {
+            w = w.substring(0, st)
+            if (w.endsWith("ig") && w.length - 2 >= r2 &&
+              (w.length < 3 || w.charAt(w.length - 3) != 'e'))
+              w = w.substring(0, w.length - 2)
+          }
+        case Some(s @ ("ig" | "ik" | "isch")) =>
+          val st = w.length - s.length
+          if (st >= r2 && (st == 0 || w.charAt(st - 1) != 'e'))
+            w = w.substring(0, st)
+        case Some(s @ ("lich" | "heit")) =>
+          val st = w.length - s.length
+          if (st >= r2) {
+            w = w.substring(0, st)
+            if ((w.endsWith("er") || w.endsWith("en")) && w.length - 2 >= r1)
+              w = w.substring(0, w.length - 2)
+          }
+        case Some("keit") =>
+          val st = w.length - 4
+          if (st >= r2) {
+            w = w.substring(0, st)
+            if (w.endsWith("lich") && w.length - 4 >= r2)
+              w = w.substring(0, w.length - 4)
+            else if (w.endsWith("ig") && w.length - 2 >= r2)
+              w = w.substring(0, w.length - 2)
+          }
+        case _ =>
+      }
+      w.replace('U', 'u').replace('Y', 'y')
+        .replace('ä', 'a').replace('ö', 'o').replace('ü', 'u')
+    }
+  }
+
+  // ===================================================================
+  // Spanish
+  // ===================================================================
+  object Spanish {
+    private val vowels = "aeiouáéíóúü"
+    private def isV(c: Char) = vowels.indexOf(c) >= 0
+
+    private val pronouns = byLen("me", "se", "sela", "selo", "selas", "selos",
+      "la", "le", "lo", "las", "les", "los", "nos")
+    private val pre0a = byLen("iéndo", "ándo", "ár", "ér", "ír")
+    private val pre0b = byLen("ando", "iendo", "ar", "er", "ir")
+
+    private val g1a = byLen("anza", "anzas", "ico", "ica", "icos", "icas",
+      "ismo", "ismos", "able", "ables", "ible", "ibles", "ista", "istas",
+      "oso", "osa", "osos", "osas", "amiento", "amientos", "imiento", "imientos")
+    private val g1b = byLen("adora", "ador", "ación", "adoras", "adores",
+      "aciones", "ante", "antes", "ancia", "ancias")
+    private val step1All = byLen((g1a ++ g1b ++ Seq("logía", "logías",
+      "ución", "uciones", "encia", "encias", "amente", "mente", "idad",
+      "idades", "iva", "ivo", "ivas", "ivos")): _*)
+
+    private val step2a = byLen("ya", "ye", "yan", "yen", "yeron", "yendo",
+      "yo", "yó", "yas", "yes", "yais", "yamos")
+    private val step2bGu = byLen("en", "es", "éis", "emos")
+    private val step2b = byLen("arían", "arías", "arán", "arás", "aríais",
+      "aría", "aréis", "aríamos", "aremos", "ará", "aré", "erían", "erías",
+      "erán", "erás", "eríais", "ería", "eréis", "eríamos", "eremos", "erá",
+      "eré", "irían", "irías", "irán", "irás", "iríais", "iría", "iréis",
+      "iríamos", "iremos", "irá", "iré", "aba", "ada", "ida", "ía", "ara",
+      "iera", "ad", "ed", "id", "ase", "iese", "aste", "iste", "an", "aban",
+      "ían", "aran", "ieran", "asen", "iesen", "aron", "ieron", "ado", "ido",
+      "ando", "iendo", "ió", "ar", "er", "ir", "as", "abas", "adas", "idas",
+      "ías", "aras", "ieras", "ases", "ieses", "ís", "áis", "abais", "íais",
+      "arais", "ierais", "aseis", "ieseis", "asteis", "isteis", "ados",
+      "idos", "amos", "ábamos", "íamos", "imos", "áramos", "iéramos",
+      "iésemos", "ásemos", "en", "es", "éis", "emos")
+
+    private def deAccent(s: String): String =
+      s.map {
+        case 'á' => 'a'; case 'é' => 'e'; case 'í' => 'i'
+        case 'ó' => 'o'; case 'ú' => 'u'; case c => c
+      }
+
+    def stem(input: String): String = {
+      var w = input
+      val r1 = regionAfter(w, 0, isV)
+      val r2 = regionAfter(w, r1, isV)
+      val rv = rvRomance(w, isV)
+
+      // step 0: attached pronoun
+      longest(w, pronouns).foreach { p =>
+        val base = w.substring(0, w.length - p.length)
+        longest(base, pre0a) match {
+          case Some(a) if base.length - a.length >= rv =>
+            w = base.substring(0, base.length - a.length) + deAccent(a)
+          case _ =>
+            longest(base, pre0b) match {
+              case Some(b) if base.length - b.length >= rv =>
+                w = base
+              case _ =>
+                if (base.endsWith("uyendo") && base.length - 5 >= rv)
+                  w = base
+            }
+        }
+      }
+
+      val before1 = w
+      // step 1: standard suffix removal
+      longest(w, step1All) match {
+        case Some(s) =>
+          val st = w.length - s.length
+          s match {
+            case _ if g1a.contains(s) =>
+              if (st >= r2) w = w.substring(0, st)
+            case _ if g1b.contains(s) =>
+              if (st >= r2) {
+                w = w.substring(0, st)
+                if (w.endsWith("ic") && w.length - 2 >= r2)
+                  w = w.substring(0, w.length - 2)
+              }
+            case "logía" | "logías" =>
+              if (st >= r2) w = w.substring(0, st) + "log"
+            case "ución" | "uciones" =>
+              if (st >= r2) w = w.substring(0, st) + "u"
+            case "encia" | "encias" =>
+              if (st >= r2) w = w.substring(0, st) + "ente"
+            case "amente" =>
+              if (st >= r1) {
+                w = w.substring(0, st)
+                if (w.endsWith("iv") && w.length - 2 >= r2) {
+                  w = w.substring(0, w.length - 2)
+                  if (w.endsWith("at") && w.length - 2 >= r2)
+                    w = w.substring(0, w.length - 2)
+                } else if ((w.endsWith("os") || w.endsWith("ic") ||
+                  w.endsWith("ad")) && w.length - 2 >= r2)
+                  w = w.substring(0, w.length - 2)
+              }
+            case "mente" =>
+              if (st >= r2) {
+                w = w.substring(0, st)
+                if ((w.endsWith("ante") || w.endsWith("able") ||
+                  w.endsWith("ible")) && w.length - 4 >= r2)
+                  w = w.substring(0, w.length - 4)
+              }
+            case "idad" | "idades" =>
+              if (st >= r2) {
+                w = w.substring(0, st)
+                if (w.endsWith("abil") && w.length - 4 >= r2)
+                  w = w.substring(0, w.length - 4)
+                else if ((w.endsWith("ic") || w.endsWith("iv")) &&
+                  w.length - 2 >= r2)
+                  w = w.substring(0, w.length - 2)
+              }
+            case "iva" | "ivo" | "ivas" | "ivos" =>
+              if (st >= r2) {
+                w = w.substring(0, st)
+                if (w.endsWith("at") && w.length - 2 >= r2)
+                  w = w.substring(0, w.length - 2)
+              }
+            case _ =>
+          }
+        case None =>
+      }
+
+      if (w == before1) {
+        // step 2a: verb suffixes beginning y, preceded by u
+        val before2a = w
+        longest(w, step2a) match {
+          case Some(s) =>
+            val st = w.length - s.length
+            if (st >= rv && st >= 1 && w.charAt(st - 1) == 'u')
+              w = w.substring(0, st)
+          case None =>
+        }
+        if (w == before2a) {
+          // step 2b: other verb suffixes
+          longest(w, step2b) match {
+            case Some(s) =>
+              val st = w.length - s.length
+              if (st >= rv) {
+                w = w.substring(0, st)
+                if (step2bGu.contains(s) && w.endsWith("gu"))
+                  w = w.substring(0, w.length - 1)
+              }
+            case None =>
+          }
+        }
+      }
+
+      // step 3: residual suffix (always)
+      longest(w, byLen("os", "a", "o", "á", "í", "ó", "e", "é")) match {
+        case Some(s @ ("e" | "é")) =>
+          val st = w.length - s.length
+          if (st >= rv) {
+            w = w.substring(0, st)
+            if (w.endsWith("gu") && w.length - 1 >= rv)
+              w = w.substring(0, w.length - 1)
+          }
+        case Some(s) =>
+          val st = w.length - s.length
+          if (st >= rv) w = w.substring(0, st)
+        case None =>
+      }
+      deAccent(w)
+    }
+  }
+
+  // ===================================================================
+  // Portuguese
+  // ===================================================================
+  object Portuguese {
+    // after the prelude ã→a~, õ→o~ the marker ~ is a non-vowel
+    private val vowels = "aeiouáéíóúâêô"
+    private def isV(c: Char) = vowels.indexOf(c) >= 0
+
+    private val g1a = byLen("eza", "ezas", "ico", "ica", "icos", "icas",
+      "ismo", "ismos", "ável", "ível", "ista", "istas", "oso", "osa",
+      "osos", "osas", "amento", "amentos", "imento", "imentos", "adora",
+      "ador", "aça~o", "adoras", "adores", "aço~es", "ante", "antes",
+      "ância")
+    private val step1All = byLen((g1a ++ Seq("logia", "logias", "uça~o",
+      "uço~es", "ência", "ências", "amente", "mente", "idade", "idades",
+      "iva", "ivo", "ivas", "ivos", "ira", "iras")): _*)
+
+    private val step2 = byLen("ada", "ida", "ia", "aria", "eria", "iria",
+      "ará", "ara", "erá", "era", "irá", "ava", "asse", "esse", "isse",
+      "aste", "este", "iste", "ei", "arei", "erei", "irei", "am", "iam",
+      "ariam", "eriam", "iriam", "aram", "eram", "iram", "avam", "em",
+      "arem", "erem", "irem", "assem", "essem", "issem", "ado", "ido",
+      "ando", "endo", "indo", "ara~o", "era~o", "ira~o", "ar", "er", "ir",
+      "as", "adas", "idas", "ias", "arias", "erias", "irias", "arás",
+      "aras", "erás", "eras", "irás", "avas", "es", "ardes", "erdes",
+      "irdes", "ares", "eres", "ires", "asses", "esses", "isses", "astes",
+      "estes", "istes", "is", "ais", "eis", "íeis", "aríeis", "eríeis",
+      "iríeis", "áreis", "areis", "éreis", "ereis", "íreis", "ireis",
+      "ásseis", "ésseis", "ísseis", "áveis", "ados", "idos", "ámos",
+      "amos", "íamos", "aríamos", "eríamos", "iríamos", "áramos",
+      "éramos", "íramos", "ávamos", "emos", "aremos", "eremos", "iremos",
+      "ássemos", "êssemos", "íssemos", "imos", "armos", "ermos", "irmos",
+      "eu", "iu", "ou", "ira", "iras")
+
+    def stem(input: String): String = {
+      var w = input.replace("ã", "a~").replace("õ", "o~")
+      val r1 = regionAfter(w, 0, isV)
+      val r2 = regionAfter(w, r1, isV)
+      val rv = rvRomance(w, isV)
+
+      val before1 = w
+      longest(w, step1All) match {
+        case Some(s) =>
+          val st = w.length - s.length
+          s match {
+            case _ if g1a.contains(s) =>
+              if (st >= r2) w = w.substring(0, st)
+            case "logia" | "logias" =>
+              if (st >= r2) w = w.substring(0, st) + "log"
+            case "uça~o" | "uço~es" =>
+              if (st >= r2) w = w.substring(0, st) + "u"
+            case "ência" | "ências" =>
+              if (st >= r2) w = w.substring(0, st) + "ente"
+            case "amente" =>
+              if (st >= r1) {
+                w = w.substring(0, st)
+                if (w.endsWith("iv") && w.length - 2 >= r2) {
+                  w = w.substring(0, w.length - 2)
+                  if (w.endsWith("at") && w.length - 2 >= r2)
+                    w = w.substring(0, w.length - 2)
+                } else if ((w.endsWith("os") || w.endsWith("ic") ||
+                  w.endsWith("ad")) && w.length - 2 >= r2)
+                  w = w.substring(0, w.length - 2)
+              }
+            case "mente" =>
+              if (st >= r2) {
+                w = w.substring(0, st)
+                if ((w.endsWith("ante") || w.endsWith("avel") ||
+                  w.endsWith("ível")) && w.length - 4 >= r2)
+                  w = w.substring(0, w.length - 4)
+              }
+            case "idade" | "idades" =>
+              if (st >= r2) {
+                w = w.substring(0, st)
+                if (w.endsWith("abil") && w.length - 4 >= r2)
+                  w = w.substring(0, w.length - 4)
+                else if ((w.endsWith("ic") || w.endsWith("iv")) &&
+                  w.length - 2 >= r2)
+                  w = w.substring(0, w.length - 2)
+              }
+            case "iva" | "ivo" | "ivas" | "ivos" =>
+              if (st >= r2) {
+                w = w.substring(0, st)
+                if (w.endsWith("at") && w.length - 2 >= r2)
+                  w = w.substring(0, w.length - 2)
+              }
+            case "ira" | "iras" =>
+              if (st >= rv && st >= 1 && w.charAt(st - 1) == 'e')
+                w = w.substring(0, st) + "ir"
+            case _ =>
+          }
+        case None =>
+      }
+
+      var altered = w != before1
+      if (!altered) {
+        val before2 = w
+        longest(w, step2) match {
+          case Some(s) =>
+            val st = w.length - s.length
+            if (st >= rv) w = w.substring(0, st)
+          case None =>
+        }
+        altered = w != before2
+      }
+      // step 3: i after c (only if 1 or 2 altered)
+      if (altered && w.endsWith("ci") && w.length - 1 >= rv)
+        w = w.substring(0, w.length - 1)
+      // step 4: residual suffix (only if neither 1 nor 2 altered)
+      if (!altered) {
+        longest(w, byLen("os", "a", "i", "o", "á", "í", "ó")) match {
+          case Some(s) =>
+            val st = w.length - s.length
+            if (st >= rv) w = w.substring(0, st)
+          case None =>
+        }
+      }
+      // step 5: final e/é/ê (always), then cedilla
+      longest(w, Seq("e", "é", "ê")) match {
+        case Some(s) =>
+          val st = w.length - 1
+          if (st >= rv) {
+            w = w.substring(0, st)
+            if ((w.endsWith("gu") || w.endsWith("ci")) && w.length - 1 >= rv)
+              w = w.substring(0, w.length - 1)
+          }
+        case None =>
+          if (w.endsWith("ç")) w = w.substring(0, w.length - 1) + "c"
+      }
+      w.replace("a~", "ã").replace("o~", "õ")
+    }
+  }
+
+  // ===================================================================
+  // Italian
+  // ===================================================================
+  object Italian {
+    private val vowels = "aeiouàèìòù"
+    private def isV(c: Char) = vowels.indexOf(c) >= 0
+
+    private val pronouns = byLen("ci", "gli", "la", "le", "li", "lo", "mi",
+      "ne", "si", "ti", "vi", "sene", "gliela", "gliele", "glieli",
+      "glielo", "gliene", "mela", "mele", "meli", "melo", "mene", "tela",
+      "tele", "teli", "telo", "tene", "cela", "cele", "celi", "celo",
+      "cene", "vela", "vele", "veli", "velo", "vene")
+
+    private val g1a = byLen("anza", "anze", "ico", "ici", "ica", "ice",
+      "iche", "ichi", "ismo", "ismi", "abile", "abili", "ibile", "ibili",
+      "ista", "iste", "isti", "istà", "istè", "istì", "oso", "osi", "osa",
+      "ose", "mente", "atrice", "atrici", "ante", "anti")
+    private val g1ic = byLen("azione", "azioni", "atore", "atori")
+    private val step1All = byLen((g1a ++ g1ic ++ Seq("logia", "logie",
+      "uzione", "uzioni", "usione", "usioni", "enza", "enze", "amento",
+      "amenti", "imento", "imenti", "amente", "ità", "ivo", "ivi", "iva",
+      "ive")): _*)
+
+    private val step2 = byLen("ammo", "ando", "ano", "are", "arono",
+      "asse", "assero", "assi", "assimo", "ata", "ate", "ati", "ato",
+      "ava", "avamo", "avano", "avate", "avi", "avo", "emmo", "enda",
+      "ende", "endi", "endo", "erà", "erai", "eranno", "ere", "erebbe",
+      "erebbero", "erei", "eremmo", "eremo", "ereste", "eresti", "erete",
+      "erò", "erono", "essero", "ete", "eva", "evamo", "evano", "evate",
+      "evi", "evo", "Yamo", "iamo", "immo", "irà", "irai", "iranno",
+      "ire", "irebbe", "irebbero", "irei", "iremmo", "iremo", "ireste",
+      "iresti", "irete", "irò", "irono", "isca", "iscano", "isce", "isci",
+      "isco", "iscono", "issero", "ita", "ite", "iti", "ito", "iva",
+      "ivamo", "ivano", "ivate", "ivi", "ivo", "ono", "uta", "ute", "uti",
+      "uto", "ar", "ir")
+
+    def stem(input: String): String = {
+      var w = input.map {
+        case 'á' => 'à'; case 'é' => 'è'; case 'í' => 'ì'
+        case 'ó' => 'ò'; case 'ú' => 'ù'; case c => c
+      }
+      val sb = new java.lang.StringBuilder(w)
+      var i = 0
+      while (i < sb.length) {
+        val c = sb.charAt(i)
+        if (c == 'u' && i >= 1 && sb.charAt(i - 1) == 'q')
+          sb.setCharAt(i, 'U')
+        else if ((c == 'u' || c == 'i') && i >= 1 && i < sb.length - 1 &&
+          isV(sb.charAt(i - 1)) && isV(sb.charAt(i + 1)))
+          sb.setCharAt(i, Character.toUpperCase(c))
+        i += 1
+      }
+      w = sb.toString
+      val r1 = regionAfter(w, 0, isV)
+      val r2 = regionAfter(w, r1, isV)
+      val rv = rvRomance(w, isV)
+
+      // step 0: attached pronoun
+      longest(w, pronouns).foreach { p =>
+        val base = w.substring(0, w.length - p.length)
+        if ((base.endsWith("ando") || base.endsWith("endo")) &&
+          base.length - 4 >= rv)
+          w = base
+        else if ((base.endsWith("ar") || base.endsWith("er") ||
+          base.endsWith("ir")) && base.length - 2 >= rv)
+          w = base + "e"
+      }
+
+      val before1 = w
+      longest(w, step1All) match {
+        case Some(s) =>
+          val st = w.length - s.length
+          s match {
+            case _ if g1a.contains(s) =>
+              if (st >= r2) w = w.substring(0, st)
+            case _ if g1ic.contains(s) =>
+              if (st >= r2) {
+                w = w.substring(0, st)
+                if (w.endsWith("ic") && w.length - 2 >= r2)
+                  w = w.substring(0, w.length - 2)
+              }
+            case "logia" | "logie" =>
+              if (st >= r2) w = w.substring(0, st) + "log"
+            case "uzione" | "uzioni" | "usione" | "usioni" =>
+              if (st >= r2) w = w.substring(0, st) + "u"
+            case "enza" | "enze" =>
+              if (st >= r2) w = w.substring(0, st) + "ente"
+            case "amento" | "amenti" | "imento" | "imenti" =>
+              if (st >= rv) w = w.substring(0, st)
+            case "amente" =>
+              if (st >= r1) {
+                w = w.substring(0, st)
+                if (w.endsWith("iv") && w.length - 2 >= r2) {
+                  w = w.substring(0, w.length - 2)
+                  if (w.endsWith("at") && w.length - 2 >= r2)
+                    w = w.substring(0, w.length - 2)
+                } else if ((w.endsWith("os") || w.endsWith("ic")) &&
+                  w.length - 2 >= r2)
+                  w = w.substring(0, w.length - 2)
+                else if (w.endsWith("abil") && w.length - 4 >= r2)
+                  w = w.substring(0, w.length - 4)
+              }
+            case "ità" =>
+              if (st >= r2) {
+                w = w.substring(0, st)
+                if (w.endsWith("abil") && w.length - 4 >= r2)
+                  w = w.substring(0, w.length - 4)
+                else if ((w.endsWith("ic") || w.endsWith("iv")) &&
+                  w.length - 2 >= r2)
+                  w = w.substring(0, w.length - 2)
+              }
+            case "ivo" | "ivi" | "iva" | "ive" =>
+              if (st >= r2) {
+                w = w.substring(0, st)
+                if (w.endsWith("at") && w.length - 2 >= r2) {
+                  w = w.substring(0, w.length - 2)
+                  if (w.endsWith("ic") && w.length - 2 >= r2)
+                    w = w.substring(0, w.length - 2)
+                }
+              }
+            case _ =>
+          }
+        case None =>
+      }
+
+      if (w == before1) {
+        longest(w, step2) match {
+          case Some(s) =>
+            val st = w.length - s.length
+            if (st >= rv) w = w.substring(0, st)
+          case None =>
+        }
+      }
+
+      // step 3a: final vowel, then a preceding i
+      locally {
+        val n = w.length
+        if (n >= 1 && "aeioàèìò".indexOf(w.charAt(n - 1)) >= 0 &&
+          n - 1 >= rv) {
+          w = w.substring(0, n - 1)
+          if (w.nonEmpty && w.charAt(w.length - 1) == 'i' &&
+            w.length - 1 >= rv)
+            w = w.substring(0, w.length - 1)
+        }
+      }
+      // step 3b: ch → c, gh → g
+      if ((w.endsWith("ch") || w.endsWith("gh")) && w.length - 2 >= rv)
+        w = w.substring(0, w.length - 1)
+
+      w.replace('I', 'i').replace('U', 'u')
+    }
+  }
+
+  // ===================================================================
+  // French
+  // ===================================================================
+  object French {
+    private val vowels = "aeiouyâàëéêèïîôûù"
+    private def isV(c: Char) = vowels.indexOf(c) >= 0
+
+    private val g1a = byLen("ance", "iqUe", "isme", "able", "iste", "eux",
+      "ances", "iqUes", "ismes", "ables", "istes")
+    private val g1ic = byLen("atrice", "ateur", "ation", "atrices",
+      "ateurs", "ations")
+    private val step1All = byLen((g1a ++ g1ic ++ Seq("logie", "logies",
+      "usion", "ution", "usions", "utions", "ence", "ences", "ement",
+      "ements", "ité", "ités", "if", "ive", "ifs", "ives", "eaux", "aux",
+      "euse", "euses", "issement", "issements", "amment", "emment",
+      "ment", "ments")): _*)
+
+    private val step2a = byLen("îmes", "ît", "îtes", "i", "ie", "ies",
+      "ir", "ira", "irai", "iraIent", "irais", "irait", "iras", "irent",
+      "irez", "iriez", "irions", "irons", "iront", "is", "issaIent",
+      "issais", "issait", "issant", "issante", "issantes", "issants",
+      "isse", "issent", "isses", "issez", "issiez", "issions", "issons",
+      "it")
+    private val step2bE = byLen("é", "ée", "ées", "és", "èrent", "er",
+      "era", "erai", "eraIent", "erais", "erait", "eras", "erez", "eriez",
+      "erions", "erons", "eront", "ez", "iez")
+    private val step2bA = byLen("â", "ât", "âtes", "a", "ai", "aIent",
+      "ais", "ait", "ant", "ante", "antes", "ants", "as", "asse",
+      "assent", "asses", "assiez", "assions")
+    private val step2bAll = byLen((step2bE ++ step2bA ++ Seq("ions")): _*)
+
+    private def rvOf(w: String): Int = {
+      val n = w.length
+      if (n < 3) return n
+      if (w.startsWith("par") || w.startsWith("col") || w.startsWith("tap"))
+        return 3
+      if (isV(w.charAt(0)) && isV(w.charAt(1))) return 3
+      var i = 1
+      while (i < n && !isV(w.charAt(i))) i += 1
+      if (i < n) i + 1 else n
+    }
+
+    def stem(input: String): String = {
+      var w = input
+      // prelude: mark consonant-role u/i/y; u after q
+      val sb = new java.lang.StringBuilder(w)
+      var i = 0
+      while (i < sb.length) {
+        val c = sb.charAt(i)
+        if (c == 'u' && i >= 1 && sb.charAt(i - 1) == 'q')
+          sb.setCharAt(i, 'U')
+        else if ((c == 'u' || c == 'i') && i >= 1 && i < sb.length - 1 &&
+          isV(sb.charAt(i - 1)) && isV(sb.charAt(i + 1)))
+          sb.setCharAt(i, Character.toUpperCase(c))
+        else if (c == 'y' &&
+          ((i >= 1 && isV(sb.charAt(i - 1))) ||
+            (i < sb.length - 1 && isV(sb.charAt(i + 1)))))
+          sb.setCharAt(i, 'Y')
+        i += 1
+      }
+      w = sb.toString
+      val r1 = regionAfter(w, 0, isV)
+      val r2 = regionAfter(w, r1, isV)
+      val rv = rvOf(w)
+
+      val before1 = w
+      var mentFound = false
+      longest(w, step1All) match {
+        case Some(s) =>
+          val st = w.length - s.length
+          s match {
+            case _ if g1a.contains(s) =>
+              if (st >= r2) w = w.substring(0, st)
+            case _ if g1ic.contains(s) =>
+              if (st >= r2) {
+                w = w.substring(0, st)
+                if (w.endsWith("ic")) {
+                  if (w.length - 2 >= r2) w = w.substring(0, w.length - 2)
+                  else w = w.substring(0, w.length - 2) + "iqU"
+                }
+              }
+            case "logie" | "logies" =>
+              if (st >= r2) w = w.substring(0, st) + "log"
+            case "usion" | "ution" | "usions" | "utions" =>
+              if (st >= r2) w = w.substring(0, st) + "u"
+            case "ence" | "ences" =>
+              if (st >= r2) w = w.substring(0, st) + "ent"
+            case "ement" | "ements" =>
+              if (st >= rv) {
+                w = w.substring(0, st)
+                if (w.endsWith("iv") && w.length - 2 >= r2) {
+                  w = w.substring(0, w.length - 2)
+                  if (w.endsWith("at") && w.length - 2 >= r2)
+                    w = w.substring(0, w.length - 2)
+                } else if (w.endsWith("eus")) {
+                  if (w.length - 3 >= r2) w = w.substring(0, w.length - 3)
+                  else if (w.length - 3 >= r1)
+                    w = w.substring(0, w.length - 3) + "eux"
+                } else if ((w.endsWith("abl") || w.endsWith("iqU")) &&
+                  w.length - 3 >= r2)
+                  w = w.substring(0, w.length - 3)
+                else if ((w.endsWith("ièr") || w.endsWith("Ièr")) &&
+                  w.length - 3 >= rv)
+                  w = w.substring(0, w.length - 3) + "i"
+              }
+            case "ité" | "ités" =>
+              if (st >= r2) {
+                w = w.substring(0, st)
+                if (w.endsWith("abil")) {
+                  if (w.length - 4 >= r2) w = w.substring(0, w.length - 4)
+                  else w = w.substring(0, w.length - 4) + "abl"
+                } else if (w.endsWith("ic")) {
+                  if (w.length - 2 >= r2) w = w.substring(0, w.length - 2)
+                  else w = w.substring(0, w.length - 2) + "iqU"
+                } else if (w.endsWith("iv") && w.length - 2 >= r2)
+                  w = w.substring(0, w.length - 2)
+              }
+            case "if" | "ive" | "ifs" | "ives" =>
+              if (st >= r2) {
+                w = w.substring(0, st)
+                if (w.endsWith("at") && w.length - 2 >= r2) {
+                  w = w.substring(0, w.length - 2)
+                  if (w.endsWith("ic")) {
+                    if (w.length - 2 >= r2) w = w.substring(0, w.length - 2)
+                    else w = w.substring(0, w.length - 2) + "iqU"
+                  }
+                }
+              }
+            case "eaux" => w = w.substring(0, st) + "eau"
+            case "aux" =>
+              if (st >= r1) w = w.substring(0, st) + "al"
+            case "euse" | "euses" =>
+              if (st >= r2) w = w.substring(0, st)
+              else if (st >= r1) w = w.substring(0, st) + "eux"
+            case "issement" | "issements" =>
+              if (st >= r1 && st >= 1 && !isV(w.charAt(st - 1)))
+                w = w.substring(0, st)
+            case "amment" =>
+              if (st >= rv) { w = w.substring(0, st) + "ant"; mentFound = true }
+            case "emment" =>
+              if (st >= rv) { w = w.substring(0, st) + "ent"; mentFound = true }
+            case "ment" | "ments" =>
+              if (st >= 1 && st - 1 >= rv && isV(w.charAt(st - 1))) {
+                w = w.substring(0, st); mentFound = true
+              }
+            case _ =>
+          }
+        case None =>
+      }
+
+      var lastAltered = w != before1
+      if (w == before1 || mentFound) {
+        // step 2a: verb suffixes in i, preceded by a non-vowel in RV
+        val before2a = w
+        longest(w, step2a) match {
+          case Some(s) =>
+            val st = w.length - s.length
+            if (st >= rv && st - 1 >= rv && !isV(w.charAt(st - 1)))
+              w = w.substring(0, st)
+          case None =>
+        }
+        lastAltered = w != before2a
+        if (!lastAltered) {
+          // step 2b
+          val before2b = w
+          longest(w, step2bAll) match {
+            case Some("ions") =>
+              if (w.length - 4 >= r2) w = w.substring(0, w.length - 4)
+            case Some(s) if step2bE.contains(s) =>
+              val st = w.length - s.length
+              if (st >= rv) w = w.substring(0, st)
+            case Some(s) =>
+              val st = w.length - s.length
+              if (st >= rv) {
+                w = w.substring(0, st)
+                if (w.nonEmpty && w.charAt(w.length - 1) == 'e' &&
+                  w.length - 1 >= rv)
+                  w = w.substring(0, w.length - 1)
+              }
+            case None =>
+          }
+          lastAltered = w != before2b
+        }
+      }
+
+      if (lastAltered) {
+        // step 3
+        if (w.endsWith("Y")) w = w.substring(0, w.length - 1) + "i"
+        else if (w.endsWith("ç")) w = w.substring(0, w.length - 1) + "c"
+      } else {
+        // step 4
+        if (w.endsWith("s") && w.length >= 2 &&
+          "aiouès".indexOf(w.charAt(w.length - 2)) < 0)
+          w = w.substring(0, w.length - 1)
+        longest(w, byLen("ion", "ier", "ière", "Ier", "Ière", "e", "ë")) match {
+          case Some("ion") =>
+            val st = w.length - 3
+            if (st >= rv && st >= r2 && st >= 1 &&
+              (w.charAt(st - 1) == 's' || w.charAt(st - 1) == 't'))
+              w = w.substring(0, st)
+          case Some(s @ ("ier" | "ière" | "Ier" | "Ière")) =>
+            val st = w.length - s.length
+            if (st >= rv) w = w.substring(0, st) + "i"
+          case Some("e") =>
+            if (w.length - 1 >= rv) w = w.substring(0, w.length - 1)
+          case Some("ë") =>
+            if (w.length - 1 >= rv && w.length >= 3 &&
+              w.substring(w.length - 3, w.length - 1) == "gu")
+              w = w.substring(0, w.length - 1)
+          case _ =>
+        }
+      }
+
+      // step 5: undouble
+      if (w.endsWith("enn") || w.endsWith("onn") || w.endsWith("ett") ||
+        w.endsWith("ell") || w.endsWith("eill"))
+        w = w.substring(0, w.length - 1)
+      // step 6: un-accent é/è followed only by non-vowels to the end
+      locally {
+        var j = w.length - 1
+        while (j >= 0 && !isV(w.charAt(j))) j -= 1
+        if (j >= 0 && j < w.length - 1 &&
+          (w.charAt(j) == 'é' || w.charAt(j) == 'è'))
+          w = w.substring(0, j) + "e" + w.substring(j + 1)
+      }
+      w.replace('I', 'i').replace('U', 'u').replace('Y', 'y')
+    }
+  }
+
+  /** Dispatch by 2-letter code (WordStemFunction.java:48-76 — the
+    * implemented subset; any other code raises like the reference's
+    * INVALID_FUNCTION_ARGUMENT). */
+  def stem(word: String, lang: String): String = lang match {
+    case "en" => Porter2.stem(word)
+    case "de" => German.stem(word)
+    case "fr" => French.stem(word)
+    case "es" => Spanish.stem(word)
+    case "it" => Italian.stem(word)
+    case "pt" => Portuguese.stem(word)
+    case other =>
+      throw new IllegalArgumentException(s"Unknown stemmer language: $other")
+  }
+}
