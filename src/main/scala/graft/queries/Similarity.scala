@@ -4,6 +4,7 @@ import graft.{QueryDef, QueryGroup, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Similarity search over the `embeddings` table (64-dim float).
   *
@@ -474,6 +475,13 @@ object Similarity extends QueryGroup {
   private[queries] val SemDedupTarget = 50
   private[queries] val SemDedupRounds = 8
 
+  /** Caches held live for the frame returned by the LAST
+    * [[semdedupClusters]] call (which is lazy — unpersisting inside the
+    * call would release them before any action runs). Released at the
+    * start of the next call, mirroring
+    * [[Clustering.propagateToFixpoint]]'s `lastLabels` protocol. */
+  private var lastSemCaches: List[DataFrame] = Nil
+
   /** Derived-k semantic clusters (r10, VERDICT r9 perf item): start
     * from the IVF cell and recursively bisect every cluster still
     * larger than `target`, so k tracks corpus size and cluster sizes —
@@ -487,24 +495,63 @@ object Similarity extends QueryGroup {
     * ~1e-13, far below the rounding grid, so Spark and the DuckDB
     * oracle derive identical clusterings). `pr` is invariant under the
     * planted +0.001 uniform jitter (the ±1 pattern sums to zero), so
-    * a replay lands with its source every round. */
+    * a replay lands with its source every round.
+    *
+    * Two scale guards added in r11 (VERDICT r10 #1 + ADVICE):
+    *  - Per-cluster stats come from WINDOW AGGREGATES
+    *    (`count/avg/max/min over (partition by cl)`), not a
+    *    groupBy+self-join. The r10 join form referenced round r-1 on
+    *    both sides, doubling the lineage per round (2^rounds copies of
+    *    the base scan reached the final plan — 0.55 s → 12.87 s at
+    *    sf0.1); a lazy per-round persist does NOT fix that, because at
+    *    action time both join branches race to materialize the same
+    *    uncached predecessor and the recomputation still cascades
+    *    (measured 42 s). The window form is a LINEAR chain — one
+    *    WindowExec (one hash-partition shuffle on `cl`) per round, no
+    *    branching, no persist protocol, and the same per-cluster
+    *    values. Only the final result is persisted, because
+    *    sim_semdedup self-joins it; that cache is released
+    *    lastLabels-style on the NEXT call (see [[lastSemCaches]]).
+    *  - A cluster whose members all share one projection value
+    *    (round(max(pr),6) = round(min(pr),6) — e.g. >target exact
+    *    duplicates, the core semantic-dedup workload) can never split
+    *    on `pr > apr`. Such ties deterministically split on bit r-1 of
+    *    `vec_id` instead — a DIFFERENT bit each round, so an
+    *    all-duplicate cell still halves every round and the size bound
+    *    target·2^rounds holds. (Parity alone would be idempotent:
+    *    round 2 would see an all-even cluster and re-derive the same
+    *    split.) Plant pairs (`vec_id`, `vec_id`+100000) agree on bits
+    *    0-4 (100000 is a multiple of 32), so a tie-broken replay still
+    *    lands with its source for the first 5 rounds; in the gate
+    *    corpus natural `pr` spread means the tie-break never fires. */
   private[graft] def semdedupClusters(all: DataFrame, target: Int,
-      rounds: Int): DataFrame = {
+      rounds: Int): DataFrame = synchronized {
+    lastSemCaches.foreach(_.unpersist())
     val withPr = all
       .withColumn("pr", expr(
         "aggregate(transform(v, (x, i) -> CASE WHEN i % 2 = 0 THEN x ELSE -x END), " +
           "0.0d, (a, x) -> a + x)"))
       .withColumn("cl", col("label").cast("string"))
-    (1 to rounds).foldLeft(withPr) { (cur, _) =>
-      val stats = cur.groupBy(col("cl"))
-        .agg(count(lit(1)).as("cl_n"), round(avg(col("pr")), 6).as("apr"))
-      cur.join(stats, "cl")
+    val out = (1 to rounds).foldLeft(withPr) { (cur, r) =>
+      val w = Window.partitionBy(col("cl"))
+      cur
+        .withColumn("cl_n", count(lit(1)).over(w))
+        .withColumn("apr", round(avg(col("pr")).over(w), 6))
+        .withColumn("mxr", round(max(col("pr")).over(w), 6))
+        .withColumn("mnr", round(min(col("pr")).over(w), 6))
         .withColumn("cl", when(col("cl_n") > target,
           concat(col("cl"),
-            when(col("pr") > col("apr"), lit("H")).otherwise(lit("L"))))
+            when(col("mxr") === col("mnr"),
+              when(pmod(shiftright(col("vec_id"), r - 1), lit(2)) === 0,
+                lit("H")).otherwise(lit("L")))
+              .otherwise(
+                when(col("pr") > col("apr"), lit("H")).otherwise(lit("L")))))
           .otherwise(col("cl")))
-        .drop("cl_n", "apr")
+        .drop("cl_n", "apr", "mxr", "mnr")
     }
+    val cached = out.persist(StorageLevel.MEMORY_AND_DISK)
+    lastSemCaches = List(cached)
+    cached
   }
 
   /** DuckDB re-derivation of [[semdedupClusters]] — `rounds` unrolled
@@ -512,7 +559,8 @@ object Similarity extends QueryGroup {
     * source CTE with (vec_id, label, v); the final clustering is
     * `r<rounds>(vec_id, cl, pr, v)`. DuckDB list lambdas take a
     * 1-BASED index, so its parity test is i % 2 = 1 where Spark's is
-    * i % 2 = 0 — same ±1 pattern. */
+    * i % 2 = 0 — same ±1 pattern. Mirrors the r11 tie-break: an
+    * all-tied over-target cluster splits on bit r-1 of vec_id. */
   private def duckSemdedupClusters(srcCte: String, target: Int,
       rounds: Int): String = {
     val r0 =
@@ -522,12 +570,17 @@ object Similarity extends QueryGroup {
          |      CASE WHEN i % 2 = 1 THEN x ELSE -x END)) AS pr, v
          |  FROM $srcCte)""".stripMargin
     val steps = (1 to rounds).map { r =>
-      s"""s$r AS (SELECT cl, count(*) AS n, round(avg(pr), 6) AS apr
+      s"""s$r AS (SELECT cl, count(*) AS n, round(avg(pr), 6) AS apr,
+         |    round(max(pr), 6) AS mxr, round(min(pr), 6) AS mnr
          |  FROM r${r - 1} GROUP BY cl),
          |r$r AS (
          |  SELECT t.vec_id,
          |    CASE WHEN s$r.n > $target
-         |      THEN t.cl || (CASE WHEN t.pr > s$r.apr THEN 'H' ELSE 'L' END)
+         |      THEN t.cl || (CASE
+         |        WHEN s$r.mxr = s$r.mnr THEN
+         |          (CASE WHEN (t.vec_id >> ${r - 1}) % 2 = 0
+         |           THEN 'H' ELSE 'L' END)
+         |        WHEN t.pr > s$r.apr THEN 'H' ELSE 'L' END)
          |      ELSE t.cl END AS cl,
          |    t.pr, t.v
          |  FROM r${r - 1} t JOIN s$r ON t.cl = s$r.cl)""".stripMargin
