@@ -358,23 +358,30 @@ object GraftFunctions {
       new ExpressionInfo(classOf[SpookyHash64].getName, "spooky_hash_v2_64"),
       (args: Seq[Expression]) => SpookyHash64(args(0))),
 
-    // word_stem(word[, lang]) — WordStemFunction.java. English
-    // (Porter2/Snowball) only; other language codes raise like the
-    // reference's INVALID_FUNCTION_ARGUMENT.
+    // word_stem(word[, lang]) — WordStemFunction.java:56-97. The 1-arg
+    // form and lang='en' route to the unary Porter2 expression; other
+    // implemented codes (SnowballStemmers.Languages) dispatch per-row
+    // through WordStem2, so a non-literal lang column works like the
+    // reference's call-time stemmer resolution. An unknown LITERAL
+    // code raises at analysis (eager, like the reference); an unknown
+    // runtime code raises from SnowballStemmers.stem.
     ("word_stem",
       new ExpressionInfo(classOf[WordStem].getName, "word_stem"),
       (args: Seq[Expression]) => {
-        if (args.length >= 2) {
-          val lang = args(1) match {
-            case org.apache.spark.sql.catalyst.expressions.Literal(v, _) if v != null =>
-              v.toString
-            case other => other.toString
-          }
-          if (lang != "en")
-            throw new IllegalArgumentException(
-              s"word_stem: unsupported language [$lang] (only 'en' is implemented)")
+        args match {
+          case Seq(w) => WordStem(w)
+          case Seq(w, org.apache.spark.sql.catalyst.expressions.Literal(v, _))
+              if v != null =>
+            val lang = v.toString
+            if (lang == "en") WordStem(w)
+            else if (SnowballStemmers.Languages(lang))
+              WordStem2(w, args(1))
+            else
+              throw new IllegalArgumentException(
+                s"word_stem: unsupported language [$lang] " +
+                  "(Unknown stemmer language)")
+          case Seq(w, l) => WordStem2(w, l)
         }
-        WordStem(args(0))
       }),
 
     // approx_most_frequent(buckets, value, capacity)

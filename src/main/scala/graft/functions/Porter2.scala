@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types.{DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -13,9 +13,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * test vectors (presto-main/src/test/java/com/facebook/presto/operator/
   * scalar/TestWordStemFunction.java:26-35).
   *
-  * Only the English stemmer is provided; the reference's other 19
-  * Snowball languages are out of scope (word_stem(x, 'en') accepted,
-  * any other language code raises).
+  * Backs the 1-arg `word_stem` and lang='en'; the other implemented
+  * Snowball codes dispatch through [[SnowballStemmers]] (see
+  * [[WordStem2]]), and unknown codes raise.
   */
 object Porter2 {
 
@@ -235,4 +235,30 @@ case class WordStem(child: Expression) extends UnaryExpression {
     defineCodeGen(ctx, ev, c => s"graft.functions.Porter2.stemWord($c)")
   override protected def withNewChildInternal(newChild: Expression): WordStem =
     copy(child = newChild)
+}
+
+/** word_stem(word, lang) — WordStemFunction.java:56-97. Dispatches by
+  * 2-letter Snowball code PER ROW (the reference resolves the stemmer
+  * from the lang argument at call time, so a non-literal lang column
+  * works: `word_stem(w, doc_lang)`); 'en' routes to [[Porter2]], the
+  * other implemented codes to [[SnowballStemmers]], and an unknown
+  * code raises the reference's "Unknown stemmer language" shape.
+  * Stays inside WholeStageCodegen via a static call. */
+case class WordStem2(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "word_stem"
+  override protected def nullSafeEval(w: Any, l: Any): Any =
+    WordStem2.stemWord(w.asInstanceOf[UTF8String], l.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (w, l) => s"graft.functions.WordStem2.stemWord($w, $l)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): WordStem2 =
+    copy(left = newLeft, right = newRight)
+}
+
+object WordStem2 {
+  def stemWord(w: UTF8String, lang: UTF8String): UTF8String =
+    UTF8String.fromString(SnowballStemmers.stem(w.toString, lang.toString))
 }

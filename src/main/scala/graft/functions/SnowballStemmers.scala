@@ -824,6 +824,11 @@ object SnowballStemmers {
     }
   }
 
+  /** Codes [[stem]] dispatches — used by the word_stem builder to
+    * fail FAST (at analysis) on an unknown LITERAL code, matching the
+    * reference's eager stemmer resolution. */
+  val Languages: Set[String] = Set("en", "de", "fr", "es", "it", "pt")
+
   /** Dispatch by 2-letter code (WordStemFunction.java:48-76 — the
     * implemented subset; any other code raises like the reference's
     * INVALID_FUNCTION_ARGUMENT). */

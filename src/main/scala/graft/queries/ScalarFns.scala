@@ -545,6 +545,49 @@ object ScalarFns extends QueryGroup {
              |  ('decisiveness', 'decis')) AS t(word, stem)
              |ORDER BY word""".stripMargin)),
 
+    // word_stem(word, lang) non-English dispatch (r11; VERDICT r10 #2:
+    // the de/fr/es/it/pt SnowballStemmers existed but the SQL surface
+    // rejected every code but 'en'). lang is a COLUMN, not a literal,
+    // so the per-row WordStem2 dispatch path is what's value-checked;
+    // vectors are the reference's own (TestWordStemFunction.java:39-43)
+    // plus PostgreSQL-snowball-derived rows per language (the oracle
+    // carries the expected stems as literals — DuckDB has no stemmer).
+    "fn_word_stem2" -> QueryDef(
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        s.sql("""SELECT lang, word, word_stem(word, lang) AS stem
+                |FROM VALUES
+                |  ('de', 'laufen'), ('de', 'möglichkeit'),
+                |  ('de', 'bücher'), ('de', 'auferstnde'),
+                |  ('fr', 'continuerait'), ('fr', 'heureusement'),
+                |  ('fr', 'nationaux'), ('fr', 'vraiment'),
+                |  ('es', 'torpedearon'), ('es', 'nacionalidad'),
+                |  ('es', 'haciendo'), ('es', 'lógicamente'),
+                |  ('it', 'pronunziare'), ('it', 'felicità'),
+                |  ('it', 'mangiandolo'), ('it', 'università'),
+                |  ('pt', 'quilomtricos'), ('pt', 'administração'),
+                |  ('pt', 'fazendo'), ('pt', 'corações'),
+                |  ('en', 'intensifying') AS t(lang, word)
+                |ORDER BY lang, word""".stripMargin)
+      },
+      Some("""SELECT lang, word, stem FROM (VALUES
+             |  ('de', 'laufen', 'lauf'), ('de', 'möglichkeit', 'moglich'),
+             |  ('de', 'bücher', 'buch'), ('de', 'auferstnde', 'auferstnd'),
+             |  ('fr', 'continuerait', 'continu'),
+             |  ('fr', 'heureusement', 'heureux'),
+             |  ('fr', 'nationaux', 'national'), ('fr', 'vraiment', 'vrai'),
+             |  ('es', 'torpedearon', 'torped'),
+             |  ('es', 'nacionalidad', 'nacional'),
+             |  ('es', 'haciendo', 'hac'), ('es', 'lógicamente', 'logic'),
+             |  ('it', 'pronunziare', 'pronunz'), ('it', 'felicità', 'felic'),
+             |  ('it', 'mangiandolo', 'mang'),
+             |  ('it', 'università', 'univers'),
+             |  ('pt', 'quilomtricos', 'quilomtr'),
+             |  ('pt', 'administração', 'administr'),
+             |  ('pt', 'fazendo', 'faz'), ('pt', 'corações', 'coraçõ'),
+             |  ('en', 'intensifying', 'intensifi')) AS t(lang, word, stem)
+             |ORDER BY lang, word""".stripMargin)),
+
     // spooky_hash_v2_32/64 (VarbinaryFunctions.java:280-297). The two
     // reference vectors are value-checked as literals; the corpus leg
     // checks injectivity+determinism over documents (texts are >192

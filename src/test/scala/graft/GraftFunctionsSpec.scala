@@ -203,9 +203,30 @@ class GraftFunctionsSpec extends AnyFunSuite with SparkFixture with Matchers {
     r shouldBe (("author", "intensifi", "D382E6CA", "232706FC6BF50919"))
   }
 
-  test("word_stem rejects unsupported languages") {
-    val e = intercept[Exception](spark.sql("SELECT word_stem('x', 'fr')"))
+  test("word_stem dispatches implemented Snowball codes and rejects unknown ones") {
+    import spark.implicits._
+    // the reference's own non-English vectors (TestWordStemFunction.java:39-43)
+    val r = spark.sql(
+      """SELECT word_stem('pronunziare', 'it') AS it,
+        |  word_stem('continuerait', 'fr') AS fr,
+        |  word_stem('torpedearon', 'es') AS es,
+        |  word_stem('quilomtricos', 'pt') AS pt,
+        |  word_stem('auferstnde', 'de') AS de
+        |""".stripMargin)
+      .as[(String, String, String, String, String)].head()
+    r shouldBe (("pronunz", "continu", "torped", "quilomtr", "auferstnd"))
+    val e = intercept[Exception](spark.sql("SELECT word_stem('x', 'xx')"))
     e.getMessage should include("unsupported language")
+  }
+
+  test("word_stem dispatches a NON-LITERAL lang column per row") {
+    import spark.implicits._
+    val r = spark.sql(
+      """SELECT word_stem(w, l) AS s FROM VALUES
+        |  ('running', 'en'), ('vraiment', 'fr'), ('laufen', 'de')
+        |  AS t(w, l) ORDER BY l""".stripMargin)
+      .as[String].collect().toSeq
+    r shouldBe Seq("lauf", "run", "vrai")
   }
 
   test("normalize composes NFC and date_parse uses MySQL patterns") {
