@@ -375,9 +375,9 @@ object GeoAlgorithms {
       if (ms.isEmpty) return false
       if (geomType(a) == "GEOMETRYCOLLECTION")
         return ms.forall(m => containsGeom(a, m)) // recurses into left-collection case
-      def rel(m: String) = relateMatrix(a, m)
-      return ms.forall { m => val r = rel(m); r(6) == 'F' && r(7) == 'F' } &&
-        ms.exists(m => rel(m)(0) != 'F')
+      val rels = ms.map(m => relateMatrix(a, m))
+      return rels.forall(r => r(6) == 'F' && r(7) == 'F') &&
+        rels.exists(_(0) != 'F')
     }
     val ms = flattenCollection(a).filterNot(_.endsWith("EMPTY"))
     if (ms.exists(m => containsGeom(m, b))) return true

@@ -962,6 +962,47 @@ object Spatial extends QueryGroup {
              |  10.0 AS hole_union_area,
              |  CAST(1 AS BIGINT) AS hole_union_holes""".stripMargin)),
 
+    // st_contains with GEOMETRYCOLLECTION operands (r10 semantics,
+    // gated r11 per VERDICT r10 #6): member decomposition on either
+    // side, including the motivating first-vertex-inside-but-NOT-
+    // contained case (the pre-r10 fallback looked only at the first
+    // member's first vertex). Left-collection rows cover the decidable
+    // regimes — single-member containment and envelope-disjoint false;
+    // the members-jointly-cover case RAISES and stays pinned in
+    // Round10FixesSpec (an erroring row cannot be oracle-valued).
+    "fn_geo_collection" -> QueryDef(
+      (s, dir) => {
+        val box = "'POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))'"
+        s.sql(s"""SELECT
+                |  st_contains($box,
+                |    'GEOMETRYCOLLECTION (POINT (5 5), POINT (20 20))')
+                |    AS gc_first_inside,
+                |  st_contains($box,
+                |    'GEOMETRYCOLLECTION (POINT (5 5), LINESTRING (1 1, 20 1))')
+                |    AS gc_line_exits,
+                |  st_contains($box,
+                |    'GEOMETRYCOLLECTION (POINT (5 5), LINESTRING (1 1, 2 2), POLYGON ((3 3, 4 3, 4 4, 3 4, 3 3)))')
+                |    AS gc_all_inside,
+                |  st_contains($box,
+                |    'GEOMETRYCOLLECTION (GEOMETRYCOLLECTION (POINT (1 1)), POINT (2 2))')
+                |    AS gc_nested,
+                |  st_contains($box, 'GEOMETRYCOLLECTION (POINT (0 0))')
+                |    AS gc_boundary_only,
+                |  st_contains(
+                |    'GEOMETRYCOLLECTION (POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0)), POINT (30 30))',
+                |    'POINT (5 5)') AS gcl_member_contains,
+                |  st_contains(
+                |    'GEOMETRYCOLLECTION (POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0)), POLYGON ((5 5, 6 5, 6 6, 5 6, 5 5)))',
+                |    'POINT (30 30)') AS gcl_disjoint,
+                |  st_contains($box,
+                |    'GEOMETRYCOLLECTION (POINT (5 5), GEOMETRYCOLLECTION (LINESTRING (0 5, 11 5)))')
+                |    AS gc_nested_exits""".stripMargin)
+      },
+      Some("""SELECT false AS gc_first_inside, false AS gc_line_exits,
+             |  true AS gc_all_inside, true AS gc_nested,
+             |  false AS gc_boundary_only, true AS gcl_member_contains,
+             |  false AS gcl_disjoint, false AS gc_nested_exits""".stripMargin)),
+
     // Interior rings in overlay (r4 missing #4, closed r8): polygons
     // WITH holes through intersection/union/difference/sym-difference,
     // exact in every contact regime — hole fully covered by the other

@@ -55,6 +55,34 @@ class Round11FixesSpec extends AnyFunSuite with SparkFixture with Matchers {
     again.agg(max("count")).head().getLong(0) should be <= 50L
   }
 
+  test("explain_analyze's scan-rows invariant: arithmetic predicate is never pushed to the scan") {
+    import spark.implicits._
+    // The explain_analyze gate equates the scan's numOutputRows with
+    // DuckDB's count(*) — valid only while NO data filter reaches the
+    // parquet reader. Today `o_totalprice + 0.0 > 100000.0` is not
+    // convertible to a source filter; if a future Spark simplification
+    // folds `x + 0.0` to `x` and pushes it, this assertion fails loudly
+    // before the oracle silently diverges (VERDICT r10 #4).
+    val q = Tables.orders(spark, sfDir)
+      .filter($"o_totalprice" + 0.0 > 100000.0)
+      .groupBy($"o_orderstatus").agg(count(lit(1)).as("n"))
+    // sparkPlan, not executedPlan: AQE wraps the latter in an
+    // AdaptiveSparkPlanExec whose inner plan collect() can't reach
+    val scans = q.queryExecution.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        s.metadata.getOrElse("PushedFilters", "[]")
+      case s: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        s.scan.description()
+    }
+    scans should not be empty
+    scans.foreach { pushed =>
+      withClue(pushed) {
+        (pushed == "[]" || pushed.contains("PushedFilters: []") ||
+          !pushed.toLowerCase.contains("pushedfilters")) shouldBe true
+      }
+    }
+  }
+
   test("parity alone would stall: distinct bits per round keep halving") {
     import spark.implicits._
     // all-even ids: a parity-only tie-break would re-derive the same
