@@ -35,7 +35,8 @@ object Registry {
     queries.Spatial,
     queries.Multimodal,
     queries.Events,
-    queries.Ml
+    queries.Ml,
+    queries.Tpcds
   )
 
   lazy val all: Map[String, QueryDef] =
