@@ -824,10 +824,264 @@ object SnowballStemmers {
     }
   }
 
+  // ===================================================================
+  // Scandinavian family (Danish / Norwegian / Swedish) — r11.
+  //
+  // These three share the Snowball structure: R1 (min-3 prefix), a
+  // step-1 ending table, a consonant-pair step that drops the final
+  // letter, and a step-3 d-suffix table. CRUCIALLY their step tables
+  // run under Snowball's `setlimit tomark p1`: matching itself is
+  // RESTRICTED to R1, so a long ending that starts before R1 does not
+  // match and a SHORTER fitting ending wins instead (hedens → hed via
+  // 'ens', not a failed 'hedens') — unlike the German/Romance
+  // longest-match-then-test style above. `longestIn` implements that.
+  // ===================================================================
+
+  /** Longest suffix of `w` from `sufs` (sorted length-descending)
+    * whose start offset is >= `r1` — Snowball's setlimit-to-R1
+    * matching, where endings longer than the R1 window simply do not
+    * participate. */
+  private def longestIn(w: String, r1: Int, sufs: Seq[String]): Option[String] =
+    sufs.find(s => w.endsWith(s) && w.length - s.length >= r1)
+
+  object Danish {
+    private val vowels = "aeiouyæåø"
+    private def isV(c: Char) = vowels.indexOf(c) >= 0
+    private val sEnding = "abcdfghjklmnoprtvyzå"
+    private val step1 = byLen("hed", "ethed", "ered", "e", "erede", "ende",
+      "erende", "ene", "erne", "ere", "en", "heden", "eren", "er", "heder",
+      "erer", "heds", "es", "endes", "erendes", "enes", "ernes", "eres",
+      "ens", "hedens", "erens", "ers", "ets", "erets", "et", "eret", "s")
+    private val step3 = byLen("ig", "lig", "elig", "els", "løst")
+
+    private def consonantPair(w: String, r1: Int): String =
+      if (w.length >= 2 && w.length - 2 >= r1 &&
+        Seq("gd", "dt", "gt", "kt").exists(w.endsWith))
+        w.substring(0, w.length - 1)
+      else w
+
+    def stem(input: String): String = {
+      var w = input
+      val r1 = math.max(regionAfter(w, 0, isV), 3)
+      // step 1 (main_suffix)
+      longestIn(w, r1, step1) match {
+        case Some("s") =>
+          if (w.length >= 2 && sEnding.indexOf(w.charAt(w.length - 2)) >= 0)
+            w = w.substring(0, w.length - 1)
+        case Some(s) => w = w.substring(0, w.length - s.length)
+        case None =>
+      }
+      // step 2 (consonant_pair)
+      w = consonantPair(w, r1)
+      // step 3 (other_suffix): unconditional igst → ig, then the table
+      if (w.endsWith("igst")) w = w.substring(0, w.length - 2)
+      longestIn(w, r1, step3) match {
+        case Some("løst") => w = w.substring(0, w.length - 1)
+        case Some(s) =>
+          w = w.substring(0, w.length - s.length)
+          w = consonantPair(w, r1)
+        case None =>
+      }
+      // step 4 (undouble): final consonant in R1 equal to its
+      // predecessor (only the final char need lie in R1)
+      if (w.length >= 2 && w.length - 1 >= r1 && !isV(w.charAt(w.length - 1)) &&
+        w.charAt(w.length - 1) == w.charAt(w.length - 2))
+        w = w.substring(0, w.length - 1)
+      w
+    }
+  }
+
+  object Norwegian {
+    private val vowels = "aeiouyæåø"
+    private def isV(c: Char) = vowels.indexOf(c) >= 0
+    private val sEnding = "bcdfghjlmnoprtvyz"
+    private val step1 = byLen("a", "e", "ede", "ande", "ende", "ane", "ene",
+      "hetene", "en", "heten", "ar", "er", "heter", "as", "es", "edes",
+      "endes", "enes", "hetenes", "ens", "hetens", "ers", "ets", "et",
+      "het", "ast", "s", "erte", "ert")
+    private val step3 = byLen("leg", "eleg", "ig", "eig", "lig", "elig",
+      "els", "lov", "elov", "slov", "hetslov")
+
+    def stem(input: String): String = {
+      var w = input
+      val r1 = math.max(regionAfter(w, 0, isV), 3)
+      // step 1
+      longestIn(w, r1, step1) match {
+        case Some("s") =>
+          // valid s-ending: the listed consonants, or k NOT preceded
+          // by a vowel (norwegian.sbl s_ending: 'k' (non-v))
+          val p = w.length - 2
+          if (p >= 0 && (sEnding.indexOf(w.charAt(p)) >= 0 ||
+            (w.charAt(p) == 'k' && (p == 0 || !isV(w.charAt(p - 1))))))
+            w = w.substring(0, w.length - 1)
+        case Some(s @ ("erte" | "ert")) =>
+          w = w.substring(0, w.length - s.length) + "er"
+        case Some(s) => w = w.substring(0, w.length - s.length)
+        case None =>
+      }
+      // step 2 (consonant pair dt/vt: drop the final letter)
+      if (w.length >= 2 && w.length - 2 >= r1 &&
+        (w.endsWith("dt") || w.endsWith("vt")))
+        w = w.substring(0, w.length - 1)
+      // step 3
+      longestIn(w, r1, step3).foreach(s =>
+        w = w.substring(0, w.length - s.length))
+      w
+    }
+  }
+
+  object Swedish {
+    private val vowels = "aeiouyäåö"
+    private def isV(c: Char) = vowels.indexOf(c) >= 0
+    private val sEnding = "bcdfghjklmnoprtvy"
+    private val step1 = byLen("a", "arna", "erna", "heterna", "orna", "ad",
+      "e", "ade", "ande", "arne", "are", "aste", "en", "anden", "aren",
+      "heten", "ern", "ar", "er", "heter", "or", "as", "arnas", "ernas",
+      "ornas", "es", "ades", "andes", "ens", "arens", "hetens", "erns",
+      "at", "andet", "het", "ast", "s")
+    private val step3 = byLen("lig", "ig", "els", "löst", "fullt")
+
+    def stem(input: String): String = {
+      var w = input
+      val r1 = math.max(regionAfter(w, 0, isV), 3)
+      // step 1
+      longestIn(w, r1, step1) match {
+        case Some("s") =>
+          if (w.length >= 2 && sEnding.indexOf(w.charAt(w.length - 2)) >= 0)
+            w = w.substring(0, w.length - 1)
+        case Some(s) => w = w.substring(0, w.length - s.length)
+        case None =>
+      }
+      // step 2 (consonant pair: drop the final letter)
+      if (w.length >= 2 && w.length - 2 >= r1 &&
+        Seq("dd", "gd", "nn", "dt", "gt", "kt", "tt").exists(w.endsWith))
+        w = w.substring(0, w.length - 1)
+      // step 3
+      longestIn(w, r1, step3) match {
+        case Some("löst") => w = w.substring(0, w.length - 1)
+        case Some("fullt") => w = w.substring(0, w.length - 1)
+        case Some(s) => w = w.substring(0, w.length - s.length)
+        case None =>
+      }
+      w
+    }
+  }
+
+  // ===================================================================
+  // Dutch — r11. Unlike the Scandinavian three, dutch.sbl tests R1/R2
+  // INSIDE the among actions (longest match wins, then the region
+  // test applies with no fallback), like the German/Romance stemmers.
+  // ===================================================================
+  object Dutch {
+    private val vowels = "aeiouyè"
+    private def isV(c: Char) = vowels.indexOf(c) >= 0
+
+    /** kk/dd/tt lose their final letter after en/e removal. */
+    private def undouble(w: String): String =
+      if (w.endsWith("kk") || w.endsWith("dd") || w.endsWith("tt"))
+        w.substring(0, w.length - 1)
+      else w
+
+    /** en/ene-ending condition: preceded by a non-vowel and the stem
+      * does not end in "gem" at the cut. */
+    private def enOk(w: String, st: Int): Boolean =
+      st >= 1 && !isV(w.charAt(st - 1)) &&
+        !(st >= 3 && w.substring(st - 3, st) == "gem")
+
+    def stem(input: String): String = {
+      // prelude: strip umlauts/acutes, then mark consonantal i/y —
+      // initial y, y after a vowel, i between vowels — as upper case
+      var w = input.map {
+        case 'ä' | 'á' => 'a'; case 'ë' | 'é' => 'e'; case 'ï' | 'í' => 'i'
+        case 'ö' | 'ó' => 'o'; case 'ü' | 'ú' => 'u'; case c => c
+      }
+      val sb = new java.lang.StringBuilder(w)
+      if (sb.length > 0 && sb.charAt(0) == 'y') sb.setCharAt(0, 'Y')
+      var i = 1
+      while (i < sb.length) {
+        val c = sb.charAt(i)
+        if (c == 'y' && isV(sb.charAt(i - 1))) sb.setCharAt(i, 'Y')
+        else if (c == 'i' && isV(sb.charAt(i - 1)) && i + 1 < sb.length &&
+          isV(sb.charAt(i + 1))) sb.setCharAt(i, 'I')
+        i += 1
+      }
+      w = sb.toString
+      val r1raw = regionAfter(w, 0, isV)
+      val r1 = math.max(r1raw, 3)
+      val r2 = regionAfter(w, r1raw, isV)
+      var eFound = false
+
+      // step 1 — longest of heden / ene,en / se,s, then test
+      longest(w, byLen("heden", "ene", "en", "se", "s")) match {
+        case Some("heden") =>
+          if (w.length - 5 >= r1) w = w.substring(0, w.length - 5) + "heid"
+        case Some(s @ ("ene" | "en")) =>
+          val st = w.length - s.length
+          if (st >= r1 && enOk(w, st)) w = undouble(w.substring(0, st))
+        case Some(s @ ("se" | "s")) =>
+          val st = w.length - s.length
+          if (st >= r1 && st >= 1 && !isV(w.charAt(st - 1)) &&
+            w.charAt(st - 1) != 'j')
+            w = w.substring(0, st)
+        case _ =>
+      }
+      // step 2 — e-ending
+      def eEnding(): Unit =
+        if (w.endsWith("e") && w.length - 1 >= r1 && w.length >= 2 &&
+          !isV(w.charAt(w.length - 2))) {
+          w = undouble(w.substring(0, w.length - 1))
+          eFound = true
+        }
+      eEnding()
+      // step 3a — heid (not after c), then a second en pass
+      if (w.endsWith("heid") && w.length - 4 >= r2 &&
+        (w.length < 5 || w.charAt(w.length - 5) != 'c')) {
+        w = w.substring(0, w.length - 4)
+        if (w.endsWith("en") && w.length - 2 >= r1 && enOk(w, w.length - 2))
+          w = undouble(w.substring(0, w.length - 2))
+      }
+      // step 3b — d-suffixes in R2
+      longest(w, byLen("end", "ing", "ig", "lijk", "baar", "bar")) match {
+        case Some(s @ ("end" | "ing")) =>
+          val st = w.length - s.length
+          if (st >= r2) {
+            w = w.substring(0, st)
+            if (w.endsWith("ig") && w.length - 2 >= r2 &&
+              (w.length < 3 || w.charAt(w.length - 3) != 'e'))
+              w = w.substring(0, w.length - 2)
+            else w = undouble(w)
+          }
+        case Some("ig") =>
+          val st = w.length - 2
+          if (st >= r2 && (st == 0 || w.charAt(st - 1) != 'e'))
+            w = w.substring(0, st)
+        case Some("lijk") =>
+          if (w.length - 4 >= r2) { w = w.substring(0, w.length - 4); eEnding() }
+        case Some("baar") =>
+          if (w.length - 4 >= r2) w = w.substring(0, w.length - 4)
+        case Some("bar") =>
+          if (w.length - 3 >= r2 && eFound) w = w.substring(0, w.length - 3)
+        case _ =>
+      }
+      // step 4 — undouble vowel: ...C aa|ee|oo|uu D with D a
+      // non-vowel other than I
+      if (w.length >= 4) {
+        val d = w.charAt(w.length - 1)
+        val v2 = w.charAt(w.length - 2); val v1 = w.charAt(w.length - 3)
+        val c = w.charAt(w.length - 4)
+        if (!isV(d) && d != 'I' && v1 == v2 && "aeou".indexOf(v1) >= 0 &&
+          !isV(c))
+          w = w.substring(0, w.length - 2) + d
+      }
+      w.replace('I', 'i').replace('Y', 'y')
+    }
+  }
+
   /** Codes [[stem]] dispatches — used by the word_stem builder to
     * fail FAST (at analysis) on an unknown LITERAL code, matching the
     * reference's eager stemmer resolution. */
-  val Languages: Set[String] = Set("en", "de", "fr", "es", "it", "pt")
+  val Languages: Set[String] =
+    Set("en", "de", "fr", "es", "it", "pt", "da", "no", "sv", "nl")
 
   /** Dispatch by 2-letter code (WordStemFunction.java:48-76 — the
     * implemented subset; any other code raises like the reference's
@@ -839,6 +1093,10 @@ object SnowballStemmers {
     case "es" => Spanish.stem(word)
     case "it" => Italian.stem(word)
     case "pt" => Portuguese.stem(word)
+    case "da" => Danish.stem(word)
+    case "no" => Norwegian.stem(word)
+    case "sv" => Swedish.stem(word)
+    case "nl" => Dutch.stem(word)
     case other =>
       throw new IllegalArgumentException(s"Unknown stemmer language: $other")
   }

@@ -549,6 +549,7 @@ object ScalarFns extends QueryGroup {
     // the de/fr/es/it/pt SnowballStemmers existed but the SQL surface
     // rejected every code but 'en'). lang is a COLUMN, not a literal,
     // so the per-row WordStem2 dispatch path is what's value-checked;
+    // languages (r11 late: + da/no/sv/nl);
     // vectors are the reference's own (TestWordStemFunction.java:39-43)
     // plus PostgreSQL-snowball-derived rows per language (the oracle
     // carries the expected stems as literals — DuckDB has no stemmer).
@@ -567,6 +568,10 @@ object ScalarFns extends QueryGroup {
                 |  ('it', 'mangiandolo'), ('it', 'università'),
                 |  ('pt', 'quilomtricos'), ('pt', 'administração'),
                 |  ('pt', 'fazendo'), ('pt', 'corações'),
+                |  ('da', 'bestemmelse'), ('da', 'venligst'),
+                |  ('no', 'mulighetene'), ('no', 'opererte'),
+                |  ('sv', 'flickorna'), ('sv', 'möjligt'),
+                |  ('nl', 'uitdrukkingen'), ('nl', 'lichamelijkheden'),
                 |  ('en', 'intensifying') AS t(lang, word)
                 |ORDER BY lang, word""".stripMargin)
       },
@@ -585,6 +590,11 @@ object ScalarFns extends QueryGroup {
              |  ('pt', 'quilomtricos', 'quilomtr'),
              |  ('pt', 'administração', 'administr'),
              |  ('pt', 'fazendo', 'faz'), ('pt', 'corações', 'coraçõ'),
+             |  ('da', 'bestemmelse', 'bestem'), ('da', 'venligst', 'ven'),
+             |  ('no', 'mulighetene', 'mul'), ('no', 'opererte', 'operer'),
+             |  ('sv', 'flickorna', 'flick'), ('sv', 'möjligt', 'möj'),
+             |  ('nl', 'uitdrukkingen', 'uitdruk'),
+             |  ('nl', 'lichamelijkheden', 'licham'),
              |  ('en', 'intensifying', 'intensifi')) AS t(lang, word, stem)
              |ORDER BY lang, word""".stripMargin)),
 
