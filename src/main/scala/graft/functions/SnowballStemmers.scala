@@ -968,6 +968,101 @@ object SnowballStemmers {
   }
 
   // ===================================================================
+  // Russian — r11. The published algorithm works on lowercase
+  // Cyrillic with ё pre-mapped to е. The whole stemmer body runs
+  // under `backwards setlimit tomark pV` — EVERY suffix match and
+  // every group-1 а/я precondition is confined to RV (the region
+  // after the first vowel); class order is perfective-gerund, else
+  // (optional reflexive, then adjectival | verb | noun first-match),
+  // then и-removal, the R2 derivational tier, and the нн/superlative/ь
+  // tidy-up. Within a class the match is longest-first across both
+  // condition groups with no fallback on a failed а/я test.
+  // ===================================================================
+  object Russian {
+    private val vowels = "аеиоуыэюя"
+    private def isV(c: Char) = vowels.indexOf(c) >= 0
+
+    private val perfGerund1 = byLen("в", "вши", "вшись")
+    private val perfGerund2 = byLen("ив", "ивши", "ившись", "ыв", "ывши", "ывшись")
+    private val perfGerund = byLen((perfGerund1 ++ perfGerund2): _*)
+    private val adjective = byLen("ее", "ие", "ые", "ое", "ими", "ыми", "ей",
+      "ий", "ый", "ой", "ем", "им", "ым", "ом", "его", "ого", "ему", "ому",
+      "их", "ых", "ую", "юю", "ая", "яя", "ою", "ею")
+    private val participle1 = byLen("ем", "нн", "вш", "ющ", "щ")
+    private val participle2 = byLen("ивш", "ывш", "ующ")
+    private val participle = byLen((participle1 ++ participle2): _*)
+    private val verb1 = byLen("ла", "на", "ете", "йте", "ли", "й", "л", "ем",
+      "н", "ло", "но", "ет", "ют", "ны", "ть", "ешь", "нно")
+    private val verb2 = byLen("ила", "ыла", "ена", "ейте", "уйте", "ите",
+      "или", "ыли", "ей", "уй", "ил", "ыл", "им", "ым", "ен", "ило", "ыло",
+      "ено", "ят", "ует", "уют", "ит", "ыт", "ены", "ить", "ыть", "ишь",
+      "ую", "ю")
+    private val verb = byLen((verb1 ++ verb2): _*)
+    private val noun = byLen("а", "ев", "ов", "ие", "ье", "е", "иями", "ями",
+      "ами", "еи", "ии", "и", "ией", "ей", "ой", "ий", "й", "иям", "ям",
+      "ием", "ем", "ам", "ом", "о", "у", "ах", "иях", "ях", "ы", "ь", "ию",
+      "ью", "ю", "ия", "ья", "я")
+    private val superlative = byLen("ейш", "ейше")
+
+    def stem(input: String): String = {
+      var w = input.replace('ё', 'е')
+      val rv = {
+        var i = 0
+        while (i < w.length && !isV(w.charAt(i))) i += 1
+        if (i < w.length) i + 1 else w.length
+      }
+      val r1raw = regionAfter(w, 0, isV)
+      val r2 = regionAfter(w, r1raw, isV)
+
+      // a group-1 suffix additionally needs а/я immediately before it,
+      // with that char itself inside RV (the setlimit covers it too)
+      def g1ok(st: Int): Boolean =
+        st - 1 >= rv && (w.charAt(st - 1) == 'а' || w.charAt(st - 1) == 'я')
+      def dropIn(sufs: Seq[String], g1: Seq[String]): Boolean =
+        longestIn(w, rv, sufs) match {
+          case Some(s) =>
+            val st = w.length - s.length
+            if (!g1.contains(s) || g1ok(st)) { w = w.substring(0, st); true }
+            else false
+          case None => false
+        }
+
+      // step 1
+      if (!dropIn(perfGerund, perfGerund1)) {
+        longestIn(w, rv, byLen("ся", "сь")).foreach(s =>
+          w = w.substring(0, w.length - s.length))
+        val adj = longestIn(w, rv, adjective) match {
+          case Some(s) =>
+            w = w.substring(0, w.length - s.length)
+            dropIn(participle, participle1)
+            true
+          case None => false
+        }
+        if (!adj && !dropIn(verb, verb1)) dropIn(noun, Nil)
+      }
+      // step 2
+      if (w.endsWith("и") && w.length - 1 >= rv)
+        w = w.substring(0, w.length - 1)
+      // step 3 (derivational, in R2)
+      longestIn(w, math.max(r2, rv), byLen("ост", "ость")).foreach(s =>
+        w = w.substring(0, w.length - s.length))
+      // step 4 (tidy up; the setlimit makes both chars of нн sit in RV)
+      if (w.endsWith("нн") && w.length - 2 >= rv)
+        w = w.substring(0, w.length - 1)
+      else longestIn(w, rv, superlative) match {
+        case Some(s) =>
+          w = w.substring(0, w.length - s.length)
+          if (w.endsWith("нн") && w.length - 2 >= rv)
+            w = w.substring(0, w.length - 1)
+        case None =>
+          if (w.endsWith("ь") && w.length - 1 >= rv)
+            w = w.substring(0, w.length - 1)
+      }
+      w
+    }
+  }
+
+  // ===================================================================
   // Dutch — r11. Unlike the Scandinavian three, dutch.sbl tests R1/R2
   // INSIDE the among actions (longest match wins, then the region
   // test applies with no fallback), like the German/Romance stemmers.
@@ -1081,7 +1176,7 @@ object SnowballStemmers {
     * fail FAST (at analysis) on an unknown LITERAL code, matching the
     * reference's eager stemmer resolution. */
   val Languages: Set[String] =
-    Set("en", "de", "fr", "es", "it", "pt", "da", "no", "sv", "nl")
+    Set("en", "de", "fr", "es", "it", "pt", "da", "no", "sv", "nl", "ru")
 
   /** Dispatch by 2-letter code (WordStemFunction.java:48-76 — the
     * implemented subset; any other code raises like the reference's
@@ -1097,6 +1192,7 @@ object SnowballStemmers {
     case "no" => Norwegian.stem(word)
     case "sv" => Swedish.stem(word)
     case "nl" => Dutch.stem(word)
+    case "ru" => Russian.stem(word)
     case other =>
       throw new IllegalArgumentException(s"Unknown stemmer language: $other")
   }

@@ -572,6 +572,7 @@ object ScalarFns extends QueryGroup {
                 |  ('no', 'mulighetene'), ('no', 'opererte'),
                 |  ('sv', 'flickorna'), ('sv', 'möjligt'),
                 |  ('nl', 'uitdrukkingen'), ('nl', 'lichamelijkheden'),
+                |  ('ru', 'работали'), ('ru', 'красивый'),
                 |  ('en', 'intensifying') AS t(lang, word)
                 |ORDER BY lang, word""".stripMargin)
       },
@@ -595,6 +596,7 @@ object ScalarFns extends QueryGroup {
              |  ('sv', 'flickorna', 'flick'), ('sv', 'möjligt', 'möj'),
              |  ('nl', 'uitdrukkingen', 'uitdruk'),
              |  ('nl', 'lichamelijkheden', 'licham'),
+             |  ('ru', 'работали', 'работа'), ('ru', 'красивый', 'красив'),
              |  ('en', 'intensifying', 'intensifi')) AS t(lang, word, stem)
              |ORDER BY lang, word""".stripMargin)),
 
