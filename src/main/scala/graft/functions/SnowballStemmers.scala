@@ -968,6 +968,134 @@ object SnowballStemmers {
   }
 
   // ===================================================================
+  // Romanian — r11. Implemented from the published algorithm and
+  // CONVERGED against PostgreSQL 15's snowball romanian_stem on a
+  // ~7,800-word probe corpus (structured base×suffix grid + two fuzz
+  // rounds, zero diffs) — the same compiled tables the reference's
+  // lucene RomanianStemmer was generated from. Notable semantics the
+  // probes pinned: steps 0-2 are longest-match-THEN-test (a long
+  // ending outside R1/R2 blocks shorter ones), the verb step is
+  // setlimit-to-RV (an ending that does not fit the RV window falls
+  // back to a shorter one) with one shared precondition (preceded in
+  // RV by a non-vowel or 'u') for all but the person/sigmatic
+  // endings, and the suffix tables use the CEDILLA forms ş/ţ (the
+  // comma-below ș/ț spellings pass through unstemmed, as in the
+  // reference). */
+  // ===================================================================
+  object Romanian {
+    private val vowels = "aăâeiîou"
+    private def isV(c: Char) = vowels.indexOf(c) >= 0
+
+    private val step0 = byLen("ul", "ului", "ea", "ele", "elor", "ii", "iei",
+      "iile", "iilor", "ilor", "ile", "atei", "aţie", "aţia")
+    private val combo: Seq[(Seq[String], String)] = Seq(
+      (byLen("abilitate", "abilitati", "abilităi", "abilităţi"), "abil"),
+      (byLen("ibilitate"), "ibil"),
+      (byLen("ivitate", "ivitati", "ivităi", "ivităţi"), "iv"),
+      (byLen("icitate", "icitati", "icităi", "icităţi", "icator", "icatori",
+        "iciv", "iciva", "icive", "icivi", "icivă", "ical", "icala", "icale",
+        "icali", "icală"), "ic"),
+      (byLen("ativ", "ativa", "ative", "ativi", "ativă", "aţiune", "atoare",
+        "ator", "atori", "ătoare", "ător", "ători"), "at"),
+      (byLen("itiv", "itiva", "itive", "itivi", "itivă", "iţiune", "itoare",
+        "itor", "itori"), "it"))
+    private val comboAll = byLen(combo.flatMap(_._1): _*)
+    private val stdDel = byLen("at", "ata", "ată", "ati", "ate", "ut", "uta",
+      "ută", "uti", "ute", "it", "ita", "ită", "iti", "ite", "ic", "ica",
+      "ice", "ici", "ică", "abil", "abila", "abile", "abili", "abilă",
+      "ibil", "ibila", "ibile", "ibili", "ibilă", "oasa", "oasă", "oase",
+      "os", "osi", "oşi", "ant", "anta", "ante", "anti", "antă", "ator",
+      "atori", "itate", "itati", "ităi", "ităţi", "iv", "iva", "ive", "ivi",
+      "ivă")
+    private val stdIune = byLen("iune", "iuni")
+    private val stdIst = byLen("ism", "isme", "ist", "ista", "iste", "isti",
+      "istă", "işti")
+    private val stdAll = byLen((stdDel ++ stdIune ++ stdIst): _*)
+    private val verbUncond = byLen("em", "im", "âm", "ăm", "aţi", "eţi",
+      "iţi", "âţi", "sei", "se", "seşi", "seră", "serăm", "serăţi", "sese",
+      "seseşi", "seseră", "seserăm", "seserăţi", "sesem")
+    private val verbCond = byLen("are", "ere", "ire", "âre", "ind", "ând",
+      "indu", "ându", "eze", "ească", "ez", "ezi", "ează", "esc", "eşti",
+      "eşte", "ăsc", "ăşti", "ăşte", "am", "ai", "au", "eam", "eai", "ea",
+      "eaţi", "eau", "iam", "iai", "ia", "iaţi", "iau", "ui", "âi", "aşi", "arăm",
+      "arăţi", "ară", "uşi", "urăm", "urăţi", "ură", "işi", "irăm", "irăţi",
+      "iră", "âşi", "ârăm", "ârăţi", "âră", "asem", "aseşi", "ase", "aserăm",
+      "aserăţi", "aseră", "isem", "iseşi", "ise", "iserăm", "iserăţi",
+      "iseră", "âsem", "âseşi", "âse", "âserăm", "âserăţi", "âseră", "usem",
+      "useşi", "use", "userăm", "userăţi", "useră")
+    private val verbAll = byLen((verbUncond ++ verbCond): _*)
+    private val finalVowel = byLen("a", "e", "i", "ie", "ă")
+
+    /** Longest matching suffix, accepted only if it starts in region
+      * `r` — snowball's then-test (no shorter fallback). */
+    private def longestTest(w: String, r: Int, sufs: Seq[String]): Option[String] =
+      sufs.find(w.endsWith).filter(s => w.length - s.length >= r)
+
+    def stem(input: String): String = {
+      val sb = new java.lang.StringBuilder(input)
+      var i = 1
+      while (i < sb.length - 1) {
+        val c = sb.charAt(i)
+        if ((c == 'i' || c == 'u') && isV(sb.charAt(i - 1)) && isV(sb.charAt(i + 1)))
+          sb.setCharAt(i, Character.toUpperCase(c))
+        i += 1
+      }
+      var w = sb.toString
+      val rv = rvRomance(w, isV)
+      val r1 = regionAfter(w, 0, isV)
+      val r2 = regionAfter(w, r1, isV)
+      // step 0 (articles/plurals, R1, then-test)
+      longestTest(w, r1, step0).foreach {
+        case s @ ("ul" | "ului") => w = w.substring(0, w.length - s.length)
+        case s @ ("ea" | "ele" | "elor") =>
+          w = w.substring(0, w.length - s.length) + "e"
+        case s @ ("ii" | "iei" | "iile" | "iilor" | "ilor") =>
+          w = w.substring(0, w.length - s.length) + "i"
+        case "ile" =>
+          if (!w.substring(0, w.length - 3).endsWith("ab"))
+            w = w.substring(0, w.length - 3) + "i"
+        case "atei" => w = w.substring(0, w.length - 4) + "at"
+        case s => w = w.substring(0, w.length - s.length) + "aţi" // aţie/aţia
+      }
+      // step 1 (combining suffixes, R1, repeat)
+      var removed = false
+      var more = true
+      while (more) {
+        longestTest(w, r1, comboAll) match {
+          case Some(s) =>
+            val rep = combo.find(_._1.contains(s)).get._2
+            w = w.substring(0, w.length - s.length) + rep
+            removed = true
+          case None => more = false
+        }
+      }
+      // step 2 (standard suffixes, R2, then-test)
+      longestTest(w, r2, stdAll).foreach { s =>
+        if (stdDel.contains(s)) { w = w.substring(0, w.length - s.length); removed = true }
+        else if (stdIune.contains(s)) {
+          if (w.substring(0, w.length - s.length).endsWith("ţ")) {
+            w = w.substring(0, w.length - s.length - 1) + "t"; removed = true
+          }
+        } else { w = w.substring(0, w.length - s.length) + "ist"; removed = true }
+      }
+      // step 3 (verb suffixes, RV window with shorter-suffix fallback,
+      // only when steps 1-2 removed nothing)
+      if (!removed) {
+        longestIn(w, rv, verbAll).foreach { s =>
+          val st = w.length - s.length
+          if (verbUncond.contains(s)) w = w.substring(0, st)
+          else if (st - 1 >= rv && (!isV(w.charAt(st - 1)) || w.charAt(st - 1) == 'u'))
+            w = w.substring(0, st)
+        }
+      }
+      // step 4 (final vowel, RV, then-test)
+      longestTest(w, rv, finalVowel).foreach(s =>
+        w = w.substring(0, w.length - s.length))
+      w.replace('I', 'i').replace('U', 'u')
+    }
+  }
+
+  // ===================================================================
   // Russian — r11. The published algorithm works on lowercase
   // Cyrillic with ё pre-mapped to е. The whole stemmer body runs
   // under `backwards setlimit tomark pV` — EVERY suffix match and
@@ -1176,7 +1304,7 @@ object SnowballStemmers {
     * fail FAST (at analysis) on an unknown LITERAL code, matching the
     * reference's eager stemmer resolution. */
   val Languages: Set[String] =
-    Set("en", "de", "fr", "es", "it", "pt", "da", "no", "sv", "nl", "ru")
+    Set("en", "de", "fr", "es", "it", "pt", "da", "no", "sv", "nl", "ru", "ro")
 
   /** Dispatch by 2-letter code (WordStemFunction.java:48-76 — the
     * implemented subset; any other code raises like the reference's
@@ -1193,6 +1321,7 @@ object SnowballStemmers {
     case "sv" => Swedish.stem(word)
     case "nl" => Dutch.stem(word)
     case "ru" => Russian.stem(word)
+    case "ro" => Romanian.stem(word)
     case other =>
       throw new IllegalArgumentException(s"Unknown stemmer language: $other")
   }

@@ -573,6 +573,7 @@ object ScalarFns extends QueryGroup {
                 |  ('sv', 'flickorna'), ('sv', 'möjligt'),
                 |  ('nl', 'uitdrukkingen'), ('nl', 'lichamelijkheden'),
                 |  ('ru', 'работали'), ('ru', 'красивый'),
+                |  ('ro', 'copilul'), ('ro', 'muncitorilor'),
                 |  ('en', 'intensifying') AS t(lang, word)
                 |ORDER BY lang, word""".stripMargin)
       },
@@ -597,6 +598,8 @@ object ScalarFns extends QueryGroup {
              |  ('nl', 'uitdrukkingen', 'uitdruk'),
              |  ('nl', 'lichamelijkheden', 'licham'),
              |  ('ru', 'работали', 'работа'), ('ru', 'красивый', 'красив'),
+             |  ('ro', 'copilul', 'copil'),
+             |  ('ro', 'muncitorilor', 'muncit'),
              |  ('en', 'intensifying', 'intensifi')) AS t(lang, word, stem)
              |ORDER BY lang, word""".stripMargin)),
 
