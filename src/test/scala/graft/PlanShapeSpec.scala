@@ -260,4 +260,28 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture with Matchers {
     plan should include("Window")
     plan should not include "CartesianProduct"
   }
+
+  test("tpcds_q3 star join broadcasts the derived dims") {
+    val plan = planOf("tpcds_q3")
+    plan should include("BroadcastHashJoin")
+    // date_dim/item derive small and must broadcast; no shuffle joins
+    plan should not include "SortMergeJoin"
+    plan should not include "CartesianProduct"
+  }
+
+  test("tpcds_q51's only shuffle join is the full-outer channel merge") {
+    val plan = planOf("tpcds_q51")
+    // FULL OUTER can't broadcast — exactly one sort-merge join, and
+    // the per-channel aggregations broadcast nothing cartesian
+    plan.sliding("SortMergeJoin".length)
+      .count(_ == "SortMergeJoin") shouldBe 1
+    plan should not include "CartesianProduct"
+  }
+
+  test("tpcds_q67 rollup + rank stays broadcast-only") {
+    val plan = planOf("tpcds_q67")
+    plan should include("Expand") // the ROLLUP grouping-set expansion
+    plan should include("BroadcastHashJoin")
+    plan should not include "SortMergeJoin"
+  }
 }
