@@ -55,6 +55,7 @@ object Tpcds extends QueryGroup {
       |    l_partkey AS ss_item_sk,
       |    CAST(l_suppkey % 10 AS BIGINT) AS ss_store_sk,
       |    o_custkey AS ss_customer_sk,
+      |    l_orderkey AS ss_ticket_number,
       |    l_quantity AS ss_quantity,
       |    l_extendedprice AS ss_ext_sales_price,
       |    l_extendedprice * (1 - l_discount) AS ss_net_paid,
@@ -86,6 +87,15 @@ object Tpcds extends QueryGroup {
     * string as the oracle. */
   private def shared(body: String): QueryDef = {
     val sql = s"WITH $starCtes\n$body"
+    QueryDef(
+      (s, dir) => { Tables.registerAll(s, dir); s.sql(sql) },
+      Some(sql))
+  }
+
+  /** Like [[shared]] but with query-local CTEs appended after the star
+    * derivation (the WITH list stays one dialect-neutral text). */
+  private def sharedWith(extraCtes: String, body: String): QueryDef = {
+    val sql = s"WITH $starCtes,\n$extraCtes\n$body"
     QueryDef(
       (s, dir) => { Tables.registerAll(s, dir); s.sql(sql) },
       Some(sql))
@@ -273,6 +283,64 @@ object Tpcds extends QueryGroup {
         |  WHERE d_qoy = 2 AND d_year = 1996
         |  GROUP BY ss_item_sk, i_category) t
         |ORDER BY i_category, item_sk""".stripMargin),
+
+    // q1 shape: correlated subquery over per-(customer, store) return
+    // totals — customers whose returns exceed 1.2x their store's
+    // average. The comparison runs in exact integer cents
+    // (ctr·n·10 > total·12 ⟺ ctr > 1.2·total/n), so cross-engine fp
+    // noise cannot flip the correlated predicate; Catalyst
+    // decorrelates the subquery into an aggregate + join.
+    "tpcds_q1" -> sharedWith(
+      """ctr AS (
+        |  SELECT ss_customer_sk AS ctr_customer_sk,
+        |    ss_store_sk AS ctr_store_sk,
+        |    CAST(sum(CAST(round(ss_net_paid * 100, 0) AS BIGINT))
+        |      AS BIGINT) AS ctr_cents
+        |  FROM store_sales WHERE ss_channel = 'R'
+        |  GROUP BY ss_customer_sk, ss_store_sk)""".stripMargin,
+      """SELECT c_custkey AS customer_id, c_name,
+        |  ctr_cents / 100.0 AS total_return
+        |FROM ctr ctr1 JOIN customer ON ctr_customer_sk = c_custkey
+        |WHERE ctr1.ctr_cents * 10 > (
+        |  SELECT CAST(sum(ctr2.ctr_cents) AS BIGINT) * 12 / count(*)
+        |  FROM ctr ctr2
+        |  WHERE ctr1.ctr_store_sk = ctr2.ctr_store_sk)
+        |ORDER BY customer_id""".stripMargin),
+
+    // q65 shape: brands selling below 10% of their store's average
+    // item revenue — per-store stats via window aggregates over the
+    // grouped frame, compared in exact integer cents.
+    "tpcds_q65" -> sharedWith(
+      """sb AS (
+        |  SELECT ss_store_sk, ss_item_sk,
+        |    CAST(sum(CAST(round(ss_ext_sales_price * 100, 0) AS BIGINT))
+        |      AS BIGINT) AS rev_cents
+        |  FROM store_sales GROUP BY ss_store_sk, ss_item_sk)""".stripMargin,
+      """SELECT s_store_name, i_brand, ss_item_sk AS item_sk,
+        |  rev_cents / 100.0 AS revenue
+        |FROM (
+        |  SELECT ss_store_sk, ss_item_sk, rev_cents,
+        |    CAST(sum(rev_cents) OVER (PARTITION BY ss_store_sk)
+        |      AS BIGINT) AS tot_cents,
+        |    count(*) OVER (PARTITION BY ss_store_sk) AS n_items
+        |  FROM sb) t
+        |  JOIN store ON ss_store_sk = s_store_sk
+        |  JOIN item ON ss_item_sk = i_item_sk
+        |WHERE rev_cents * n_items * 10 <= tot_cents
+        |ORDER BY s_store_name, item_sk""".stripMargin),
+
+    // q34 shape: frequent-basket tickets (4-7 items) joined back to
+    // the customer dim; counts are exact.
+    "tpcds_q34" -> shared(
+      """SELECT c_custkey AS customer_sk, c_name, ticket, cnt
+        |FROM (
+        |  SELECT ss_customer_sk, ss_ticket_number AS ticket,
+        |    count(*) AS cnt
+        |  FROM store_sales
+        |  GROUP BY ss_customer_sk, ss_ticket_number) t
+        |  JOIN customer ON ss_customer_sk = c_custkey
+        |WHERE cnt BETWEEN 4 AND 7
+        |ORDER BY customer_sk, ticket""".stripMargin),
 
     // The at-scale shape: the derived fact is MATERIALIZED once to
     // the session warehouse (the shared FS on a cluster — the
