@@ -342,6 +342,38 @@ object Tpcds extends QueryGroup {
         |WHERE cnt BETWEEN 4 AND 7
         |ORDER BY customer_sk, ticket""".stripMargin),
 
+    // q95 shape: tickets that span at least two stores AND have a
+    // returned line — two correlated EXISTS over the fact, the
+    // decorrelation + dedup-heavy pattern TPC-H never exercises.
+    "tpcds_q95" -> shared(
+      """SELECT count(DISTINCT t1.ss_ticket_number) AS order_count,
+        |  count(*) AS line_count,
+        |  CAST(sum(CAST(round(t1.ss_net_paid * 100, 0) AS BIGINT))
+        |    AS BIGINT) / 100.0 AS total_net_paid
+        |FROM store_sales t1
+        |WHERE EXISTS (
+        |    SELECT 1 FROM store_sales t2
+        |    WHERE t1.ss_ticket_number = t2.ss_ticket_number
+        |      AND t1.ss_store_sk <> t2.ss_store_sk)
+        |  AND EXISTS (
+        |    SELECT 1 FROM store_sales t3
+        |    WHERE t1.ss_ticket_number = t3.ss_ticket_number
+        |      AND t3.ss_channel = 'R')""".stripMargin),
+
+    // q14 shape (lite): brand sales restricted to items sold in BOTH
+    // channels — INTERSECT feeding an IN-subquery over the fact.
+    "tpcds_q14" -> shared(
+      """SELECT i_brand, count(*) AS cnt,
+        |  CAST(sum(CAST(round(ss_ext_sales_price * 100, 0) AS BIGINT))
+        |    AS BIGINT) / 100.0 AS revenue
+        |FROM store_sales JOIN item ON ss_item_sk = i_item_sk
+        |WHERE ss_item_sk IN (
+        |  SELECT ss_item_sk FROM store_sales WHERE ss_channel = 'A'
+        |  INTERSECT
+        |  SELECT ss_item_sk FROM store_sales WHERE ss_channel = 'R')
+        |GROUP BY i_brand
+        |ORDER BY i_brand""".stripMargin),
+
     // The at-scale shape: the derived fact is MATERIALIZED once to
     // the session warehouse (the shared FS on a cluster — the
     // tpch_q11_materialized precedent, VERDICT r3 #2) and the q3
