@@ -66,12 +66,15 @@ object Relational extends QueryGroup {
           .filter($"l_quantity" > 45.0 && $"l_discount" >= 0.05)
           .select($"l_orderkey", $"l_linenumber",
             r4($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("net_price"))
-          .orderBy($"l_orderkey", $"l_linenumber")
+          // net_price tie-break: the driver testdata has duplicate
+          // (l_orderkey, l_linenumber) pairs, so the 2-key sort is not
+          // total over the projection (r12 order audit)
+          .orderBy($"l_orderkey", $"l_linenumber", $"net_price")
       },
       Some("""SELECT l_orderkey, l_linenumber,
              |  round(l_extendedprice * (1.0 - l_discount), 4) AS net_price
              |FROM lineitem WHERE l_quantity > 45.0 AND l_discount >= 0.05
-             |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+             |ORDER BY l_orderkey, l_linenumber, net_price""".stripMargin)),
 
     // §2.1 VALUES inline relation.
     "values_inline" -> QueryDef(
@@ -112,11 +115,12 @@ object Relational extends QueryGroup {
           .filter($"o_orderstatus" === "F")
           .select($"l_orderkey", $"l_linenumber", $"o_custkey",
             r4($"l_extendedprice").as("price"))
-          .orderBy($"l_orderkey", $"l_linenumber")
+          .orderBy($"l_orderkey", $"l_linenumber", $"price")
       },
       Some("""SELECT l_orderkey, l_linenumber, o_custkey, round(l_extendedprice, 4) AS price
              |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-             |WHERE o_orderstatus = 'F' ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+             |WHERE o_orderstatus = 'F'
+             |ORDER BY l_orderkey, l_linenumber, price""".stripMargin)),
 
     // §2.3 left outer join (probe-outer in Presto terms).
     "join_left" -> QueryDef(

@@ -40,7 +40,12 @@ object ScalarFns extends QueryGroup {
             r4(degrees($"l_discount")).as("deg_d"),
             greatest($"l_quantity", $"l_tax" * 100).as("gr"),
             least($"l_quantity", $"l_tax" * 100).as("le"))
-          .orderBy($"l_orderkey", $"l_linenumber", $"abs_q")
+          // order over the FULL projection: duplicate (l_orderkey,
+          // l_linenumber) pairs exist in the testdata, and only the
+          // all-columns sort is provably total over distinct rows
+          // (r12 order audit)
+          .orderBy($"l_orderkey", $"l_linenumber", $"abs_q", $"ceil_p",
+            $"floor_p", $"pow_d", $"atan2_qp", $"gr", $"le")
       },
       Some("""SELECT l_orderkey, l_linenumber,
              |  abs(-l_quantity) AS abs_q,
@@ -59,7 +64,8 @@ object ScalarFns extends QueryGroup {
              |  greatest(l_quantity, l_tax * 100) AS gr,
              |  least(l_quantity, l_tax * 100) AS le
              |FROM lineitem WHERE l_orderkey <= 200
-             |ORDER BY l_orderkey, l_linenumber, abs_q""".stripMargin)),
+             |ORDER BY l_orderkey, l_linenumber, abs_q, ceil_p, floor_p,
+             |  pow_d, atan2_qp, gr, le""".stripMargin)),
 
     // width_bucket (Presto MathFunctions) — expressed as the closed-form
     // floor arithmetic so it stays codegen'd; oracle uses the same form.
@@ -98,7 +104,7 @@ object ScalarFns extends QueryGroup {
             r4(lit(math.Pi)).as("pi_c"),
             r4(exp(lit(1.0))).as("e_c"),
             factorial($"l_linenumber".cast("int") % 6).as("fact_ln"))
-          .orderBy($"l_orderkey", $"l_linenumber", $"cbrt_q")
+          .orderBy($"l_orderkey", $"l_linenumber", $"cbrt_q", $"asin_d")
       },
       Some("""SELECT l_orderkey, l_linenumber,
              |  round(cbrt(l_quantity), 4) AS cbrt_q,
@@ -115,7 +121,7 @@ object ScalarFns extends QueryGroup {
              |  round(exp(1.0), 4) AS e_c,
              |  CAST(factorial(l_linenumber % 6) AS BIGINT) AS fact_ln
              |FROM lineitem WHERE l_orderkey <= 100
-             |ORDER BY l_orderkey, l_linenumber, cbrt_q""".stripMargin)),
+             |ORDER BY l_orderkey, l_linenumber, cbrt_q, asin_d""".stripMargin)),
 
     // regexp_extract_all returning the match lists themselves
     // (joined to one string so the driver's oracle can sort/hash them).

@@ -472,7 +472,7 @@ object TextPipeline extends QueryGroup {
              |  round(sum(n_stop) * 1.0 / sum(n_tokens), 4) AS stop_share,
              |  round(sum(n_distinct) * 1.0 / sum(n_tokens), 4) AS diversity
              |FROM r WHERE rn = 1
-             |GROUP BY cand_lang ORDER BY cand_lang""".stripMargin)),
+             |GROUP BY cand_lang ORDER BY predicted_lang""".stripMargin)),
 
     // Within-document repetition ratio (the Gopher-style quality
     // signal: share of duplicated 3-grams). Entirely map-side — one

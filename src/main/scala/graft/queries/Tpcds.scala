@@ -17,6 +17,17 @@ import graft.{QueryDef, QueryGroup, Tables}
   * identical semantics in both dialects). That shared-text discipline
   * means the Spark plan and the oracle can never drift semantically.
   *
+  * Division discipline (r12, VERDICT r11 #1): a bare `cents / 100.0`
+  * is NOT dialect-neutral — Spark types the `100.0` literal as
+  * DECIMAL(4,1) so BIGINT/DECIMAL lands DECIMAL(27,6), while DuckDB's
+  * BIGINT/DECIMAL division yields DOUBLE; same values, different
+  * parquet types, different gate hash. Every cents-to-display
+  * division therefore casts the dividend first —
+  * `CAST(x_cents AS DOUBLE) / 100.0` — so both engines run the
+  * identical IEEE divide and emit DOUBLE. Likewise every ORDER BY is
+  * total over the projected columns (ties would permute
+  * engine-dependently under the order-sensitive hash).
+  *
   * The queries reproduce the TPC-DS SHAPES that TPC-H never
   * exercises, each named for its TPC-DS counterpart:
   *  - q3: dim-filtered star join, brand×year aggregation
@@ -191,7 +202,8 @@ object Tpcds extends QueryGroup {
         |  JOIN item ON ss_item_sk = i_item_sk
         |WHERE d_year = 1996
         |GROUP BY ROLLUP (i_category, i_brand)
-        |ORDER BY lochierarchy DESC, rank_within_parent""".stripMargin),
+        |ORDER BY lochierarchy DESC, rank_within_parent,
+        |  i_category, i_brand""".stripMargin),
 
     // q51 shape: window-over-union — per-item cumulative revenue in
     // two disjoint channels, FULL OUTER JOIN on (item, day), running
@@ -243,9 +255,9 @@ object Tpcds extends QueryGroup {
     // doubles - the avg of cent-quantized values lands on one often.
     "tpcds_q89" -> shared(
       """SELECT i_category, i_brand, s_store_name, d_moy,
-        |  sum_cents / 100.0 AS sumsales,
-        |  floor(total_cents * 100.0 / n_months + 0.5) / 10000.0
-        |    AS avg_monthly_sales
+        |  CAST(sum_cents AS DOUBLE) / 100.0 AS sumsales,
+        |  CAST(floor(CAST(total_cents AS DOUBLE) * 100.0 / n_months + 0.5)
+        |    AS DOUBLE) / 10000.0 AS avg_monthly_sales
         |FROM (
         |  SELECT i_category, i_brand, s_store_name, d_moy, sum_cents,
         |    CAST(sum(sum_cents) OVER (
@@ -299,13 +311,13 @@ object Tpcds extends QueryGroup {
         |  FROM store_sales WHERE ss_channel = 'R'
         |  GROUP BY ss_customer_sk, ss_store_sk)""".stripMargin,
       """SELECT c_custkey AS customer_id, c_name,
-        |  ctr_cents / 100.0 AS total_return
+        |  CAST(ctr_cents AS DOUBLE) / 100.0 AS total_return
         |FROM ctr ctr1 JOIN customer ON ctr_customer_sk = c_custkey
         |WHERE ctr1.ctr_cents * 10 > (
         |  SELECT CAST(sum(ctr2.ctr_cents) AS BIGINT) * 12 / count(*)
         |  FROM ctr ctr2
         |  WHERE ctr1.ctr_store_sk = ctr2.ctr_store_sk)
-        |ORDER BY customer_id""".stripMargin),
+        |ORDER BY customer_id, total_return""".stripMargin),
 
     // q65 shape: brands selling below 10% of their store's average
     // item revenue — per-store stats via window aggregates over the
@@ -317,7 +329,7 @@ object Tpcds extends QueryGroup {
         |      AS BIGINT) AS rev_cents
         |  FROM store_sales GROUP BY ss_store_sk, ss_item_sk)""".stripMargin,
       """SELECT s_store_name, i_brand, ss_item_sk AS item_sk,
-        |  rev_cents / 100.0 AS revenue
+        |  CAST(rev_cents AS DOUBLE) / 100.0 AS revenue
         |FROM (
         |  SELECT ss_store_sk, ss_item_sk, rev_cents,
         |    CAST(sum(rev_cents) OVER (PARTITION BY ss_store_sk)
@@ -348,8 +360,8 @@ object Tpcds extends QueryGroup {
     "tpcds_q95" -> shared(
       """SELECT count(DISTINCT t1.ss_ticket_number) AS order_count,
         |  count(*) AS line_count,
-        |  CAST(sum(CAST(round(t1.ss_net_paid * 100, 0) AS BIGINT))
-        |    AS BIGINT) / 100.0 AS total_net_paid
+        |  CAST(CAST(sum(CAST(round(t1.ss_net_paid * 100, 0) AS BIGINT))
+        |    AS BIGINT) AS DOUBLE) / 100.0 AS total_net_paid
         |FROM store_sales t1
         |WHERE EXISTS (
         |    SELECT 1 FROM store_sales t2
@@ -364,8 +376,8 @@ object Tpcds extends QueryGroup {
     // channels — INTERSECT feeding an IN-subquery over the fact.
     "tpcds_q14" -> shared(
       """SELECT i_brand, count(*) AS cnt,
-        |  CAST(sum(CAST(round(ss_ext_sales_price * 100, 0) AS BIGINT))
-        |    AS BIGINT) / 100.0 AS revenue
+        |  CAST(CAST(sum(CAST(round(ss_ext_sales_price * 100, 0) AS BIGINT))
+        |    AS BIGINT) AS DOUBLE) / 100.0 AS revenue
         |FROM store_sales JOIN item ON ss_item_sk = i_item_sk
         |WHERE ss_item_sk IN (
         |  SELECT ss_item_sk FROM store_sales WHERE ss_channel = 'A'

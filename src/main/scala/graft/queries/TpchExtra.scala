@@ -64,6 +64,28 @@ object TpchExtra extends QueryGroup {
     partsupp(s, dir).createOrReplaceTempView("partsupp")
   }
 
+  /** Q11 body over table [[ps]], shared verbatim by Spark and the
+    * oracle. Per-row values quantized to cents BIGINT before the sum
+    * so the aggregate is order-free (see the q11 entry's comment). */
+  private def q11Sql(ps: String): String =
+    s"""SELECT ps_partkey,
+       |  CAST(CAST(sum(CAST(round(ps_supplycost * ps_availqty * 100, 0)
+       |    AS BIGINT)) AS BIGINT) AS DOUBLE) / 100.0 AS value
+       |FROM $ps
+       |JOIN supplier ON ps_suppkey = s_suppkey
+       |JOIN nation ON s_nationkey = n_nationkey
+       |WHERE n_name IN ('NATION_1', 'NATION_6', 'NATION_11')
+       |GROUP BY ps_partkey
+       |HAVING CAST(sum(CAST(round(ps_supplycost * ps_availqty * 100, 0)
+       |    AS BIGINT)) AS BIGINT) * 1000 > (
+       |  SELECT CAST(sum(CAST(round(ps_supplycost * ps_availqty * 100, 0)
+       |    AS BIGINT)) AS BIGINT)
+       |  FROM $ps
+       |  JOIN supplier ON ps_suppkey = s_suppkey
+       |  JOIN nation ON s_nationkey = n_nationkey
+       |  WHERE n_name IN ('NATION_1', 'NATION_6', 'NATION_11'))
+       |ORDER BY value DESC, ps_partkey""".stripMargin
+
   override def defs: Map[String, QueryDef] = Map(
     // Q2: min-cost supplier per part in a region. The correlated-min
     // subquery becomes a partition window min — one pass, no re-join
@@ -258,37 +280,23 @@ object TpchExtra extends QueryGroup {
 
     // Q11: important stock per part for a nation group, HAVING above a
     // fraction of the global value (scalar subquery threshold).
+    //
+    // Exact-cents discipline (r12): the original round(sum(double), 4)
+    // sat ON a rounding half-boundary for one sf0.01 group (partkey
+    // 255, sum ≈ 470076.23125): Spark's merge order flips the 4th
+    // digit run-to-run (.2312/.2313) while DuckDB stays at .2313 — a
+    // latent per-run coin flip the strict gate exposed. Each row's
+    // ps_supplycost*ps_availqty is a DETERMINISTIC double (min of
+    // identical per-row divisions, integer count), so quantizing it
+    // to cents per row and summing BIGINTs is order-free and
+    // engine-identical; the HAVING runs on the same exact integers
+    // (cents*1000 > global_cents ⟺ sum > 0.001*global).
     "tpch_q11" -> QueryDef(
       (s, dir) => {
         registerWithPartsupp(s, dir)
-        s.sql("""SELECT ps_partkey, round(sum(ps_supplycost * ps_availqty), 4) AS value
-                |FROM partsupp
-                |JOIN supplier ON ps_suppkey = s_suppkey
-                |JOIN nation ON s_nationkey = n_nationkey
-                |WHERE n_name IN ('NATION_1', 'NATION_6', 'NATION_11')
-                |GROUP BY ps_partkey
-                |HAVING sum(ps_supplycost * ps_availqty) > (
-                |  SELECT sum(ps_supplycost * ps_availqty) * 0.001
-                |  FROM partsupp
-                |  JOIN supplier ON ps_suppkey = s_suppkey
-                |  JOIN nation ON s_nationkey = n_nationkey
-                |  WHERE n_name IN ('NATION_1', 'NATION_6', 'NATION_11'))
-                |ORDER BY value DESC, ps_partkey""".stripMargin)
+        s.sql(q11Sql("partsupp"))
       },
-      Some(s"""WITH $psCte
-             |SELECT ps_partkey, round(sum(ps_supplycost * ps_availqty), 4) AS value
-             |FROM partsupp
-             |JOIN supplier ON ps_suppkey = s_suppkey
-             |JOIN nation ON s_nationkey = n_nationkey
-             |WHERE n_name IN ('NATION_1', 'NATION_6', 'NATION_11')
-             |GROUP BY ps_partkey
-             |HAVING sum(ps_supplycost * ps_availqty) > (
-             |  SELECT sum(ps_supplycost * ps_availqty) * 0.001
-             |  FROM partsupp
-             |  JOIN supplier ON ps_suppkey = s_suppkey
-             |  JOIN nation ON s_nationkey = n_nationkey
-             |  WHERE n_name IN ('NATION_1', 'NATION_6', 'NATION_11'))
-             |ORDER BY value DESC, ps_partkey""".stripMargin)),
+      Some(s"WITH $psCte\n" + q11Sql("partsupp"))),
 
     // Q11 over a MATERIALIZED partsupp — the "real deployment" path the
     // partsupp() scaladoc promises: the derived table is CTAS'd to
@@ -310,34 +318,9 @@ object TpchExtra extends QueryGroup {
           "/graft_partsupp_" + dir.replaceAll("[^A-Za-z0-9]", "_")
         partsupp(s, dir).write.mode("overwrite").parquet(path)
         s.read.parquet(path).createOrReplaceTempView("partsupp_mat")
-        s.sql("""SELECT ps_partkey, round(sum(ps_supplycost * ps_availqty), 4) AS value
-                |FROM partsupp_mat
-                |JOIN supplier ON ps_suppkey = s_suppkey
-                |JOIN nation ON s_nationkey = n_nationkey
-                |WHERE n_name IN ('NATION_1', 'NATION_6', 'NATION_11')
-                |GROUP BY ps_partkey
-                |HAVING sum(ps_supplycost * ps_availqty) > (
-                |  SELECT sum(ps_supplycost * ps_availqty) * 0.001
-                |  FROM partsupp_mat
-                |  JOIN supplier ON ps_suppkey = s_suppkey
-                |  JOIN nation ON s_nationkey = n_nationkey
-                |  WHERE n_name IN ('NATION_1', 'NATION_6', 'NATION_11'))
-                |ORDER BY value DESC, ps_partkey""".stripMargin)
+        s.sql(q11Sql("partsupp_mat"))
       },
-      Some(s"""WITH $psCte
-             |SELECT ps_partkey, round(sum(ps_supplycost * ps_availqty), 4) AS value
-             |FROM partsupp
-             |JOIN supplier ON ps_suppkey = s_suppkey
-             |JOIN nation ON s_nationkey = n_nationkey
-             |WHERE n_name IN ('NATION_1', 'NATION_6', 'NATION_11')
-             |GROUP BY ps_partkey
-             |HAVING sum(ps_supplycost * ps_availqty) > (
-             |  SELECT sum(ps_supplycost * ps_availqty) * 0.001
-             |  FROM partsupp
-             |  JOIN supplier ON ps_suppkey = s_suppkey
-             |  JOIN nation ON s_nationkey = n_nationkey
-             |  WHERE n_name IN ('NATION_1', 'NATION_6', 'NATION_11'))
-             |ORDER BY value DESC, ps_partkey""".stripMargin)),
+      Some(s"WITH $psCte\n" + q11Sql("partsupp"))),
 
     // Q12: shipping-mode / priority split — conditional counts per
     // class; l_returnflag stands in for the missing l_shipmode.
@@ -366,7 +349,7 @@ object TpchExtra extends QueryGroup {
              |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
              |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
              |  AND l_shipdate > o_orderdate + INTERVAL 30 DAY
-             |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+             |GROUP BY l_returnflag ORDER BY shipmode""".stripMargin)),
 
     // Q13: distribution of per-customer order counts — left join with
     // an extra ON predicate, double aggregation.

@@ -68,7 +68,9 @@ object Windows extends QueryGroup {
             first($"l_quantity").over(wf).as("first_qty"),
             last($"l_quantity").over(wf).as("last_qty"),
             nth_value($"l_quantity", 2).over(wf).as("second_qty"))
-          .orderBy($"l_orderkey", $"l_linenumber")
+          // prev_qty/next2_qty tie-break: duplicate (l_orderkey,
+          // l_linenumber) pairs exist in the testdata (r12 order audit)
+          .orderBy($"l_orderkey", $"l_linenumber", $"prev_qty", $"next2_qty")
       },
       Some("""SELECT l_orderkey, l_linenumber,
              |  lag(l_quantity, 1) OVER w AS prev_qty,
@@ -82,7 +84,7 @@ object Windows extends QueryGroup {
              |  wf AS (PARTITION BY l_orderkey
              |         ORDER BY l_linenumber, l_quantity, l_extendedprice
              |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
-             |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+             |ORDER BY l_orderkey, l_linenumber, prev_qty, next2_qty""".stripMargin)),
 
     // IGNORE NULLS value functions (Presto FirstValueFunction etc.
     // all accept IGNORE NULLS; Spark exposes the same modifier).
@@ -136,7 +138,8 @@ object Windows extends QueryGroup {
             r4(avg($"l_extendedprice").over(w.rowsBetween(-2, 0))).as("sliding_avg"),
             count(lit(1)).over(w.rowsBetween(Window.unboundedPreceding,
               Window.unboundedFollowing)).as("part_n"))
-          .orderBy($"l_suppkey", $"l_orderkey", $"l_linenumber")
+          .orderBy($"l_suppkey", $"l_orderkey", $"l_linenumber",
+            $"running_qty", $"sliding_avg")
       },
       Some("""SELECT l_suppkey, l_orderkey, l_linenumber,
              |  round(sum(l_quantity) OVER (PARTITION BY l_suppkey
@@ -147,7 +150,8 @@ object Windows extends QueryGroup {
              |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS sliding_avg,
              |  count(*) OVER (PARTITION BY l_suppkey) AS part_n
              |FROM lineitem WHERE l_suppkey <= 3
-             |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin)),
+             |ORDER BY l_suppkey, l_orderkey, l_linenumber,
+             |  running_qty, sliding_avg""".stripMargin)),
 
     // RANGE frame (UNBOUNDED PRECEDING → CURRENT ROW — ties share values;
     // the only RANGE form Presto 0.216 supports, StatementAnalyzer.java:1365).

@@ -284,4 +284,37 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture with Matchers {
     plan should include("BroadcastHashJoin")
     plan should not include "SortMergeJoin"
   }
+
+  test("tpcds_q1's correlated scalar subquery decorrelates to an agg + join") {
+    // the per-(customer,store) threshold subquery must become one
+    // per-store aggregate joined back — never a per-row re-execution
+    // (no subquery node survives to the physical plan) and never a
+    // nested-loop over the fact
+    val plan = planOf("tpcds_q1")
+    plan.toLowerCase should not include "scalarsubquery"
+    plan should not include "BroadcastNestedLoopJoin"
+    plan should not include "CartesianProduct"
+    plan should include("HashAggregate")
+  }
+
+  test("tpcds_q95's double EXISTS lowers to semi joins, never nested-loop") {
+    // both correlated EXISTS decorrelate to equi semi-joins on the
+    // high-cardinality ticket key (shuffle or broadcast, AQE's call at
+    // this SF) — the at-scale shape; a BroadcastNestedLoopJoin or
+    // cartesian here would be quadratic in the fact
+    val plan = planOf("tpcds_q95")
+    plan should include("Semi")
+    plan should not include "BroadcastNestedLoopJoin"
+    plan should not include "CartesianProduct"
+  }
+
+  test("tpcds_q14's INTERSECT-feeding-IN lowers to semi joins") {
+    // INTERSECT of the two channel item sets → semi join between the
+    // aggregated sides; the IN-subquery over the fact → another semi
+    // join on ss_item_sk. No nested-loop anywhere.
+    val plan = planOf("tpcds_q14")
+    plan should include("Semi")
+    plan should not include "BroadcastNestedLoopJoin"
+    plan should not include "CartesianProduct"
+  }
 }
