@@ -581,6 +581,8 @@ object ScalarFns extends QueryGroup {
                 |  ('ru', 'работали'), ('ru', 'красивый'),
                 |  ('ro', 'copilul'), ('ro', 'muncitorilor'),
                 |  ('ir', 'bhfuil'), ('ir', 'ceoltóireacht'),
+                |  ('fi', 'taloissa'), ('fi', 'edeltäjistään'),
+                |  ('fi', 'kaupunkiin'), ('fi', 'mahdollisuuksien'),
                 |  ('en', 'intensifying') AS t(lang, word)
                 |ORDER BY lang, word""".stripMargin)
       },
@@ -609,6 +611,10 @@ object ScalarFns extends QueryGroup {
              |  ('ro', 'muncitorilor', 'muncit'),
              |  ('ir', 'bhfuil', 'fuil'),
              |  ('ir', 'ceoltóireacht', 'ceoltóir'),
+             |  ('fi', 'taloissa', 'talo'),
+             |  ('fi', 'edeltäjistään', 'edeltäj'),
+             |  ('fi', 'kaupunkiin', 'kaupunk'),
+             |  ('fi', 'mahdollisuuksien', 'mahdollisuuks'),
              |  ('en', 'intensifying', 'intensifi')) AS t(lang, word, stem)
              |ORDER BY lang, word""".stripMargin)),
 
