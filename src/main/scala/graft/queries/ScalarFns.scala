@@ -583,6 +583,8 @@ object ScalarFns extends QueryGroup {
                 |  ('ir', 'bhfuil'), ('ir', 'ceoltóireacht'),
                 |  ('fi', 'taloissa'), ('fi', 'edeltäjistään'),
                 |  ('fi', 'kaupunkiin'), ('fi', 'mahdollisuuksien'),
+                |  ('hu', 'házakkal'), ('hu', 'gyerekeknek'),
+                |  ('hu', 'fejlesztésére'), ('hu', 'barátaim'),
                 |  ('en', 'intensifying') AS t(lang, word)
                 |ORDER BY lang, word""".stripMargin)
       },
@@ -615,6 +617,10 @@ object ScalarFns extends QueryGroup {
              |  ('fi', 'edeltäjistään', 'edeltäj'),
              |  ('fi', 'kaupunkiin', 'kaupunk'),
              |  ('fi', 'mahdollisuuksien', 'mahdollisuuks'),
+             |  ('hu', 'házakkal', 'ház'),
+             |  ('hu', 'gyerekeknek', 'gyerek'),
+             |  ('hu', 'fejlesztésére', 'fejlesztés'),
+             |  ('hu', 'barátaim', 'barát'),
              |  ('en', 'intensifying', 'intensifi')) AS t(lang, word, stem)
              |ORDER BY lang, word""".stripMargin)),
 

@@ -18,7 +18,9 @@ import graft.functions.SnowballStemmers
   */
 class SnowballCorpusSpec extends AnyFunSuite with Matchers {
 
-  private val corpora = Map("fi" -> "/tmp/fi_corpus.tsv")
+  private val corpora = Map(
+    "fi" -> "/tmp/fi_corpus.tsv",
+    "hu" -> "/tmp/hu_corpus.tsv")
 
   for ((lang, path) <- corpora) {
     test(s"$lang port matches the PG snowball corpus dump") {
