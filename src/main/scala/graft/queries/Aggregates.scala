@@ -59,14 +59,20 @@ object Aggregates extends QueryGroup {
     "agg_filter_clause" -> QueryDef(
       (s, dir) => {
         Tables.registerAll(s, dir)
+        // exact cents (r12): the sf1 per-flag sums are ~4.7e10, where
+        // round(sum(double), 4) flips on summation order (see tpch_q11)
         s.sql("""SELECT l_returnflag,
                 |  count(*) FILTER (WHERE l_quantity > 25.0) AS n_heavy,
-                |  round(sum(l_extendedprice) FILTER (WHERE l_discount > 0.05), 4) AS disc_price
+                |  CAST(CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+                |    FILTER (WHERE l_discount > 0.05) AS BIGINT) AS DOUBLE) / 100.0
+                |    AS disc_price
                 |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
       },
       Some("""SELECT l_returnflag,
              |  count(*) FILTER (WHERE l_quantity > 25.0) AS n_heavy,
-             |  round(sum(l_extendedprice) FILTER (WHERE l_discount > 0.05), 4) AS disc_price
+             |  CAST(CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+             |    FILTER (WHERE l_discount > 0.05) AS BIGINT) AS DOUBLE) / 100.0
+             |    AS disc_price
              |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
     // ROLLUP (GroupIdOperator / grouping sets expansion).

@@ -23,16 +23,30 @@ object Relational extends QueryGroup {
   private def r4(c: Column): Column = round(c, 4)
 
   // Flagship: TPC-H Q1 shape (scan+filter+agg+sort; SURVEY.md §7.1).
+  //
+  // Exact fixed-point sums (r12): the full-table price sums reach
+  // ~2.8e10 at sf1, where double precision (~1e-5 absolute) exceeds
+  // the 1e-4 rounding quantum — round(sum(double), 4) then flips its
+  // last digit on summation order. Each row's price expression is a
+  // DETERMINISTIC double, so quantizing per row (cents for the raw
+  // price, 1e-4 units for the discount/charge products) and summing
+  // BIGINTs is order-free and engine-identical. The averages stay
+  // double: their magnitude (~5e4) keeps noise far below the quantum.
   def tpchQ1(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    def cents(c: Column): Column = round(c * 100).cast("long")
+    def dm(c: Column): Column = round(c * 10000).cast("long")
     Tables.lineitem(s, dir)
       .filter($"l_shipdate" <= to_timestamp(lit("1998-09-02")))
       .groupBy($"l_returnflag", $"l_linestatus")
       .agg(
         r4(sum($"l_quantity")).as("sum_qty"),
-        r4(sum($"l_extendedprice")).as("sum_base_price"),
-        r4(sum($"l_extendedprice" * (lit(1.0) - $"l_discount"))).as("sum_disc_price"),
-        r4(sum($"l_extendedprice" * (lit(1.0) - $"l_discount") * (lit(1.0) + $"l_tax"))).as("sum_charge"),
+        (sum(cents($"l_extendedprice")).cast("double") / 100.0)
+          .as("sum_base_price"),
+        (sum(dm($"l_extendedprice" * (lit(1.0) - $"l_discount")))
+          .cast("double") / 10000.0).as("sum_disc_price"),
+        (sum(dm($"l_extendedprice" * (lit(1.0) - $"l_discount") *
+          (lit(1.0) + $"l_tax"))).cast("double") / 10000.0).as("sum_charge"),
         r4(avg($"l_quantity")).as("avg_qty"),
         r4(avg($"l_extendedprice")).as("avg_price"),
         r4(avg($"l_discount")).as("avg_disc"),
@@ -43,9 +57,14 @@ object Relational extends QueryGroup {
   val tpchQ1Oracle: String =
     """SELECT l_returnflag, l_linestatus,
       |  round(sum(l_quantity), 4) AS sum_qty,
-      |  round(sum(l_extendedprice), 4) AS sum_base_price,
-      |  round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS sum_disc_price,
-      |  round(sum(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)), 4) AS sum_charge,
+      |  CAST(CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+      |    AS BIGINT) AS DOUBLE) / 100.0 AS sum_base_price,
+      |  CAST(CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount)
+      |    * 10000, 0) AS BIGINT)) AS BIGINT) AS DOUBLE) / 10000.0
+      |    AS sum_disc_price,
+      |  CAST(CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount)
+      |    * (1.0 + l_tax) * 10000, 0) AS BIGINT)) AS BIGINT) AS DOUBLE)
+      |    / 10000.0 AS sum_charge,
       |  round(avg(l_quantity), 4) AS avg_qty,
       |  round(avg(l_extendedprice), 4) AS avg_price,
       |  round(avg(l_discount), 4) AS avg_disc,
@@ -674,19 +693,28 @@ object Relational extends QueryGroup {
     "cte_inline" -> QueryDef(
       (s, dir) => {
         Tables.registerAll(s, dir)
+        // exact cents (r12): at sf1 the segment totals reach ~7e10 and
+        // round(sum(double), 4) flips its last digit on summation
+        // order; BIGINT cents are order-free (see tpch_q11)
         s.sql("""WITH cust_orders AS (
-                |  SELECT o_custkey, count(*) AS n, sum(o_totalprice) AS total
+                |  SELECT o_custkey, count(*) AS n,
+                |    CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                |      AS BIGINT) AS total_cents
                 |  FROM orders GROUP BY o_custkey)
                 |SELECT c_mktsegment, count(*) AS n_cust,
-                |       round(sum(total), 4) AS segment_total
+                |  CAST(CAST(sum(total_cents) AS BIGINT) AS DOUBLE) / 100.0
+                |    AS segment_total
                 |FROM customer JOIN cust_orders ON c_custkey = o_custkey
                 |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
       },
       Some("""WITH cust_orders AS (
-             |  SELECT o_custkey, count(*) AS n, sum(o_totalprice) AS total
+             |  SELECT o_custkey, count(*) AS n,
+             |    CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+             |      AS BIGINT) AS total_cents
              |  FROM orders GROUP BY o_custkey)
              |SELECT c_mktsegment, count(*) AS n_cust,
-             |       round(sum(total), 4) AS segment_total
+             |  CAST(CAST(sum(total_cents) AS BIGINT) AS DOUBLE) / 100.0
+             |    AS segment_total
              |FROM customer JOIN cust_orders ON c_custkey = o_custkey
              |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
 

@@ -304,15 +304,26 @@ object Sources extends QueryGroup {
     "ddl_view_cache" -> QueryDef(
       (s, dir) => {
         Tables.registerAll(s, dir)
+        // exact cents (r12): the sf1 grand total is ~3.7e11, past the
+        // magnitude where round(sum(double), 4) absorbs summation-
+        // order noise; BIGINT cents are order-free (see tpch_q11)
         s.sql("""CREATE OR REPLACE TEMP VIEW big_orders AS
-                |SELECT o_custkey, sum(o_totalprice) AS total
+                |SELECT o_custkey,
+                |  CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                |    AS BIGINT) AS total_cents
                 |FROM orders WHERE o_totalprice > 50000.0 GROUP BY o_custkey""".stripMargin)
         s.sql("CACHE TABLE big_orders")
-        s.sql("""SELECT count(*) AS n_cust, round(sum(total), 4) AS grand_total
+        s.sql("""SELECT count(*) AS n_cust,
+                |  CAST(CAST(sum(total_cents) AS BIGINT) AS DOUBLE) / 100.0
+                |    AS grand_total
                 |FROM big_orders""".stripMargin)
       },
-      Some("""SELECT count(*) AS n_cust, round(sum(total), 4) AS grand_total
-             |FROM (SELECT o_custkey, sum(o_totalprice) AS total
+      Some("""SELECT count(*) AS n_cust,
+             |  CAST(CAST(sum(total_cents) AS BIGINT) AS DOUBLE) / 100.0
+             |    AS grand_total
+             |FROM (SELECT o_custkey,
+             |        CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+             |          AS BIGINT) AS total_cents
              |      FROM orders WHERE o_totalprice > 50000.0 GROUP BY o_custkey) t""".stripMargin))
   )
 }

@@ -165,15 +165,21 @@ object Tpcds extends QueryGroup {
     // the rollup granularities, top 5 per category. Sums are rounded
     // before ranking and ties break on NULL-free coalesced keys so
     // both engines derive identical ranks.
+    // sumsales in exact cents (r12): the rollup's grand-total rows sum
+    // the whole fact (~2.5e9 cents at sf1) where round(sum(double),4)
+    // flips on summation order; the rank() key must be exact anyway.
     "tpcds_q67" -> shared(
-      """SELECT * FROM (
-        |  SELECT i_category, i_brand, d_year, d_qoy, sumsales,
+      """SELECT i_category, i_brand, d_year, d_qoy,
+        |  CAST(sum_cents AS DOUBLE) / 100.0 AS sumsales, rk
+        |FROM (
+        |  SELECT i_category, i_brand, d_year, d_qoy, sum_cents,
         |    CAST(rank() OVER (PARTITION BY i_category
-        |      ORDER BY sumsales DESC, coalesce(i_brand, ''),
+        |      ORDER BY sum_cents DESC, coalesce(i_brand, ''),
         |        coalesce(d_year, -1), coalesce(d_qoy, -1)) AS BIGINT) AS rk
         |  FROM (
         |    SELECT i_category, i_brand, d_year, d_qoy,
-        |      round(sum(ss_ext_sales_price), 4) AS sumsales
+        |      CAST(sum(CAST(round(ss_ext_sales_price * 100, 0) AS BIGINT))
+        |        AS BIGINT) AS sum_cents
         |    FROM store_sales
         |      JOIN date_dim ON ss_sold_date_sk = d_date_sk
         |      JOIN item ON ss_item_sk = i_item_sk
@@ -401,7 +407,9 @@ object Tpcds extends QueryGroup {
         s.read.parquet(path).createOrReplaceTempView("store_sales_mat")
         s.sql(
           """SELECT CAST(floor(ss_sold_date_sk / 10000) AS BIGINT) AS d_year,
-            |  ss_store_sk, round(sum(ss_ext_sales_price), 4) AS sum_agg,
+            |  ss_store_sk,
+            |  CAST(CAST(sum(CAST(round(ss_ext_sales_price * 100, 0)
+            |    AS BIGINT)) AS BIGINT) AS DOUBLE) / 100.0 AS sum_agg,
             |  count(*) AS cnt
             |FROM store_sales_mat
             |GROUP BY CAST(floor(ss_sold_date_sk / 10000) AS BIGINT), ss_store_sk
@@ -409,7 +417,9 @@ object Tpcds extends QueryGroup {
       },
       Some(s"""WITH $starCtes
              |SELECT CAST(floor(ss_sold_date_sk / 10000) AS BIGINT) AS d_year,
-             |  ss_store_sk, round(sum(ss_ext_sales_price), 4) AS sum_agg,
+             |  ss_store_sk,
+             |  CAST(CAST(sum(CAST(round(ss_ext_sales_price * 100, 0)
+             |    AS BIGINT)) AS BIGINT) AS DOUBLE) / 100.0 AS sum_agg,
              |  count(*) AS cnt
              |FROM store_sales
              |GROUP BY CAST(floor(ss_sold_date_sk / 10000) AS BIGINT), ss_store_sk
