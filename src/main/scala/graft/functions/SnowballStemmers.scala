@@ -1686,12 +1686,530 @@ object SnowballStemmers {
     }
   }
 
+  // ===================================================================
+  // Turkish — r12. CONVERGED against PostgreSQL 15's snowball
+  // turkish_stem (WordStemFunction.java:74): zero diffs on ~220,000
+  // probes (18 fuzz seeds of syllable-shaped random words + a grid of
+  // real Turkish stems × stacked case/possessive/copula suffixes + the
+  // PG stopword vocabulary). Structure recovered by black-box probing:
+  //  - vowel harmony ("check_vowel_harmony"): the last vowel at the
+  //    check position must have SOME vowel of its harmony class
+  //    anywhere to its left (snowball `goto` skips non-class chars,
+  //    including other vowels) — fail when the word has no second
+  //    vowel. Applied per-mark: ysA/yken/cAsInA/lArI/possessives skip
+  //    it (lArI/cAsInA/sUnUz self-satisfy: both harmony vowels sit
+  //    inside the suffix).
+  //  - optional-letter marks: -(y)X consumes the 'y' only when a vowel
+  //    precedes it; with no 'y' the char two left of the suffix must be
+  //    a vowel (mirrored for -(n)-, -(s)-, and the -(U)- vowel whose
+  //    second char must be a NON-vowel). Both branches failing fails
+  //    the whole mark — no bare-suffix fallback (adamyken → adamyke).
+  //  - the -(y)DU copula carries the personal endings as unit tails:
+  //    DU(m|n|k)? in d- and t- forms (geldim→gel, hastaydım→has).
+  //  - the verb-pass lAr branch ("geldiler") ends stemming entirely:
+  //    no noun pass AND no postlude (kitablar→kitab, b not devoiced).
+  //  - chain-after-ki entered via (ndA|nA) deletes its own slices but
+  //    keeps the trailing case suffix (okultakinde→okulnde).
+  //  - postlude: words stemmed to exactly "ad"/"soyad" are reserved
+  //    (no postlude); otherwise a final d/g gets the harmony high
+  //    vowel appended (yaddan→yadı), then a final b/c/d/ğ devoices to
+  //    p/ç/t/k. A stem emptied by suffix removal yields the original
+  //    word. Words with fewer than two vowels are never stemmed.
+  object Turkish {
+    private val vowels = "aeıioöuü"
+    private val uVowels = "ıiuü"
+    private def isV(c: Char) = vowels.indexOf(c) >= 0
+    private val harmonyClass = Map('a' -> "aıou", 'e' -> "eiöü",
+      'ı' -> "aı", 'i' -> "ei", 'o' -> "ou", 'ö' -> "öü",
+      'u' -> "ou", 'ü' -> "öü")
+
+    private def harmony(w: String, e: Int): Boolean = {
+      var i = e - 1
+      while (i >= 0 && !isV(w.charAt(i))) i -= 1
+      if (i < 0) return false
+      val allowed = harmonyClass(w.charAt(i))
+      var j = i - 1
+      while (j >= 0 && allowed.indexOf(w.charAt(j)) < 0) j -= 1
+      j >= 0
+    }
+
+    /** -(c)- optional consonant: consume c when a vowel precedes it;
+      * else require w(e-2) to be a vowel. -1 = mark fails. */
+    private def optCons(w: String, e: Int, c: Char): Int =
+      if (e >= 1 && w.charAt(e - 1) == c) {
+        if (e >= 2 && isV(w.charAt(e - 2))) e - 1 else -1
+      } else if (e >= 2 && isV(w.charAt(e - 2))) e
+      else -1
+
+    /** -(U)- optional high vowel: consume when a NON-vowel precedes. */
+    private def optU(w: String, e: Int): Int =
+      if (e >= 1 && uVowels.indexOf(w.charAt(e - 1)) >= 0) {
+        if (e >= 2 && !isV(w.charAt(e - 2))) e - 1 else -1
+      } else if (e >= 2 && !isV(w.charAt(e - 2))) e
+      else -1
+
+    /** Longest tail match (no fallthrough), then harmony + optional
+      * letter. Returns the new end, or -1 if the mark fails. */
+    private def mark(w: String, e: Int, tails: Seq[String],
+        needHarmony: Boolean = true, opt: Char = ' '): Int = {
+      if (needHarmony && !harmony(w, e)) return -1
+      val t = tails.find(t => e >= t.length &&
+        w.regionMatches(e - t.length, t, 0, t.length))
+      t match {
+        case None => -1
+        case Some(s) =>
+          val e2 = e - s.length
+          opt match {
+            case ' ' => e2
+            case 'U' => optU(w, e2)
+            case c => optCons(w, e2, c)
+          }
+      }
+    }
+
+    private def byLen(ss: Seq[String]) = ss.sortBy(-_.length)
+
+    private val possTails = byLen(Seq("mız", "miz", "muz", "müz",
+      "nız", "niz", "nuz", "nüz", "m", "n"))
+    private val uTails = Seq("ı", "i", "u", "ü")
+    private val lArITails = Seq("ları", "leri")
+    private val nUTails = Seq("nı", "ni", "nu", "nü")
+    private val nUnTails = Seq("ın", "in", "un", "ün")
+    private val yATails = Seq("a", "e")
+    private val nATails = Seq("na", "ne")
+    private val dATails = Seq("da", "de", "ta", "te")
+    private val ndATails = Seq("nda", "nde")
+    private val dAnTails = Seq("dan", "den", "tan", "ten")
+    private val ndAnTails = Seq("ndan", "nden")
+    private val ylATails = Seq("la", "le")
+    private val kiTails = Seq("ki")
+    private val ncATails = Seq("ca", "ce")
+    private val ykenTails = Seq("ken")
+    private val cAsInATails = Seq("casına", "cesine")
+    private val yDUTails = byLen(for {
+      d <- Seq("d", "t"); v <- Seq("ı", "i", "u", "ü")
+      p <- Seq("", "m", "n", "k")
+    } yield d + v + p)
+    private val ysATails = byLen(for {
+      v <- Seq("a", "e"); p <- Seq("", "m", "n", "k")
+    } yield "s" + v + p)
+    private val ymUsTails = Seq("mış", "miş", "muş", "müş")
+    private val sUnTails = Seq("sın", "sin", "sun", "sün")
+    private val yUmTails = Seq("ım", "im", "um", "üm")
+    private val yUzTails = Seq("ız", "iz", "uz", "üz")
+    private val sUnUzTails = Seq("sınız", "siniz", "sunuz", "sünüz")
+    private val lArTails = Seq("lar", "ler")
+    private val nUzTails = Seq("nız", "niz", "nuz", "nüz")
+    private val dUrTails = Seq("dır", "dir", "dur", "dür",
+      "tır", "tir", "tur", "tür")
+
+    private def mPoss(w: String, e: Int) =
+      mark(w, e, possTails, needHarmony = false, opt = 'U')
+    private def mSU(w: String, e: Int) = mark(w, e, uTails, opt = 's')
+    private def mLArI(w: String, e: Int) =
+      mark(w, e, lArITails, needHarmony = false)
+    private def mYU(w: String, e: Int) = mark(w, e, uTails, opt = 'y')
+    private def mYDU(w: String, e: Int) = mark(w, e, yDUTails, opt = 'y')
+    private def mYsA(w: String, e: Int) =
+      mark(w, e, ysATails, needHarmony = false, opt = 'y')
+    private def mYmUs(w: String, e: Int) = mark(w, e, ymUsTails, opt = 'y')
+    private def mYken(w: String, e: Int) =
+      mark(w, e, ykenTails, needHarmony = false, opt = 'y')
+    private def mCAsInA(w: String, e: Int) =
+      mark(w, e, cAsInATails, needHarmony = false)
+    private def mSUn(w: String, e: Int) = mark(w, e, sUnTails)
+    private def mYUm(w: String, e: Int) = mark(w, e, yUmTails, opt = 'y')
+    private def mYUz(w: String, e: Int) = mark(w, e, yUzTails, opt = 'y')
+    private def mSUnUz(w: String, e: Int) =
+      mark(w, e, sUnUzTails, needHarmony = false)
+    private def mLAr(w: String, e: Int) = mark(w, e, lArTails)
+    private def mNUz(w: String, e: Int) = mark(w, e, nUzTails)
+    private def mDUr(w: String, e: Int) = mark(w, e, dUrTails)
+    private def mNUn(w: String, e: Int) = mark(w, e, nUnTails, opt = 'n')
+    private def mNcA(w: String, e: Int) = mark(w, e, ncATails, opt = 'n')
+    private def mYA(w: String, e: Int) = mark(w, e, yATails, opt = 'y')
+    private def mYlA(w: String, e: Int) = mark(w, e, ylATails, opt = 'y')
+    private def mKi(w: String, e: Int) =
+      mark(w, e, kiTails, needHarmony = false)
+    private def mNA(w: String, e: Int) = mark(w, e, nATails)
+    private def mDA(w: String, e: Int) = mark(w, e, dATails)
+    private def mNdA(w: String, e: Int) = mark(w, e, ndATails)
+    private def mDAn(w: String, e: Int) = mark(w, e, dAnTails)
+    private def mNdAn(w: String, e: Int) = mark(w, e, ndAnTails)
+
+    /** Nominal-verb pass. Returns (stripped word, run-noun-pass?); a
+      * lAr match here ends stemming entirely (no noun pass, no
+      * postlude). */
+    private def verbPass(w: String): (String, Boolean) = {
+      val e = w.length
+      // A: ymUs | yDU(+personal) | ysA(+personal) | yken
+      for (m <- Seq(mYmUs _, mYDU _, mYsA _, mYken _)) {
+        val e2 = m(w, e)
+        if (e2 >= 0) return (w.substring(0, e2), true)
+      }
+      // B: cAsInA (sUnUz|lAr|yUm|sUn|yUz|eps) ymUs — ymUs required
+      locally {
+        val e2 = mCAsInA(w, e)
+        if (e2 >= 0) {
+          var e3 = e2
+          val mid = Seq(mSUnUz _, mLAr _, mYUm _, mSUn _, mYUz _)
+            .iterator.map(_(w, e2)).find(_ >= 0)
+          mid.foreach(r => e3 = r)
+          val e4 = mYmUs(w, e3)
+          if (e4 >= 0) return (w.substring(0, e4), true)
+        }
+      }
+      // C: lAr ; delete ; try(DUr|yDU|ysA|ymUs) ; stop stemming
+      locally {
+        val e2 = mLAr(w, e)
+        if (e2 >= 0) {
+          var w2 = w.substring(0, e2)
+          Seq(mDUr _, mYDU _, mYsA _, mYmUs _)
+            .iterator.map(_(w2, w2.length)).find(_ >= 0)
+            .foreach(r => w2 = w2.substring(0, r))
+          return (w2, false)
+        }
+      }
+      // D: nUz (yDU|ysA)
+      locally {
+        val e2 = mNUz(w, e)
+        if (e2 >= 0) {
+          for (m <- Seq(mYDU _, mYsA _)) {
+            val r = m(w, e2)
+            if (r >= 0) return (w.substring(0, r), true)
+          }
+        }
+      }
+      // E: (sUnUz|yUz|sUn|yUm) ; delete ; try ymUs
+      for (m <- Seq(mSUnUz _, mYUz _, mSUn _, mYUm _)) {
+        val e2 = m(w, e)
+        if (e2 >= 0) {
+          var w2 = w.substring(0, e2)
+          val r = mYmUs(w2, w2.length)
+          if (r >= 0) w2 = w2.substring(0, r)
+          return (w2, true)
+        }
+      }
+      // F: DUr ; delete ; try((sUnUz|lAr|yUm|sUn|yUz|eps) ymUs) — ymUs required
+      locally {
+        val e2 = mDUr(w, e)
+        if (e2 >= 0) {
+          val w2 = w.substring(0, e2)
+          var e4 = w2.length
+          Seq(mSUnUz _, mLAr _, mYUm _, mSUn _, mYUz _)
+            .iterator.map(_(w2, w2.length)).find(_ >= 0)
+            .foreach(r => e4 = r)
+          val r = mYmUs(w2, e4)
+          if (r >= 0) return (w2.substring(0, r), true)
+          return (w2, true)
+        }
+      }
+      (w, true)
+    }
+
+    /** ki chain: w must end ...ki; strips ki plus the case/possessive
+      * tail before it. Returns null when ki (or what precedes) fails. */
+    private def chainKi(w: String): String = {
+      val e = mKi(w, w.length)
+      if (e < 0) return null
+      // alt 1: DA
+      locally {
+        val e2 = mDA(w, e)
+        if (e2 >= 0) {
+          val w2 = w.substring(0, e2)
+          val r = mLAr(w2, w2.length)
+          if (r >= 0) {
+            val w3 = w2.substring(0, r)
+            val c = chainKi(w3)
+            return if (c != null) c else w3
+          }
+          val rp = mPoss(w2, w2.length)
+          if (rp >= 0) {
+            val w3 = w2.substring(0, rp)
+            val r2 = mLAr(w3, w3.length)
+            if (r2 >= 0) {
+              val w4 = w3.substring(0, r2)
+              val c = chainKi(w4)
+              return if (c != null) c else w4
+            }
+            return w3
+          }
+          return w2
+        }
+      }
+      // alt 2: nUn
+      locally {
+        val e2 = mNUn(w, e)
+        if (e2 >= 0) {
+          val w2 = w.substring(0, e2)
+          val r = mLArI(w2, w2.length)
+          if (r >= 0) return w2.substring(0, r)
+          val rp = mPoss(w2, w2.length)
+          if (rp >= 0) {
+            val w3 = w2.substring(0, rp)
+            val r2 = mLAr(w3, w3.length)
+            if (r2 >= 0) {
+              val w4 = w3.substring(0, r2)
+              val c = chainKi(w4)
+              return if (c != null) c else w4
+            }
+            return w3
+          }
+          val c = chainKi(w2)
+          return if (c != null) c else w2
+        }
+      }
+      // alt 3: ndA
+      locally {
+        val e2 = mNdA(w, e)
+        if (e2 >= 0) {
+          val r = mLArI(w, e2)
+          if (r >= 0) return w.substring(0, r)
+          val rs = mSU(w, e2)
+          if (rs >= 0) {
+            val w3 = w.substring(0, rs)
+            val r2 = mLAr(w3, w3.length)
+            if (r2 >= 0) {
+              val w4 = w3.substring(0, r2)
+              val c = chainKi(w4)
+              return if (c != null) c else w4
+            }
+            return w3
+          }
+          return chainKi(w.substring(0, e2))
+        }
+      }
+      null
+    }
+
+    private def tryLarKi(w: String): String = {
+      val r = mLAr(w, w.length)
+      if (r >= 0) {
+        val w2 = w.substring(0, r)
+        val c = chainKi(w2)
+        if (c != null) c else w2
+      } else w
+    }
+
+    /** lAr already stripped: continue with ki-chain, else possessive. */
+    private def afterLar(w3: String): String = {
+      val c = chainKi(w3)
+      if (c != null) return c
+      val r2 = mPoss(w3, w3.length)
+      if (r2 >= 0) w3.substring(0, r2) else w3
+    }
+
+    private def nounPass(w: String): String = {
+      val e = w.length
+      // 1: lAr ; delete ; try chain_ki
+      locally {
+        val e2 = mLAr(w, e)
+        if (e2 >= 0) {
+          val w2 = w.substring(0, e2)
+          val c = chainKi(w2)
+          return if (c != null) c else w2
+        }
+      }
+      // 2: ncA ; delete ; try(lArI | (poss|sU)->try(lar ki) | lAr->ki)
+      locally {
+        val e2 = mNcA(w, e)
+        if (e2 >= 0) {
+          val w2 = w.substring(0, e2)
+          val r1 = mLArI(w2, w2.length)
+          if (r1 >= 0) return w2.substring(0, r1)
+          var r = mPoss(w2, w2.length)
+          if (r < 0) r = mSU(w2, w2.length)
+          if (r >= 0) return tryLarKi(w2.substring(0, r))
+          val rl = mLAr(w2, w2.length)
+          if (rl >= 0) {
+            val w3 = w2.substring(0, rl)
+            val c = chainKi(w3)
+            return if (c != null) c else w3
+          }
+          return w2
+        }
+      }
+      // 3: (ndA|nA) (lArI | sU->try(lar ki) | ki-chain keeping the tail)
+      locally {
+        var e2 = mNdA(w, e)
+        if (e2 < 0) e2 = mNA(w, e)
+        if (e2 >= 0) {
+          val r1 = mLArI(w, e2)
+          if (r1 >= 0) return w.substring(0, r1)
+          val rs = mSU(w, e2)
+          if (rs >= 0) return tryLarKi(w.substring(0, rs))
+          val c = chainKi(w.substring(0, e2))
+          if (c != null) return c + w.substring(e2)
+        }
+      }
+      // 4: (ndAn|nU) (sU->try(lar ki) | lArI)
+      locally {
+        var e2 = mNdAn(w, e)
+        if (e2 < 0) e2 = mNU(w, e)
+        if (e2 >= 0) {
+          val rs = mSU(w, e2)
+          if (rs >= 0) return tryLarKi(w.substring(0, rs))
+          val r1 = mLArI(w, e2)
+          if (r1 >= 0) return w.substring(0, r1)
+        }
+      }
+      // 5: DAn ; delete ; try(poss->try(lar ki) | lAr->ki | ki)
+      locally {
+        val e2 = mDAn(w, e)
+        if (e2 >= 0) {
+          val w2 = w.substring(0, e2)
+          val rp = mPoss(w2, w2.length)
+          if (rp >= 0) return tryLarKi(w2.substring(0, rp))
+          val rl = mLAr(w2, w2.length)
+          if (rl >= 0) {
+            val w3 = w2.substring(0, rl)
+            val c = chainKi(w3)
+            return if (c != null) c else w3
+          }
+          val c = chainKi(w2)
+          if (c != null) return c
+          return w2
+        }
+      }
+      // 6: nUn ; delete ; try(sU->try(lar ki) | lArI | lAr->(ki|poss) | poss | ki)
+      locally {
+        val e2 = mNUn(w, e)
+        if (e2 >= 0) {
+          val w2 = w.substring(0, e2)
+          val rs = mSU(w2, w2.length)
+          if (rs >= 0) return tryLarKi(w2.substring(0, rs))
+          val r1 = mLArI(w2, w2.length)
+          if (r1 >= 0) return w2.substring(0, r1)
+          val rl = mLAr(w2, w2.length)
+          if (rl >= 0) return afterLar(w2.substring(0, rl))
+          val rp = mPoss(w2, w2.length)
+          if (rp >= 0) return tryLarKi(w2.substring(0, rp))
+          val c = chainKi(w2)
+          if (c != null) return c
+          return w2
+        }
+      }
+      // 7: DA ; delete ; try(poss->try(lar ki) | lAr->ki)
+      locally {
+        val e2 = mDA(w, e)
+        if (e2 >= 0) {
+          val w2 = w.substring(0, e2)
+          val rp = mPoss(w2, w2.length)
+          if (rp >= 0) return tryLarKi(w2.substring(0, rp))
+          val rl = mLAr(w2, w2.length)
+          if (rl >= 0) {
+            val w3 = w2.substring(0, rl)
+            val c = chainKi(w3)
+            return if (c != null) c else w3
+          }
+          return w2
+        }
+      }
+      // 8: ylA ; delete ; try((poss|sU)->try(lar ki) | lAr->(ki|poss) | ki)
+      locally {
+        val e2 = mYlA(w, e)
+        if (e2 >= 0) {
+          val w2 = w.substring(0, e2)
+          var r = mPoss(w2, w2.length)
+          if (r < 0) r = mSU(w2, w2.length)
+          if (r >= 0) return tryLarKi(w2.substring(0, r))
+          val rl = mLAr(w2, w2.length)
+          if (rl >= 0) return afterLar(w2.substring(0, rl))
+          val c = chainKi(w2)
+          if (c != null) return c
+          return w2
+        }
+      }
+      // 9: yA ; delete ; try(lAr->ki | poss->try(lar ki))
+      locally {
+        val e2 = mYA(w, e)
+        if (e2 >= 0) {
+          val w2 = w.substring(0, e2)
+          val rl = mLAr(w2, w2.length)
+          if (rl >= 0) {
+            val w3 = w2.substring(0, rl)
+            val c = chainKi(w3)
+            return if (c != null) c else w3
+          }
+          val rp = mPoss(w2, w2.length)
+          if (rp >= 0) return tryLarKi(w2.substring(0, rp))
+          return w2
+        }
+      }
+      // 10: lArI ; delete
+      locally {
+        val r = mLArI(w, e)
+        if (r >= 0) return w.substring(0, r)
+      }
+      // 11: ki chain directly
+      locally {
+        val c = chainKi(w)
+        if (c != null) return c
+      }
+      // 12: yU ; delete ; try(lAr->ki | poss->try(lar ki))
+      locally {
+        val e2 = mYU(w, e)
+        if (e2 >= 0) {
+          val w2 = w.substring(0, e2)
+          val rl = mLAr(w2, w2.length)
+          if (rl >= 0) {
+            val w3 = w2.substring(0, rl)
+            val c = chainKi(w3)
+            return if (c != null) c else w3
+          }
+          val rp = mPoss(w2, w2.length)
+          if (rp >= 0) return tryLarKi(w2.substring(0, rp))
+          return w2
+        }
+      }
+      // 13: possessives ; delete ; try(lar ki)
+      locally {
+        val rp = mPoss(w, e)
+        if (rp >= 0) return tryLarKi(w.substring(0, rp))
+      }
+      w
+    }
+
+    private def mNU(w: String, e: Int) = mark(w, e, nUTails)
+
+    def stem(input: String): String = {
+      val word = input.toLowerCase
+      if (word.count(isV) <= 1) return word
+      val (v, cont) = verbPass(word)
+      if (!cont) return v
+      var w = nounPass(v)
+      if (w != "ad" && w != "soyad") {
+        if (w.nonEmpty && (w.last == 'd' || w.last == 'g')) {
+          var i = w.length - 1
+          while (i >= 0 && !isV(w.charAt(i))) i -= 1
+          if (i >= 0) {
+            val app = w.charAt(i) match {
+              case 'a' | 'ı' => "ı"
+              case 'e' | 'i' => "i"
+              case 'o' | 'u' => "u"
+              case _ => "ü"
+            }
+            w += app
+          }
+        }
+        if (w.nonEmpty) w.last match {
+          case 'b' => w = w.dropRight(1) + "p"
+          case 'c' => w = w.dropRight(1) + "ç"
+          case 'd' => w = w.dropRight(1) + "t"
+          case 'ğ' => w = w.dropRight(1) + "k"
+          case _ =>
+        }
+      }
+      if (w.isEmpty) word else w
+    }
+  }
+
   /** Codes [[stem]] dispatches — used by the word_stem builder to
     * fail FAST (at analysis) on an unknown LITERAL code, matching the
     * reference's eager stemmer resolution. */
   val Languages: Set[String] =
     Set("en", "de", "fr", "es", "it", "pt", "da", "no", "sv", "nl", "ru",
-      "ro", "ir", "fi", "hu")
+      "ro", "ir", "fi", "hu", "tr")
 
   /** Dispatch by 2-letter code (WordStemFunction.java:48-76 — the
     * implemented subset; any other code raises like the reference's
@@ -1712,6 +2230,7 @@ object SnowballStemmers {
     case "ir" => Irish.stem(word)
     case "fi" => Finnish.stem(word)
     case "hu" => Hungarian.stem(word)
+    case "tr" => Turkish.stem(word)
     case other =>
       throw new IllegalArgumentException(s"Unknown stemmer language: $other")
   }

@@ -585,6 +585,8 @@ object ScalarFns extends QueryGroup {
                 |  ('fi', 'kaupunkiin'), ('fi', 'mahdollisuuksien'),
                 |  ('hu', 'házakkal'), ('hu', 'gyerekeknek'),
                 |  ('hu', 'fejlesztésére'), ('hu', 'barátaim'),
+                |  ('tr', 'kitaplarımızdan'), ('tr', 'evlerinden'),
+                |  ('tr', 'anlayabileceğimizden'), ('tr', 'hastaydılar'),
                 |  ('en', 'intensifying') AS t(lang, word)
                 |ORDER BY lang, word""".stripMargin)
       },
@@ -621,6 +623,10 @@ object ScalarFns extends QueryGroup {
              |  ('hu', 'gyerekeknek', 'gyerek'),
              |  ('hu', 'fejlesztésére', 'fejlesztés'),
              |  ('hu', 'barátaim', 'barát'),
+             |  ('tr', 'kitaplarımızdan', 'kitap'),
+             |  ('tr', 'evlerinden', 'ev'),
+             |  ('tr', 'anlayabileceğimizden', 'anlayabilecek'),
+             |  ('tr', 'hastaydılar', 'hasta'),
              |  ('en', 'intensifying', 'intensifi')) AS t(lang, word, stem)
              |ORDER BY lang, word""".stripMargin)),
 

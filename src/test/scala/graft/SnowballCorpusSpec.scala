@@ -20,7 +20,8 @@ class SnowballCorpusSpec extends AnyFunSuite with Matchers {
 
   private val corpora = Map(
     "fi" -> "/tmp/fi_corpus.tsv",
-    "hu" -> "/tmp/hu_corpus.tsv")
+    "hu" -> "/tmp/hu_corpus.tsv",
+    "tr" -> "/tmp/tr_corpus.tsv")
 
   for ((lang, path) <- corpora) {
     test(s"$lang port matches the PG snowball corpus dump") {
