@@ -34,14 +34,16 @@ class Lang:
         return i + 1 if i < len(w) else len(w)
 
     def limits(self, w):
-        p1 = self.region_after(w, 0)
+        start = 1 if (getattr(self, 'r1_shift_a', False) and
+                      len(w) > 6 and w[:1] == 'a') else 0
+        p1 = self.region_after(w, start)
         if self.min_r1:
             p1 = max(p1, self.min_r1)
         p2 = self.region_after(w, p1)
         floor = self.pv(w) if self.use_pv_floor else 0
         return {'NONE': floor, 'R1': max(p1, floor), 'R2': max(p2, floor)}
 
-CONDS = ['R1', 'R2', 'NONE', 'VB']
+CONDS = ['R1', 'R2', 'NONE', 'VB', 'CB']
 
 class Model:
     """entries: {suffix: [(stage, cond, repl), ...]}"""
@@ -60,26 +62,51 @@ class Model:
         w = word
         lims = self.lang.limits(w)
         floor = lims['NONE']
-        for table in self.stages:
+        repeats = getattr(self.lang, 'repeat_stages', set())
+        for ti, table in enumerate(self.stages):
             midfix = getattr(self.lang, 'mid_fix', None)
-            if midfix:
+            if midfix and ti >= 1:
                 w = midfix(w)
-            best = None
-            for s in table:
-                if w.endswith(s) and len(w) - len(s) >= floor and \
-                        (best is None or len(s) > len(best)):
-                    best = s
-            if best is None:
-                continue
-            cond, repl = table[best]
-            start = len(w) - len(best)
-            if cond == 'VB':
-                ok = start >= lims['NONE'] and start >= 1 and \
-                    self.lang.is_v(w[start - 1])
-            else:
-                ok = start >= lims[cond]
-            if ok:
-                w = w[:start] + repl
+            again = True
+            while again:
+                again = False
+                as_filter = getattr(self.lang, 'cond_as_filter', False)
+                best = None
+                for s in table:
+                    if not w.endswith(s):
+                        continue
+                    start = len(w) - len(s)
+                    if start < floor:
+                        continue
+                    if as_filter:
+                        cond = table[s][0]
+                        if cond == 'VB':
+                            if start < 1 or not self.lang.is_v(w[start - 1]):
+                                continue
+                        elif cond == 'CB':
+                            if start < lims['R1'] or start < 1 or \
+                                    self.lang.is_v(w[start - 1]):
+                                continue
+                        elif start < lims[cond]:
+                            continue
+                    if best is None or len(s) > len(best):
+                        best = s
+                if best is None:
+                    break
+                cond, repl = table[best]
+                start = len(w) - len(best)
+                if cond == 'VB':
+                    ok = start >= lims['NONE'] and start >= 1 and \
+                        self.lang.is_v(w[start - 1])
+                elif cond == 'CB':
+                    ok = as_filter or (start >= lims['R1'] and start >= 1
+                        and not self.lang.is_v(w[start - 1]))
+                else:
+                    ok = as_filter or start >= lims[cond]
+                if ok:
+                    w = w[:start] + repl
+                    if ti in repeats and not repl:
+                        again = True
         post = getattr(self.lang, 'post', None)
         if post:
             w = post(w)
@@ -109,7 +136,10 @@ def fit(lang, entries_init, oracle, sweeps=5, verbose=True, seed=0):
         improved = False
         order = list(all_sfx)
         rng.shuffle(order)
+        frozen = getattr(lang, 'frozen', set())
         for s in order:
+            if s in frozen:
+                continue
             sub = affected(s)
             orig = model.entries[s]
             repl = orig[0][2] if orig else ''
@@ -138,6 +168,8 @@ def fit(lang, entries_init, oracle, sweeps=5, verbose=True, seed=0):
             break
     # duplication pass: allow a second membership
     for s in all_sfx:
+        if s in getattr(lang, 'frozen', set()):
+            continue
         sub = affected(s)
         base = score_on(sub)
         if base == 0:
