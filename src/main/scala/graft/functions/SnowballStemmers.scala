@@ -48,10 +48,40 @@ object SnowballStemmers {
   private def longest(w: String, sufs: Seq[String]): Option[String] =
     sufs.find(w.endsWith)
 
+  // For suffix groups the .sbl runs inside `setlimit tomark pV`
+  // (attached pronouns and verb suffixes in es/pt/it/fr), use
+  // `longestIn(w, rv, sufs)` below: the region limit constrains the
+  // MATCH itself, so a longer suffix reaching past RV is passed over
+  // in favor of a shorter one that fits (PG oracle: spanish
+  // 'buáramos'→'buar' strips 'amos' because 'áramos' starts before
+  // RV). Distinct from a per-entry R1/R2/RV test-once condition,
+  // where a failing longest match ends the step.
+
   private def byLen(ss: String*): Seq[String] = ss.sortBy(-_.length)
 
+  /** Locale-independent lowercase using Unicode SIMPLE mappings
+    * (per-char `Character.toLowerCase`), matching glibc `towlower` as
+    * used by the PostgreSQL snowball oracle's `lowerstr`. The
+    * String#toLowerCase it replaces is default-locale sensitive: under
+    * a tr/az JVM locale 'I' would lowercase to 'ı', silently changing
+    * results per machine; and full mappings turn 'İ' into "i̇"
+    * where the oracle's simple mapping gives plain 'i'. Used by the
+    * three PG-lowercasing stemmers (fi/hu/tr). */
+  private def lowerSimple(s: String): String = s.map(Character.toLowerCase)
+
   // ===================================================================
-  // German
+  // German — the GERMAN2 Snowball variant, which is what the reference
+  // registers for 'de' (WordStemFunction.java:59 → Lucene
+  // German2Stemmer). German2 differs from standard german only in the
+  // prelude: after the u/y-between-vowels marking (which therefore
+  // protects genuine hiatus spellings like 'neue'/'mauer' from
+  // folding), the digraphs ae/oe/ue are folded to ä/ö/ü, with 'qu'
+  // hopped over so the u of 'qu' never folds ('quelle' → 'quell').
+  // Everything after the prelude is the standard algorithm, converged
+  // against PostgreSQL's german snowball (which is the standard
+  // variant — ts_lexize('german_stem','haeuser') = 'haeus', so no PG
+  // oracle exists for the fold; the digraph vectors in
+  // SnowballStemmerSpec come from the published german2 description).
   // ===================================================================
   object German {
     private val vowels = "aeiouyäöü"
@@ -73,6 +103,26 @@ object SnowballStemmers {
         i += 1
       }
       w = sb.toString
+      // german2 digraph fold: ae/oe/ue → ä/ö/ü, consuming 'qu' whole
+      // so its u starts no digraph. Runs AFTER the marking pass, so a
+      // u already marked 'U' (true hiatus) is never folded.
+      if (w.indexOf("ae") >= 0 || w.indexOf("oe") >= 0 ||
+          w.indexOf("ue") >= 0 || w.indexOf("qu") >= 0) {
+        val fb = new java.lang.StringBuilder(w.length)
+        var j = 0
+        while (j < w.length) {
+          val c0 = w.charAt(j)
+          val c1 = if (j + 1 < w.length) w.charAt(j + 1) else ' '
+          (c0, c1) match {
+            case ('a', 'e') => fb.append('ä'); j += 2
+            case ('o', 'e') => fb.append('ö'); j += 2
+            case ('u', 'e') => fb.append('ü'); j += 2
+            case ('q', 'u') => fb.append("qu"); j += 2
+            case _          => fb.append(c0); j += 1
+          }
+        }
+        w = fb.toString
+      }
       val r1raw = regionAfter(w, 0, isV)
       val r1 = math.max(r1raw, 3) // region before R1 must hold >= 3 letters
       val r2 = regionAfter(w, r1raw, isV)
@@ -153,6 +203,7 @@ object SnowballStemmers {
       "la", "le", "lo", "las", "les", "los", "nos")
     private val pre0a = byLen("iéndo", "ándo", "ár", "ér", "ír")
     private val pre0b = byLen("ando", "iendo", "ar", "er", "ir")
+    private val pre0ab = byLen((pre0a ++ pre0b): _*)
 
     private val g1a = byLen("anza", "anzas", "ico", "ica", "icos", "icas",
       "ismo", "ismos", "able", "ables", "ible", "ibles", "ista", "istas",
@@ -191,20 +242,18 @@ object SnowballStemmers {
       val r2 = regionAfter(w, r1, isV)
       val rv = rvRomance(w, isV)
 
-      // step 0: attached pronoun
-      longest(w, pronouns).foreach { p =>
+      // step 0: attached pronoun (setlimit tomark pV — both the
+      // pronoun and the preceding gerund/infinitive match within RV)
+      longestIn(w, rv, pronouns).foreach { p =>
         val base = w.substring(0, w.length - p.length)
-        longest(base, pre0a) match {
-          case Some(a) if base.length - a.length >= rv =>
+        longestIn(base, rv, pre0ab) match {
+          case Some(a) if pre0a.contains(a) =>
             w = base.substring(0, base.length - a.length) + deAccent(a)
+          case Some(_) =>
+            w = base
           case _ =>
-            longest(base, pre0b) match {
-              case Some(b) if base.length - b.length >= rv =>
-                w = base
-              case _ =>
-                if (base.endsWith("uyendo") && base.length - 5 >= rv)
-                  w = base
-            }
+            if (base.endsWith("uyendo") && base.length - 5 >= rv)
+              w = base
         }
       }
 
@@ -267,25 +316,26 @@ object SnowballStemmers {
       }
 
       if (w == before1) {
-        // step 2a: verb suffixes beginning y, preceded by u
+        // step 2a: verb suffixes beginning y (match limited to RV),
+        // preceded by u (the u may lie outside RV)
         val before2a = w
-        longest(w, step2a) match {
+        longestIn(w, rv, step2a) match {
           case Some(s) =>
             val st = w.length - s.length
-            if (st >= rv && st >= 1 && w.charAt(st - 1) == 'u')
+            if (st >= 1 && w.charAt(st - 1) == 'u')
               w = w.substring(0, st)
           case None =>
         }
         if (w == before2a) {
-          // step 2b: other verb suffixes
-          longest(w, step2b) match {
+          // step 2b: other verb suffixes (match limited to RV)
+          longestIn(w, rv, step2b) match {
             case Some(s) =>
               val st = w.length - s.length
-              if (st >= rv) {
-                w = w.substring(0, st)
-                if (step2bGu.contains(s) && w.endsWith("gu"))
-                  w = w.substring(0, w.length - 1)
-              }
+              w = w.substring(0, st)
+              // the trailing u of gu drops with no RV constraint on
+              // the u itself (PG: 'ígues' → 'ig', u at pos 2 < RV 3)
+              if (step2bGu.contains(s) && w.endsWith("gu"))
+                w = w.substring(0, w.length - 1)
             case None =>
           }
         }
@@ -406,10 +456,9 @@ object SnowballStemmers {
       var altered = w != before1
       if (!altered) {
         val before2 = w
-        longest(w, step2) match {
-          case Some(s) =>
-            val st = w.length - s.length
-            if (st >= rv) w = w.substring(0, st)
+        // verb suffixes: match limited to RV (setlimit tomark pV)
+        longestIn(w, rv, step2) match {
+          case Some(s) => w = w.substring(0, w.length - s.length)
           case None =>
         }
         altered = w != before2
@@ -499,8 +548,8 @@ object SnowballStemmers {
       val r2 = regionAfter(w, r1, isV)
       val rv = rvRomance(w, isV)
 
-      // step 0: attached pronoun
-      longest(w, pronouns).foreach { p =>
+      // step 0: attached pronoun (setlimit tomark pV: match in RV)
+      longestIn(w, rv, pronouns).foreach { p =>
         val base = w.substring(0, w.length - p.length)
         if ((base.endsWith("ando") || base.endsWith("endo")) &&
           base.length - 4 >= rv)
@@ -568,10 +617,9 @@ object SnowballStemmers {
       }
 
       if (w == before1) {
-        longest(w, step2) match {
-          case Some(s) =>
-            val st = w.length - s.length
-            if (st >= rv) w = w.substring(0, st)
+        // verb suffixes: match limited to RV (setlimit tomark pV)
+        longestIn(w, rv, step2) match {
+          case Some(s) => w = w.substring(0, w.length - s.length)
           case None =>
         }
       }
@@ -621,7 +669,7 @@ object SnowballStemmers {
     private val step2bE = byLen("é", "ée", "ées", "és", "èrent", "er",
       "era", "erai", "eraIent", "erais", "erait", "eras", "erez", "eriez",
       "erions", "erons", "eront", "ez", "iez")
-    private val step2bA = byLen("â", "ât", "âtes", "a", "ai", "aIent",
+    private val step2bA = byLen("âmes", "ât", "âtes", "a", "ai", "aIent",
       "ais", "ait", "ant", "ante", "antes", "ants", "as", "asse",
       "assent", "asses", "assiez", "assions")
     private val step2bAll = byLen((step2bE ++ step2bA ++ Seq("ions")): _*)
@@ -638,24 +686,40 @@ object SnowballStemmers {
     }
 
     def stem(input: String): String = {
-      var w = input
-      // prelude: mark consonant-role u/i/y; u after q
-      val sb = new java.lang.StringBuilder(w)
+      // prelude: one left-to-right scan, alternatives in PG-oracle-
+      // recovered order. (1) ë → He / ï → Hi, with the cursor landing
+      // ON the inserted e/i so it immediately anchors the marking
+      // alternative ('ëuis' → HeUis → 'ëu': the U supplies step 2a's
+      // required non-vowel). (2) anchored at a vowel (ë/ï still count
+      // as vowels for the TRAILING tests — 'remtyïance' marks its y
+      // because ï follows): a following u/i is marked U/I when a
+      // vowel follows it, a following y is always marked Y. (3) y
+      // before a vowel → Y. (4) u after q → U. The postlude restores
+      // a still-intact He/Hi to ë/ï and deletes a bare H ('haïe' →
+      // haHie → haHi → 'haï'; 'aiguë' → aiguHe → 'aigu').
+      val sb = new java.lang.StringBuilder(input)
       var i = 0
       while (i < sb.length) {
         val c = sb.charAt(i)
-        if (c == 'u' && i >= 1 && sb.charAt(i - 1) == 'q')
-          sb.setCharAt(i, 'U')
-        else if ((c == 'u' || c == 'i') && i >= 1 && i < sb.length - 1 &&
-          isV(sb.charAt(i - 1)) && isV(sb.charAt(i + 1)))
-          sb.setCharAt(i, Character.toUpperCase(c))
-        else if (c == 'y' &&
-          ((i >= 1 && isV(sb.charAt(i - 1))) ||
-            (i < sb.length - 1 && isV(sb.charAt(i + 1)))))
-          sb.setCharAt(i, 'Y')
-        i += 1
+        var adv = 1
+        if (c == 'ë') sb.replace(i, i + 1, "He")
+        else if (c == 'ï') sb.replace(i, i + 1, "Hi")
+        else if (isV(c) && i + 1 < sb.length) {
+          val d = sb.charAt(i + 1)
+          if ((d == 'u' || d == 'i') && i + 2 < sb.length &&
+            isV(sb.charAt(i + 2))) {
+            sb.setCharAt(i + 1, Character.toUpperCase(d)); adv = 2
+          } else if (d == 'y') {
+            sb.setCharAt(i + 1, 'Y'); adv = 2
+          } else if (c == 'y' && isV(d)) {
+            sb.setCharAt(i, 'Y')
+          }
+        } else if (c == 'q' && i + 1 < sb.length && sb.charAt(i + 1) == 'u') {
+          sb.setCharAt(i + 1, 'U'); adv = 2
+        }
+        i += adv
       }
-      w = sb.toString
+      var w = sb.toString
       val r1 = regionAfter(w, 0, isV)
       val r2 = regionAfter(w, r1, isV)
       val rv = rvOf(w)
@@ -747,33 +811,33 @@ object SnowballStemmers {
 
       var lastAltered = w != before1
       if (w == before1 || mentFound) {
-        // step 2a: verb suffixes in i, preceded by a non-vowel in RV
+        // step 2a: verb suffixes in i (match limited to RV), preceded
+        // by a non-vowel other than H in RV (the 2.x H-guard keeps a
+        // Hi-masked ï from acting as the required consonant: 'haïr'
+        // stays 'haïr')
         val before2a = w
-        longest(w, step2a) match {
+        longestIn(w, rv, step2a) match {
           case Some(s) =>
             val st = w.length - s.length
-            if (st >= rv && st - 1 >= rv && !isV(w.charAt(st - 1)))
+            if (st - 1 >= rv && !isV(w.charAt(st - 1)) &&
+              w.charAt(st - 1) != 'H')
               w = w.substring(0, st)
           case None =>
         }
         lastAltered = w != before2a
         if (!lastAltered) {
-          // step 2b
+          // step 2b (match limited to RV; 'ions' additionally R2)
           val before2b = w
-          longest(w, step2bAll) match {
+          longestIn(w, rv, step2bAll) match {
             case Some("ions") =>
               if (w.length - 4 >= r2) w = w.substring(0, w.length - 4)
             case Some(s) if step2bE.contains(s) =>
-              val st = w.length - s.length
-              if (st >= rv) w = w.substring(0, st)
+              w = w.substring(0, w.length - s.length)
             case Some(s) =>
-              val st = w.length - s.length
-              if (st >= rv) {
-                w = w.substring(0, st)
-                if (w.nonEmpty && w.charAt(w.length - 1) == 'e' &&
-                  w.length - 1 >= rv)
-                  w = w.substring(0, w.length - 1)
-              }
+              w = w.substring(0, w.length - s.length)
+              if (w.nonEmpty && w.charAt(w.length - 1) == 'e' &&
+                w.length - 1 >= rv)
+                w = w.substring(0, w.length - 1)
             case None =>
           }
           lastAltered = w != before2b
@@ -785,25 +849,25 @@ object SnowballStemmers {
         if (w.endsWith("Y")) w = w.substring(0, w.length - 1) + "i"
         else if (w.endsWith("ç")) w = w.substring(0, w.length - 1) + "c"
       } else {
-        // step 4
+        // step 4: final s drops unless preceded by a/i/o/u/è/s — with
+        // the 2.x exception that s after a Hi-masked ï DOES drop
+        // ('haïs' → haHis → haHi → 'haï'); then the residual among,
+        // matched within RV (the old 'ë'('gu') entry is gone — ë is
+        // He by the time step 4 runs)
         if (w.endsWith("s") && w.length >= 2 &&
-          "aiouès".indexOf(w.charAt(w.length - 2)) < 0)
+          (w.endsWith("His") ||
+            "aiouès".indexOf(w.charAt(w.length - 2)) < 0))
           w = w.substring(0, w.length - 1)
-        longest(w, byLen("ion", "ier", "ière", "Ier", "Ière", "e", "ë")) match {
+        longestIn(w, rv, byLen("ion", "ier", "ière", "Ier", "Ière", "e")) match {
           case Some("ion") =>
             val st = w.length - 3
-            if (st >= rv && st >= r2 && st >= 1 &&
+            if (st >= r2 && st - 1 >= rv &&
               (w.charAt(st - 1) == 's' || w.charAt(st - 1) == 't'))
               w = w.substring(0, st)
           case Some(s @ ("ier" | "ière" | "Ier" | "Ière")) =>
-            val st = w.length - s.length
-            if (st >= rv) w = w.substring(0, st) + "i"
+            w = w.substring(0, w.length - s.length) + "i"
           case Some("e") =>
-            if (w.length - 1 >= rv) w = w.substring(0, w.length - 1)
-          case Some("ë") =>
-            if (w.length - 1 >= rv && w.length >= 3 &&
-              w.substring(w.length - 3, w.length - 1) == "gu")
-              w = w.substring(0, w.length - 1)
+            w = w.substring(0, w.length - 1)
           case _ =>
         }
       }
@@ -820,7 +884,25 @@ object SnowballStemmers {
           (w.charAt(j) == 'é' || w.charAt(j) == 'è'))
           w = w.substring(0, j) + "e" + w.substring(j + 1)
       }
-      w.replace('I', 'i').replace('U', 'u').replace('Y', 'y')
+      // postlude: unmark I/U/Y; restore a still-intact He/Hi to ë/ï;
+      // delete a bare H left behind when its e/i was stripped
+      val out = new java.lang.StringBuilder(w.length)
+      var k = 0
+      while (k < w.length) {
+        w.charAt(k) match {
+          case 'I' => out.append('i'); k += 1
+          case 'U' => out.append('u'); k += 1
+          case 'Y' => out.append('y'); k += 1
+          case 'H' =>
+            if (k + 1 < w.length && w.charAt(k + 1) == 'e') {
+              out.append('ë'); k += 2
+            } else if (k + 1 < w.length && w.charAt(k + 1) == 'i') {
+              out.append('ï'); k += 2
+            } else k += 1
+          case c => out.append(c); k += 1
+        }
+      }
+      out.toString
     }
   }
 
@@ -1411,7 +1493,7 @@ object SnowballStemmers {
       "hon" -> 'o', "hän" -> 'ä', "hön" -> 'ö')
 
     def stem(input: String): String = {
-      var w = input.toLowerCase
+      var w = lowerSimple(input)
       if (w.length < 2) return w
       val p1 = regionAfter(w, 0, isV)
       val p2 = regionAfter(w, p1, isV)
@@ -1651,7 +1733,7 @@ object SnowballStemmers {
       "k" -> "")
 
     def stem(input: String): String = {
-      var w = input.toLowerCase
+      var w = lowerSimple(input)
       if (w.length < 2) return w
       val p1 = r1Of(w)
       // instrum: al/el after a double consonant, with undoubling
@@ -1715,6 +1797,17 @@ object SnowballStemmers {
   //    vowel appended (yaddan→yadı), then a final b/c/d/ğ devoices to
   //    p/ç/t/k. A stem emptied by suffix removal yields the original
   //    word. Words with fewer than two vowels are never stemmed.
+  //  - ORACLE-CHOICE DIVERGENCE, verbal -lAr: snowball's turkish
+  //    stem() returns FALSE on that branch after mutating the buffer.
+  //    PostgreSQL keeps the mutated buffer (ts_lexize returns the
+  //    stemmed form), while the reference (Lucene 7.2.1 SnowballFilter
+  //    via WordStemFunction) returns the INPUT unchanged when stem()
+  //    is false. So word_stem('geldiler','tr') = 'gel' here (PG) but
+  //    'geldiler' in the reference. We follow PG deliberately — it is
+  //    the one black-box oracle every shipped language converged
+  //    against (34k-word corpus, 18 fuzz seeds), and consistency
+  //    across the 20 languages beats matching one engine's
+  //    error-path quirk.
   object Turkish {
     private val vowels = "aeıioöuü"
     private val uVowels = "ıiuü"
@@ -2173,7 +2266,7 @@ object SnowballStemmers {
     private def mNU(w: String, e: Int) = mark(w, e, nUTails)
 
     def stem(input: String): String = {
-      val word = input.toLowerCase
+      val word = lowerSimple(input)
       if (word.count(isV) <= 1) return word
       val (v, cont) = verbPass(word)
       if (!cont) return v
@@ -2213,7 +2306,20 @@ object SnowballStemmers {
 
   /** Dispatch by 2-letter code (WordStemFunction.java:48-76 — the
     * implemented subset; any other code raises like the reference's
-    * INVALID_FUNCTION_ARGUMENT). */
+    * INVALID_FUNCTION_ARGUMENT).
+    *
+    * Case-handling convention: the PG oracle lowercases EVERY input at
+    * the dictionary layer (dict_snowball's lowerstr), so uppercase
+    * behavior is unobservable through ts_lexize and the convergence
+    * corpora are all-lowercase. For the languages ported from the
+    * published algorithm text (en..ro) we pass case through, matching
+    * the reference (Lucene never lowercases; the algorithms just don't
+    * match uppercase suffixes). The black-box-recovered stemmers
+    * (fi/hu/tr, and hy/lt/ca/eu below) bake the oracle's lowerstr in
+    * via [[lowerSimple]] because their recovered tables are only
+    * defined on lowercase input. Known, accepted asymmetry:
+    * word_stem('EV','tr') stems while word_stem('HOUSES','en') does
+    * not — each side matches the engine its tables came from. */
   def stem(word: String, lang: String): String = lang match {
     case "en" => Porter2.stem(word)
     case "de" => German.stem(word)

@@ -566,6 +566,7 @@ object ScalarFns extends QueryGroup {
                 |FROM VALUES
                 |  ('de', 'laufen'), ('de', 'möglichkeit'),
                 |  ('de', 'bücher'), ('de', 'auferstnde'),
+                |  ('de', 'haeuser'), ('de', 'quelle'),
                 |  ('fr', 'continuerait'), ('fr', 'heureusement'),
                 |  ('fr', 'nationaux'), ('fr', 'vraiment'),
                 |  ('es', 'torpedearon'), ('es', 'nacionalidad'),
@@ -593,6 +594,7 @@ object ScalarFns extends QueryGroup {
       Some("""SELECT lang, word, stem FROM (VALUES
              |  ('de', 'laufen', 'lauf'), ('de', 'möglichkeit', 'moglich'),
              |  ('de', 'bücher', 'buch'), ('de', 'auferstnde', 'auferstnd'),
+             |  ('de', 'haeuser', 'haus'), ('de', 'quelle', 'quell'),
              |  ('fr', 'continuerait', 'continu'),
              |  ('fr', 'heureusement', 'heureux'),
              |  ('fr', 'nationaux', 'national'), ('fr', 'vraiment', 'vrai'),
