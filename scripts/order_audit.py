@@ -23,13 +23,62 @@ import duckdb
 
 
 def top_level_order_by(sql):
-    i = sql.upper().rfind("ORDER BY")
-    if i < 0 or ")" in sql[i:]:
+    """ORDER BY keys of the outermost query, or None. Logic shared
+    with OrderTotalitySpec (r13, VERDICT r12 "what's wrong" #2): scan
+    tracking paren depth with single-quoted literals skipped — the
+    last ORDER BY at depth 0 is top-level, so sort keys containing
+    function calls no longer drop a query from the audit. Keys split
+    on top-level commas only; a top-level LIMIT/OFFSET ends them."""
+    up = sql.upper()
+    depth = 0
+    i = 0
+    found = -1
+    while i < len(up):
+        c = up[i]
+        if c == "'":
+            i += 1
+            while i < len(up) and up[i] != "'":
+                i += 1
+        elif c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif depth == 0 and up.startswith("ORDER", i) \
+                and re.match(r"ORDER\s+BY", up[i:]):
+            found = i
+        i += 1
+    if found < 0:
         return None
-    tail = sql[i + len("ORDER BY"):]
-    tail = re.split(r"\bLIMIT\b", tail, flags=re.I)[0]
+    tail = sql[found:]
+    tail = tail[tail.upper().index("BY") + 2:]
+    items = [""]
+    d = 0
+    j = 0
+    while j < len(tail):
+        c = tail[j]
+        if c == "'":
+            k = j + 1
+            while k < len(tail) and tail[k] != "'":
+                k += 1
+            items[-1] += tail[j:min(k + 1, len(tail))]
+            j = k
+        elif c == "(":
+            d += 1
+            items[-1] += c
+        elif c == ")":
+            d -= 1
+            items[-1] += c
+        elif c == "," and d == 0:
+            items.append("")
+        elif d == 0 and c in "LlOo" \
+                and (j == 0 or not re.match(r"[\w]", tail[j - 1])) \
+                and re.match(r"(?is)(LIMIT|OFFSET)\b", tail[j:]):
+            break
+        else:
+            items[-1] += c
+        j += 1
     keys = []
-    for item in tail.split(","):
+    for item in items:
         item = item.strip()
         item = re.sub(r"\s+(ASC|DESC)\b", "", item, flags=re.I)
         item = re.sub(r"\s+NULLS\s+(FIRST|LAST)\b", "", item, flags=re.I)

@@ -25,16 +25,56 @@ import org.scalatest.matchers.should.Matchers
   */
 class OrderTotalitySpec extends AnyFunSuite with SparkFixture with Matchers {
 
-  /** ORDER BY keys of the outermost query, or None. Heuristic shared
-    * with scripts/order_audit.py: the last ORDER BY occurrence is
-    * top-level iff no ')' follows it (subquery/OVER ones are closed). */
+  /** ORDER BY keys of the outermost query, or None. Logic shared with
+    * scripts/order_audit.py (r13, VERDICT r12 "what's wrong" #2): scan
+    * tracking paren depth with single-quoted literals skipped — the
+    * last ORDER BY at depth 0 is top-level. Unlike the r12 "no ')'
+    * after it" heuristic, an ordered query whose sort keys contain a
+    * function call (ORDER BY coalesce(a,b)) is now audited rather
+    * than silently dropped; keys are split on top-level commas only. */
   private def topLevelOrderBy(sql: String): Option[Seq[String]] = {
-    val i = sql.toUpperCase.lastIndexOf("ORDER BY")
-    if (i < 0 || sql.substring(i).contains(")")) None
+    val up = sql.toUpperCase
+    var depth = 0; var i = 0; var found = -1
+    while (i < up.length) {
+      up.charAt(i) match {
+        case '\'' =>
+          i += 1
+          while (i < up.length && up.charAt(i) != '\'') i += 1
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case 'O' if depth == 0 && up.regionMatches(i, "ORDER", 0, 5) &&
+          up.substring(i + 5).dropWhile(_.isWhitespace).startsWith("BY") =>
+          found = i
+        case _ =>
+      }
+      i += 1
+    }
+    if (found < 0) None
     else {
-      val tail = sql.substring(i + "ORDER BY".length)
-        .split("(?i)\\bLIMIT\\b")(0)
-      Some(tail.split(",").toSeq.map { item =>
+      var tail = sql.substring(found)
+      tail = tail.substring(tail.toUpperCase.indexOf("BY") + 2)
+      // split on top-level commas; stop at a top-level LIMIT/OFFSET
+      val items = scala.collection.mutable.Buffer("")
+      var d = 0; var j = 0; var done = false
+      while (j < tail.length && !done) {
+        val c = tail.charAt(j)
+        if (c == '\'') {
+          var k = j + 1
+          while (k < tail.length && tail.charAt(k) != '\'') k += 1
+          items(items.size - 1) += tail.substring(j, math.min(k + 1, tail.length))
+          j = k
+        } else if (c == '(') { d += 1; items(items.size - 1) += c }
+        else if (c == ')') { d -= 1; items(items.size - 1) += c }
+        else if (c == ',' && d == 0) items += ""
+        else if (d == 0 && (c == 'L' || c == 'l' || c == 'O' || c == 'o') &&
+          (j == 0 || !Character.isLetterOrDigit(tail.charAt(j - 1)) &&
+            tail.charAt(j - 1) != '_') &&
+          tail.substring(j).matches("(?is)(LIMIT|OFFSET)\\b.*"))
+          done = true
+        else items(items.size - 1) += c
+        j += 1
+      }
+      Some(items.toSeq.map { item =>
         item.trim
           .replaceAll("(?i)\\s+(ASC|DESC)\\b", "")
           .replaceAll("(?i)\\s+NULLS\\s+(FIRST|LAST)\\b", "")
@@ -43,11 +83,50 @@ class OrderTotalitySpec extends AnyFunSuite with SparkFixture with Matchers {
     }
   }
 
+  /** Gate queries with NO top-level ORDER BY — every name must appear
+    * here deliberately (single-row aggregates, or results whose whole
+    * row set the driver re-sorts). A new unordered query fails the
+    * accounting test below until it is either ordered or added here
+    * with a reason. */
+  private val unorderedAllowlist: Set[String] = Set(
+    // single-row (or fixed-row) global aggregates
+    "agg_global", "agg_regression", "fn_normal_cdf", "ml_evaluate",
+    "ml_train_score_evaluate", "tpch_q6", "tpch_q14", "tpch_q17",
+    "tpch_q19", "tpcds_q88", "tpcds_q95", "sketch_checksum",
+    "sketch_hll_mergeable", "sketch_merge_generic", "sketch_qdigest_merge",
+    "sketch_set_digest", "source_dsv2_agg_pushdown", "events_funnel",
+    "events_funnel3", "pipeline_decontamination", "dedup_exact",
+    "dedup_simhash", "text_fingerprint", "sample_bernoulli",
+    "sample_tablesample", "fn_hash", "fn_hmac", "fn_spooky",
+    // small fixed VALUES-driven outputs the driver re-sorts whole-row
+    "fn_geo_collection", "fn_geo_concave_overlay",
+    "fn_geo_degenerate_overlay", "fn_geo_holes_overlay", "fn_geo_tier3",
+    "fn_spatial_partitioning", "join_spatial_distance_grid",
+    "join_spatial_kdb", "sketch_approx_set_names", "assign_unique_id",
+    "ddl_ctas_insert", "ddl_view_cache", "source_partitioned_pruning",
+    "sim_ann_hyperplane_lsh")
+
+  test("ordered + allowlisted-unordered account for the whole gate") {
+    val unordered = SparkEntry.oracleSql.collect {
+      case (name, sql) if topLevelOrderBy(sql).isEmpty => name
+    }.toSet
+    val unlisted = unordered -- unorderedAllowlist
+    val stale = unorderedAllowlist -- unordered
+    withClue(s"unordered gate queries missing from the allowlist: $unlisted") {
+      unlisted shouldBe empty
+    }
+    withClue(s"allowlist entries that now have a top-level ORDER BY: $stale") {
+      stale shouldBe empty
+    }
+    unordered.size + (SparkEntry.oracleSql.size - unordered.size) shouldBe
+      SparkEntry.oracleSql.size
+  }
+
   test("every ordered gate query sorts on a key total over its projection") {
     val ordered = SparkEntry.oracleSql.toSeq.sortBy(_._1).flatMap {
       case (name, sql) => topLevelOrderBy(sql).map(keys => (name, keys))
     }
-    ordered.size should be > 100 // sanity: the parser finds the suite
+    ordered.size shouldBe SparkEntry.oracleSql.size - unorderedAllowlist.size
     val bad = ordered.flatMap { case (name, rawKeys) =>
       val df = SparkEntry.queries(name)(spark, sfDir)
       val cols = df.columns.toSeq
