@@ -21,6 +21,12 @@ class Lang:
     def is_v(self, c):
         return c in self.vowels
 
+    def is_v_cb(self, c):
+        """Vowel test for the consonant-before (CB) condition — some
+        languages use a narrower grouping here (hy: ը counts as a
+        consonant for non-v tests but as a vowel for regions)."""
+        return c in getattr(self, 'cb_vowels', self.vowels)
+
     def region_after(self, w, start):
         i = start
         while i < len(w) and not self.is_v(w[i]): i += 1
@@ -43,7 +49,7 @@ class Lang:
         floor = self.pv(w) if self.use_pv_floor else 0
         return {'NONE': floor, 'R1': max(p1, floor), 'R2': max(p2, floor)}
 
-CONDS = ['R1', 'R2', 'NONE', 'VB', 'CB']
+CONDS = ['R1', 'R2', 'NONE', 'VB', 'CB', 'VBR2']
 
 class Model:
     """entries: {suffix: [(stage, cond, repl), ...]}"""
@@ -70,7 +76,8 @@ class Model:
             again = True
             while again:
                 again = False
-                as_filter = getattr(self.lang, 'cond_as_filter', False)
+                as_filter = (getattr(self.lang, 'cond_as_filter', False)
+                    or ti in getattr(self.lang, 'filter_stages', ()))
                 best = None
                 for s in table:
                     if not w.endswith(s):
@@ -84,8 +91,12 @@ class Model:
                             if start < 1 or not self.lang.is_v(w[start - 1]):
                                 continue
                         elif cond == 'CB':
-                            if start < lims['R1'] or start < 1 or \
-                                    self.lang.is_v(w[start - 1]):
+                            if start < 1 or \
+                                    self.lang.is_v_cb(w[start - 1]):
+                                continue
+                        elif cond == 'VBR2':
+                            if not ((start >= 1 and self.lang.is_v(w[start - 1]))
+                                    or start >= lims['R2']):
                                 continue
                         elif start < lims[cond]:
                             continue
@@ -99,8 +110,11 @@ class Model:
                     ok = start >= lims['NONE'] and start >= 1 and \
                         self.lang.is_v(w[start - 1])
                 elif cond == 'CB':
-                    ok = as_filter or (start >= lims['R1'] and start >= 1
-                        and not self.lang.is_v(w[start - 1]))
+                    ok = as_filter or (start >= 1
+                        and not self.lang.is_v_cb(w[start - 1]))
+                elif cond == 'VBR2':
+                    ok = as_filter or (start >= 1 and
+                        self.lang.is_v(w[start - 1])) or start >= lims['R2']
                 else:
                     ok = as_filter or start >= lims[cond]
                 if ok:
@@ -148,7 +162,11 @@ def fit(lang, entries_init, oracle, sweeps=5, verbose=True, seed=0):
             options = [[]]
             stage_conds = getattr(lang, 'stage_conds', None)
             for st in range(lang.nstages):
-                cs = [stage_conds[st]] if stage_conds else CONDS
+                if stage_conds:
+                    sc = stage_conds[st]
+                    cs = sc if isinstance(sc, list) else [sc]
+                else:
+                    cs = CONDS
                 for c in cs:
                     options.append([(st, c, repl)])
             for opt in options:
@@ -181,7 +199,12 @@ def fit(lang, entries_init, oracle, sweeps=5, verbose=True, seed=0):
         for st in range(lang.nstages):
             if any(m[0] == st for m in orig):
                 continue
-            for c in ([stage_conds[st]] if stage_conds else CONDS):
+            if stage_conds:
+                sc = stage_conds[st]
+                cs = sc if isinstance(sc, list) else [sc]
+            else:
+                cs = CONDS
+            for c in cs:
                 model.entries[s] = orig + [(st, c, repl)]
                 model._build()
                 sc = score_on(sub)
