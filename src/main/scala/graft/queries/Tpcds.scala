@@ -42,6 +42,11 @@ import graft.{QueryDef, QueryGroup, Tables}
   *    cumulative sums, FULL OUTER JOIN, running-max comparison
   *  - q89: deviation-from-average via avg() over a 4-key partition
   *  - q98: revenue ratio within category via sum() over partition
+  *  - q11 (r13, q4 family): year-over-year CTE self-join — the same
+  *    customer's totals joined across two years and two channels,
+  *    growth-ratio filter as exact BIGINT cross-multiplication
+  *  - q77 (r13, q5 family): multi-channel sales/profit report,
+  *    ROLLUP to channel and grand totals off one combinable pass
   *
   * 100 TB notes: date_dim/item/store derive small (≤ |part| rows) and
   * broadcast under AQE; store_sales carries the fact-side shuffle on
@@ -391,6 +396,81 @@ object Tpcds extends QueryGroup {
         |  SELECT ss_item_sk FROM store_sales WHERE ss_channel = 'R')
         |GROUP BY i_brand
         |ORDER BY i_brand""".stripMargin),
+
+    // q11 shape (also covers the q4 family): the year-over-year CTE
+    // self-join — per-customer yearly totals by channel, the same
+    // customer joined across two years and two channels, keeping
+    // customers whose second-channel growth ratio beats the first's.
+    // The ratio comparison r2/r1 > a2/a1 is restated as the exact
+    // BIGINT cross-multiplication r2*a1 > a2*r1 (all totals are
+    // positive integer cents), so the row set cannot flip on
+    // cross-engine fp summation noise — the tpch_q11 lesson applied
+    // to a FILTER rather than an output. At scale: one fact shuffle
+    // on (customer, year, channel); the four-way self-join keys on
+    // customer_sk only, and AQE picks sort-merge on the deduped
+    // per-customer aggregate (|customers| rows, far smaller than the
+    // fact).
+    "tpcds_q11" -> sharedWith(
+      """year_total AS (
+        |  SELECT ss_customer_sk AS customer_sk, d_year AS dyear,
+        |    ss_channel AS channel,
+        |    CAST(sum(CAST(round(ss_ext_sales_price * 100, 0) AS BIGINT))
+        |      AS BIGINT) AS total_cents
+        |  FROM store_sales JOIN date_dim ON ss_sold_date_sk = d_date_sk
+        |  WHERE ss_channel IN ('A', 'R') AND d_year IN (1995, 1996)
+        |  GROUP BY ss_customer_sk, d_year, ss_channel)""".stripMargin,
+      """SELECT a2.customer_sk AS customer_sk,
+        |  CAST(a1.total_cents AS DOUBLE) / 100.0 AS first_year1,
+        |  CAST(a2.total_cents AS DOUBLE) / 100.0 AS first_year2,
+        |  CAST(r1.total_cents AS DOUBLE) / 100.0 AS second_year1,
+        |  CAST(r2.total_cents AS DOUBLE) / 100.0 AS second_year2
+        |FROM year_total a1
+        |  JOIN year_total a2 ON a1.customer_sk = a2.customer_sk
+        |  JOIN year_total r1 ON a1.customer_sk = r1.customer_sk
+        |  JOIN year_total r2 ON a1.customer_sk = r2.customer_sk
+        |WHERE a1.channel = 'A' AND a2.channel = 'A'
+        |  AND r1.channel = 'R' AND r2.channel = 'R'
+        |  AND a1.dyear = 1995 AND a2.dyear = 1996
+        |  AND r1.dyear = 1995 AND r2.dyear = 1996
+        |  AND a1.total_cents > 0 AND r1.total_cents > 0
+        |  AND r2.total_cents * a1.total_cents >
+        |      a2.total_cents * r1.total_cents
+        |ORDER BY customer_sk""".stripMargin),
+
+    // q77 shape (also covers the q5 family): the multi-channel
+    // report — per-channel per-store sales and profit, ROLLUP to
+    // channel and grand totals. The channel split is a CASE over one
+    // fact pass (TPC-DS unions three fact tables; here the channels
+    // share store_sales), so the plan is ONE map-side-combinable
+    // shuffle to ~|channels|×|stores| rows and a trivial re-agg for
+    // the rollup — the scale-correct form of the union-of-channels
+    // report. Ordering: lochierarchy DESC first, so every rollup
+    // level with NULL keys is contiguous and the NULL-position
+    // dialect difference (Spark NULLS FIRST vs DuckDB NULLS LAST)
+    // can never reorder rows — the tpcds_q36 pattern.
+    "tpcds_q77" -> sharedWith(
+      """per_store AS (
+        |  SELECT CASE ss_channel WHEN 'N' THEN 'store channel'
+        |                         WHEN 'A' THEN 'catalog channel'
+        |                         ELSE 'web channel' END AS channel,
+        |    ss_store_sk AS store_sk,
+        |    CAST(sum(CAST(round(ss_ext_sales_price * 100, 0) AS BIGINT))
+        |      AS BIGINT) AS sales_cents,
+        |    CAST(sum(CAST(round(ss_net_profit * 100, 0) AS BIGINT))
+        |      AS BIGINT) AS profit_cents
+        |  FROM store_sales
+        |  GROUP BY CASE ss_channel WHEN 'N' THEN 'store channel'
+        |                           WHEN 'A' THEN 'catalog channel'
+        |                           ELSE 'web channel' END,
+        |    ss_store_sk)""".stripMargin,
+      """SELECT channel, store_sk,
+        |  CAST(CAST(sum(sales_cents) AS BIGINT) AS DOUBLE) / 100.0 AS sales,
+        |  CAST(CAST(sum(profit_cents) AS BIGINT) AS DOUBLE) / 100.0 AS profit,
+        |  CAST(grouping(channel) * 2 + grouping(store_sk) AS BIGINT)
+        |    AS lochierarchy
+        |FROM per_store
+        |GROUP BY ROLLUP (channel, store_sk)
+        |ORDER BY lochierarchy DESC, channel, store_sk""".stripMargin),
 
     // The at-scale shape: the derived fact is MATERIALIZED once to
     // the session warehouse (the shared FS on a cluster — the

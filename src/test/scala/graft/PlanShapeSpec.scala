@@ -317,4 +317,27 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture with Matchers {
     plan should not include "BroadcastNestedLoopJoin"
     plan should not include "CartesianProduct"
   }
+
+  test("tpcds_q11's four-way self-join stays equi on customer_sk") {
+    // the year_total CTE aggregates once per (customer, year,
+    // channel); the self-joins key on customer_sk as plain equi
+    // joins — a nested loop or cartesian here would be quadratic in
+    // |customers| at scale
+    val plan = planOf("tpcds_q11")
+    plan should not include "BroadcastNestedLoopJoin"
+    plan should not include "CartesianProduct"
+    plan should include("HashAggregate")
+  }
+
+  test("tpcds_q77's rollup re-aggregates the tiny per-store pass") {
+    // one combinable fact aggregation to ~channels×stores rows, then
+    // Expand (×3 for the two-level ROLLUP) over ONLY that small set —
+    // the fact is never expanded
+    val plan = planOf("tpcds_q77")
+    plan should include("Expand")
+    plan should not include "BroadcastNestedLoopJoin"
+    // exactly two aggregation layers around the expand: per-store,
+    // then the rollup groups
+    plan.linesIterator.count(_.contains("Expand")) shouldBe 1
+  }
 }
