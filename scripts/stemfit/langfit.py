@@ -71,11 +71,11 @@ class Model:
         repeats = getattr(self.lang, 'repeat_stages', set())
         for ti, table in enumerate(self.stages):
             midfix = getattr(self.lang, 'mid_fix', None)
-            if midfix and ti >= 1:
-                w = midfix(w)
             again = True
             while again:
                 again = False
+                if midfix and ti >= 1:
+                    w = midfix(w)
                 as_filter = (getattr(self.lang, 'cond_as_filter', False)
                     or ti in getattr(self.lang, 'filter_stages', ()))
                 best = None
