@@ -35,7 +35,24 @@ object ScaleProbe {
     "pipeline_corpus_curation",
     "pipeline_decontamination",
     "sim_ann_lsh_bucketed",
-    "sim_ann_ivf")
+    "sim_ann_ivf",
+    "sim_semdedup")
+
+  /** Heavy relational tier (r13; VERDICT r12 next-round #4): the
+    * current top-of-bench TPC-H/TPC-DS shapes. These run on the
+    * PROPERLY-derived 10× star (scratch/sf1, built by the sf1 gate
+    * tooling with fresh join keys), not on the replica trick above —
+    * naive key replication would inflate join fan-out superlinearly
+    * and measure nothing real. */
+  private val HeavyQueries = Seq(
+    "tpch_q9",
+    "tpch_q11",
+    "tpcds_q67",
+    "tpcds_q95",
+    "tpcds_q14",
+    "tpcds_q11",
+    "tpcds_q77",
+    "tpcds_star_materialized")
 
   private val FixpointQueries = Set("dedup_minhash_lsh_full", "sim_embed_neardup_full")
 
@@ -71,8 +88,8 @@ object ScaleProbe {
         .write.mode("overwrite").parquet(s"$scaleDir/embeddings.parquet")
     }
 
-    def probe(dir: String): Seq[(String, Double, Long, Option[(Int, Boolean)])] =
-      ScaleQueries.map { name =>
+    def probeSet(names: Seq[String])(dir: String): Seq[(String, Double, Long, Option[(Int, Boolean)])] =
+      names.map { name =>
         val t0 = System.nanoTime()
         val rows = SparkEntry.queries(name)(spark, dir).count()
         val sec = (System.nanoTime() - t0) / 1e9
@@ -84,8 +101,18 @@ object ScaleProbe {
         (name, sec, rows, fix)
       }
 
+    val probe = probeSet(ScaleQueries) _
     val base = probe(srcDir)
     val scaled = probe(scaleDir)
+
+    // heavy relational tier against the sf1-derived star, when present
+    val sf1Dir = if (args.length > 3) args(3) else "scratch/sf1"
+    val heavy =
+      if (new java.io.File(s"$sf1Dir/lineitem.parquet").exists()) {
+        val hb = probeSet(HeavyQueries)(srcDir)
+        val hs = probeSet(HeavyQueries)(sf1Dir)
+        Some((hb, hs))
+      } else None
 
     def fmt(rs: Seq[(String, Double, Long, Option[(Int, Boolean)])]): String =
       rs.map { case (n, s, rows, fix) =>
@@ -98,9 +125,17 @@ object ScaleProbe {
       f""""$n":${sc / math.max(b, 1e-9)}%.2f"""
     }.mkString("{", ",", "}")
 
+    val heavyJson = heavy.map { case (hb, hs) =>
+      val hr = hb.zip(hs).map { case ((n, b, _, _), (_, sc, _, _)) =>
+        f""""$n":${sc / math.max(b, 1e-9)}%.2f"""
+      }.mkString("{", ",", "}")
+      s""","heavy_sf1_base":${fmt(hb)},"heavy_sf1_scaled":${fmt(hs)},""" +
+        s""""heavy_time_ratio":$hr"""
+    }.getOrElse("")
+
     val json =
       s"""{"probe":"scale${replicas}x","src":"$srcDir","replicas":$replicas,""" +
-        s""""base":${fmt(base)},"scaled":${fmt(scaled)},"time_ratio":$ratios}"""
+        s""""base":${fmt(base)},"scaled":${fmt(scaled)},"time_ratio":$ratios$heavyJson}"""
     Files.writeString(Paths.get(s"SCALE_PROBE_${replicas}x.json"), json + "\n")
     println(json)
     spark.stop()

