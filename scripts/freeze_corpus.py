@@ -31,6 +31,8 @@ VOWELS = {
     'nl': 'aeiouyè', 'ru': 'аеиоуыэюя', 'ro': 'aeiouăâî',
     'ir': 'aeiouáéíóú', 'fi': 'aeiouyäö', 'hu': 'aeiouáéíóúöüőű',
     'tr': 'aeıioöuü',
+    'hy': 'աեէըիուօ', 'lt': 'aeiouyąėęįūų', 'ca': 'aeiouàáèéíïòóúü',
+    'eu': 'aeiou',
 }
 
 def object_sections(path):
@@ -47,7 +49,8 @@ OBJ = {'en': 'Porter2', 'de': 'German', 'fr': 'French', 'es': 'Spanish',
        'it': 'Italian', 'pt': 'Portuguese', 'da': 'Danish',
        'no': 'Norwegian', 'sv': 'Swedish', 'nl': 'Dutch', 'ru': 'Russian',
        'ro': 'Romanian', 'ir': 'Irish', 'fi': 'Finnish', 'hu': 'Hungarian',
-       'tr': 'Turkish'}
+       'tr': 'Turkish', 'hy': 'Armenian', 'lt': 'Lithuanian',
+       'ca': 'Catalan', 'eu': 'Basque'}
 
 def suffix_pool(lang, secs_main, secs_porter):
     sec = (secs_porter if lang == 'en' else secs_main).get(OBJ[lang], '')

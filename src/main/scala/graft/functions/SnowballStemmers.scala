@@ -1,13 +1,13 @@
 package graft.functions
 
-/** Snowball stemmers for German, French, Spanish, Portuguese, and
-  * Italian, implemented from the published algorithm descriptions
-  * (snowballstem.org / M.F. Porter). Backs the 2-arg `word_stem` —
-  * the reference dispatches ~20 Snowball stemmers by 2-letter code
-  * (presto-main/.../scalar/WordStemFunction.java:48-76); these five
-  * cover its own non-English test vectors
-  * (TestWordStemFunction.java:39-43), every one of which is
-  * reproduced here (see SnowballStemmerSpec's 160-vector table).
+/** Snowball stemmers backing the 2-arg `word_stem` — ALL 20 languages
+  * the reference dispatches by 2-letter code
+  * (presto-main/.../scalar/WordStemFunction.java:48-77), implemented
+  * from the published algorithm descriptions (snowballstem.org /
+  * M.F. Porter) or recovered exactly from PostgreSQL 15's open-source
+  * snowball build (see the per-language headers), and including every
+  * non-English vector from the reference's own
+  * TestWordStemFunction.java:39-43 (see SnowballStemmerSpec).
   *
   * Shared machinery: R1 = region after the first non-vowel following
   * a vowel; R2 = the same, starting from R1; RV per language. All
@@ -2297,16 +2297,544 @@ object SnowballStemmers {
     }
   }
 
+
+  // ===================================================================
+  // Armenian / Lithuanian / Catalan / Basque — the last four of the
+  // reference's 20 word_stem languages (WordStemFunction.java:55-77).
+  // Ported EXACTLY from the snowball algorithms as compiled into
+  // PostgreSQL 15's open-source dict_snowball library: the among
+  // tables, region marks, and per-case actions were read out of the
+  // binary with scripts/stemfit/so_extract.py and the control flow
+  // transcribed from the stem functions' disassembly; each port was
+  // then verified to ZERO diffs against live ts_lexize on 160k-word
+  // multi-seed fuzz corpora plus the 12-13k word convergence corpora
+  // (reference Python models: scripts/stemfit/{hy,lt,ca,eu}_exact.py).
+  // All four lowercase via [[lowerSimple]], matching the PG oracle's
+  // lowerstr (same convention as fi/hu/tr).
+  // ===================================================================
+
+  /** Armenian: pV = after the first vowel, p2 = Russian-style R2; the
+    * whole backward pass runs under `setlimit tomark pV`, then four
+    * test-once amongs in order — case endings (R2-gated), verb,
+    * adjective, noun — each a plain longest-match delete. */
+  object Armenian {
+    private val vowels = "աեէըիուօ"
+    private def isV(c: Char) = vowels.indexOf(c) >= 0
+
+    private val hyEnding: Seq[String] = Seq(
+      "ությանդ", "ությանը", "ությանն", "ությանս", "ներում", "ության",
+      "ներից", "վանից", "երում", "անում", "ներին", "ներով",
+      "երից", "ոջից", "ներդ", "վանդ", "ները", "վանը",
+      "ների", "ներն", "երին", "վանս", "երով", "անով",
+      "ներ", "ուց", "ցից", "վից", "ամբ", "երդ",
+      "ուդ", "անդ", "ոջդ", "երը", "անը", "ոջը",
+      "երի", "երն", "ուն", "վան", "ոջս", "վով",
+      "եր", "ից", "ոց", "սա", "վա", "վի",
+      "ան", "ին", "ոջ", "ով", "ց", "դ",
+      "ը", "ի", "ն")
+
+    private val hyVerb: Seq[String] = Seq(
+      "ացրինք", "վեցինք", "ացրիր", "վեցիր", "ալուց", "ելուց",
+      "ացրեց", "ացրիք", "վեցիք", "ացանք", "ացինք", "եցինք",
+      "ացնալ", "եցնել", "ացվել", "եցվել", "կոտել", "ացրին",
+      "վեցին", "ացար", "եցար", "ացիր", "եցիր", "ալու",
+      "ելու", "ացաք", "ացիք", "եցիք", "ցանք", "ացրի",
+      "վեցի", "անալ", "ենալ", "ցնել", "ատել", "ոտել",
+      "վում", "ացան", "ացին", "եցին", "ալիս", "ելիս",
+      "ացավ", "եցավ", "ալով", "ելով", "ցաք", "անք",
+      "ացա", "եցա", "ացի", "եցի", "ըալ", "ըել",
+      "նել", "չել", "վել", "տել", "ված", "ում",
+      "ցան", "ար", "աց", "եց", "աք", "վե",
+      "ալ", "ել", "ան", "ավ", "ա")
+
+    private val hyAdj: Seq[String] = Seq(
+      "երորդ", "րորդ", "որակ", "վուն", "արան", "ական",
+      "երեն", "եկեն", "որէն", "ովին", "լայն", "ավետ",
+      "բար", "ալի", "ակի", "գին", "պես", "կոտ",
+      "եղ", "են", "ին", "իվ", "ատ")
+
+    private val hyNoun: Seq[String] = Seq(
+      "ություն", "մունք", "ավոր", "անօց", "ալիք", "անիք",
+      "վածք", "ույք", "ունք", "ույթ", "ուհի", "անակ",
+      "յուն", "արան", "ստան", "եղէն", "ուստ", "գար",
+      "վոր", "արք", "չեք", "ենք", "ոնք", "իչք",
+      "որդ", "ուկ", "յակ", "պան", "ածո", "ուս",
+      "ոց", "ու", "իք", "ցի", "իլ", "ակ",
+      "իկ", "ան", "իչ", "ք")
+
+    def stem(input: String): String = {
+      var w = lowerSimple(input)
+      val n = w.length
+      var c = 0
+      while (c < n && !isV(w.charAt(c))) c += 1
+      val pV = if (c < n) c + 1 else n
+      var p2 = n
+      if (c < n) {
+        c += 1
+        while (c < n && isV(w.charAt(c))) c += 1
+        if (c < n) {
+          c += 1
+          while (c < n && !isV(w.charAt(c))) c += 1
+          if (c < n) {
+            c += 1
+            while (c < n && isV(w.charAt(c))) c += 1
+            if (c < n) p2 = c + 1
+          }
+        }
+      }
+      // longest match not crossing pV, delete if start >= floor;
+      // test-once (a failing floor does NOT fall through)
+      def strip(table: Seq[String], floor: Int): Unit =
+        table.find(s => w.length - s.length >= pV && w.endsWith(s))
+          .foreach { s =>
+            if (w.length - s.length >= floor)
+              w = w.substring(0, w.length - s.length)
+          }
+      strip(hyEnding, p2)
+      strip(hyVerb, 0)
+      strip(hyAdj, 0)
+      strip(hyNoun, 0)
+      w
+    }
+  }
+
+  /** Lithuanian: optional hop-1 for 'a'-initial words over 6 letters,
+    * R1 mark, then: conflict remaps (e.g. aite→aitė), one R1-limited
+    * pass over the big inflectional among, a č→t / dž→d respelling,
+    * a REPEATED R1-limited pass over the derivational among, the
+    * respelling again, and a final gd→g. The R1 limit constrains the
+    * MATCH (snowball limit_backward), so a long suffix reaching past
+    * R1 is passed over for a shorter one that fits. */
+  object Lithuanian {
+    private val vowels = "aeiouyąėęįūų"
+    private def isV(c: Char) = vowels.indexOf(c) >= 0
+
+    private val ltStep1: Seq[String] = Seq(
+      "tumeisi", "tumėmės", "tumėtės", "iuosna", "tumėme", "tumėte",
+      "siuosi", "čiausi", "telėti", "terėti", "tumeis", "enimis",
+      "iosna", "uosna", "enyje", "eryje", "iuose", "enyse",
+      "eryse", "eriai", "tumei", "erimi", "siesi", "ėjosi",
+      "iuosi", "iuoti", "iauti", "inėti", "eniui", "tumėm",
+      "iomis", "enims", "erims", "iamės", "kimės", "simės",
+      "iatės", "sitės", "tumėt", "eria", "osna", "ysna",
+      "ėsna", "enie", "erie", "ioje", "iuje", "iame",
+      "sime", "iose", "uose", "iate", "kite", "site",
+      "tute", "iumi", "iasi", "iesi", "aisi", "eisi",
+      "uisi", "uosi", "ausi", "tųsi", "enti", "inti",
+      "ioti", "uoti", "auti", "enio", "iais", "imis",
+      "omis", "umis", "ėmis", "enis", "asis", "ysis",
+      "iams", "iems", "ioms", "iuos", "iaus", "enys",
+      "erys", "amės", "imės", "omės", "ėmės", "atės",
+      "otės", "ėtės", "čiau", "eniu", "oje", "uje",
+      "yje", "ėje", "ame", "ome", "ėme", "ose",
+      "yse", "ėse", "ate", "ite", "ote", "ėte",
+      "iai", "imi", "umi", "asi", "esi", "isi",
+      "osi", "usi", "ąsi", "ėsi", "ųsi", "oti",
+      "yti", "ėti", "iui", "iam", "iem", "sim",
+      "tum", "ion", "iun", "ėjo", "ias", "ies",
+      "ais", "ams", "ims", "oms", "ums", "ėms",
+      "ens", "ios", "uos", "ers", "aus", "ius",
+      "iąs", "tųs", "iat", "sit", "iau", "siu",
+      "enį", "erį", "erų", "ia", "ie", "ai",
+      "ei", "ki", "si", "ti", "ui", "oj",
+      "ėj", "am", "im", "om", "ėm", "an",
+      "on", "un", "ėn", "io", "uo", "as",
+      "es", "is", "os", "us", "ys", "ąs",
+      "ės", "ūs", "įs", "at", "it", "ot",
+      "ėt", "au", "iu", "ią", "ių", "a",
+      "e", "i", "k", "o", "s", "u",
+      "y", "ą", "ė", "ę", "į", "ų")
+
+    private val ltStep2: Seq[String] = Seq(
+      "utėait", "uliuk", "učiuk", "siant", "iuoj", "zgan",
+      "iais", "iuos", "iaus", "iant", "iuot", "ykšt",
+      "ykšč", "ing", "iaj", "iej", "ioj", "uoj",
+      "auj", "iąj", "iųj", "iok", "iuk", "išk",
+      "iul", "dam", "jam", "ain", "esn", "iop",
+      "ias", "ies", "ais", "ios", "uos", "aus",
+      "iąs", "ant", "int", "uot", "iau", "dav",
+      "ėję", "aj", "oj", "ąj", "ėj", "ųj",
+      "ok", "yl", "ėl", "am", "op", "os",
+      "ąs", "ęs", "ot", "yt", "ėt", "sv",
+      "šv", "ę")
+
+    private val ltConflicts: Seq[(String, String)] = Seq(
+      ("okatės", "okatė"), ("aitės", "aitė"), ("uotės", "uotė"),
+      ("ojime", "ojimas"), ("ėjime", "ėjimas"), ("avime", "avimas"),
+      ("okate", "okatė"), ("aite", "aitė"), ("uote", "uotė"),
+      ("asius", "asys"), ("esiu", "esys"))
+
+    private def utf8Len(s: String): Int =
+      s.foldLeft(0)((a, c) => a + (if (c < 0x80) 1 else if (c < 0x800) 2 else 3))
+
+    private def fixChdz(w: String): String =
+      if (utf8Len(w) < 2) w
+      else if (w.endsWith("dž")) w.dropRight(2) + "d"
+      else if (w.endsWith("č")) w.dropRight(1) + "t"
+      else w
+
+    def stem(input: String): String = {
+      var w = lowerSimple(input)
+      val n = w.length
+      var c = if (n > 6 && w.charAt(0) == 'a') 1 else 0
+      var p1 = n
+      while (c < n && !isV(w.charAt(c))) c += 1
+      if (c < n) {
+        c += 1
+        while (c < n && isV(w.charAt(c))) c += 1
+        if (c < n) p1 = c + 1
+      }
+      if (utf8Len(w) > 3)
+        ltConflicts.find(p => w.endsWith(p._1)).foreach { case (s, r) =>
+          w = w.substring(0, w.length - s.length) + r
+        }
+      if (w.length >= p1)
+        ltStep1.find(s => w.length - s.length >= p1 && w.endsWith(s))
+          .foreach(s => w = w.substring(0, w.length - s.length))
+      w = fixChdz(w)
+      var go = w.length >= p1
+      while (go) {
+        ltStep2.find(s => w.length - s.length >= p1 && w.endsWith(s)) match {
+          case Some(s) =>
+            w = w.substring(0, w.length - s.length)
+            go = w.length >= p1
+          case None => go = false
+        }
+      }
+      w = fixChdz(w)
+      if (w.endsWith("gd")) w = w.dropRight(1)
+      w
+    }
+  }
+
+  /** Catalan: R1/R2 marks, then attached_pronoun (R1 delete),
+    * (standard_suffix OR verb_suffix) — verb runs only when standard
+    * finds no entry or its region test fails — residual_suffix, and a
+    * forward de-accenting pass. Standard cases: 1 R1-del, 2 R2-del,
+    * 3 R2→"log", 4 R2→"ic", 5 R1→"c"; verb: 1 R1-del, 2 R2-del
+    * ('ando'); residual: 1 R1-del, 2 R1→"ic" ('iqu'). */
+  object Catalan {
+    private val vowels = "aeiouàáèéíïòóúü"
+    private def isV(c: Char) = vowels.indexOf(c) >= 0
+
+    private val caPronoun: Seq[String] = Seq(
+      "selas", "selos", "sela", "selo", "-les", "-nos",
+      "-la", "-me", "-te", "'hi", "-li", "'ho",
+      "las", "les", "'ls", "-ls", "'ns", "-ns",
+      "ens", "los", "nos", "vos", "-us", "la",
+      "le", "me", "se", "hi", "li", "'l",
+      "'m", "-m", "'n", "-n", "ho", "lo",
+      "'s", "us", "'t")
+
+    private val caStandard: Seq[(String, Int)] = Seq(
+      ("quíssimes", 5), ("allengües", 1), ("ativitats", 1), ("quíssima", 5), ("ialismes", 1),
+      ("ialistes", 1), ("ionistes", 1), ("lógiques", 3), ("quíssims", 5), ("bilitats", 1),
+      ("ativitat", 1), ("ialista", 1), ("ionista", 1), ("ialisme", 1), ("ionisme", 1),
+      ("quíssim", 5), ("atòries", 1), ("íssimes", 1), ("ivitats", 1), ("bilitat", 1),
+      ("isament", 1), ("lógica", 3), ("atòria", 1), ("íssima", 1), ("ivisme", 1),
+      ("ificar", 1), ("lógics", 3), ("ancies", 1), ("encies", 1), ("ències", 1),
+      ("logies", 3), ("formes", 1), ("idores", 1), ("atives", 1), ("logíes", 3),
+      ("íssims", 1), ("acions", 2), ("aments", 1), ("ivitat", 1), ("ancia", 1),
+      ("encia", 1), ("ència", 1), ("logia", 3), ("íinia", 1), ("ívola", 1),
+      ("sfera", 1), ("adora", 1), ("adura", 1), ("ativa", 1), ("logía", 3),
+      ("ístic", 1), ("issem", 1), ("ìssem", 1), ("íssem", 1), ("íssim", 1),
+      ("ìssin", 1), ("itzar", 1), ("doras", 1), ("ícies", 1), ("inies", 1),
+      ("ínies", 1), ("eries", 1), ("àries", 1), ("ables", 1), ("ibles", 1),
+      ("ismes", 1), ("dores", 1), ("dures", 1), ("asses", 1), ("ictes", 1),
+      ("istes", 1), ("iques", 4), ("logis", 3), ("toris", 1), ("cions", 1),
+      ("assos", 1), ("issos", 1), ("adors", 1), ("idors", 1), ("itats", 1),
+      ("ïtats", 1), ("ments", 1), ("trius", 1), ("atius", 1), ("ament", 1),
+      ("isseu", 1), ("ìsseu", 1), ("ísseu", 1), ("íssiu", 1), ("enca", 1),
+      ("ícia", 1), ("inia", 1), ("eria", 1), ("ària", 1), ("alla", 1),
+      ("ella", 1), ("dora", 1), ("assa", 1), ("essa", 1), ("issa", 1),
+      ("ista", 1), ("atge", 1), ("able", 1), ("ible", 1), ("isme", 1),
+      ("aire", 1), ("icte", 1), ("iste", 1), ("logi", 3), ("tori", 1),
+      ("ívol", 1), ("isam", 1), ("amen", 1), ("egar", 1), ("ejar", 1),
+      ("itar", 1), ("nces", 1), ("ades", 2), ("bles", 1), ("imes", 1),
+      ("ines", 1), ("eres", 1), ("ores", 1), ("eses", 1), ("oses", 1),
+      ("ites", 1), ("otes", 1), ("ives", 1), ("icis", 1), ("ícis", 1),
+      ("aris", 1), ("ells", 1), ("ions", 1), ("esos", 1), ("osos", 1),
+      ("dors", 1), ("ants", 1), ("ents", 1), ("itat", 1), ("ïtat", 1),
+      ("ient", 1), ("ment", 1), ("triu", 1), ("atiu", 1), ("ació", 1),
+      ("ica", 4), ("ada", 2), ("ima", 1), ("ana", 1), ("ina", 1),
+      ("era", 1), ("ora", 1), ("esa", 1), ("osa", 1), ("eta", 1),
+      ("ita", 1), ("ota", 1), ("iva", 1), ("nça", 1), ("enc", 1),
+      ("esc", 1), ("ble", 1), ("ici", 1), ("íci", 1), ("ari", 1),
+      ("all", 1), ("ell", 1), ("fer", 1), ("dor", 1), ("dur", 1),
+      ("ics", 4), ("uds", 1), ("als", 1), ("ims", 1), ("ers", 1),
+      ("ors", 1), ("ats", 1), ("ets", 1), ("ots", 1), ("uts", 1),
+      ("ius", 1), ("dís", 1), ("ant", 1), ("ent", 1), ("ció", 1),
+      ("ic", 4), ("ud", 1), ("al", 1), ("il", 1), ("ar", 1),
+      ("or", 1), ("ls", 1), ("ès", 1), ("és", 1), ("ís", 1),
+      ("ós", 1), ("et", 1), ("ot", 1), ("ió", 1), ("ó", 1))
+
+    private val caVerb: Seq[(String, Int)] = Seq(
+      ("iéramos", 1), ("aríamos", 1), ("eríamos", 1), ("iríamos", 1), ("iésemos", 1),
+      ("eresseu", 1), ("esquen", 1), ("isquen", 1), ("ïsquen", 1), ("esquin", 1),
+      ("adores", 1), ("esques", 1), ("ïsques", 1), ("ierais", 1), ("aríais", 1),
+      ("eríais", 1), ("iríais", 1), ("ieseis", 1), ("asteis", 1), ("isteis", 1),
+      ("esquis", 1), ("ábamos", 1), ("áramos", 1), ("aremos", 1), ("eremos", 1),
+      ("iremos", 1), ("ásemos", 1), ("adora", 1), ("esqui", 1), ("àssem", 1),
+      ("éssem", 1), ("iguem", 1), ("ïguem", 1), ("irìem", 1), ("aríem", 1),
+      ("iríem", 1), ("assim", 1), ("essim", 1), ("issim", 1), ("àssim", 1),
+      ("èssim", 1), ("éssim", 1), ("íssim", 1), ("arian", 1), ("ieran", 1),
+      ("arían", 1), ("erían", 1), ("irían", 1), ("arien", 1), ("irien", 1),
+      ("iesen", 1), ("assen", 1), ("essen", 1), ("issen", 1), ("éssen", 1),
+      ("ïssen", 1), ("eixen", 1), ("assin", 1), ("essin", 1), ("issin", 1),
+      ("ïssin", 1), ("eixin", 1), ("ieron", 1), ("iendo", 1), ("eixer", 1),
+      ("ieras", 1), ("arías", 1), ("erías", 1), ("irías", 1), ("atges", 1),
+      ("aries", 1), ("iries", 1), ("ieses", 1), ("asses", 1), ("esses", 1),
+      ("isses", 1), ("ïsses", 1), ("eixes", 1), ("abais", 1), ("arais", 1),
+      ("aseis", 1), ("assis", 1), ("essis", 1), ("issis", 1), ("ïssis", 1),
+      ("eixis", 1), ("itzis", 1), ("aréis", 1), ("eréis", 1), ("iréis", 1),
+      ("íamos", 1), ("adors", 1), ("erass", 1), ("asseu", 1), ("esseu", 1),
+      ("àsseu", 1), ("ésseu", 1), ("igueu", 1), ("ïgueu", 1), ("itzeu", 1),
+      ("irìeu", 1), ("aríeu", 1), ("iríeu", 1), ("assiu", 1), ("issiu", 1),
+      ("àssiu", 1), ("èssiu", 1), ("éssiu", 1), ("íssiu", 1), ("esca", 1),
+      ("isca", 1), ("ïsca", 1), ("aria", 1), ("iria", 1), ("iera", 1),
+      ("itza", 1), ("aría", 1), ("ería", 1), ("iría", 1), ("iese", 1),
+      ("aste", 1), ("iste", 1), ("eixi", 1), ("itzi", 1), ("arem", 1),
+      ("irem", 1), ("àrem", 1), ("írem", 1), ("avem", 1), ("àvem", 1),
+      ("ávem", 1), ("aban", 1), ("aran", 1), ("iran", 1), ("aren", 1),
+      ("eren", 1), ("iren", 1), ("àren", 1), ("ïren", 1), ("asen", 1),
+      ("aven", 1), ("ixen", 1), ("ïxen", 1), ("inin", 1), ("isin", 1),
+      ("aron", 1), ("arán", 1), ("erán", 1), ("irán", 1), ("ando", 2),
+      ("eixo", 1), ("itzo", 1), ("tzar", 1), ("ador", 1), ("abas", 1),
+      ("adas", 1), ("idas", 1), ("aras", 1), ("ades", 1), ("ides", 1),
+      ("udes", 1), ("ïdes", 1), ("ares", 1), ("ires", 1), ("ïres", 1),
+      ("ases", 1), ("ques", 1), ("aves", 1), ("ixes", 1), ("ïxes", 1),
+      ("íais", 1), ("inis", 1), ("isis", 1), ("ados", 1), ("idos", 1),
+      ("amos", 1), ("imos", 1), ("ents", 1), ("aràs", 1), ("iràs", 1),
+      ("arás", 1), ("erás", 1), ("irás", 1), ("arés", 1), ("erau", 1),
+      ("ineu", 1), ("areu", 1), ("ireu", 1), ("àreu", 1), ("íreu", 1),
+      ("àveu", 1), ("áveu", 1), ("itzà", 1), ("aba", 1), ("ada", 1),
+      ("ida", 1), ("uda", 1), ("ïda", 1), ("ara", 1), ("ira", 1),
+      ("ïra", 1), ("ava", 1), ("ixa", 1), ("isc", 1), ("ïsc", 1),
+      ("dre", 1), ("ase", 1), ("ini", 1), ("íem", 1), ("ían", 1),
+      ("ien", 1), ("ïen", 1), ("sin", 1), ("iïn", 1), ("ado", 1),
+      ("ido", 1), ("ixo", 1), ("ïxo", 1), ("ías", 1), ("ids", 1),
+      ("ies", 1), ("ïes", 1), ("sis", 1), ("áis", 1), ("ams", 1),
+      ("ass", 1), ("ess", 1), ("ats", 1), ("its", 1), ("iïs", 1),
+      ("ant", 1), ("ent", 1), ("int", 1), ("ieu", 1), ("ìeu", 1),
+      ("íeu", 1), ("eix", 1), ("itz", 1), ("arà", 1), ("irà", 1),
+      ("ará", 1), ("erá", 1), ("irá", 1), ("irè", 1), ("aré", 1),
+      ("eré", 1), ("iré", 1), ("ia", 1), ("ía", 1), ("ïa", 1),
+      ("ad", 1), ("ed", 1), ("id", 1), ("ie", 1), ("re", 1),
+      ("ii", 1), ("am", 1), ("em", 1), ("ïm", 1), ("an", 1),
+      ("en", 1), ("in", 1), ("io", 1), ("ar", 1), ("er", 1),
+      ("ir", 1), ("as", 1), ("es", 1), ("às", 1), ("és", 1),
+      ("ís", 1), ("at", 1), ("it", 1), ("ut", 1), ("ït", 1),
+      ("au", 1), ("ïu", 1), ("ix", 1), ("ïx", 1), ("ià", 1),
+      ("iï", 1), ("ió", 1), ("í", 1))
+
+    private val caResidual: Seq[(String, Int)] = Seq(
+      ("iqu", 2), ("itz", 1), ("ïn", 1), ("ir", 1), ("is", 1),
+      ("os", 1), ("ïs", 1), ("it", 1), ("eu", 1), ("iu", 1),
+      ("a", 1), ("e", 1), ("i", 1), ("o", 1), ("s", 1),
+      ("à", 1), ("á", 1), ("é", 1), ("ì", 1), ("í", 1),
+      ("ï", 1), ("ó", 1))
+
+    private val caClean = Map(
+      'à' -> 'a', 'á' -> 'a', 'è' -> 'e', 'é' -> 'e', 'ì' -> 'i',
+      'í' -> 'i', 'ï' -> 'i', 'ò' -> 'o', 'ó' -> 'o', 'ú' -> 'u',
+      'ü' -> 'u', '·' -> '.')
+
+    def stem(input: String): String = {
+      var w = lowerSimple(input)
+      val r1 = regionAfter(w, 0, isV)
+      val r2 = regionAfter(w, r1, isV)
+      caPronoun.find(w.endsWith) match {
+        case Some(s) if w.length - s.length >= r1 =>
+          w = w.substring(0, w.length - s.length)
+        case _ =>
+      }
+      var ok = false
+      caStandard.find(p => w.endsWith(p._1)).foreach { case (s, res) =>
+        val st = w.length - s.length
+        res match {
+          case 1 if st >= r1 => w = w.substring(0, st); ok = true
+          case 2 if st >= r2 => w = w.substring(0, st); ok = true
+          case 3 if st >= r2 => w = w.substring(0, st) + "log"; ok = true
+          case 4 if st >= r2 => w = w.substring(0, st) + "ic"; ok = true
+          case 5 if st >= r1 => w = w.substring(0, st) + "c"; ok = true
+          case _ =>
+        }
+      }
+      if (!ok)
+        caVerb.find(p => w.endsWith(p._1)).foreach { case (s, res) =>
+          val st = w.length - s.length
+          if (res == 1 && st >= r1) w = w.substring(0, st)
+          else if (res == 2 && st >= r2) w = w.substring(0, st)
+        }
+      caResidual.find(p => w.endsWith(p._1)).foreach { case (s, res) =>
+        val st = w.length - s.length
+        if (res == 1 && st >= r1) w = w.substring(0, st)
+        else if (res == 2 && st >= r1) w = w.substring(0, st) + "ic"
+      }
+      w.map(ch => caClean.getOrElse(ch, ch))
+    }
+  }
+
+  /** Basque: Romance RV + R1/R2, then a backward pass with a
+    * NON-resetting cursor: `repeat aditzak`, `repeat izenak`,
+    * `do adjetiboak`. A failing region test ends the repeat; a
+    * slice_from keeps the cursor at the match start, so replacement
+    * text (e.g. "baditu") is protected from further stripping —
+    * modeled by the explicit (word, cursor) pair. Case actions:
+    * aditzak 1 RV-del, 2 R2-del, 3→"atseden", 4→"arabera",
+    * 5→"baditu"; izenak 1 RV-del, 2 R2-del, 3→"jok", 4 R1-del,
+    * 5→"tra", 6→"minutu", 7→"zehar", 8→"geldi", 9→"igaro",
+    * 10→"aurka"; adjetiboak 1 RV-del, 2→"z". */
+  object Basque {
+    private def isV(c: Char) = "aeiou".indexOf(c) >= 0
+
+    private val euAditzak: Seq[(String, Int)] = Seq(
+      ("tzailea", 1), ("arabera", 4), ("atseden", 3), ("kundea", 1), ("tailea", 1),
+      ("taldia", 1), ("garria", 2), ("karria", 1), ("tezina", 1), ("kizuna", 1),
+      ("gailua", 1), ("erreza", 1), ("gaitza", 1), ("kaitza", 1), ("kuntza", 1),
+      ("tzaile", 1), ("tarazi", 1), ("aldatu", 1), ("baditu", 5), ("bidea", 1),
+      ("kidea", 1), ("pidea", 1), ("galea", 1), ("gunea", 1), ("kunea", 1),
+      ("tzaga", 1), ("aldia", 1), ("karia", 1), ("tzaka", 1), ("ezina", 1),
+      ("korra", 1), ("kunde", 1), ("tzake", 1), ("tzeke", 1), ("taile", 1),
+      ("taldi", 1), ("etari", 1), ("garri", 2), ("karri", 1), ("arazi", 1),
+      ("rekin", 1), ("tezin", 1), ("kizun", 1), ("gailu", 1), ("errez", 1),
+      ("gaitz", 1), ("kaitz", 1), ("idea", 1), ("gaia", 1), ("mena", 1),
+      ("pena", 1), ("kina", 1), ("kuna", 1), ("tuna", 1), ("bera", 1),
+      ("kera", 1), ("pera", 1), ("orra", 1), ("dura", 1), ("gura", 1),
+      ("kura", 1), ("tura", 1), ("keta", 1), ("bide", 1), ("kide", 1),
+      ("pide", 1), ("gale", 1), ("gune", 1), ("kune", 1), ("atze", 1),
+      ("aldi", 1), ("kari", 1), ("lari", 1), ("tari", 1), ("rean", 1),
+      ("etan", 1), ("ezin", 1), ("dako", 1), ("tzat", 1), ("tatu", 1),
+      ("tzez", 1), ("era", 1), ("eta", 1), ("eza", 1), ("tza", 2),
+      ("ide", 1), ("tze", 1), ("gai", 1), ("ari", 1), ("ean", 1),
+      ("kan", 1), ("men", 1), ("pen", 1), ("kin", 1), ("tun", 1),
+      ("ago", 1), ("tio", 1), ("kor", 1), ("atu", 1), ("ka", 1),
+      ("la", 1), ("le", 1), ("ki", 1), ("an", 1), ("go", 1),
+      ("or", 1), ("du", 1), ("tu", 1), ("ez", 1))
+
+    private val euIzenak: Seq[(String, Int)] = Seq(
+      ("minutuko", 6), ("garrena", 1), ("gerrena", 1), ("kaldea", 1), ("taldea", 1),
+      ("tzalea", 1), ("zionea", 1), ("aurrea", 1), ("taldia", 1), ("handia", 1),
+      ("mendia", 1), ("garria", 2), ("larria", 1), ("kirria", 1), ("ontzia", 1),
+      ("gibela", 1), ("urrena", 1), ("tzaina", 1), ("tasuna", 1), ("kondoa", 1),
+      ("tzarra", 1), ("mendua", 1), ("mentua", 1), ("koitza", 1), ("gintza", 1),
+      ("kintza", 1), ("kuntza", 1), ("garren", 1), ("gerren", 1), ("tariko", 1),
+      ("gintzo", 1), ("gintzu", 1), ("denda", 1), ("gabea", 1), ("kabea", 1),
+      ("aldea", 1), ("ordea", 1), ("zalea", 1), ("gilea", 1), ("kumea", 1),
+      ("gunea", 1), ("kotea", 1), ("artea", 1), ("ostea", 1), ("etxea", 1),
+      ("aldia", 1), ("degia", 1), ("tegia", 1), ("nahia", 1), ("tokia", 1),
+      ("karia", 1), ("laria", 1), ("taria", 1), ("keria", 1), ("teria", 1),
+      ("duria", 1), ("bizia", 1), ("aurka", 10), ("kaila", 1), ("skila", 1),
+      ("zaina", 1), ("garna", 1), ("asuna", 1), ("ondoa", 1), ("takoa", 1),
+      ("zinoa", 1), ("taroa", 1), ("zaroa", 1), ("liara", 1), ("tiara", 1),
+      ("etara", 1), ("tzara", 1), ("korra", 1), ("ordua", 1), ("lekua", 1),
+      ("burua", 1), ("durua", 1), ("estua", 1), ("eroza", 1), ("antza", 1),
+      ("kalde", 1), ("talde", 1), ("tzale", 1), ("zione", 1), ("aurre", 1),
+      ("taldi", 1), ("geldi", 8), ("handi", 1), ("mendi", 1), ("garri", 2),
+      ("larri", 1), ("kirri", 1), ("ontzi", 1), ("tarik", 1), ("gibel", 1),
+      ("urren", 1), ("tzain", 1), ("tasun", 1), ("aizun", 1), ("kondo", 1),
+      ("trako", 5), ("etako", 1), ("igaro", 9), ("behar", 1), ("zehar", 7),
+      ("mendu", 1), ("mentu", 1), ("koitz", 1), ("kada", 1), ("anda", 1),
+      ("emea", 1), ("enea", 1), ("unea", 1), ("anga", 1), ("gaia", 1),
+      ("geia", 1), ("egia", 1), ("ohia", 1), ("koia", 1), ("aria", 1),
+      ("eria", 1), ("asia", 1), ("ezia", 1), ("joka", 3), ("gela", 1),
+      ("tila", 1), ("kana", 1), ("kina", 1), ("mina", 1), ("duna", 1),
+      ("ngoa", 1), ("zioa", 1), ("zkoa", 1), ("aroa", 1), ("eroa", 1),
+      ("oroa", 1), ("osoa", 1), ("ttoa", 1), ("ztoa", 1), ("txoa", 1),
+      ("tzoa", 1), ("dara", 1), ("tara", 1), ("bera", 1), ("kera", 1),
+      ("pera", 1), ("keta", 1), ("tsua", 1), ("txua", 1), ("tzua", 1),
+      ("gabe", 1), ("kabe", 1), ("kide", 1), ("alde", 1), ("orde", 1),
+      ("zale", 1), ("gile", 1), ("kume", 1), ("gune", 1), ("kote", 1),
+      ("arte", 1), ("oste", 1), ("etxe", 1), ("aldi", 1), ("degi", 1),
+      ("tegi", 1), ("nahi", 1), ("toki", 1), ("kari", 1), ("lari", 1),
+      ("tari", 1), ("duri", 1), ("kail", 1), ("etan", 1), ("tzen", 4),
+      ("zain", 1), ("asun", 1), ("ondo", 1), ("tako", 1), ("tuko", 1),
+      ("zino", 1), ("taro", 1), ("zaro", 1), ("giro", 1), ("liar", 1),
+      ("tiar", 1), ("tzar", 1), ("ordu", 1), ("leku", 1), ("buru", 2),
+      ("duru", 1), ("tatu", 4), ("estu", 1), ("eroz", 1), ("ada", 1),
+      ("nea", 1), ("pea", 1), ("tea", 1), ("kia", 1), ("oia", 1),
+      ("tia", 1), ("ska", 1), ("xka", 1), ("zka", 1), ("ola", 1),
+      ("ena", 1), ("una", 1), ("koa", 1), ("noa", 1), ("toa", 1),
+      ("ñoa", 1), ("ara", 1), ("ora", 2), ("tra", 1), ("osa", 1),
+      ("eta", 1), ("sta", 1), ("dua", 1), ("tua", 1), ("zua", 1),
+      ("eza", 1), ("tza", 2), ("eme", 1), ("une", 1), ("gai", 1),
+      ("gei", 1), ("egi", 1), ("ohi", 1), ("goi", 1), ("koi", 1),
+      ("ari", 1), ("asi", 1), ("ail", 1), ("kan", 1), ("tan", 1),
+      ("ren", 2), ("ten", 4), ("kin", 1), ("min", 1), ("dun", 1),
+      ("ngo", 1), ("zio", 1), ("eko", 1), ("sko", 1), ("zko", 1),
+      ("aro", 1), ("ero", 1), ("oro", 1), ("oso", 1), ("tto", 1),
+      ("zto", 1), ("txo", 1), ("tzo", 1), ("dar", 1), ("tar", 1),
+      ("kor", 1), ("ket", 1), ("tsu", 1), ("txu", 1), ("tzu", 1),
+      ("ga", 1), ("ka", 1), ("na", 1), ("ra", 1), ("sa", 1),
+      ("ta", 1), ("za", 1), ("ge", 1), ("ne", 1), ("pe", 1),
+      ("te", 1), ("di", 1), ("ki", 1), ("oi", 1), ("ti", 1),
+      ("ñi", 1), ("ak", 1), ("ek", 1), ("en", 4), ("go", 1),
+      ("ko", 1), ("no", 1), ("ro", 1), ("to", 1), ("ño", 1),
+      ("zp", 1), ("ar", 1), ("or", 2), ("os", 1), ("du", 1),
+      ("tu", 1), ("zu", 1), ("ez", 1), ("tz", 1), ("z", 1))
+
+    private val euAdjetiboak: Seq[(String, Int)] = Seq(
+      ("keria", 1), ("lanik", 1), ("larik", 1), ("zlea", 2), ("dade", 1),
+      ("tade", 1), ("date", 1), ("tate", 1), ("ztik", 1), ("era", 1),
+      ("rik", 1), ("ero", 1), ("la", 1), ("gi", 1), ("ki", 1),
+      ("ik", 1), ("go", 1), ("ro", 1), ("to", 1))
+
+    // result -> (region: 0=RV 1=R1 2=R2, -1 none; replacement: null=del)
+    private val aditzakAct: Map[Int, (Int, String)] = Map(
+      1 -> (0, null), 2 -> (2, null), 3 -> (-1, "atseden"),
+      4 -> (-1, "arabera"), 5 -> (-1, "baditu"))
+    private val izenakAct: Map[Int, (Int, String)] = Map(
+      1 -> (0, null), 2 -> (2, null), 3 -> (-1, "jok"), 4 -> (1, null),
+      5 -> (-1, "tra"), 6 -> (-1, "minutu"), 7 -> (-1, "zehar"),
+      8 -> (-1, "geldi"), 9 -> (-1, "igaro"), 10 -> (-1, "aurka"))
+    private val adjAct: Map[Int, (Int, String)] = Map(
+      1 -> (0, null), 2 -> (-1, "z"))
+
+    def stem(input: String): String = {
+      var w = lowerSimple(input)
+      val pV = rvRomance(w, isV)
+      val p1 = regionAfter(w, 0, isV)
+      val p2 = regionAfter(w, p1, isV)
+      val regs = Array(pV, p1, p2)
+      var e = w.length
+      def run(table: Seq[(String, Int)], act: Map[Int, (Int, String)],
+          repeat: Boolean): Unit = {
+        var go = true
+        while (go) {
+          table.find { case (s, _) =>
+            e - s.length >= 0 && w.startsWith(s, e - s.length)
+          } match {
+            case Some((s, res)) =>
+              val st = e - s.length
+              val (reg, repl) = act(res)
+              if (reg >= 0 && st < regs(reg)) go = false
+              else {
+                w = w.substring(0, st) + (if (repl == null) "" else repl) +
+                  w.substring(e)
+                e = st
+                if (!repeat) go = false
+              }
+            case None => go = false
+          }
+        }
+      }
+      run(euAditzak, aditzakAct, repeat = true)
+      run(euIzenak, izenakAct, repeat = true)
+      run(euAdjetiboak, adjAct, repeat = false)
+      w
+    }
+  }
+
   /** Codes [[stem]] dispatches — used by the word_stem builder to
     * fail FAST (at analysis) on an unknown LITERAL code, matching the
     * reference's eager stemmer resolution. */
   val Languages: Set[String] =
     Set("en", "de", "fr", "es", "it", "pt", "da", "no", "sv", "nl", "ru",
-      "ro", "ir", "fi", "hu", "tr")
+      "ro", "ir", "fi", "hu", "tr", "hy", "lt", "ca", "eu")
 
-  /** Dispatch by 2-letter code (WordStemFunction.java:48-76 — the
-    * implemented subset; any other code raises like the reference's
-    * INVALID_FUNCTION_ARGUMENT).
+  /** Dispatch by 2-letter code — the reference's FULL 20-language set
+    * (WordStemFunction.java:48-77); any other code raises like the
+    * reference's INVALID_FUNCTION_ARGUMENT.
     *
     * Case-handling convention: the PG oracle lowercases EVERY input at
     * the dictionary layer (dict_snowball's lowerstr), so uppercase
@@ -2337,6 +2865,10 @@ object SnowballStemmers {
     case "fi" => Finnish.stem(word)
     case "hu" => Hungarian.stem(word)
     case "tr" => Turkish.stem(word)
+    case "hy" => Armenian.stem(word)
+    case "lt" => Lithuanian.stem(word)
+    case "ca" => Catalan.stem(word)
+    case "eu" => Basque.stem(word)
     case other =>
       throw new IllegalArgumentException(s"Unknown stemmer language: $other")
   }

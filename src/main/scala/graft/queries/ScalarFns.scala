@@ -588,6 +588,10 @@ object ScalarFns extends QueryGroup {
                 |  ('hu', 'fejlesztésére'), ('hu', 'barátaim'),
                 |  ('tr', 'kitaplarımızdan'), ('tr', 'evlerinden'),
                 |  ('tr', 'anlayabileceğimizden'), ('tr', 'hastaydılar'),
+                |  ('hy', 'քաղաքներում'), ('hy', 'ուսուցիչներ'),
+                |  ('lt', 'namuose'), ('lt', 'mokyklose'),
+                |  ('ca', 'nacionalitat'), ('ca', 'treballadors'),
+                |  ('eu', 'etxeak'), ('eu', 'mendietan'),
                 |  ('en', 'intensifying') AS t(lang, word)
                 |ORDER BY lang, word""".stripMargin)
       },
@@ -629,6 +633,11 @@ object ScalarFns extends QueryGroup {
              |  ('tr', 'evlerinden', 'ev'),
              |  ('tr', 'anlayabileceğimizden', 'anlayabilecek'),
              |  ('tr', 'hastaydılar', 'hasta'),
+             |  ('hy', 'քաղաքներում', 'քաղ'), ('hy', 'ուսուցիչներ', 'ուսուց'),
+             |  ('lt', 'namuose', 'nam'), ('lt', 'mokyklose', 'mokykl'),
+             |  ('ca', 'nacionalitat', 'nacional'),
+             |  ('ca', 'treballadors', 'treball'),
+             |  ('eu', 'etxeak', 'etxe'), ('eu', 'mendietan', 'mendi'),
              |  ('en', 'intensifying', 'intensifi')) AS t(lang, word, stem)
              |ORDER BY lang, word""".stripMargin)),
 
