@@ -472,6 +472,111 @@ object Tpcds extends QueryGroup {
         |GROUP BY ROLLUP (channel, store_sk)
         |ORDER BY lochierarchy DESC, channel, store_sk""".stripMargin),
 
+    // q47 shape (also covers q57): the time-series window — monthly
+    // (item, store) sales ranked along the month axis, then the CTE
+    // self-joined at rank±1 so each qualifying month carries its
+    // neighbors' sales. The deviation filter (month > 110% of the
+    // item-store-year monthly average) is exact integer cents
+    // cross-multiplied, so no fp average can flip a row. At scale:
+    // ONE fact shuffle to the monthly grain; the windows and both
+    // self-joins share the (item, store) hash — AQE sees ~|items|×10
+    // rows after the first aggregate, far below the fact.
+    "tpcds_q47" -> sharedWith(
+      """monthly AS (
+        |  SELECT ss_item_sk AS item_sk, ss_store_sk AS store_sk,
+        |    d_year, d_moy,
+        |    CAST(sum(CAST(round(ss_ext_sales_price * 100, 0) AS BIGINT))
+        |      AS BIGINT) AS sum_cents
+        |  FROM store_sales JOIN date_dim ON ss_sold_date_sk = d_date_sk
+        |  GROUP BY ss_item_sk, ss_store_sk, d_year, d_moy),
+        |v1 AS (
+        |  SELECT item_sk, store_sk, d_year, d_moy, sum_cents,
+        |    CAST(sum(sum_cents) OVER (PARTITION BY item_sk, store_sk,
+        |      d_year) AS BIGINT) AS year_cents,
+        |    CAST(count(*) OVER (PARTITION BY item_sk, store_sk, d_year)
+        |      AS BIGINT) AS n_months,
+        |    rank() OVER (PARTITION BY item_sk, store_sk
+        |      ORDER BY d_year, d_moy) AS rn
+        |  FROM monthly)""".stripMargin,
+      """SELECT v1.item_sk AS item_sk, v1.store_sk AS store_sk,
+        |  v1.d_year AS d_year, v1.d_moy AS d_moy,
+        |  CAST(v1.sum_cents AS DOUBLE) / 100.0 AS this_sales,
+        |  CAST(v_prev.sum_cents AS DOUBLE) / 100.0 AS prev_sales,
+        |  CAST(v_next.sum_cents AS DOUBLE) / 100.0 AS next_sales
+        |FROM v1
+        |  JOIN v1 v_prev ON v1.item_sk = v_prev.item_sk
+        |    AND v1.store_sk = v_prev.store_sk AND v1.rn = v_prev.rn + 1
+        |  JOIN v1 v_next ON v1.item_sk = v_next.item_sk
+        |    AND v1.store_sk = v_next.store_sk AND v1.rn = v_next.rn - 1
+        |WHERE v1.sum_cents * v1.n_months * 10 > v1.year_cents * 11
+        |ORDER BY item_sk, store_sk, d_year, d_moy""".stripMargin),
+
+    // q35 shape (also covers q10): the multi-EXISTS customer probe —
+    // customers active in the 'A' channel AND in at least one of 'R'
+    // or 'N', counted per nation. The OR of two correlated EXISTS is
+    // the shape Spark lowers to ExistenceJoin marks (plain
+    // conjunctive EXISTS lower to left-semi), so this pins the third
+    // decorrelation flavor alongside tpcds_q1 (scalar) and
+    // tpcds_q95 (conjunctive). All three probes are semi-join-shaped
+    // fact scans keyed on customer — at scale each is one shuffle of
+    // the DISTINCT customer set, no row explosion.
+    "tpcds_q35" -> shared(
+      """SELECT n_name, count(*) AS cnt
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |WHERE EXISTS (
+        |    SELECT 1 FROM store_sales
+        |    WHERE ss_customer_sk = c_custkey AND ss_channel = 'A')
+        |  AND (EXISTS (
+        |    SELECT 1 FROM store_sales
+        |    WHERE ss_customer_sk = c_custkey AND ss_channel = 'R')
+        |  OR EXISTS (
+        |    SELECT 1 FROM store_sales
+        |    WHERE ss_customer_sk = c_custkey AND ss_channel = 'N'))
+        |GROUP BY n_name
+        |ORDER BY n_name""".stripMargin),
+
+    // q31 shape: the period-over-period ratio chain — quarterly
+    // store totals per channel, the CTE self-joined six ways (two
+    // channels × three quarters), keeping stores where the 'R'
+    // channel out-grows 'A' in BOTH consecutive quarter pairs.
+    // Growth comparisons are exact BIGINT cross-multiplications; the
+    // displayed ratios divide as DOUBLE and round to 6 (the
+    // tpcds_q11 discipline applied twice). The aggregate is tiny
+    // (|stores|×channels×quarters), so at scale all six join sides
+    // broadcast; the single fact shuffle dominates.
+    "tpcds_q31" -> sharedWith(
+      """qt AS (
+        |  SELECT ss_store_sk AS store_sk, d_qoy, ss_channel AS channel,
+        |    CAST(sum(CAST(round(ss_ext_sales_price * 100, 0) AS BIGINT))
+        |      AS BIGINT) AS cents
+        |  FROM store_sales JOIN date_dim ON ss_sold_date_sk = d_date_sk
+        |  WHERE d_year = 1995 AND d_qoy IN (1, 2, 3)
+        |    AND ss_channel IN ('A', 'R')
+        |  GROUP BY ss_store_sk, d_qoy, ss_channel)""".stripMargin,
+      """SELECT a1.store_sk AS store_sk,
+        |  round(CAST(r2.cents AS DOUBLE) / CAST(r1.cents AS DOUBLE), 6)
+        |    AS r_growth_q2,
+        |  round(CAST(a2.cents AS DOUBLE) / CAST(a1.cents AS DOUBLE), 6)
+        |    AS a_growth_q2,
+        |  round(CAST(r3.cents AS DOUBLE) / CAST(r2.cents AS DOUBLE), 6)
+        |    AS r_growth_q3,
+        |  round(CAST(a3.cents AS DOUBLE) / CAST(a2.cents AS DOUBLE), 6)
+        |    AS a_growth_q3
+        |FROM qt a1 JOIN qt a2 ON a1.store_sk = a2.store_sk
+        |  JOIN qt a3 ON a1.store_sk = a3.store_sk
+        |  JOIN qt r1 ON a1.store_sk = r1.store_sk
+        |  JOIN qt r2 ON a1.store_sk = r2.store_sk
+        |  JOIN qt r3 ON a1.store_sk = r3.store_sk
+        |WHERE a1.channel = 'A' AND a2.channel = 'A' AND a3.channel = 'A'
+        |  AND r1.channel = 'R' AND r2.channel = 'R' AND r3.channel = 'R'
+        |  AND a1.d_qoy = 1 AND a2.d_qoy = 2 AND a3.d_qoy = 3
+        |  AND r1.d_qoy = 1 AND r2.d_qoy = 2 AND r3.d_qoy = 3
+        |  AND a1.cents > 0 AND a2.cents > 0
+        |  AND r1.cents > 0 AND r2.cents > 0
+        |  AND r2.cents * a1.cents > a2.cents * r1.cents
+        |  AND r3.cents * a2.cents > a3.cents * r2.cents
+        |ORDER BY store_sk""".stripMargin),
+
     // The at-scale shape: the derived fact is MATERIALIZED once to
     // the session warehouse (the shared FS on a cluster — the
     // tpch_q11_materialized precedent, VERDICT r3 #2) and the q3

@@ -340,4 +340,36 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture with Matchers {
     // then the rollup groups
     plan.linesIterator.count(_.contains("Expand")) shouldBe 1
   }
+
+  test("tpcds_q47's rank self-joins stay equi over the monthly grain") {
+    // one fact shuffle to (item, store, year, month); the windows and
+    // both rn±1 self-joins reuse that small aggregate — any nested
+    // loop here would be quadratic in |items|×|stores| at scale
+    val plan = planOf("tpcds_q47")
+    plan should include("Window")
+    plan should not include "BroadcastNestedLoopJoin"
+    plan should not include "CartesianProduct"
+  }
+
+  test("tpcds_q35's OR-of-EXISTS lowers to existence-join marks") {
+    // the conjunctive EXISTS lowers to a semi join; the OR of two
+    // correlated EXISTS cannot (a row must survive when either side
+    // is empty), so Spark plans ExistenceJoin marks — both stay equi
+    // on customer, never a nested loop over the fact
+    val plan = planOf("tpcds_q35")
+    plan should include("ExistenceJoin")
+    plan should include("Semi")
+    plan should not include "BroadcastNestedLoopJoin"
+    plan should not include "CartesianProduct"
+  }
+
+  test("tpcds_q31's six-way self-join broadcasts the tiny aggregate") {
+    // qt aggregates to |stores|×channels×quarters rows; all six join
+    // sides are the same tiny set, so every join is an equi
+    // broadcast — the single fact shuffle dominates at any scale
+    val plan = planOf("tpcds_q31")
+    plan should include("BroadcastHashJoin")
+    plan should not include "BroadcastNestedLoopJoin"
+    plan should not include "CartesianProduct"
+  }
 }
