@@ -74,6 +74,29 @@ object TextPipeline extends QueryGroup {
              |    AS stopword_ratio
              |FROM t ORDER BY doc_id""".stripMargin)),
 
+    // Corpus-scale stemming (r13): the 20-language word_stem applied
+    // per token across the whole documents table — the normalization
+    // step a multilingual training pipeline runs before dedup or
+    // vocabulary builds. Top terms by stemmed form, count-desc with a
+    // total tie-break. No DuckDB oracle (its Snowball stem() lives in
+    // the fts extension, absent offline) → rows-only check; the
+    // stemmer itself is value-checked by fn_word_stem2 and the
+    // 20-language frozen-corpus specs. At scale: explode → partial
+    // count per stem map-side → one shuffle of |vocab| rows →
+    // TakeOrderedAndProject, never a full sort of the corpus.
+    "text_stem_terms" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        Tables.documents(s, dir)
+          .select(explode(split(lower($"text"), "[^a-z]+")).as("tok"))
+          .filter(length($"tok") >= 3)
+          .select(expr("word_stem(tok, 'en')").as("stem"))
+          .groupBy($"stem").agg(count(lit(1)).as("cnt"))
+          .orderBy($"cnt".desc, $"stem")
+          .limit(50)
+      },
+      None),
+
     // Token counting with a BPE-ish regex (words + punctuation marks).
     "text_token_count" -> QueryDef(
       (s, dir) => {

@@ -341,6 +341,15 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture with Matchers {
     plan.linesIterator.count(_.contains("Expand")) shouldBe 1
   }
 
+  test("text_stem_terms takes top-k without a full corpus sort") {
+    // explode → map-side partial count per stem → one |vocab| shuffle
+    // → TakeOrderedAndProject; an Exchange-then-global-Sort here
+    // would sort every token of the corpus at scale
+    val plan = planOf("text_stem_terms")
+    plan should include("TakeOrderedAndProject")
+    plan should include("partial_count")
+  }
+
   test("tpcds_q47's rank self-joins stay equi over the monthly grain") {
     // one fact shuffle to (item, store, year, month); the windows and
     // both rn±1 self-joins reuse that small aggregate — any nested
