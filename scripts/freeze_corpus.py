@@ -59,6 +59,19 @@ def suffix_pool(lang, secs_main, secs_porter):
     for s in lits:
         if s and all(c.isalpha() and c.islower() for c in s):
             pool.add(s)
+    # r13: widen with the union of ALL among suffixes harvested from
+    # PG's dict_snowball binary (stemfit/so_extract.py), filtered to
+    # this language's alphabet — fuzzing with the real decision
+    # boundaries caught hu/ir/nl edge cases the per-language literal
+    # pool missed (round 13).
+    alphabet = set(''.join(pool)) | set(VOWELS[lang])
+    hpath = os.path.join(os.path.dirname(__file__), 'stemfit',
+                         'snowball_suffixes.txt')
+    if os.path.exists(hpath):
+        for s in open(hpath, encoding='utf-8'):
+            s = s.strip()
+            if s and all(c in alphabet for c in s):
+                pool.add(s)
     return sorted(pool)
 
 def gen_words(lang, pool, n=2000):

@@ -1066,25 +1066,39 @@ object SnowballStemmers {
     private val vowels = "aeiouáéíóú"
     private def isV(c: Char) = vowels.indexOf(c) >= 0
 
+    // initial_morph — the full 24-entry mutation among of irish.sbl
+    // (exact tables r13, read out of PG's dict_snowball binary):
+    // eclipsis/lenition prefixes strip or reduce to the radical.
     private val initial: Seq[(String, String)] = Seq(
-      "h-" -> "", "n-" -> "", "t-" -> "",
-      "bhf" -> "f", "mb" -> "b", "gc" -> "c", "nd" -> "d", "bp" -> "p",
-      "ts" -> "s", "dt" -> "t",
-      "bh" -> "b", "ch" -> "c", "dh" -> "d", "fh" -> "f", "mh" -> "m",
-      "ph" -> "p", "sh" -> "s", "th" -> "t").sortBy(-_._1.length)
+      "b'" -> "", "d'" -> "", "m'" -> "", "h-" -> "", "n-" -> "", "t-" -> "",
+      "d'fh" -> "f", "bhf" -> "f", "fh" -> "f",
+      "sh" -> "s", "ts" -> "s",
+      "bh" -> "b", "mb" -> "b", "ch" -> "c", "gc" -> "c",
+      "dh" -> "d", "nd" -> "d", "gh" -> "g", "ng" -> "g",
+      "bp" -> "p", "ph" -> "p", "dt" -> "t", "th" -> "t",
+      "mh" -> "m").sortBy(-_._1.length)
 
-    private val step1 = byLen("aíocht", "íocht", "aíochta", "íochta",
-      "amh", "eamh", "abh", "eabh", "aibh", "ibh", "aimh", "imh",
-      "irí", "airí")
-    // (suffix, replacement, region: 1=R1, 2=R2, 0=RV)
-    private val step2: Seq[(String, String, Int)] = Seq(
-      ("acht", "", 2), ("eacht", "", 2), ("achta", "", 2), ("eachta", "", 2),
-      ("ach", "", 2), ("each", "", 2),
-      ("arcachtaí", "arc", 0), ("arcachta", "arc", 0), ("arcacht", "arc", 0),
-      ("gineach", "gin", 0), ("gineas", "gin", 0), ("ginis", "gin", 0),
-      ("grafaíochta", "graf", 0), ("grafaíoch", "graf", 0),
-      ("óideacha", "óid", 0), ("óideach", "óid", 0),
-      ("eachtúil", "", 2))
+    // noun_sfx: R1 delete, except ire/aire/irí/airí which are R2
+    private val nounR2 = Set("ire", "aire", "irí", "airí")
+    private val step1 = byLen("íochta", "aíochta", "ire", "aire",
+      "abh", "eabh", "ibh", "aibh", "amh", "eamh", "imh", "aimh",
+      "íocht", "aíocht", "irí", "airí")
+    // deriv: (suffix, replacement, needsR2) — the slice_from
+    // replacements are UNCONDITIONAL in the binary (no region test)
+    private val step2: Seq[(String, String, Boolean)] = Seq(
+      ("achta", "", true), ("eachta", "", true), ("ach", "", true),
+      ("each", "", true), ("achtúil", "", true), ("eachtúil", "", true),
+      ("acht", "", true), ("eacht", "", true),
+      ("arcachtaí", "arc", false), ("arcachta", "arc", false),
+      ("arcacht", "arc", false),
+      ("gineach", "gin", false), ("gineas", "gin", false),
+      ("ginis", "gin", false),
+      ("grafaíochtaí", "graf", false), ("grafaíochta", "graf", false),
+      ("grafaíocht", "graf", false), ("grafaíoch", "graf", false),
+      ("patacha", "paite", false), ("patach", "paite", false),
+      ("pataigh", "paite", false), ("paite", "paite", false),
+      ("óideacha", "óid", false), ("óideach", "óid", false),
+      ("óidigh", "óid", false))
       .sortBy(-_._1.length)
     private val verbRv = byLen("imid", "aimid", "ímid", "aímid", "faidh", "fidh")
     private val verbR1 = byLen("adh", "eadh", "áil", "ain", "tear", "tar")
@@ -1103,12 +1117,11 @@ object SnowballStemmers {
         if (i < w.length) i + 1 else w.length
       }
       longest(w, step1).foreach { s =>
-        val r = if (s == "irí" || s == "airí") r2 else r1
+        val r = if (nounR2.contains(s)) r2 else r1
         if (w.length - s.length >= r) w = w.substring(0, w.length - s.length)
       }
-      step2.find(e => w.endsWith(e._1)).foreach { case (pat, rep, reg) =>
-        val r = if (reg == 2) r2 else if (reg == 1) r1 else rv
-        if (w.length - pat.length >= r)
+      step2.find(e => w.endsWith(e._1)).foreach { case (pat, rep, needsR2) =>
+        if (!needsR2 || w.length - pat.length >= r2)
           w = w.substring(0, w.length - pat.length) + rep
       }
       longest(w, verbAll).foreach { s =>
@@ -1382,7 +1395,14 @@ object SnowballStemmers {
       }
       w = sb.toString
       val r1raw = regionAfter(w, 0, isV)
-      val r1 = math.max(r1raw, 3)
+      // the `$p1 < 3 -> $p1 = 3` floor in dutch.sbl counts BYTES (the
+      // snowball runtime's cursor unit), so a 2-byte è within the
+      // first two letters already satisfies it: PG stems 'ède'→'èd'
+      // while 'ode' stays. Only an all-ASCII 2-char prefix triggers
+      // the floor (r1raw >= 3 chars is always >= 3 bytes).
+      val r1ModBytes = w.substring(0, math.min(r1raw, w.length))
+        .foldLeft(0)((a, c) => a + (if (c < 0x80) 1 else if (c < 0x800) 2 else 3))
+      val r1 = if (r1ModBytes >= 3) r1raw else 3
       val r2 = regionAfter(w, r1raw, isV)
       var eFound = false
 
@@ -1630,140 +1650,155 @@ object SnowballStemmers {
     }
   }
 
-  // ===================================================================
-  // Hungarian — r12. CONVERGED against PostgreSQL 15's snowball
-  // hungarian_stem: zero diffs on ~23,000 probes (7 fuzz seeds + a
-  // 5,403-word grid of real Hungarian bases × case/possessive/plural
-  // stacks). Structure recovered by black-box probing:
-  //  - R1: vowel-initial word → after the first consonant or digraph
-  //    (cs/dz/dzs/gy/ly/ny/sz/ty/zs); consonant-initial → after the
-  //    first vowel.
-  //  - amongs match the longest entry region-BLIND, then apply ONE R1
-  //    check to the match — a region-failing longest match fails the
-  //    whole among (dat/dot/gak stay; 'bát' stems because no 'át'
-  //    entry exists and bare 't' is in R1).
-  //  - pipeline: instrum → case(+v_ending: a post-deletion final á/é
-  //    re-accents to a/e in R1) → case_special → case_other → factive
-  //    → owned → sing_owner → plur_owner → plural, each at most once.
-  //  - case_special REPLACES án/én/ánként with the bare vowel, which
-  //    the sing_owner a/e entry then strips — so 'bumánamnak' keeps
-  //    its án (sing consumed by 'am') while 'nehokudánként' loses it.
+  // Hungarian — REWRITTEN r13 as an exact transcription of the
+  // snowball algorithm compiled into PG 15's dict_snowball (among
+  // tables + control flow read out of the binary with
+  // scripts/stemfit/so_extract.py; reference model hu_exact.py,
+  // 0 diffs on 140k-word live-PG fuzz). The r12 black-box port
+  // over-stripped stacked vowel endings ('...éé', '...áéi') because
+  // it missed that the plur_owner/owned/owner/plural steps CHAIN,
+  // each folding a remaining final á/é to a/e before the next step
+  // re-matches.
   object Hungarian {
-    private val vowels = "aáeéiíoóöőuúüű"
+    private val vowels = "aeiouáéíóöúüőű"
     private def isV(c: Char) = vowels.indexOf(c) >= 0
-    private val digraphs = Seq("dzs", "cs", "dz", "gy", "ly", "ny", "sz", "ty", "zs")
-    private val doubles = Seq("ccs", "ggy", "lly", "nny", "ssz", "tty", "zzs",
-      "bb", "cc", "dd", "ff", "gg", "jj", "kk", "ll", "mm", "nn", "pp", "rr",
-      "ss", "tt", "vv", "zz")
+    private val digraphs = byLen("cs", "dzs", "gy", "ly", "ny", "sz", "ty", "zs")
+    private val doubles = byLen("bb", "cc", "ccs", "dd", "ff", "gg", "ggy",
+      "jj", "kk", "ll", "lly", "mm", "nn", "nny", "pp", "rr", "ss", "ssz",
+      "tt", "tty", "vv", "zz", "zzs")
 
-    private def r1Of(w: String): Int = {
-      val n = w.length
-      if (n == 0) return 0
-      if (isV(w.charAt(0))) {
-        var i = 0
-        while (i < n && isV(w.charAt(i))) i += 1
-        if (i >= n) return n
-        digraphs.find(d => w.startsWith(d, i)) match {
-          case Some(d) => math.min(i + d.length, n)
-          case None => i + 1
-        }
-      } else {
-        var i = 0
-        while (i < n && !isV(w.charAt(i))) i += 1
-        if (i >= n) n else i + 1
-      }
-    }
+    private val huCase: Seq[(String, Int)] = Seq(
+      ("képpen", -1), ("anként", -1), ("enként", -1), ("onként", -1), ("képp", -1),
+      ("ként", -1), ("nak", -1), ("nek", -1), ("val", -1), ("vel", -1),
+      ("ből", -1), ("ről", -1), ("től", -1), ("nál", -1), ("nél", -1),
+      ("ból", -1), ("ról", -1), ("tól", -1), ("ban", -1), ("ben", -1),
+      ("kor", -1), ("ért", -1), ("hez", -1), ("hoz", -1), ("höz", -1),
+      ("ba", -1), ("ra", -1), ("be", -1), ("re", -1), ("ig", -1),
+      ("ul", -1), ("ül", -1), ("an", -1), ("en", -1), ("on", -1),
+      ("ön", -1), ("at", -1), ("et", -1), ("ot", -1), ("öt", -1),
+      ("vá", -1), ("vé", -1), ("n", -1), ("t", -1))
 
-    private def doubleEnd(w: String): Option[String] =
-      doubles.find(w.endsWith)
+    private val huCaseSpecial: Seq[(String, Int)] = Seq(
+      ("ánként", 2), ("án", 2), ("én", 1))
 
-    private def undouble(w: String): String = doubleEnd(w) match {
-      case Some(d) if d.length == 2 => w.dropRight(1)
-      case Some(d) => w.dropRight(d.length) + d.substring(1)
-      case None => w
-    }
+    private val huCaseOther: Seq[(String, Int)] = Seq(
+      ("astul", 1), ("ástul", 2), ("estül", 1), ("éstül", 3), ("stul", 1),
+      ("stül", 1))
 
-    /** Longest match region-blind; single R1 check; None on fail.
-      * Entries map suffix -> replacement ("" = delete). */
-    private def among(w: String, p1: Int,
-        entries: Seq[(String, String)]): Option[(String, String)] = {
-      var best: Option[(String, String)] = None
-      for ((s, r) <- entries)
-        if (w.endsWith(s) && best.forall(_._1.length < s.length))
-          best = Some((s, r))
-      best.filter { case (s, _) => w.length - s.length >= p1 }
-    }
+    private val huPlurOwner: Seq[(String, Int)] = Seq(
+      ("áéi", 3), ("ééi", 2), ("aké", 1), ("eké", 1), ("oké", 1),
+      ("áké", 3), ("éké", 2), ("öké", 1), ("éi", 1), ("ké", 1),
+      ("éé", 2), ("é", 1))
 
-    private def apply(w: String, p1: Int,
-        entries: Seq[(String, String)]): String =
-      among(w, p1, entries) match {
-        case Some((s, r)) => w.substring(0, w.length - s.length) + r
-        case None => w
-      }
+    private val huOwned: Seq[(String, Int)] = Seq(
+      ("ájuk", 2), ("éjük", 3), ("unk", 1), ("ánk", 2), ("énk", 3),
+      ("ünk", 1), ("juk", 1), ("jük", 1), ("ja", 1), ("ad", 1),
+      ("ed", 1), ("od", 1), ("ád", 2), ("éd", 3), ("öd", 1),
+      ("je", 1), ("nk", 1), ("uk", 1), ("ük", 1), ("am", 1),
+      ("em", 1), ("om", 1), ("ám", 2), ("ém", 3), ("a", 1),
+      ("d", 1), ("e", 1), ("m", 1), ("o", 1), ("á", 2),
+      ("é", 3))
 
-    private val cases: Seq[(String, String)] = Seq("ban", "ben", "ba", "be",
-      "ra", "re", "nak", "nek", "val", "vel", "tól", "től", "ról", "ről",
-      "ból", "ből", "hoz", "hez", "höz", "nál", "nél", "ig", "at", "et",
-      "ot", "öt", "ért", "képpen", "képp", "kor", "ul", "ül", "vá", "vé",
-      "onként", "enként", "anként", "ként", "en", "on", "an", "ön", "n",
-      "t").map(_ -> "")
-    private val owned: Seq[(String, String)] = Seq(
-      "aké" -> "", "eké" -> "", "oké" -> "", "öké" -> "", "ké" -> "",
-      "áké" -> "a", "éké" -> "e", "é" -> "", "éi" -> "", "ééi" -> "",
-      "áéi" -> "", "éé" -> "")
-    private val sing: Seq[(String, String)] = Seq(
-      "unk" -> "", "ünk" -> "", "ánk" -> "a", "énk" -> "e", "nk" -> "",
-      "juk" -> "", "jük" -> "", "ájuk" -> "a", "éjük" -> "e", "uk" -> "",
-      "ük" -> "", "m" -> "", "om" -> "", "am" -> "", "em" -> "",
-      "ám" -> "a", "ém" -> "e", "d" -> "", "od" -> "", "ad" -> "",
-      "ed" -> "", "öd" -> "", "ád" -> "a", "éd" -> "e", "a" -> "",
-      "e" -> "", "o" -> "", "ja" -> "", "je" -> "", "á" -> "a", "é" -> "e")
-    private val plurOwner: Seq[(String, String)] = Seq(
-      "jaim" -> "", "jeim" -> "", "aim" -> "", "eim" -> "", "áim" -> "a",
-      "éim" -> "e", "im" -> "", "jaid" -> "", "jeid" -> "", "aid" -> "",
-      "eid" -> "", "áid" -> "a", "éid" -> "e", "id" -> "", "jai" -> "",
-      "jei" -> "", "ai" -> "", "ei" -> "", "ái" -> "a", "éi" -> "e",
-      "i" -> "", "jaink" -> "", "jeink" -> "", "aink" -> "", "eink" -> "",
-      "áink" -> "a", "éink" -> "e", "ink" -> "", "jaitok" -> "",
-      "jeitek" -> "", "aitok" -> "", "eitek" -> "", "áitok" -> "a",
-      "éitek" -> "e", "itek" -> "", "jaik" -> "", "jeik" -> "",
-      "aik" -> "", "eik" -> "", "áik" -> "a", "éik" -> "e", "ik" -> "")
-    private val plural: Seq[(String, String)] = Seq("ák" -> "a",
-      "ék" -> "e", "ok" -> "", "ek" -> "", "ak" -> "", "ök" -> "",
-      "k" -> "")
+    private val huOwner: Seq[(String, Int)] = Seq(
+      ("jeitek", 1), ("jaitok", 1), ("eitek", 1), ("éitek", 3), ("jaink", 1),
+      ("jeink", 1), ("aitok", 1), ("áitok", 2), ("jaid", 1), ("jeid", 1),
+      ("itek", 1), ("jaik", 1), ("jeik", 1), ("aink", 1), ("eink", 1),
+      ("áink", 2), ("éink", 3), ("jaim", 1), ("jeim", 1), ("aid", 1),
+      ("eid", 1), ("áid", 2), ("éid", 3), ("jai", 1), ("jei", 1),
+      ("aik", 1), ("eik", 1), ("áik", 2), ("éik", 3), ("ink", 1),
+      ("aim", 1), ("eim", 1), ("áim", 2), ("éim", 3), ("id", 1),
+      ("ai", 1), ("ei", 1), ("ái", 2), ("éi", 3), ("ik", 1),
+      ("im", 1), ("i", 1))
+
+    private val huPlural: Seq[(String, Int)] = Seq(
+      ("ak", 3), ("ek", 3), ("ok", 3), ("ák", 1), ("ék", 2),
+      ("ök", 3), ("k", 3))
+
+    private def isDouble(s: String) = doubles.exists(s.endsWith)
+    /** Remove the second-to-last character (one half of the double;
+      * for digraph doubles like 'ssz' this leaves the digraph). */
+    private def undouble(s: String) = s.substring(0, s.length - 2) + s.last
 
     def stem(input: String): String = {
       var w = lowerSimple(input)
-      if (w.length < 2) return w
-      val p1 = r1Of(w)
-      // instrum: al/el after a double consonant, with undoubling
-      among(w, p1, Seq("al" -> "", "el" -> "")) match {
-        case Some(_) if doubleEnd(w.dropRight(2)).isDefined =>
-          w = undouble(w.dropRight(2))
-        case _ =>
+      val n = w.length
+      // p1: vowel-initial -> up to the first non-vowel, then past a
+      // consonant digraph if one starts there, else past one char;
+      // consonant-initial -> past the first vowel.
+      val p1 = {
+        if (n == 0) n
+        else if (isV(w.charAt(0))) {
+          var i = 0
+          while (i < n && isV(w.charAt(i))) i += 1
+          if (i >= n) n
+          else digraphs.find(w.startsWith(_, i)) match {
+            case Some(dg) => i + dg.length
+            case None => i + 1
+          }
+        } else {
+          var i = 0
+          while (i < n && !isV(w.charAt(i))) i += 1
+          if (i >= n) n else i + 1
+        }
       }
-      // case + v_ending
-      val afterCase = apply(w, p1, cases)
-      if (afterCase ne w) {
-        w = afterCase
-        if (w.endsWith("á") && w.length - 1 >= p1) w = w.dropRight(1) + "a"
-        else if (w.endsWith("é") && w.length - 1 >= p1) w = w.dropRight(1) + "e"
+      def find(table: Seq[(String, Int)]): Option[(String, Int)] =
+        table.find(p => w.endsWith(p._1))
+      def inR1(s: String) = w.length - s.length >= p1
+
+      // instrum: al/el in R1 after a double consonant
+      if ((w.endsWith("al") || w.endsWith("el")) && w.length - 2 >= p1 &&
+        isDouble(w.substring(0, w.length - 2)))
+        w = undouble(w.substring(0, w.length - 2))
+      // case: delete, then fold a remaining final á/é (R1)
+      find(huCase).foreach { case (s, _) =>
+        if (inR1(s)) {
+          w = w.substring(0, w.length - s.length)
+          if (w.endsWith("á") && w.length - 1 >= p1)
+            w = w.substring(0, w.length - 1) + "a"
+          else if (w.endsWith("é") && w.length - 1 >= p1)
+            w = w.substring(0, w.length - 1) + "e"
+        }
       }
-      // case_special: replacement feeds the sing_owner a/e entry
-      w = apply(w, p1, Seq("ánként" -> "a", "án" -> "a", "én" -> "e"))
-      // case_other
-      w = apply(w, p1, Seq("astul" -> "", "estül" -> "", "ástul" -> "a",
-        "éstül" -> "e", "stul" -> "", "stül" -> ""))
-      // factive: á/é after a double consonant, with undoubling
-      among(w, p1, Seq("á" -> "", "é" -> "")) match {
-        case Some(_) if doubleEnd(w.dropRight(1)).isDefined =>
-          w = undouble(w.dropRight(1))
-        case _ =>
+      // case_special: án/ánként -> a, én -> e (R1)
+      find(huCaseSpecial).foreach { case (s, res) =>
+        if (inR1(s))
+          w = w.substring(0, w.length - s.length) + (if (res == 1) "e" else "a")
       }
-      w = apply(w, p1, owned)
-      w = apply(w, p1, sing)
-      w = apply(w, p1, plurOwner)
-      w = apply(w, p1, plural)
+      // case_other: stul/astul/stül/estül delete; ástul->a; éstül->e
+      find(huCaseOther).foreach { case (s, res) =>
+        if (inR1(s))
+          w = w.substring(0, w.length - s.length) +
+            (if (res == 1) "" else if (res == 2) "a" else "e")
+      }
+      // factive: á/é in R1 after a double consonant
+      if ((w.endsWith("á") || w.endsWith("é")) && w.length - 1 >= p1 &&
+        isDouble(w.substring(0, w.length - 1)))
+        w = undouble(w.substring(0, w.length - 1))
+      // plur_owner: delete / ->e / ->a  (note the e/a order differs
+      // from the owned/owner steps below — so in the binary)
+      find(huPlurOwner).foreach { case (s, res) =>
+        if (inR1(s))
+          w = w.substring(0, w.length - s.length) +
+            (if (res == 1) "" else if (res == 2) "e" else "a")
+      }
+      // owned: delete / ->a / ->e
+      find(huOwned).foreach { case (s, res) =>
+        if (inR1(s))
+          w = w.substring(0, w.length - s.length) +
+            (if (res == 1) "" else if (res == 2) "a" else "e")
+      }
+      // owner: delete / ->a / ->e
+      find(huOwner).foreach { case (s, res) =>
+        if (inR1(s))
+          w = w.substring(0, w.length - s.length) +
+            (if (res == 1) "" else if (res == 2) "a" else "e")
+      }
+      // plural: ák->a, ék->e, k/ak/ek/ok/ök delete
+      find(huPlural).foreach { case (s, res) =>
+        if (inR1(s))
+          w = w.substring(0, w.length - s.length) +
+            (if (res == 1) "a" else if (res == 2) "e" else "")
+      }
       w
     }
   }
