@@ -433,8 +433,8 @@ object Tpcds extends QueryGroup {
         |  AND a1.dyear = 1995 AND a2.dyear = 1996
         |  AND r1.dyear = 1995 AND r2.dyear = 1996
         |  AND a1.total_cents > 0 AND r1.total_cents > 0
-        |  AND r2.total_cents * a1.total_cents >
-        |      a2.total_cents * r1.total_cents
+        |  AND CAST(r2.total_cents AS DECIMAL(38,0)) * a1.total_cents >
+        |      CAST(a2.total_cents AS DECIMAL(38,0)) * r1.total_cents
         |ORDER BY customer_sk""".stripMargin),
 
     // q77 shape (also covers the q5 family): the multi-channel
@@ -539,7 +539,10 @@ object Tpcds extends QueryGroup {
     // store totals per channel, the CTE self-joined six ways (two
     // channels × three quarters), keeping stores where the 'R'
     // channel out-grows 'A' in BOTH consecutive quarter pairs.
-    // Growth comparisons are exact BIGINT cross-multiplications; the
+    // Growth comparisons are exact DECIMAL(38,0) cross-multiplications
+    // (BIGINT products overflow once quarterly store totals pass ~3e9
+    // cents — caught by the sf1 gate; 38 digits holds the product to
+    // ~1e15-cent totals, far past 100 TB); the
     // displayed ratios divide as DOUBLE and round to 6 (the
     // tpcds_q11 discipline applied twice). The aggregate is tiny
     // (|stores|×channels×quarters), so at scale all six join sides
@@ -573,8 +576,10 @@ object Tpcds extends QueryGroup {
         |  AND r1.d_qoy = 1 AND r2.d_qoy = 2 AND r3.d_qoy = 3
         |  AND a1.cents > 0 AND a2.cents > 0
         |  AND r1.cents > 0 AND r2.cents > 0
-        |  AND r2.cents * a1.cents > a2.cents * r1.cents
-        |  AND r3.cents * a2.cents > a3.cents * r2.cents
+        |  AND CAST(r2.cents AS DECIMAL(38,0)) * a1.cents >
+        |      CAST(a2.cents AS DECIMAL(38,0)) * r1.cents
+        |  AND CAST(r3.cents AS DECIMAL(38,0)) * a2.cents >
+        |      CAST(a3.cents AS DECIMAL(38,0)) * r2.cents
         |ORDER BY store_sk""".stripMargin),
 
     // The at-scale shape: the derived fact is MATERIALIZED once to
