@@ -52,6 +52,9 @@ object ScaleProbe {
     "tpcds_q14",
     "tpcds_q11",
     "tpcds_q77",
+    "tpcds_q47",
+    "tpcds_q35",
+    "tpcds_q31",
     "tpcds_star_materialized")
 
   private val FixpointQueries = Set("dedup_minhash_lsh_full", "sim_embed_neardup_full")

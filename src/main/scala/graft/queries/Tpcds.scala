@@ -473,14 +473,18 @@ object Tpcds extends QueryGroup {
         |ORDER BY lochierarchy DESC, channel, store_sk""".stripMargin),
 
     // q47 shape (also covers q57): the time-series window — monthly
-    // (item, store) sales ranked along the month axis, then the CTE
-    // self-joined at rank±1 so each qualifying month carries its
-    // neighbors' sales. The deviation filter (month > 110% of the
-    // item-store-year monthly average) is exact integer cents
-    // cross-multiplied, so no fp average can flip a row. At scale:
-    // ONE fact shuffle to the monthly grain; the windows and both
-    // self-joins share the (item, store) hash — AQE sees ~|items|×10
-    // rows after the first aggregate, far below the fact.
+    // (item, store) sales with each qualifying month carrying its
+    // neighbors' sales. TPC-DS's published SQL self-joins a ranked CTE
+    // at rn±1; the Spark-first expression of the same semantics is
+    // LAG/LEAD over the identical partition ordering (the monthly
+    // grain is unique, so rank has no ties and lag/lead ARE the rn±1
+    // rows; NULL at partition edges = the inner join's dropped rows).
+    // First written as the literal self-join: 19.9 s at sf1 because
+    // the inlined CTE recomputes the fact aggregation + windows three
+    // times; the lag/lead form is ONE fact shuffle and one window
+    // pass over ~|items|×10 rows — the plan that survives 100 TB.
+    // The deviation filter (month > 110% of the item-store-year
+    // monthly average) stays exact integer-cent cross-multiplied.
     "tpcds_q47" -> sharedWith(
       """monthly AS (
         |  SELECT ss_item_sk AS item_sk, ss_store_sk AS store_sk,
@@ -495,20 +499,18 @@ object Tpcds extends QueryGroup {
         |      d_year) AS BIGINT) AS year_cents,
         |    CAST(count(*) OVER (PARTITION BY item_sk, store_sk, d_year)
         |      AS BIGINT) AS n_months,
-        |    rank() OVER (PARTITION BY item_sk, store_sk
-        |      ORDER BY d_year, d_moy) AS rn
+        |    lag(sum_cents) OVER (PARTITION BY item_sk, store_sk
+        |      ORDER BY d_year, d_moy) AS prev_cents,
+        |    lead(sum_cents) OVER (PARTITION BY item_sk, store_sk
+        |      ORDER BY d_year, d_moy) AS next_cents
         |  FROM monthly)""".stripMargin,
-      """SELECT v1.item_sk AS item_sk, v1.store_sk AS store_sk,
-        |  v1.d_year AS d_year, v1.d_moy AS d_moy,
-        |  CAST(v1.sum_cents AS DOUBLE) / 100.0 AS this_sales,
-        |  CAST(v_prev.sum_cents AS DOUBLE) / 100.0 AS prev_sales,
-        |  CAST(v_next.sum_cents AS DOUBLE) / 100.0 AS next_sales
+      """SELECT item_sk, store_sk, d_year, d_moy,
+        |  CAST(sum_cents AS DOUBLE) / 100.0 AS this_sales,
+        |  CAST(prev_cents AS DOUBLE) / 100.0 AS prev_sales,
+        |  CAST(next_cents AS DOUBLE) / 100.0 AS next_sales
         |FROM v1
-        |  JOIN v1 v_prev ON v1.item_sk = v_prev.item_sk
-        |    AND v1.store_sk = v_prev.store_sk AND v1.rn = v_prev.rn + 1
-        |  JOIN v1 v_next ON v1.item_sk = v_next.item_sk
-        |    AND v1.store_sk = v_next.store_sk AND v1.rn = v_next.rn - 1
-        |WHERE v1.sum_cents * v1.n_months * 10 > v1.year_cents * 11
+        |WHERE prev_cents IS NOT NULL AND next_cents IS NOT NULL
+        |  AND sum_cents * n_months * 10 > year_cents * 11
         |ORDER BY item_sk, store_sk, d_year, d_moy""".stripMargin),
 
     // q35 shape (also covers q10): the multi-EXISTS customer probe —
