@@ -397,44 +397,52 @@ object Tpcds extends QueryGroup {
         |GROUP BY i_brand
         |ORDER BY i_brand""".stripMargin),
 
-    // q11 shape (also covers the q4 family): the year-over-year CTE
-    // self-join — per-customer yearly totals by channel, the same
-    // customer joined across two years and two channels, keeping
-    // customers whose second-channel growth ratio beats the first's.
+    // q11 shape (also covers the q4 family): year-over-year growth —
+    // the same customer's totals compared across two years and two
+    // channels, keeping customers whose second-channel growth ratio
+    // beats the first's. TPC-DS's published SQL self-joins a
+    // year_total CTE four ways; with CTE inlining that is FOUR fact
+    // aggregations (measured 6.1 s at sf1). The Spark-first form
+    // pivots the four (year, channel) cells into conditional sums in
+    // ONE fact pass — a NULL cell is exactly a (customer, year,
+    // channel) group the inner join would not have found, so the
+    // NOT NULL filters reproduce the join's existence semantics
+    // row-for-row (26,380 rows at sf1, identical both forms).
     // The ratio comparison r2/r1 > a2/a1 is restated as the exact
-    // BIGINT cross-multiplication r2*a1 > a2*r1 (all totals are
-    // positive integer cents), so the row set cannot flip on
-    // cross-engine fp summation noise — the tpch_q11 lesson applied
-    // to a FILTER rather than an output. At scale: one fact shuffle
-    // on (customer, year, channel); the four-way self-join keys on
-    // customer_sk only, and AQE picks sort-merge on the deduped
-    // per-customer aggregate (|customers| rows, far smaller than the
-    // fact).
+    // DECIMAL(38,0) cross-multiplication r2*a1 > a2*r1 (all totals
+    // are positive integer cents; BIGINT products would overflow at
+    // large SF — the tpcds_q31 sf1 lesson), so the row set cannot
+    // flip on cross-engine fp summation noise — the tpch_q11 lesson
+    // applied to a FILTER rather than an output.
     "tpcds_q11" -> sharedWith(
       """year_total AS (
-        |  SELECT ss_customer_sk AS customer_sk, d_year AS dyear,
-        |    ss_channel AS channel,
-        |    CAST(sum(CAST(round(ss_ext_sales_price * 100, 0) AS BIGINT))
-        |      AS BIGINT) AS total_cents
+        |  SELECT ss_customer_sk AS customer_sk,
+        |    CAST(sum(CASE WHEN ss_channel = 'A' AND d_year = 1995
+        |      THEN CAST(round(ss_ext_sales_price * 100, 0) AS BIGINT)
+        |      END) AS BIGINT) AS a1_cents,
+        |    CAST(sum(CASE WHEN ss_channel = 'A' AND d_year = 1996
+        |      THEN CAST(round(ss_ext_sales_price * 100, 0) AS BIGINT)
+        |      END) AS BIGINT) AS a2_cents,
+        |    CAST(sum(CASE WHEN ss_channel = 'R' AND d_year = 1995
+        |      THEN CAST(round(ss_ext_sales_price * 100, 0) AS BIGINT)
+        |      END) AS BIGINT) AS r1_cents,
+        |    CAST(sum(CASE WHEN ss_channel = 'R' AND d_year = 1996
+        |      THEN CAST(round(ss_ext_sales_price * 100, 0) AS BIGINT)
+        |      END) AS BIGINT) AS r2_cents
         |  FROM store_sales JOIN date_dim ON ss_sold_date_sk = d_date_sk
         |  WHERE ss_channel IN ('A', 'R') AND d_year IN (1995, 1996)
-        |  GROUP BY ss_customer_sk, d_year, ss_channel)""".stripMargin,
-      """SELECT a2.customer_sk AS customer_sk,
-        |  CAST(a1.total_cents AS DOUBLE) / 100.0 AS first_year1,
-        |  CAST(a2.total_cents AS DOUBLE) / 100.0 AS first_year2,
-        |  CAST(r1.total_cents AS DOUBLE) / 100.0 AS second_year1,
-        |  CAST(r2.total_cents AS DOUBLE) / 100.0 AS second_year2
-        |FROM year_total a1
-        |  JOIN year_total a2 ON a1.customer_sk = a2.customer_sk
-        |  JOIN year_total r1 ON a1.customer_sk = r1.customer_sk
-        |  JOIN year_total r2 ON a1.customer_sk = r2.customer_sk
-        |WHERE a1.channel = 'A' AND a2.channel = 'A'
-        |  AND r1.channel = 'R' AND r2.channel = 'R'
-        |  AND a1.dyear = 1995 AND a2.dyear = 1996
-        |  AND r1.dyear = 1995 AND r2.dyear = 1996
-        |  AND a1.total_cents > 0 AND r1.total_cents > 0
-        |  AND CAST(r2.total_cents AS DECIMAL(38,0)) * a1.total_cents >
-        |      CAST(a2.total_cents AS DECIMAL(38,0)) * r1.total_cents
+        |  GROUP BY ss_customer_sk)""".stripMargin,
+      """SELECT customer_sk,
+        |  CAST(a1_cents AS DOUBLE) / 100.0 AS first_year1,
+        |  CAST(a2_cents AS DOUBLE) / 100.0 AS first_year2,
+        |  CAST(r1_cents AS DOUBLE) / 100.0 AS second_year1,
+        |  CAST(r2_cents AS DOUBLE) / 100.0 AS second_year2
+        |FROM year_total
+        |WHERE a1_cents IS NOT NULL AND a2_cents IS NOT NULL
+        |  AND r1_cents IS NOT NULL AND r2_cents IS NOT NULL
+        |  AND a1_cents > 0 AND r1_cents > 0
+        |  AND CAST(r2_cents AS DECIMAL(38,0)) * a1_cents >
+        |      CAST(a2_cents AS DECIMAL(38,0)) * r1_cents
         |ORDER BY customer_sk""".stripMargin),
 
     // q77 shape (also covers the q5 family): the multi-channel
@@ -538,50 +546,62 @@ object Tpcds extends QueryGroup {
         |ORDER BY n_name""".stripMargin),
 
     // q31 shape: the period-over-period ratio chain — quarterly
-    // store totals per channel, the CTE self-joined six ways (two
-    // channels × three quarters), keeping stores where the 'R'
-    // channel out-grows 'A' in BOTH consecutive quarter pairs.
-    // Growth comparisons are exact DECIMAL(38,0) cross-multiplications
-    // (BIGINT products overflow once quarterly store totals pass ~3e9
-    // cents — caught by the sf1 gate; 38 digits holds the product to
-    // ~1e15-cent totals, far past 100 TB); the
-    // displayed ratios divide as DOUBLE and round to 6 (the
-    // tpcds_q11 discipline applied twice). The aggregate is tiny
-    // (|stores|×channels×quarters), so at scale all six join sides
-    // broadcast; the single fact shuffle dominates.
+    // store totals per channel, keeping stores where the 'R' channel
+    // out-grows 'A' in BOTH consecutive quarter pairs. TPC-DS's
+    // published SQL self-joins a quarterly CTE six ways; inlined,
+    // that is SIX fact aggregations (measured 6.3 s at sf1). The
+    // Spark-first form pivots the six (channel, quarter) cells into
+    // conditional sums in ONE fact pass; NULL cells reproduce the
+    // inner joins' existence requirement exactly (the tpcds_q11
+    // pattern). Growth comparisons are exact DECIMAL(38,0)
+    // cross-multiplications (BIGINT products overflow once quarterly
+    // store totals pass ~3e9 cents — caught by the sf1 gate; 38
+    // digits holds the product to ~1e15-cent totals, far past
+    // 100 TB); the displayed ratios divide as DOUBLE and round to 6.
     "tpcds_q31" -> sharedWith(
       """qt AS (
-        |  SELECT ss_store_sk AS store_sk, d_qoy, ss_channel AS channel,
-        |    CAST(sum(CAST(round(ss_ext_sales_price * 100, 0) AS BIGINT))
-        |      AS BIGINT) AS cents
+        |  SELECT ss_store_sk AS store_sk,
+        |    CAST(sum(CASE WHEN ss_channel = 'A' AND d_qoy = 1
+        |      THEN CAST(round(ss_ext_sales_price * 100, 0) AS BIGINT)
+        |      END) AS BIGINT) AS a1_cents,
+        |    CAST(sum(CASE WHEN ss_channel = 'A' AND d_qoy = 2
+        |      THEN CAST(round(ss_ext_sales_price * 100, 0) AS BIGINT)
+        |      END) AS BIGINT) AS a2_cents,
+        |    CAST(sum(CASE WHEN ss_channel = 'A' AND d_qoy = 3
+        |      THEN CAST(round(ss_ext_sales_price * 100, 0) AS BIGINT)
+        |      END) AS BIGINT) AS a3_cents,
+        |    CAST(sum(CASE WHEN ss_channel = 'R' AND d_qoy = 1
+        |      THEN CAST(round(ss_ext_sales_price * 100, 0) AS BIGINT)
+        |      END) AS BIGINT) AS r1_cents,
+        |    CAST(sum(CASE WHEN ss_channel = 'R' AND d_qoy = 2
+        |      THEN CAST(round(ss_ext_sales_price * 100, 0) AS BIGINT)
+        |      END) AS BIGINT) AS r2_cents,
+        |    CAST(sum(CASE WHEN ss_channel = 'R' AND d_qoy = 3
+        |      THEN CAST(round(ss_ext_sales_price * 100, 0) AS BIGINT)
+        |      END) AS BIGINT) AS r3_cents
         |  FROM store_sales JOIN date_dim ON ss_sold_date_sk = d_date_sk
         |  WHERE d_year = 1995 AND d_qoy IN (1, 2, 3)
         |    AND ss_channel IN ('A', 'R')
-        |  GROUP BY ss_store_sk, d_qoy, ss_channel)""".stripMargin,
-      """SELECT a1.store_sk AS store_sk,
-        |  round(CAST(r2.cents AS DOUBLE) / CAST(r1.cents AS DOUBLE), 6)
+        |  GROUP BY ss_store_sk)""".stripMargin,
+      """SELECT store_sk,
+        |  round(CAST(r2_cents AS DOUBLE) / CAST(r1_cents AS DOUBLE), 6)
         |    AS r_growth_q2,
-        |  round(CAST(a2.cents AS DOUBLE) / CAST(a1.cents AS DOUBLE), 6)
+        |  round(CAST(a2_cents AS DOUBLE) / CAST(a1_cents AS DOUBLE), 6)
         |    AS a_growth_q2,
-        |  round(CAST(r3.cents AS DOUBLE) / CAST(r2.cents AS DOUBLE), 6)
+        |  round(CAST(r3_cents AS DOUBLE) / CAST(r2_cents AS DOUBLE), 6)
         |    AS r_growth_q3,
-        |  round(CAST(a3.cents AS DOUBLE) / CAST(a2.cents AS DOUBLE), 6)
+        |  round(CAST(a3_cents AS DOUBLE) / CAST(a2_cents AS DOUBLE), 6)
         |    AS a_growth_q3
-        |FROM qt a1 JOIN qt a2 ON a1.store_sk = a2.store_sk
-        |  JOIN qt a3 ON a1.store_sk = a3.store_sk
-        |  JOIN qt r1 ON a1.store_sk = r1.store_sk
-        |  JOIN qt r2 ON a1.store_sk = r2.store_sk
-        |  JOIN qt r3 ON a1.store_sk = r3.store_sk
-        |WHERE a1.channel = 'A' AND a2.channel = 'A' AND a3.channel = 'A'
-        |  AND r1.channel = 'R' AND r2.channel = 'R' AND r3.channel = 'R'
-        |  AND a1.d_qoy = 1 AND a2.d_qoy = 2 AND a3.d_qoy = 3
-        |  AND r1.d_qoy = 1 AND r2.d_qoy = 2 AND r3.d_qoy = 3
-        |  AND a1.cents > 0 AND a2.cents > 0
-        |  AND r1.cents > 0 AND r2.cents > 0
-        |  AND CAST(r2.cents AS DECIMAL(38,0)) * a1.cents >
-        |      CAST(a2.cents AS DECIMAL(38,0)) * r1.cents
-        |  AND CAST(r3.cents AS DECIMAL(38,0)) * a2.cents >
-        |      CAST(a3.cents AS DECIMAL(38,0)) * r2.cents
+        |FROM qt
+        |WHERE a1_cents IS NOT NULL AND a2_cents IS NOT NULL
+        |  AND a3_cents IS NOT NULL AND r1_cents IS NOT NULL
+        |  AND r2_cents IS NOT NULL AND r3_cents IS NOT NULL
+        |  AND a1_cents > 0 AND a2_cents > 0
+        |  AND r1_cents > 0 AND r2_cents > 0
+        |  AND CAST(r2_cents AS DECIMAL(38,0)) * a1_cents >
+        |      CAST(a2_cents AS DECIMAL(38,0)) * r1_cents
+        |  AND CAST(r3_cents AS DECIMAL(38,0)) * a2_cents >
+        |      CAST(a3_cents AS DECIMAL(38,0)) * r2_cents
         |ORDER BY store_sk""".stripMargin),
 
     // The at-scale shape: the derived fact is MATERIALIZED once to

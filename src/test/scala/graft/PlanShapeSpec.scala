@@ -318,15 +318,15 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture with Matchers {
     plan should not include "CartesianProduct"
   }
 
-  test("tpcds_q11's four-way self-join stays equi on customer_sk") {
-    // the year_total CTE aggregates once per (customer, year,
-    // channel); the self-joins key on customer_sk as plain equi
-    // joins — a nested loop or cartesian here would be quadratic in
-    // |customers| at scale
+  test("tpcds_q11's year-over-year compare is one pivoted fact pass") {
+    // the published four-way CTE self-join would inline to four fact
+    // aggregations; the conditional-sum pivot is one shuffle on
+    // customer_sk and no join beyond the date dim
     val plan = planOf("tpcds_q11")
     plan should not include "BroadcastNestedLoopJoin"
     plan should not include "CartesianProduct"
-    plan should include("HashAggregate")
+    plan should not include "SortMergeJoin"
+    plan should include("partial_sum")
   }
 
   test("tpcds_q77's rollup re-aggregates the tiny per-store pass") {
@@ -374,13 +374,14 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture with Matchers {
     plan should not include "CartesianProduct"
   }
 
-  test("tpcds_q31's six-way self-join broadcasts the tiny aggregate") {
-    // qt aggregates to |stores|×channels×quarters rows; all six join
-    // sides are the same tiny set, so every join is an equi
-    // broadcast — the single fact shuffle dominates at any scale
+  test("tpcds_q31's ratio chain is one pivoted fact pass") {
+    // the published six-way CTE self-join would inline to six fact
+    // aggregations; the conditional-sum pivot is one shuffle on
+    // store_sk and no join beyond the date dim
     val plan = planOf("tpcds_q31")
-    plan should include("BroadcastHashJoin")
     plan should not include "BroadcastNestedLoopJoin"
     plan should not include "CartesianProduct"
+    plan should not include "SortMergeJoin"
+    plan should include("partial_sum")
   }
 }
