@@ -55,6 +55,11 @@ object ScaleProbe {
     "tpcds_q47",
     "tpcds_q35",
     "tpcds_q31",
+    "tpcds_q93",
+    "tpcds_q78",
+    "tpcds_q23",
+    "tpcds_q17",
+    "tpcds_q5",
     "tpcds_star_materialized")
 
   private val FixpointQueries = Set("dedup_minhash_lsh_full", "sim_embed_neardup_full")

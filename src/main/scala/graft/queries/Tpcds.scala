@@ -47,6 +47,13 @@ import graft.{QueryDef, QueryGroup, Tables}
   *    growth-ratio filter as exact BIGINT cross-multiplication
   *  - q77 (r13, q5 family): multi-channel sales/profit report,
   *    ROLLUP to channel and grand totals off one combinable pass
+  *  - q93/q78/q17 (r13, returns family): fact-to-fact joins against
+  *    a derived store_returns — returns-adjusted spend, no-return
+  *    channel ratios, and the buy→return→repurchase chain
+  *  - q87: EXCEPT chain over deduplicated channel slices
+  *  - q5: sales-and-returns two-fact UNION ALL per-store report
+  *  - q23: frequent-item × best-customer two-phase basket with a
+  *    scalar-subquery spend threshold
   *
   * 100 TB notes: date_dim/item/store derive small (≤ |part| rows) and
   * broadcast under AQE; store_sales carries the fact-side shuffle on
@@ -97,6 +104,30 @@ object Tpcds extends QueryGroup {
       |  SELECT DISTINCT CAST(s_suppkey % 10 AS BIGINT) AS s_store_sk,
       |    concat('Store#', CAST(s_suppkey % 10 AS STRING)) AS s_store_name
       |  FROM supplier)""".stripMargin
+
+  /** Returns fact (r13, unlocks the TPC-DS returns family —
+    * q17/q78/q93; the reference generates store_returns in
+    * presto-tpcds/.../TpcdsMetadata.java alongside store_sales).
+    * Derived from the 'R'-flagged lineitem rows on EVEN line numbers
+    * only, so roughly half the returned-channel sales have a matching
+    * return row — a LEFT JOIN against it keeps both branches
+    * populated rather than degenerating to full cancellation.
+    * (ticket, item) is NOT unique — the same part can recur across
+    * line numbers of one order — exactly like TPC-DS's own
+    * (sr_ticket_number, sr_item_sk); queries join on it anyway,
+    * matching the published shapes, and both engines see the same
+    * fan-out. Quantities are whole numbers stored as DOUBLE; CAST to
+    * BIGINT makes every downstream sum exact. */
+  private val returnsCte: String =
+    """store_returns AS (
+      |  SELECT l_orderkey AS sr_ticket_number,
+      |    l_partkey AS sr_item_sk,
+      |    o_custkey AS sr_customer_sk,
+      |    CAST(l_suppkey % 10 AS BIGINT) AS sr_store_sk,
+      |    CAST(l_quantity AS BIGINT) AS sr_return_quantity,
+      |    l_extendedprice AS sr_return_amt
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  WHERE l_returnflag = 'R' AND l_linenumber % 2 = 0)""".stripMargin
 
   /** One shared SQL text: Spark runs it via spark.sql after
     * registering the base TPC-H views; DuckDB runs the identical
@@ -603,6 +634,186 @@ object Tpcds extends QueryGroup {
         |  AND CAST(r3_cents AS DECIMAL(38,0)) * a2_cents >
         |      CAST(a3_cents AS DECIMAL(38,0)) * r2_cents
         |ORDER BY store_sk""".stripMargin),
+
+    // q93 shape: returns-adjusted customer spend — the fact-to-fact
+    // LEFT JOIN on (ticket, item) with a CASE that zeroes returned
+    // lines, then a customer aggregation and a top-100 by adjusted
+    // spend. At scale both facts shuffle once on the join key and
+    // the aggregation reuses the customer shuffle; no dim needed.
+    // All money is summed as exact cents (ss_net_paid is already a
+    // per-line total, so a returned line contributes 0 and an
+    // unreturned one its full rounded cents — no per-unit division).
+    "tpcds_q93" -> sharedWith(
+      returnsCte,
+      """SELECT ss_customer_sk AS customer_sk,
+        |  CAST(CAST(sum(CASE WHEN sr_ticket_number IS NOT NULL THEN 0
+        |    ELSE CAST(round(ss_net_paid * 100, 0) AS BIGINT) END)
+        |    AS BIGINT) AS DOUBLE) / 100.0 AS sumsales
+        |FROM store_sales LEFT JOIN store_returns
+        |  ON ss_ticket_number = sr_ticket_number
+        |  AND ss_item_sk = sr_item_sk
+        |GROUP BY ss_customer_sk
+        |ORDER BY sumsales, customer_sk
+        |LIMIT 100""".stripMargin),
+
+    // q78 shape: per-(year, item) channel totals restricted to sales
+    // with NO matching return (the LEFT JOIN ... IS NULL anti
+    // pattern), then a self-join of two channel slices and a
+    // quantity ratio. The published TPC-DS form joins ss/ws/cs CTEs
+    // the same way; here the channel CTE is referenced twice, which
+    // Spark inlines to two fact passes — the faithful shape (the
+    // one-pass pivot alternative is already exercised by q11/q31).
+    // The ratio divides exact BIGINT quantities as DOUBLE and rounds
+    // to 6, so it cannot drift between engines.
+    "tpcds_q78" -> sharedWith(
+      s"""$returnsCte,
+         |noret AS (
+         |  SELECT d_year, ss_item_sk AS item_sk, ss_channel AS chan,
+         |    CAST(sum(CAST(ss_quantity AS BIGINT)) AS BIGINT) AS qty,
+         |    CAST(sum(CAST(round(ss_net_paid * 100, 0) AS BIGINT))
+         |      AS BIGINT) AS amt_cents
+         |  FROM store_sales
+         |    JOIN date_dim ON ss_sold_date_sk = d_date_sk
+         |    LEFT JOIN store_returns
+         |      ON ss_ticket_number = sr_ticket_number
+         |      AND ss_item_sk = sr_item_sk
+         |  WHERE sr_ticket_number IS NULL
+         |  GROUP BY d_year, ss_item_sk, ss_channel)""".stripMargin,
+      """SELECT s.d_year, s.item_sk,
+        |  s.qty AS ss_qty, o.qty AS other_qty,
+        |  round(CAST(s.qty AS DOUBLE) / CAST(o.qty AS DOUBLE), 6)
+        |    AS qty_ratio,
+        |  CAST(s.amt_cents AS DOUBLE) / 100.0 AS ss_amt,
+        |  CAST(o.amt_cents AS DOUBLE) / 100.0 AS other_amt
+        |FROM noret s JOIN noret o
+        |  ON s.item_sk = o.item_sk AND s.d_year = o.d_year
+        |WHERE s.chan = 'A' AND o.chan = 'N' AND o.qty > 0
+        |ORDER BY s.d_year, s.item_sk""".stripMargin),
+
+    // q87 shape: the EXCEPT chain — distinct (customer, day) visits
+    // present in channel 'A' but in neither 'R' nor 'N'. q14 covers
+    // INTERSECT-feeding-IN; this is the set-difference count over
+    // deduplicated fact slices (left-associative, as both dialects
+    // parse it). One row out, so no ORDER BY is needed.
+    "tpcds_q87" -> shared(
+      """SELECT count(*) AS cnt FROM (
+        |  SELECT DISTINCT ss_customer_sk, ss_sold_date_sk
+        |  FROM store_sales WHERE ss_channel = 'A'
+        |  EXCEPT
+        |  SELECT DISTINCT ss_customer_sk, ss_sold_date_sk
+        |  FROM store_sales WHERE ss_channel = 'R'
+        |  EXCEPT
+        |  SELECT DISTINCT ss_customer_sk, ss_sold_date_sk
+        |  FROM store_sales WHERE ss_channel = 'N') t""".stripMargin),
+
+    // q23 shape: the two-phase basket — "frequent" items (sold on
+    // more than 4 distinct days) and "best" customers (spend within
+    // 50% of the maximum, a scalar subquery over an aggregated CTE),
+    // then total sales restricted to both via IN semi-joins. The
+    // threshold comparison is exact integer-cents cross-
+    // multiplication (spend*20 >= max*10), so the customer set
+    // cannot flip on fp noise. At scale: two fact aggregations
+    // (item-keyed, customer-keyed), a 1-row broadcast threshold, and
+    // two broadcast-able semi-join sides against the final pass.
+    "tpcds_q23" -> sharedWith(
+      """frequent_items AS (
+        |  SELECT ss_item_sk AS item_sk FROM store_sales
+        |  GROUP BY ss_item_sk
+        |  HAVING count(DISTINCT ss_sold_date_sk) > 4),
+        |customer_spend AS (
+        |  SELECT ss_customer_sk AS cust_sk,
+        |    CAST(sum(CAST(round(ss_net_paid * 100, 0) AS BIGINT))
+        |      AS BIGINT) AS spend_cents
+        |  FROM store_sales GROUP BY ss_customer_sk),
+        |best_customers AS (
+        |  SELECT cust_sk FROM customer_spend
+        |  WHERE spend_cents * 20 >=
+        |    (SELECT max(spend_cents) * 10 FROM customer_spend))""".stripMargin,
+      """SELECT
+        |  CAST(CAST(sum(CAST(round(ss_net_paid * 100, 0) AS BIGINT))
+        |    AS BIGINT) AS DOUBLE) / 100.0 AS sales,
+        |  count(*) AS cnt
+        |FROM store_sales
+        |WHERE ss_item_sk IN (SELECT item_sk FROM frequent_items)
+        |  AND ss_customer_sk IN (SELECT cust_sk FROM best_customers)""".stripMargin),
+
+    // q17 shape: the buy → return → repurchase chain — three fact
+    // references joined on (ticket/customer/item), with per-store
+    // quantity statistics. stddev is NOT computed with the built-in
+    // aggregate (Spark and DuckDB use different merge orders, so the
+    // low bits differ run-to-run — the tpch_q11 lesson): instead the
+    // exact BIGINT sums sum(q), sum(q²), n feed the textbook
+    // sqrt((Σq² − (Σq)²/n)/(n−1)) identically in both engines.
+    "tpcds_q17" -> sharedWith(
+      returnsCte,
+      """SELECT store_sk, cnt,
+        |  CAST(sum_q AS DOUBLE) / cnt AS avg_qty,
+        |  round(sqrt((CAST(sum_q2 AS DOUBLE)
+        |    - CAST(sum_q AS DOUBLE) * sum_q / cnt) / (cnt - 1)), 6)
+        |    AS std_qty
+        |FROM (
+        |  SELECT s.ss_store_sk AS store_sk, count(*) AS cnt,
+        |    CAST(sum(CAST(s.ss_quantity AS BIGINT)) AS BIGINT) AS sum_q,
+        |    CAST(sum(CAST(s.ss_quantity AS BIGINT)
+        |      * CAST(s.ss_quantity AS BIGINT)) AS BIGINT) AS sum_q2
+        |  FROM store_sales s
+        |    JOIN store_returns
+        |      ON s.ss_ticket_number = sr_ticket_number
+        |      AND s.ss_item_sk = sr_item_sk
+        |      AND s.ss_customer_sk = sr_customer_sk
+        |    JOIN store_sales s2
+        |      ON s2.ss_customer_sk = sr_customer_sk
+        |      AND s2.ss_item_sk = sr_item_sk
+        |      AND s2.ss_channel = 'N'
+        |      AND s2.ss_ticket_number <> s.ss_ticket_number
+        |  GROUP BY s.ss_store_sk
+        |  HAVING count(*) > 1) t
+        |ORDER BY store_sk""".stripMargin),
+
+    // q5 shape: the sales-and-returns channel report — UNION ALL of
+    // TWO DIFFERENT facts (sales as positive, returns as negative
+    // profit) feeding ONE per-store aggregation with a ROLLUP grand
+    // total. q77 rolls up channels of one fact; this is the
+    // two-fact-union form the published q5 uses across its
+    // ss/sr, cs/cr, ws/wr pairs. Both branches aggregate exact
+    // cents; the union is map-side (no shuffle until the store
+    // aggregation) and the Expand runs over ~|stores| rows only.
+    // lochierarchy-first ordering keeps NULL rollup keys contiguous
+    // (the tpcds_q36/q77 NULLS-position discipline).
+    "tpcds_q5" -> sharedWith(
+      s"""$returnsCte,
+         |per_store AS (
+         |  SELECT store_sk,
+         |    CAST(sum(sales_cents) AS BIGINT) AS sales_cents,
+         |    CAST(sum(returns_cents) AS BIGINT) AS returns_cents,
+         |    CAST(sum(profit_cents) AS BIGINT) AS profit_cents
+         |  FROM (
+         |    SELECT ss_store_sk AS store_sk,
+         |      CAST(round(ss_ext_sales_price * 100, 0) AS BIGINT)
+         |        AS sales_cents,
+         |      CAST(0 AS BIGINT) AS returns_cents,
+         |      CAST(round(ss_net_profit * 100, 0) AS BIGINT)
+         |        AS profit_cents
+         |    FROM store_sales
+         |    UNION ALL
+         |    SELECT sr_store_sk AS store_sk,
+         |      CAST(0 AS BIGINT) AS sales_cents,
+         |      CAST(round(sr_return_amt * 100, 0) AS BIGINT)
+         |        AS returns_cents,
+         |      -CAST(round(sr_return_amt * 100, 0) AS BIGINT)
+         |        AS profit_cents
+         |    FROM store_returns) salesreturns
+         |  GROUP BY store_sk)""".stripMargin,
+      """SELECT grouping(store_sk) AS lochierarchy, store_sk,
+        |  CAST(CAST(sum(sales_cents) AS BIGINT) AS DOUBLE) / 100.0
+        |    AS sales,
+        |  CAST(CAST(sum(returns_cents) AS BIGINT) AS DOUBLE) / 100.0
+        |    AS returns,
+        |  CAST(CAST(sum(profit_cents) AS BIGINT) AS DOUBLE) / 100.0
+        |    AS profit
+        |FROM per_store
+        |GROUP BY ROLLUP(store_sk)
+        |ORDER BY lochierarchy DESC, store_sk""".stripMargin),
 
     // The at-scale shape: the derived fact is MATERIALIZED once to
     // the session warehouse (the shared FS on a cluster — the

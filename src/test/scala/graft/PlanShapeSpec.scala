@@ -384,4 +384,60 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture with Matchers {
     plan should not include "SortMergeJoin"
     plan should include("partial_sum")
   }
+
+  test("tpcds_q93's returns join stays equi-shaped") {
+    // fact LEFT JOIN returns on (ticket, item) — an equi join either
+    // way AQE sizes it, never a nested loop over the fact
+    val plan = planOf("tpcds_q93")
+    plan should not include "BroadcastNestedLoopJoin"
+    plan should not include "CartesianProduct"
+  }
+
+  test("tpcds_q78's channel self-join is equi on (item, year)") {
+    val plan = planOf("tpcds_q78")
+    plan should not include "BroadcastNestedLoopJoin"
+    plan should not include "CartesianProduct"
+  }
+
+  test("tpcds_q87's EXCEPT chain lowers to anti joins") {
+    val plan = planOf("tpcds_q87")
+    plan should include("Anti")
+    plan should not include "BroadcastNestedLoopJoin"
+    plan should not include "CartesianProduct"
+  }
+
+  test("tpcds_q23's IN-subqueries lower to semi joins") {
+    // frequent-items and best-customers each become an equi semi join
+    // against the fact; the max-spend threshold is an uncorrelated
+    // 1-row scalar subquery (a broadcastable scalar, not a re-executed
+    // per-row probe)
+    val plan = planOf("tpcds_q23")
+    plan should include("Semi")
+    plan should not include "BroadcastNestedLoopJoin"
+    plan should not include "CartesianProduct"
+  }
+
+  test("tpcds_q5's two-fact union expands only the per-store rows") {
+    // UNION ALL of the two facts is map-side; one shuffle to
+    // ~|stores| rows, then the ROLLUP Expand over only that tiny set
+    val plan = planOf("tpcds_q5")
+    plan should include("Union")
+    plan should include("Expand")
+    plan should not include "CartesianProduct"
+    // the Expand must sit above the per-store aggregate, not the fact:
+    // in the top-down plan text, the region between "Expand" and the
+    // first leaf "Scan" below it must contain the per-store
+    // HashAggregate (Expand directly over the union would reach a
+    // Scan with no aggregate in between)
+    val below = plan.substring(plan.indexOf("Expand"))
+    val firstScan = below.indexOf("Scan")
+    firstScan should be > 0
+    below.substring(0, firstScan) should include("HashAggregate")
+  }
+
+  test("tpcds_q17's buy-return-repurchase chain joins equi only") {
+    val plan = planOf("tpcds_q17")
+    plan should not include "BroadcastNestedLoopJoin"
+    plan should not include "CartesianProduct"
+  }
 }
