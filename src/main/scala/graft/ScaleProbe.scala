@@ -34,6 +34,7 @@ object ScaleProbe {
     "sim_embed_neardup_full",
     "pipeline_corpus_curation",
     "pipeline_decontamination",
+    "pipeline_dsir_sample",
     "sim_ann_lsh_bucketed",
     "sim_ann_ivf",
     "sim_semdedup")

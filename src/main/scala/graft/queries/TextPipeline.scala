@@ -909,7 +909,93 @@ object TextPipeline extends QueryGroup {
              |      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
              |      '\b\d{3}-\d{4}\b', '<PHONE>', 'g') AS clean
              |  FROM t)
-             |ORDER BY doc_id""".stripMargin))
+             |ORDER BY doc_id""".stripMargin)),
+
+    // DSIR-style importance resampling (Xie et al. 2023, "Data
+    // Selection for Language Models via Importance Resampling"):
+    // hashed token features are counted separately over a TARGET
+    // distribution (here the 'en' slice) and the RAW pool, each
+    // document is scored by how target-leaning its tokens are, and
+    // the top-scoring prefix is kept as the resampled training mix.
+    // Two deliberate deviations from the paper, both for the
+    // cross-engine exact gate:
+    //  - the hash is a tiny explicit polynomial over [a-z0-9] chars
+    //    (mod-256 buckets) written identically in both dialects,
+    //    because no built-in hash agrees between Spark and DuckDB;
+    //  - the per-bucket log-likelihood-ratio weight is replaced by
+    //    an exact Laplace-smoothed rate comparison ((tc+1)/(T+B) vs
+    //    (rc+1)/(R+B), cross-multiplied in DECIMAL(38,0) so it can
+    //    never overflow or drift), and the doc score is the fraction
+    //    of its tokens in target-leaning buckets — ln() is not
+    //    bit-reproducible across engines (libm vs libm), which the
+    //    strict hash gate would surface as flakes.
+    // Scale shape: token explode is map-side; bucket stats collapse
+    // to <= 256 rows (one shuffle, map-side combined); the stats and
+    // the 1-row totals broadcast back onto the token stream; one
+    // groupBy doc_id shuffle scores every document. Nothing is ever
+    // pairwise and no driver-side loop exists — at 100 TB the only
+    // fact-scale costs are the two token-stream passes.
+    "pipeline_dsir_sample" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val toks = Tables.documents(s, dir)
+          .select($"doc_id", $"lang",
+            explode(split(normText($"text"), " ")).as("rawtok"))
+          .withColumn("tok", regexp_replace($"rawtok", "[^a-z0-9]", ""))
+          .filter(length($"tok") > 0)
+          .withColumn("bucket", expr(
+            "aggregate(sequence(1, length(tok)), 0L, " +
+              "(acc, i) -> (acc * 31 + ascii(substring(tok, i, 1))) % 256)"))
+          .select($"doc_id", $"lang", $"bucket")
+        val stats = toks.groupBy($"bucket").agg(
+          sum(when($"lang" === "en", 1L).otherwise(0L)).as("tc"),
+          sum(when($"lang" =!= "en", 1L).otherwise(0L)).as("rc"))
+        val tot = stats.agg(sum($"tc").as("t_total"), sum($"rc").as("r_total"))
+        val lean = stats.crossJoin(broadcast(tot))
+          .select($"bucket", expr(
+            "CAST(CASE WHEN CAST(tc + 1 AS DECIMAL(38,0)) * (r_total + 256) > " +
+              "CAST(rc + 1 AS DECIMAL(38,0)) * (t_total + 256) " +
+              "THEN 1 ELSE 0 END AS BIGINT)").as("lean"))
+        toks.join(broadcast(lean), "bucket")
+          .groupBy($"doc_id")
+          .agg(count(lit(1)).as("n_toks"), sum($"lean").as("n_lean"))
+          .select($"doc_id", $"n_toks", $"n_lean",
+            r4($"n_lean".cast("double") / $"n_toks").as("score"))
+          .orderBy($"score".desc, $"doc_id")
+          .limit(50)
+      },
+      Some("""WITH tk AS (
+             |  SELECT doc_id, lang,
+             |    regexp_replace(unnest(string_split(
+             |      regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ')),
+             |      '[^a-z0-9]', '', 'g') AS tok
+             |  FROM documents),
+             |toks AS (
+             |  SELECT doc_id, lang,
+             |    list_reduce([CAST(0 AS BIGINT)] ||
+             |      list_transform(range(1, length(tok) + 1),
+             |        i -> CAST(ascii(substring(tok, i, 1)) AS BIGINT)),
+             |      (acc, x) -> (acc * 31 + x) % 256) AS bucket
+             |  FROM tk WHERE length(tok) > 0),
+             |stats AS (
+             |  SELECT bucket,
+             |    sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS tc,
+             |    sum(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END) AS rc
+             |  FROM toks GROUP BY bucket),
+             |tot AS (SELECT sum(tc) AS t_total, sum(rc) AS r_total FROM stats),
+             |lean AS (
+             |  SELECT bucket,
+             |    CAST(CASE WHEN CAST(tc + 1 AS DECIMAL(38,0)) * (r_total + 256) >
+             |              CAST(rc + 1 AS DECIMAL(38,0)) * (t_total + 256)
+             |      THEN 1 ELSE 0 END AS BIGINT) AS lean
+             |  FROM stats, tot)
+             |SELECT doc_id, count(*) AS n_toks,
+             |  CAST(sum(lean) AS BIGINT) AS n_lean,
+             |  round(CAST(sum(lean) AS DOUBLE) / count(*), 4) AS score
+             |FROM toks JOIN lean USING (bucket)
+             |GROUP BY doc_id
+             |ORDER BY score DESC, doc_id
+             |LIMIT 50""".stripMargin))
   )
 
   /** Shared MinHash+LSH pipeline: 64 perms, 16 bands × 4 rows. */

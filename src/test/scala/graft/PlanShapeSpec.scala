@@ -440,4 +440,15 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture with Matchers {
     plan should not include "BroadcastNestedLoopJoin"
     plan should not include "CartesianProduct"
   }
+
+  test("dsir scoring broadcasts the bucket stats onto the token stream") {
+    // the <=256-row leaning table must broadcast-join the exploded
+    // token stream (never shuffle the fact side on bucket); the only
+    // nested-loop is the 1-row totals broadcast onto the 256-row
+    // stats — constant-size, not fact-scale
+    val plan = planOf("pipeline_dsir_sample")
+    plan should include("BroadcastHashJoin")
+    plan should not include "CartesianProduct"
+    plan should not include "SortMergeJoin"
+  }
 }
