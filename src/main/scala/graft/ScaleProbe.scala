@@ -35,6 +35,7 @@ object ScaleProbe {
     "pipeline_corpus_curation",
     "pipeline_decontamination",
     "pipeline_dsir_sample",
+    "dedup_substring_spans",
     "sim_ann_lsh_bucketed",
     "sim_ann_ivf",
     "sim_semdedup")

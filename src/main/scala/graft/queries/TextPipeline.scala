@@ -911,6 +911,94 @@ object TextPipeline extends QueryGroup {
              |  FROM t)
              |ORDER BY doc_id""".stripMargin)),
 
+    // Exact duplicated-span dedup (Lee et al. 2022, "Deduplicating
+    // Training Data Makes Language Models Better"): the paper removes
+    // every token span that occurs verbatim more than once in the
+    // corpus (they use suffix arrays; the distributed recast is
+    // rolling 10-token shingles with positions). Any shingle seen
+    // more than once corpus-wide marks its [pos, pos+9] span;
+    // overlapping spans merge per document (gaps-and-islands over a
+    // running max-end window), and each document reports its merged
+    // duplicated-span count, token coverage, and ratio — the exact
+    // per-doc cut list a span-level dedup pass would apply.
+    // Scale shape: one explode (map-side), one window shuffle on the
+    // shingle for the occurrence count, one window+groupBy chain on
+    // doc_id for the island merge. O(docs × tokens), never pairwise,
+    // no suffix array and no driver state.
+    "dedup_substring_spans" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val grams = Tables.documents(s, dir)
+          .select($"doc_id", split(normText($"text"), " ").as("toks"))
+          .filter(size($"toks") >= 10)
+          .select($"doc_id", size($"toks").as("n_toks"),
+            explode(expr(
+              "transform(sequence(0, size(toks) - 10), i -> " +
+                "named_struct('pos', i, 'gram', " +
+                "concat_ws(' ', slice(toks, i + 1, 10))))")).as("g"))
+          .select($"doc_id", $"n_toks",
+            $"g.pos".as("pos"), ($"g.pos" + 9).as("endp"), $"g.gram")
+        val dup = grams
+          .withColumn("occ", count(lit(1)).over(Window.partitionBy($"gram")))
+          .filter($"occ" > 1)
+        val wDoc = Window.partitionBy($"doc_id").orderBy($"pos")
+        val prev = wDoc.rowsBetween(Window.unboundedPreceding, -1)
+        val islands = dup
+          .withColumn("prev_end", max($"endp").over(prev))
+          .withColumn("new_island",
+            when($"prev_end".isNull || $"pos" > $"prev_end", 1L)
+              .otherwise(0L))
+          .withColumn("island", sum($"new_island").over(
+            wDoc.rowsBetween(Window.unboundedPreceding, 0)))
+        islands.groupBy($"doc_id", $"n_toks", $"island")
+          .agg(min($"pos").as("s"), max($"endp").as("e"))
+          .groupBy($"doc_id", $"n_toks")
+          .agg(count(lit(1)).as("n_dup_spans"),
+            sum($"e" - $"s" + 1).as("n_dup_tokens"))
+          .select($"doc_id", $"n_toks".as("n_tokens"),
+            $"n_dup_spans", $"n_dup_tokens",
+            r4($"n_dup_tokens".cast("double") / $"n_toks").as("dup_ratio"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id,
+             |    string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS toks
+             |  FROM documents),
+             |g AS (
+             |  SELECT doc_id, len(toks) AS n_toks, i AS pos,
+             |    i + 9 AS endp,
+             |    array_to_string(toks[i + 1:i + 10], ' ') AS gram
+             |  FROM t, LATERAL unnest(range(0, len(toks) - 10 + 1)) AS u(i)
+             |  WHERE len(toks) >= 10),
+             |occ AS (
+             |  SELECT doc_id, n_toks, pos, endp,
+             |    count(*) OVER (PARTITION BY gram) AS occ
+             |  FROM g),
+             |dup AS (SELECT doc_id, n_toks, pos, endp FROM occ WHERE occ > 1),
+             |isl AS (
+             |  SELECT doc_id, n_toks, pos, endp,
+             |    CASE WHEN max(endp) OVER (PARTITION BY doc_id ORDER BY pos
+             |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+             |      OR pos > max(endp) OVER (PARTITION BY doc_id ORDER BY pos
+             |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             |      THEN 1 ELSE 0 END AS new_island
+             |  FROM dup),
+             |isl2 AS (
+             |  SELECT doc_id, n_toks, pos, endp,
+             |    sum(new_island) OVER (PARTITION BY doc_id ORDER BY pos
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+             |  FROM isl),
+             |spans AS (
+             |  SELECT doc_id, n_toks, island, min(pos) AS s, max(endp) AS e
+             |  FROM isl2 GROUP BY doc_id, n_toks, island)
+             |SELECT doc_id, n_toks AS n_tokens,
+             |  count(*) AS n_dup_spans,
+             |  CAST(sum(e - s + 1) AS BIGINT) AS n_dup_tokens,
+             |  round(CAST(sum(e - s + 1) AS DOUBLE) / n_toks, 4) AS dup_ratio
+             |FROM spans GROUP BY doc_id, n_toks
+             |ORDER BY doc_id""".stripMargin)),
+
     // DSIR-style importance resampling (Xie et al. 2023, "Data
     // Selection for Language Models via Importance Resampling"):
     // hashed token features are counted separately over a TARGET

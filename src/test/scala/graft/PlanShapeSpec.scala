@@ -441,6 +441,17 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture with Matchers {
     plan should not include "CartesianProduct"
   }
 
+  test("substring-span dedup is two window shuffles, never pairwise") {
+    // shingle occurrence count = one window shuffle on the gram;
+    // island merge = one window chain on doc_id; no join at all
+    // (the duplicated-gram filter is the window count, not a
+    // self-join), so nothing can go quadratic in the corpus
+    val plan = planOf("dedup_substring_spans")
+    plan should include("Window")
+    plan should not include "CartesianProduct"
+    plan should not include "Join"
+  }
+
   test("dsir scoring broadcasts the bucket stats onto the token stream") {
     // the <=256-row leaning table must broadcast-join the exploded
     // token stream (never shuffle the fact side on bucket); the only
