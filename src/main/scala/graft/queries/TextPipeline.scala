@@ -1007,9 +1007,11 @@ object TextPipeline extends QueryGroup {
     // the top-scoring prefix is kept as the resampled training mix.
     // Two deliberate deviations from the paper, both for the
     // cross-engine exact gate:
-    //  - the hash is a tiny explicit polynomial over [a-z0-9] chars
-    //    (mod-256 buckets) written identically in both dialects,
-    //    because no built-in hash agrees between Spark and DuckDB;
+    //  - the hash is a tiny explicit polynomial over the first 8
+    //    [a-z0-9] chars (mod-256 buckets) written identically in both
+    //    dialects, because no built-in hash agrees between Spark and
+    //    DuckDB (8 chars bound the lambda cost; higher-order
+    //    functions sit outside whole-stage codegen);
     //  - the per-bucket log-likelihood-ratio weight is replaced by
     //    an exact Laplace-smoothed rate comparison ((tc+1)/(T+B) vs
     //    (rc+1)/(R+B), cross-multiplied in DECIMAL(38,0) so it can
@@ -1017,36 +1019,40 @@ object TextPipeline extends QueryGroup {
     //    of its tokens in target-leaning buckets — ln() is not
     //    bit-reproducible across engines (libm vs libm), which the
     //    strict hash gate would surface as flakes.
-    // Scale shape: token explode is map-side; bucket stats collapse
-    // to <= 256 rows (one shuffle, map-side combined); the stats and
-    // the 1-row totals broadcast back onto the token stream; one
-    // groupBy doc_id shuffle scores every document. Nothing is ever
-    // pairwise and no driver-side loop exists — at 100 TB the only
-    // fact-scale costs are the two token-stream passes.
+    // Scale shape: the token stream is touched exactly ONCE — the
+    // explode+hash pass collapses straight into per-(doc, bucket)
+    // counts (map-side combined, one fact shuffle). That intermediate
+    // is bounded by docs × 256 rows, so persisting it is cheap at any
+    // corpus size; the bucket stats (<= 256 rows), the 1-row totals,
+    // and the per-doc scores all derive from the cached frame with
+    // only broadcast joins and tiny shuffles. Nothing is ever
+    // pairwise and no driver-side loop exists.
     "pipeline_dsir_sample" -> QueryDef(
       (s, dir) => {
         import s.implicits._
-        val toks = Tables.documents(s, dir)
+        val perDocBucket = Tables.documents(s, dir)
           .select($"doc_id", $"lang",
             explode(split(normText($"text"), " ")).as("rawtok"))
           .withColumn("tok", regexp_replace($"rawtok", "[^a-z0-9]", ""))
           .filter(length($"tok") > 0)
           .withColumn("bucket", expr(
-            "aggregate(sequence(1, length(tok)), 0L, " +
+            "aggregate(sequence(1, least(length(tok), 8)), 0L, " +
               "(acc, i) -> (acc * 31 + ascii(substring(tok, i, 1))) % 256)"))
-          .select($"doc_id", $"lang", $"bucket")
-        val stats = toks.groupBy($"bucket").agg(
-          sum(when($"lang" === "en", 1L).otherwise(0L)).as("tc"),
-          sum(when($"lang" =!= "en", 1L).otherwise(0L)).as("rc"))
+          .groupBy($"doc_id", $"lang", $"bucket")
+          .agg(count(lit(1)).as("cnt"))
+          .persist()
+        val stats = perDocBucket.groupBy($"bucket").agg(
+          sum(when($"lang" === "en", $"cnt").otherwise(0L)).as("tc"),
+          sum(when($"lang" =!= "en", $"cnt").otherwise(0L)).as("rc"))
         val tot = stats.agg(sum($"tc").as("t_total"), sum($"rc").as("r_total"))
         val lean = stats.crossJoin(broadcast(tot))
           .select($"bucket", expr(
             "CAST(CASE WHEN CAST(tc + 1 AS DECIMAL(38,0)) * (r_total + 256) > " +
               "CAST(rc + 1 AS DECIMAL(38,0)) * (t_total + 256) " +
               "THEN 1 ELSE 0 END AS BIGINT)").as("lean"))
-        toks.join(broadcast(lean), "bucket")
+        perDocBucket.join(broadcast(lean), "bucket")
           .groupBy($"doc_id")
-          .agg(count(lit(1)).as("n_toks"), sum($"lean").as("n_lean"))
+          .agg(sum($"cnt").as("n_toks"), sum($"cnt" * $"lean").as("n_lean"))
           .select($"doc_id", $"n_toks", $"n_lean",
             r4($"n_lean".cast("double") / $"n_toks").as("score"))
           .orderBy($"score".desc, $"doc_id")
@@ -1061,7 +1067,7 @@ object TextPipeline extends QueryGroup {
              |toks AS (
              |  SELECT doc_id, lang,
              |    list_reduce([CAST(0 AS BIGINT)] ||
-             |      list_transform(range(1, length(tok) + 1),
+             |      list_transform(range(1, least(length(tok), 8) + 1),
              |        i -> CAST(ascii(substring(tok, i, 1)) AS BIGINT)),
              |      (acc, x) -> (acc * 31 + x) % 256) AS bucket
              |  FROM tk WHERE length(tok) > 0),
