@@ -933,10 +933,15 @@ object TextPipeline extends QueryGroup {
           .select($"doc_id", split(normText($"text"), " ").as("toks"))
           .filter(size($"toks") >= 10)
           .select($"doc_id", size($"toks").as("n_toks"),
+            // the shingle is shuffled by its xxhash64, not the ~60-byte
+            // string — injective on any real corpus (collision odds ~
+            // n_grams^2/2^64) and identical in what it marks duplicated,
+            // so the oracle is unchanged while the occurrence-count
+            // shuffle moves longs
             explode(expr(
               "transform(sequence(0, size(toks) - 10), i -> " +
                 "named_struct('pos', i, 'gram', " +
-                "concat_ws(' ', slice(toks, i + 1, 10))))")).as("g"))
+                "xxhash64(concat_ws(' ', slice(toks, i + 1, 10)))))")).as("g"))
           .select($"doc_id", $"n_toks",
             $"g.pos".as("pos"), ($"g.pos" + 9).as("endp"), $"g.gram")
         val dup = grams
