@@ -64,4 +64,126 @@ class StreamingStateSpec extends AnyFunSuite with SparkFixture with Matchers {
     streamed shouldBe batch
     streamed.nonEmpty shouldBe true
   }
+
+  test("flatMapGroupsWithState sessionization matches the batch windows") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.OutputMode
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+
+    // Split the events corpus into two time-ordered files so sessions
+    // genuinely span microbatches (maxFilesPerTrigger=1 under
+    // AvailableNow replays them as separate batches), plus a sentinel
+    // file of far-future events that gap-closes every open session —
+    // the flush a long-running stream would get from its timeout.
+    val ev = Tables.events(spark, sfDir)
+      .select($"event_id", unix_millis($"ts").as("ts"), $"user_id",
+        $"event_type", $"value", $"props")
+    // cutoff lands INSIDE an in-session gap (two consecutive events of
+    // one user, strictly increasing ts, <= 30 min apart), so at least
+    // one session is guaranteed to span the batch boundary and the
+    // state carry-over path is genuinely exercised
+    val wTs = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"ts")
+    val cutoff = ev.select($"user_id", $"ts")
+      .withColumn("nxt", lead($"ts", 1).over(wTs))
+      .filter($"nxt".isNotNull && $"nxt" > $"ts" &&
+        $"nxt" - $"ts" <= 1800000L)
+      .orderBy($"user_id", $"ts").limit(1)
+      .head().getLong(1)
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-sess")
+    // staging lives OUTSIDE streamDir so the file source never sees
+    // the _SUCCESS/crc clutter or recurses into a stage dir
+    val stageRoot = java.nio.file.Files.createTempDirectory("graft-sess-stage")
+    def dump(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = stageRoot.resolve(name + "_stage")
+      df.coalesce(1).write.parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp).toArray.map(_.toString)
+        .find(_.endsWith(".parquet")).get
+      java.nio.file.Files.move(java.nio.file.Paths.get(part),
+        streamDir.resolve(name))
+      java.nio.file.Files.setLastModifiedTime(streamDir.resolve(name),
+        java.nio.file.attribute.FileTime.fromMillis(
+          1000000000000L + Array("0", "1", "2").indexOf(name.take(1)) * 60000L))
+    }
+    dump(ev.filter($"ts" <= cutoff), "0.parquet")
+    dump(ev.filter($"ts" > cutoff), "1.parquet")
+    dump(ev.groupBy($"user_id").agg(max($"ts").as("mx"))
+      .select(lit(-1L).as("event_id"), ($"mx" + 86400000L * 3650).as("ts"),
+        $"user_id", lit("flush").as("event_type"), lit(0.0).as("value"),
+        lit("").as("props")), "2.parquet")
+
+    val sessionFn = (userId: Long,
+                     rows: Iterator[(Long, Long)],
+                     state: GroupState[(Long, Long, Long)]) => {
+      // state = (session start, last ts, n events); rows within one
+      // batch arrive unsorted — sort locally, then run the same
+      // >30 min gap rule the batch window query applies
+      val ts = rows.map(_._2).toArray.sorted
+      var out = List.empty[(Long, Long, Long, Long)]
+      var cur = state.getOption
+      for (t <- ts) cur match {
+        case None => cur = Some((t, t, 1L))
+        case Some((s0, last, n)) =>
+          if (t - last > 1800000L) {
+            out = (userId, s0, last, n) :: out
+            cur = Some((t, t, 1L))
+          } else cur = Some((s0, t, n + 1))
+      }
+      cur.foreach(state.update)
+      out.reverseIterator
+    }
+
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(streamDir.toString)
+      .select($"user_id", $"ts").as[(Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(
+        OutputMode.Append(), GroupStateTimeout.NoTimeout())(sessionFn)
+      .toDF("user_id", "start_ms", "end_ms", "n_events")
+
+    val q = stream.writeStream
+      .format("memory").queryName("sessions_stream")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    // streamed closed sessions (the sentinel's own open sessions are
+    // never emitted) vs the batch lag/cumsum sessionization
+    val streamed = spark.table("sessions_stream")
+      .select($"user_id", $"n_events", ($"end_ms" - $"start_ms").as("dur"))
+      .as[(Long, Long, Long)].collect().sorted.toSeq
+
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"ts")
+    val batch = ev
+      .withColumn("prev_ts", lag($"ts", 1).over(w))
+      .withColumn("new_session",
+        when($"prev_ts".isNull || $"ts" - $"prev_ts" > 1800000L, 1)
+          .otherwise(0))
+      .withColumn("session_id", sum($"new_session").over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .groupBy($"user_id", $"session_id")
+      .agg(count(lit(1)).as("n_events"),
+        (max($"ts") - min($"ts")).as("dur"))
+      .select($"user_id", $"n_events", $"dur")
+      .as[(Long, Long, Long)].collect().sorted.toSeq
+
+    streamed.size shouldBe batch.size
+    streamed shouldBe batch
+    // the cross-batch path must actually exist: at least one user's
+    // session spans the file split (otherwise this test proves nothing
+    // about state carry-over)
+    val spanning = ev.filter($"ts" <= cutoff).groupBy($"user_id")
+      .agg(max($"ts").as("b1_end"))
+      .join(ev.filter($"ts" > cutoff).groupBy($"user_id")
+        .agg(min($"ts").as("b2_start")), "user_id")
+      .filter($"b2_start" - $"b1_end" <= 1800000L)
+      .count()
+    spanning should be > 0L
+  }
 }
