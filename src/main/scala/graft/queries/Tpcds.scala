@@ -815,6 +815,39 @@ object Tpcds extends QueryGroup {
         |GROUP BY ROLLUP(store_sk)
         |ORDER BY lochierarchy DESC, store_sk""".stripMargin),
 
+    // q49 shape: worst return-ratio items — per-store ranking of
+    // returned/sold quantity, a LEFT JOIN of two aggregated facts
+    // with a NULL-coalesced ratio feeding rank(). The ratio divides
+    // exact BIGINT quantities as DOUBLE (identical IEEE both
+    // engines); item_sk tie-breaks the rank so the top-10 cut is
+    // deterministic. At scale: two map-side-combined fact
+    // aggregations, an equi join on (store, item), one window
+    // shuffle on the store key.
+    "tpcds_q49" -> sharedWith(
+      s"""$returnsCte,
+         |sold AS (
+         |  SELECT ss_store_sk AS store_sk, ss_item_sk AS item_sk,
+         |    CAST(sum(CAST(ss_quantity AS BIGINT)) AS BIGINT) AS sold_qty
+         |  FROM store_sales GROUP BY ss_store_sk, ss_item_sk),
+         |ret AS (
+         |  SELECT sr_store_sk AS store_sk, sr_item_sk AS item_sk,
+         |    CAST(sum(sr_return_quantity) AS BIGINT) AS ret_qty
+         |  FROM store_returns GROUP BY sr_store_sk, sr_item_sk)""".stripMargin,
+      """SELECT store_sk, item_sk, sold_qty, ret_qty,
+        |  round(ratio, 6) AS return_ratio, rnk
+        |FROM (
+        |  SELECT sold.store_sk, sold.item_sk, sold_qty,
+        |    coalesce(ret_qty, CAST(0 AS BIGINT)) AS ret_qty,
+        |    CAST(coalesce(ret_qty, 0) AS DOUBLE) / sold_qty AS ratio,
+        |    rank() OVER (PARTITION BY sold.store_sk
+        |      ORDER BY CAST(coalesce(ret_qty, 0) AS DOUBLE) / sold_qty DESC,
+        |        sold.item_sk) AS rnk
+        |  FROM sold LEFT JOIN ret
+        |    ON sold.store_sk = ret.store_sk
+        |    AND sold.item_sk = ret.item_sk) t
+        |WHERE rnk <= 10
+        |ORDER BY store_sk, rnk""".stripMargin),
+
     // The at-scale shape: the derived fact is MATERIALIZED once to
     // the session warehouse (the shared FS on a cluster — the
     // tpch_q11_materialized precedent, VERDICT r3 #2) and the q3

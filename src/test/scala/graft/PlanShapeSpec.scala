@@ -441,6 +441,16 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture with Matchers {
     plan should not include "CartesianProduct"
   }
 
+  test("tpcds_q49's ratio rank joins two aggregates, never the facts") {
+    // both sides aggregate before the (store, item) equi join, so the
+    // join moves per-(store,item) rows, not fact rows; the rank is one
+    // window shuffle on the store key
+    val plan = planOf("tpcds_q49")
+    plan should include("Window")
+    plan should not include "BroadcastNestedLoopJoin"
+    plan should not include "CartesianProduct"
+  }
+
   test("substring-span dedup is two window shuffles, never pairwise") {
     // shingle occurrence count = one window shuffle on the gram;
     // island merge = one window chain on doc_id; no join at all
