@@ -815,6 +815,42 @@ object Tpcds extends QueryGroup {
         |GROUP BY ROLLUP(store_sk)
         |ORDER BY lochierarchy DESC, store_sk""".stripMargin),
 
+    // q58 shape (also the q83 family): cross-channel consistency —
+    // items whose revenue sits within ±10% of the three-channel
+    // average in EVERY channel. The published form self-joins three
+    // per-channel CTEs and band-filters each against the avg; the
+    // band test here is exact integer arithmetic (30·x between 9·s
+    // and 11·s for s = a+n+r, i.e. 0.9·s/3 <= x <= 1.1·s/3, widened to DECIMAL(38,0) — the
+    // tpcds_q31 overflow lesson), so the row set cannot flip on fp
+    // summation noise. At scale: one combinable fact aggregation to
+    // (item, channel) grain, then equi self-joins on item_sk.
+    "tpcds_q58" -> sharedWith(
+      """rev AS (
+        |  SELECT ss_item_sk AS item_sk, ss_channel AS chan,
+        |    CAST(sum(CAST(round(ss_ext_sales_price * 100, 0) AS BIGINT))
+        |      AS BIGINT) AS cents
+        |  FROM store_sales GROUP BY ss_item_sk, ss_channel)""".stripMargin,
+      """SELECT a.item_sk,
+        |  CAST(a.cents AS DOUBLE) / 100.0 AS a_rev,
+        |  CAST(n.cents AS DOUBLE) / 100.0 AS n_rev,
+        |  CAST(r.cents AS DOUBLE) / 100.0 AS r_rev,
+        |  round(CAST(a.cents + n.cents + r.cents AS DOUBLE) / 300.0, 4)
+        |    AS avg_rev
+        |FROM rev a
+        |  JOIN rev n ON a.item_sk = n.item_sk
+        |  JOIN rev r ON a.item_sk = r.item_sk
+        |WHERE a.chan = 'A' AND n.chan = 'N' AND r.chan = 'R'
+        |  AND CAST(30 AS DECIMAL(38,0)) * a.cents
+        |    BETWEEN CAST(9 AS DECIMAL(38,0)) * (a.cents + n.cents + r.cents)
+        |        AND CAST(11 AS DECIMAL(38,0)) * (a.cents + n.cents + r.cents)
+        |  AND CAST(30 AS DECIMAL(38,0)) * n.cents
+        |    BETWEEN CAST(9 AS DECIMAL(38,0)) * (a.cents + n.cents + r.cents)
+        |        AND CAST(11 AS DECIMAL(38,0)) * (a.cents + n.cents + r.cents)
+        |  AND CAST(30 AS DECIMAL(38,0)) * r.cents
+        |    BETWEEN CAST(9 AS DECIMAL(38,0)) * (a.cents + n.cents + r.cents)
+        |        AND CAST(11 AS DECIMAL(38,0)) * (a.cents + n.cents + r.cents)
+        |ORDER BY a.item_sk""".stripMargin),
+
     // q49 shape: worst return-ratio items — per-store ranking of
     // returned/sold quantity, a LEFT JOIN of two aggregated facts
     // with a NULL-coalesced ratio feeding rank(). The ratio divides

@@ -441,6 +441,15 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture with Matchers {
     plan should not include "CartesianProduct"
   }
 
+  test("tpcds_q58's channel band compare self-joins the aggregate") {
+    // the rev CTE aggregates to (item, channel) grain before the
+    // three-way self-join on item_sk — equi all the way, no nested
+    // loop over fact rows
+    val plan = planOf("tpcds_q58")
+    plan should not include "BroadcastNestedLoopJoin"
+    plan should not include "CartesianProduct"
+  }
+
   test("tpcds_q49's ratio rank joins two aggregates, never the facts") {
     // both sides aggregate before the (store, item) equi join, so the
     // join moves per-(store,item) rows, not fact rows; the rank is one
