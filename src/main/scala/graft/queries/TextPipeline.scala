@@ -1004,6 +1004,59 @@ object TextPipeline extends QueryGroup {
              |FROM spans GROUP BY doc_id, n_toks
              |ORDER BY doc_id""".stripMargin)),
 
+    // Training-mix planning: given target language proportions (the
+    // static mix-construction step behind Pile/DoReMi-style corpus
+    // recipes), find the largest total token budget the corpus can
+    // serve at those proportions — B = min over languages of
+    // tokens_l · 20 / w_l for integer weights w_l summing to 20 —
+    // and the per-language take and sampling rate that realize it.
+    // All budget arithmetic is integer (floor division), so both
+    // engines agree exactly; only the displayed rate divides as
+    // DOUBLE. Scale shape: one token-count aggregation to |languages|
+    // rows, a 1-row global min, and a broadcast back — the fact is
+    // scanned once, everything after is constant-size.
+    "pipeline_mixture_plan" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val perLang = Tables.documents(s, dir)
+          .groupBy($"lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(size(split(normText($"text"), " ")).cast("long"))
+              .as("lang_tokens"))
+          .withColumn("weight", expr(
+            "CASE lang WHEN 'en' THEN 8L WHEN 'zh' THEN 3L " +
+              "WHEN 'es' THEN 3L WHEN 'de' THEN 3L ELSE 3L END"))
+        val budget = perLang
+          .agg(min(expr("CAST(floor(lang_tokens * 20 / weight) AS BIGINT)"))
+            .as("budget"))
+        perLang.crossJoin(broadcast(budget))
+          .select($"lang", $"n_docs", $"lang_tokens", $"weight", $"budget",
+            expr("CAST(floor(weight * budget / 20) AS BIGINT)")
+              .as("take_tokens"),
+            r4(expr("CAST(floor(weight * budget / 20) AS BIGINT)")
+              .cast("double") / $"lang_tokens").as("rate"))
+          .orderBy($"lang")
+      },
+      Some("""WITH per_lang AS (
+             |  SELECT lang, count(*) AS n_docs,
+             |    CAST(sum(len(string_split(
+             |      regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ')))
+             |      AS BIGINT) AS lang_tokens,
+             |    CASE lang WHEN 'en' THEN 8 WHEN 'zh' THEN 3
+             |      WHEN 'es' THEN 3 WHEN 'de' THEN 3 ELSE 3 END AS weight
+             |  FROM documents GROUP BY lang),
+             |b AS (
+             |  SELECT min(CAST(floor(lang_tokens * 20 / weight) AS BIGINT))
+             |    AS budget
+             |  FROM per_lang)
+             |SELECT lang, n_docs, lang_tokens, CAST(weight AS BIGINT) AS weight,
+             |  budget,
+             |  CAST(floor(weight * budget / 20) AS BIGINT) AS take_tokens,
+             |  round(CAST(floor(weight * budget / 20) AS BIGINT) * 1.0
+             |    / lang_tokens, 4) AS rate
+             |FROM per_lang, b
+             |ORDER BY lang""".stripMargin)),
+
     // DSIR-style importance resampling (Xie et al. 2023, "Data
     // Selection for Language Models via Importance Resampling"):
     // hashed token features are counted separately over a TARGET
