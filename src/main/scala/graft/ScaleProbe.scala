@@ -103,21 +103,26 @@ object ScaleProbe {
         // min of two samples: a single-sample probe is defenceless
         // against a multi-second machine stall (observed live in r13 —
         // identical code/data measured 9.6 s and 102 s back-to-back),
-        // and unlike Bench there is no interleaving to absorb it
-        val secs = (1 to 1).map { _ =>
+        // and unlike Bench there is no interleaving to absorb it.
+        // Reported numbers are therefore WARM-CACHE MINIMA (the second
+        // sample reuses OS page cache and JIT state; see BENCH_NOTES),
+        // which is the right bias for a scale-LAW probe — the quantity
+        // of interest is the ratio across data scales, and a stall in
+        // either sample would corrupt the ratio far more than cache
+        // warmth does.
+        val samples = 2
+        var rows = 0L
+        val secs = (1 to samples).map { _ =>
           val t0 = System.nanoTime()
-          SparkEntry.queries(name)(spark, dir).count()
+          rows = SparkEntry.queries(name)(spark, dir).count()
           val s = (System.nanoTime() - t0) / 1e9
-          // bench hygiene (same as Bench): queries that persist (dsir's
-          // per-doc-bucket frame, the dedup fixpoints) must not bleed
-          // storage pressure into the next sample or probe
+          // bench hygiene (same as Bench): queries that materialize
+          // intermediates (the dedup fixpoints) must not bleed storage
+          // pressure into the next sample or probe
           spark.catalog.clearCache()
           s
         }
-        val t0 = System.nanoTime()
-        val rows = SparkEntry.queries(name)(spark, dir).count()
-        val sec = math.min((System.nanoTime() - t0) / 1e9, secs.min)
-        spark.catalog.clearCache()
+        val sec = secs.min
         val fix = if (FixpointQueries(name))
           Some((graft.queries.Clustering.lastRounds, graft.queries.Clustering.lastConverged))
         else None

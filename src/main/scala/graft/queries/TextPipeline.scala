@@ -22,6 +22,16 @@ import org.apache.spark.sql.functions._
 object TextPipeline extends QueryGroup {
   private def r4(c: Column): Column = round(c, 4)
 
+  /** Fixed export path for text_stem_terms' (token → stem) oracle
+    * dictionary. Anchored to the JVM working directory (where the
+    * default Spark warehouse also lives) so the Spark writer and the
+    * static oracle SQL — both built in the same Verify/Bench JVM —
+    * can never disagree about the location, whatever cwd the harness
+    * runs from. Overwritten per invocation, so sequential runs at
+    * different scale factors each see their own corpus's dict. */
+  private val stemDictPath: String =
+    s"${sys.props("user.dir")}/spark-warehouse/graft_stem_dict"
+
   /** lower/trim/collapse-whitespace normalization, shared by dedup ops. */
   private def normText(c: Column): Column =
     regexp_replace(trim(lower(c)), "\\s+", " ")
@@ -74,28 +84,51 @@ object TextPipeline extends QueryGroup {
              |    AS stopword_ratio
              |FROM t ORDER BY doc_id""".stripMargin)),
 
-    // Corpus-scale stemming (r13): the 20-language word_stem applied
-    // per token across the whole documents table — the normalization
-    // step a multilingual training pipeline runs before dedup or
-    // vocabulary builds. Top terms by stemmed form, count-desc with a
-    // total tie-break. No DuckDB oracle (its Snowball stem() lives in
-    // the fts extension, absent offline) → rows-only check; the
-    // stemmer itself is value-checked by fn_word_stem2 and the
-    // 20-language frozen-corpus specs. At scale: explode → partial
-    // count per stem map-side → one shuffle of |vocab| rows →
-    // TakeOrderedAndProject, never a full sort of the corpus.
+    // Corpus-scale stemming (r13; EXACT oracle r14 — VERDICT r13 next
+    // #1): the 20-language word_stem applied per token across the
+    // whole documents table — the normalization step a multilingual
+    // training pipeline runs before dedup or vocabulary builds. Top
+    // terms by stemmed form, count-desc with a total tie-break.
+    // Oracle strategy: DuckDB's own Snowball stem() lives in the
+    // offline-absent fts extension, so the query EXPORTS the corpus
+    // vocabulary's (token → stem) map — |vocab| rows, computed by the
+    // same word_stem the fn_word_stem2 gate and the 20 frozen-corpus
+    // specs already hash-verify — to a fixed parquet next to the
+    // warehouse, and the oracle joins it. The stemmer is thus pinned
+    // by its own gates while THIS gate hash-checks the top-terms
+    // aggregation end to end (a wrong count, a dropped token class,
+    // or a broken tie-break all fail the compare). The dict is
+    // corpus-derived, so the oracle stays exact at any sf.
+    // At scale: explode → partial count per stem map-side → one
+    // shuffle of |vocab| rows → TakeOrderedAndProject, never a full
+    // sort of the corpus; the dict export is one distinct over the
+    // same |vocab|-row aggregate.
     "text_stem_terms" -> QueryDef(
       (s, dir) => {
         import s.implicits._
-        Tables.documents(s, dir)
+        val toks = Tables.documents(s, dir)
           .select(explode(split(lower($"text"), "[^a-z]+")).as("tok"))
           .filter(length($"tok") >= 3)
+        toks.distinct()
+          .select($"tok", expr("word_stem(tok, 'en')").as("stem"))
+          .coalesce(1).write.mode("overwrite").parquet(stemDictPath)
+        toks
           .select(expr("word_stem(tok, 'en')").as("stem"))
           .groupBy($"stem").agg(count(lit(1)).as("cnt"))
           .orderBy($"cnt".desc, $"stem")
           .limit(50)
       },
-      None),
+      Some(s"""WITH dict AS (
+             |  SELECT tok, stem FROM read_parquet('$stemDictPath/*.parquet')),
+             |toks AS (
+             |  SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS tok
+             |  FROM documents)
+             |SELECT d.stem, count(*) AS cnt
+             |FROM toks t JOIN dict d ON t.tok = d.tok
+             |WHERE length(t.tok) >= 3
+             |GROUP BY d.stem
+             |ORDER BY cnt DESC, d.stem
+             |LIMIT 50""".stripMargin)),
 
     // Token counting with a BPE-ish regex (words + punctuation marks).
     "text_token_count" -> QueryDef(
@@ -933,15 +966,23 @@ object TextPipeline extends QueryGroup {
           .select($"doc_id", split(normText($"text"), " ").as("toks"))
           .filter(size($"toks") >= 10)
           .select($"doc_id", size($"toks").as("n_toks"),
-            // the shingle is shuffled by its xxhash64, not the ~60-byte
-            // string — injective on any real corpus (collision odds ~
-            // n_grams^2/2^64) and identical in what it marks duplicated,
-            // so the oracle is unchanged while the occurrence-count
-            // shuffle moves longs
+            // the shingle is shuffled by a 60-bit hash of the gram, not
+            // the ~60-byte string — injective on any real corpus
+            // (birthday bound ~ n_grams^2/2^61) so it marks the same
+            // spans duplicated, while the occurrence-count shuffle
+            // moves longs. The hash is the PortableLsh md5-prefix
+            // primitive, which DuckDB evaluates bit-identically — the
+            // ORACLE HASHES TOO (ADVICE r13: the r13 form hashed only
+            // on the Spark side with xxhash64 and compared literal
+            // grams in DuckDB, leaving the collision risk asymmetric
+            // between engine and oracle; now a collision would affect
+            // both engines identically and the gate compares like for
+            // like)
             explode(expr(
               "transform(sequence(0, size(toks) - 10), i -> " +
                 "named_struct('pos', i, 'gram', " +
-                "xxhash64(concat_ws(' ', slice(toks, i + 1, 10)))))")).as("g"))
+                "CAST(conv(substring(md5(concat_ws(' ', slice(toks, i + 1, 10))), " +
+                "1, 15), 16, 10) AS BIGINT)))")).as("g"))
           .select($"doc_id", $"n_toks",
             $"g.pos".as("pos"), ($"g.pos" + 9).as("endp"), $"g.gram")
         val dup = grams
@@ -973,7 +1014,9 @@ object TextPipeline extends QueryGroup {
              |g AS (
              |  SELECT doc_id, len(toks) AS n_toks, i AS pos,
              |    i + 9 AS endp,
-             |    array_to_string(toks[i + 1:i + 10], ' ') AS gram
+             |    CAST('0x' || substr(md5(
+             |      array_to_string(toks[i + 1:i + 10], ' ')), 1, 15)
+             |      AS BIGINT) AS gram
              |  FROM t, LATERAL unnest(range(0, len(toks) - 10 + 1)) AS u(i)
              |  WHERE len(toks) >= 10),
              |occ AS (
@@ -1012,8 +1055,13 @@ object TextPipeline extends QueryGroup {
     // and the per-language take and sampling rate that realize it.
     // All budget arithmetic is integer (floor division), so both
     // engines agree exactly; only the displayed rate divides as
-    // DOUBLE. Scale shape: one token-count aggregation to |languages|
-    // rows, a 1-row global min, and a broadcast back — the fact is
+    // DOUBLE. The proportion denominator is sum(weight) over the
+    // languages ACTUALLY PRESENT (ADVICE r13: a literal 20 silently
+    // skewed the mix for any corpus whose language set isn't the
+    // assumed five) — so the plan stays budget-feasible and
+    // proportion-exact for any language census. Scale shape: one
+    // token-count aggregation to |languages| rows, 1-row global
+    // (min, sum) aggregate, and a broadcast back — the fact is
     // scanned once, everything after is constant-size.
     "pipeline_mixture_plan" -> QueryDef(
       (s, dir) => {
@@ -1026,14 +1074,15 @@ object TextPipeline extends QueryGroup {
           .withColumn("weight", expr(
             "CASE lang WHEN 'en' THEN 8L WHEN 'zh' THEN 3L " +
               "WHEN 'es' THEN 3L WHEN 'de' THEN 3L ELSE 3L END"))
-        val budget = perLang
-          .agg(min(expr("CAST(floor(lang_tokens * 20 / weight) AS BIGINT)"))
-            .as("budget"))
+        val wsum = perLang.agg(sum($"weight").as("wsum"))
+        val budget = perLang.crossJoin(broadcast(wsum))
+          .agg(min(expr("CAST(floor(lang_tokens * wsum / weight) AS BIGINT)"))
+            .as("budget"), first($"wsum").as("wsum"))
         perLang.crossJoin(broadcast(budget))
           .select($"lang", $"n_docs", $"lang_tokens", $"weight", $"budget",
-            expr("CAST(floor(weight * budget / 20) AS BIGINT)")
+            expr("CAST(floor(weight * budget / wsum) AS BIGINT)")
               .as("take_tokens"),
-            r4(expr("CAST(floor(weight * budget / 20) AS BIGINT)")
+            r4(expr("CAST(floor(weight * budget / wsum) AS BIGINT)")
               .cast("double") / $"lang_tokens").as("rate"))
           .orderBy($"lang")
       },
@@ -1046,13 +1095,14 @@ object TextPipeline extends QueryGroup {
              |      WHEN 'es' THEN 3 WHEN 'de' THEN 3 ELSE 3 END AS weight
              |  FROM documents GROUP BY lang),
              |b AS (
-             |  SELECT min(CAST(floor(lang_tokens * 20 / weight) AS BIGINT))
-             |    AS budget
-             |  FROM per_lang)
+             |  SELECT min(CAST(floor(lang_tokens * wsum / weight) AS BIGINT))
+             |    AS budget, CAST(min(wsum) AS BIGINT) AS wsum
+             |  FROM per_lang,
+             |    (SELECT CAST(sum(weight) AS BIGINT) AS wsum FROM per_lang) w)
              |SELECT lang, n_docs, lang_tokens, CAST(weight AS BIGINT) AS weight,
              |  budget,
-             |  CAST(floor(weight * budget / 20) AS BIGINT) AS take_tokens,
-             |  round(CAST(floor(weight * budget / 20) AS BIGINT) * 1.0
+             |  CAST(floor(weight * budget / wsum) AS BIGINT) AS take_tokens,
+             |  round(CAST(floor(weight * budget / wsum) AS BIGINT) * 1.0
              |    / lang_tokens, 4) AS rate
              |FROM per_lang, b
              |ORDER BY lang""".stripMargin)),
@@ -1080,11 +1130,18 @@ object TextPipeline extends QueryGroup {
     // Scale shape: the token stream is touched exactly ONCE — the
     // explode+hash pass collapses straight into per-(doc, bucket)
     // counts (map-side combined, one fact shuffle). That intermediate
-    // is bounded by docs × 256 rows, so persisting it is cheap at any
-    // corpus size; the bucket stats (<= 256 rows), the 1-row totals,
-    // and the per-doc scores all derive from the cached frame with
-    // only broadcast joins and tiny shuffles. Nothing is ever
-    // pairwise and no driver-side loop exists.
+    // is bounded by docs × 256 rows, so materializing it is cheap at
+    // any corpus size; the bucket stats (<= 256 rows), the 1-row
+    // totals, and the per-doc scores all derive from the materialized
+    // frame with only broadcast joins and tiny shuffles. Nothing is
+    // ever pairwise and no driver-side loop exists.
+    // Materialization is localCheckpoint, not persist (ADVICE r13):
+    // a persist() with no reachable unpersist leaks a CacheManager
+    // entry per invocation (only clearCache() callers were safe);
+    // localCheckpoint blocks are owned by the RDD and reclaimed by
+    // the ContextCleaner once the result DataFrame is unreachable —
+    // no caller contract needed. Eager, so the one fact pass runs at
+    // build time.
     "pipeline_dsir_sample" -> QueryDef(
       (s, dir) => {
         import s.implicits._
@@ -1098,7 +1155,7 @@ object TextPipeline extends QueryGroup {
               "(acc, i) -> (acc * 31 + ascii(substring(tok, i, 1))) % 256)"))
           .groupBy($"doc_id", $"lang", $"bucket")
           .agg(count(lit(1)).as("cnt"))
-          .persist()
+          .localCheckpoint()
         val stats = perDocBucket.groupBy($"bucket").agg(
           sum(when($"lang" === "en", $"cnt").otherwise(0L)).as("tc"),
           sum(when($"lang" =!= "en", $"cnt").otherwise(0L)).as("rc"))

@@ -100,8 +100,11 @@ class StreamingStateSpec extends AnyFunSuite with SparkFixture with Matchers {
     def dump(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
       val tmp = stageRoot.resolve(name + "_stage")
       df.coalesce(1).write.parquet(tmp.toString)
-      val part = java.nio.file.Files.list(tmp).toArray.map(_.toString)
-        .find(_.endsWith(".parquet")).get
+      // Files.list returns a resource-backed stream — close it (via
+      // Using) or the directory handle leaks per dump call (ADVICE r13)
+      val part = scala.util.Using.resource(java.nio.file.Files.list(tmp)) {
+        st => st.toArray.map(_.toString).find(_.endsWith(".parquet")).get
+      }
       java.nio.file.Files.move(java.nio.file.Paths.get(part),
         streamDir.resolve(name))
       java.nio.file.Files.setLastModifiedTime(streamDir.resolve(name),
@@ -150,7 +153,10 @@ class StreamingStateSpec extends AnyFunSuite with SparkFixture with Matchers {
       .outputMode("append")
       .trigger(Trigger.AvailableNow())
       .start()
-    q.awaitTermination(120000)
+    // assert completion rather than racing a partially-filled memory
+    // table into a confusing row-mismatch (ADVICE r13)
+    assert(q.awaitTermination(120000),
+      "AvailableNow stream did not terminate within 120 s")
 
     // streamed closed sessions (the sentinel's own open sessions are
     // never emitted) vs the batch lag/cumsum sessionization
