@@ -460,6 +460,43 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture with Matchers {
     plan should not include "CartesianProduct"
   }
 
+  test("tpcds_q23_materialized derives the fact zero times at query time") {
+    // tpcds_q23 faithfully reproduces Presto 0.216's CTE inlining —
+    // FOUR lineitem⋈orders derivations per run; the materialized
+    // pairing is the 100 TB answer: the star is written once as
+    // upstream ETL output and the query plan only ever scans the
+    // parquet back (no lineitem reference may survive)
+    val plan = planOf("tpcds_q23_materialized")
+    plan should include("graft_store_sales")
+    plan should not include "lineitem"
+  }
+
+  test("tpcds_q72's shortage join is equi on both facts, never a date cross-join") {
+    // the classic q72 hazard: sales joined to inventory through a
+    // date-dim traversal explodes rows; here both facts key on
+    // (item, warehouse, month) so the join is pure equi with the
+    // quantity shortage as residual — nothing nested-loop-shaped
+    // may appear anywhere in the plan
+    val plan = planOf("tpcds_q72")
+    plan should not include "BroadcastNestedLoopJoin"
+    plan should not include "CartesianProduct"
+  }
+
+  test("tpcds_q39's cov self-join moves aggregate-sized sides only") {
+    // the fact shuffles ONCE to the (warehouse, item, period) stats
+    // grain; the consecutive-period self-join joins two filtered
+    // aggregates, so no join in the plan touches raw inventory rows
+    val plan = planOf("tpcds_q39")
+    plan should not include "BroadcastNestedLoopJoin"
+    plan should not include "CartesianProduct"
+  }
+
+  test("tpcds_q21's dims broadcast onto the inventory fact") {
+    val plan = planOf("tpcds_q21")
+    plan should include("BroadcastHashJoin")
+    plan should not include "CartesianProduct"
+  }
+
   test("substring-span dedup is two window shuffles, never pairwise") {
     // shingle occurrence count = one window shuffle on the gram;
     // island merge = one window chain on doc_id; no join at all
