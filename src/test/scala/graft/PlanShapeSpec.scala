@@ -171,6 +171,16 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture with Matchers {
       .count(_ == "BroadcastNestedLoopJoin") should be <= 1
   }
 
+  test("CCNet segment filter joins model tables by key, never quadratic") {
+    // segmentation + segment-bigram explode are map-side; the model
+    // joins are keyed; the only nested loop is the 1-row vocab
+    // broadcast — same contract as lm_train_perplexity
+    val plan = planOf("pipeline_ccnet_segment_filter")
+    plan should not include "CartesianProduct"
+    plan.sliding("BroadcastNestedLoopJoin".length)
+      .count(_ == "BroadcastNestedLoopJoin") should be <= 1
+  }
+
   test("KDB-partitioned distance join equi-joins on leaf id, never quadratic") {
     val plan = planOf("join_spatial_kdb")
     plan should not include "CartesianProduct"
