@@ -35,6 +35,7 @@ object ScaleProbe {
     "pipeline_corpus_curation",
     "pipeline_decontamination",
     "pipeline_dsir_sample",
+    "pipeline_ccnet_segment_filter",
     "dedup_substring_spans",
     "sim_ann_lsh_bucketed",
     "sim_ann_ivf",
@@ -60,8 +61,11 @@ object ScaleProbe {
     "tpcds_q93",
     "tpcds_q78",
     "tpcds_q23",
+    "tpcds_q23_materialized",
     "tpcds_q17",
     "tpcds_q5",
+    "tpcds_q72",
+    "tpcds_q39",
     "tpcds_star_materialized")
 
   private val FixpointQueries = Set("dedup_minhash_lsh_full", "sim_embed_neardup_full")
