@@ -36,6 +36,7 @@ object ScaleProbe {
     "pipeline_decontamination",
     "pipeline_dsir_sample",
     "pipeline_ccnet_segment_filter",
+    "pipeline_bpe_vocab",
     "dedup_substring_spans",
     "sim_ann_lsh_bucketed",
     "sim_ann_ivf",

@@ -32,6 +32,51 @@ object TextPipeline extends QueryGroup {
   private val stemDictPath: String =
     s"${sys.props("user.dir")}/spark-warehouse/graft_stem_dict"
 
+  /** Merge rounds for pipeline_bpe_vocab — fixed so the DuckDB oracle
+    * can unroll the identical rounds as a static CTE chain. */
+  private val BpeRounds = 8
+
+  /** The BPE oracle: v0/s0 seed the (word, freq, doubled-space char
+    * sequence) frame, then each round r appends p_r (pair counts),
+    * b_r (total-order argmax) and s_r (merge applied via the same
+    * leftmost non-overlapping replace) — a mechanical unroll of the
+    * Spark loop, sharing its representation exactly. */
+  private def bpeOracle(rounds: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      """WITH v0 AS (
+        |  SELECT w, count(*) AS freq FROM (
+        |    SELECT unnest(string_split(
+        |      regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ')) AS w
+        |    FROM documents) GROUP BY w),
+        |s0 AS (SELECT w, freq,
+        |  ' ' || array_to_string(string_split(w, ''), '  ') || ' ' AS seq
+        |  FROM v0)""".stripMargin)
+    for (r <- 1 to rounds) {
+      sb.append(s""",
+        |p$r AS (
+        |  SELECT l, r2, CAST(sum(freq) AS BIGINT) AS c FROM (
+        |    SELECT freq, toks[i] AS l, toks[i + 1] AS r2
+        |    FROM (SELECT freq, string_split(trim(seq), '  ') AS toks
+        |          FROM s${r - 1}),
+        |      LATERAL unnest(range(1, len(toks))) AS u(i))
+        |  GROUP BY l, r2),
+        |b$r AS (SELECT CAST($r AS BIGINT) AS merge_round, l, r2, c FROM p$r
+        |        ORDER BY c DESC, l, r2 LIMIT 1)""".stripMargin)
+      if (r < rounds) sb.append(s""",
+        |s$r AS (SELECT w, freq,
+        |  replace(seq, ' ' || b.l || '  ' || b.r2 || ' ',
+        |    ' ' || b.l || b.r2 || ' ') AS seq
+        |  FROM s${r - 1}, b$r AS b)""".stripMargin)
+    }
+    sb.append(s"""
+      |SELECT merge_round, l AS merge_left, r2 AS merge_right,
+      |  c AS pair_count
+      |FROM (${(1 to rounds).map("SELECT * FROM b" + _).mkString(" UNION ALL ")})
+      |ORDER BY merge_round""".stripMargin)
+    sb.toString
+  }
+
   /** lower/trim/collapse-whitespace normalization, shared by dedup ops. */
   private def normText(c: Column): Column =
     regexp_replace(trim(lower(c)), "\\s+", " ")
@@ -757,6 +802,70 @@ object TextPipeline extends QueryGroup {
              |    AS perplexity
              |FROM db d JOIN bi USING (w1, w2) JOIN uni USING (w1) CROSS JOIN vc
              |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin)),
+
+    // Distributed BPE vocabulary induction (r14; Sennrich et al. 2016,
+    // "Neural Machine Translation of Rare Words with Subword Units" —
+    // the tokenizer-training step of an LLM data pipeline). Classic
+    // BPE: start from characters, repeatedly merge the most frequent
+    // adjacent symbol pair. Distributed recast: the CORPUS is touched
+    // exactly once (one distinct-word count shuffle); every merge
+    // round then operates on the |vocab|-bounded frame — one
+    // vocab-sized pair-count aggregation plus a 1-row argmax
+    // materialized to the driver (the Clustering fixpoint-scalar
+    // precedent) and broadcast back as a literal into the next
+    // round's map-side replace. localCheckpoint after each round
+    // bounds lineage so round r never recomputes rounds 1..r-1. At
+    // web scale the vocabulary is ~10^7 rows — each round is a small
+    // aggregation, never a corpus pass.
+    // Cross-engine exactness: the argmax tie-break is total
+    // (count DESC, left, right), and merge APPLICATION exploits that
+    // Spark's replace() and DuckDB's replace() share leftmost
+    // non-overlapping all-occurrences semantics — symbol sequences
+    // are stored with DOUBLED inner spaces (' a  b  c ') so replacing
+    // ' l  r ' with ' lr ' consumes one boundary space from each side
+    // and adjacent merge sites stay matchable, which IS BPE's greedy
+    // left-to-right pass ('x x x x' -> 'xx xx', verified in both
+    // engines). The oracle replays all 8 rounds as an unrolled CTE
+    // chain — same counts, same argmax, same replace.
+    "pipeline_bpe_vocab" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        def lit1(v: String) = "'" + v.replace("'", "''") + "'"
+        var vocab = Tables.documents(s, dir)
+          .select(explode(split(normText($"text"), " ")).as("w"))
+          .groupBy($"w").agg(count(lit(1)).as("freq"))
+          .select($"w", $"freq",
+            concat(lit(" "),
+              concat_ws("  ", expr("filter(split(w, ''), x -> x <> '')")),
+              lit(" ")).as("seq"))
+          .localCheckpoint()
+        val merges =
+          scala.collection.mutable.ListBuffer.empty[(Long, String, String, Long)]
+        for (r <- 1 to BpeRounds) {
+          val pairs = vocab
+            .select($"freq", explode(expr(
+              "transform(slice(split(trim(seq), '  '), 1, " +
+                "size(split(trim(seq), '  ')) - 1), " +
+                "(t, i) -> struct(t AS l, split(trim(seq), '  ')[i + 1] AS r))"))
+              .as("p"))
+            .groupBy($"p.l".as("l"), $"p.r".as("r"))
+            .agg(sum($"freq").as("c"))
+          // 1-row argmax to the driver: the merge decision is a global
+          // scalar, exactly like the fixpoint convergence checks
+          val best = pairs.orderBy($"c".desc, $"l", $"r").limit(1).collect()
+          require(best.nonEmpty, s"BPE: no pair to merge at round $r")
+          val (l, rr, c) =
+            (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+          merges += ((r.toLong, l, rr, c))
+          vocab = vocab.withColumn("seq", expr(
+            s"replace(seq, ${lit1(s" $l  $rr ")}, ${lit1(s" $l$rr ")})"))
+            .localCheckpoint()
+        }
+        merges.toSeq
+          .toDF("merge_round", "merge_left", "merge_right", "pair_count")
+          .orderBy($"merge_round")
+      },
+      Some(bpeOracle(BpeRounds))),
 
     // CCNet-style per-paragraph perplexity filter (r14; Wenzek et al.
     // 2020, "CCNet: Extracting High Quality Monolingual Datasets from
