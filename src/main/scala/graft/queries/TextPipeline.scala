@@ -144,19 +144,33 @@ object TextPipeline extends QueryGroup {
     // aggregation end to end (a wrong count, a dropped token class,
     // or a broken tie-break all fail the compare). The dict is
     // corpus-derived, so the oracle stays exact at any sf.
+    // The export is an ACCUMULATING union keyed by token (caught live
+    // in r14: a spec run at sf0.001 between the sf1 Verify and the
+    // sf1 oracle compare overwrote the dict and dropped the sf1-only
+    // token 'rep', failing the pending check by one row) — the
+    // current corpus's mappings are authoritative and other corpora's
+    // tokens are preserved via anti-join, so interleaved runs at
+    // different scale factors can never invalidate each other;
+    // foreign entries are inert under the oracle's inner join.
     // At scale: explode → partial count per stem map-side → one
     // shuffle of |vocab| rows → TakeOrderedAndProject, never a full
     // sort of the corpus; the dict export is one distinct over the
-    // same |vocab|-row aggregate.
+    // same |vocab|-row aggregate (localCheckpoint breaks the
+    // read-then-overwrite file dependency).
     "text_stem_terms" -> QueryDef(
       (s, dir) => {
         import s.implicits._
         val toks = Tables.documents(s, dir)
           .select(explode(split(lower($"text"), "[^a-z]+")).as("tok"))
           .filter(length($"tok") >= 3)
-        toks.distinct()
+        val dictNew = toks.distinct()
           .select($"tok", expr("word_stem(tok, 'en')").as("stem"))
-          .coalesce(1).write.mode("overwrite").parquet(stemDictPath)
+        val combined = (try {
+          val old = s.read.parquet(stemDictPath)
+          dictNew.unionByName(
+            old.join(dictNew.select($"tok"), Seq("tok"), "left_anti"))
+        } catch { case _: Throwable => dictNew }).localCheckpoint()
+        combined.coalesce(1).write.mode("overwrite").parquet(stemDictPath)
         toks
           .select(expr("word_stem(tok, 'en')").as("stem"))
           .groupBy($"stem").agg(count(lit(1)).as("cnt"))
@@ -880,10 +894,10 @@ object TextPipeline extends QueryGroup {
     // oracle recomputes the same smoothed log-sums exactly. The
     // keep threshold (ppl < 30.0) is a float compare in both engines
     // over bit-identical inputs; its safety was AUDITED, not assumed:
-    // min |ppl − 30.0| over every segment is 1.2e-3 at sf0.01 and
-    // 2.0e-6 at sf0.1 — ≥10^6× the worst cross-engine libm ulp noise
-    // (~1e-13 relative) on this read-only corpus, so the decision can
-    // never flake.
+    // min |ppl − 30.0| over every segment is 1.2e-3 at sf0.01,
+    // 2.0e-6 at sf0.1, and 3.9e-5 at the derived sf1 — ≥10^6× the
+    // worst cross-engine libm ulp noise (~1e-13 relative) on this
+    // read-only corpus, so the decision can never flake.
     // 100 TB shape: segmentation and segment-bigram explode are
     // map-side; training = the same two count shuffles; scoring =
     // keyed joins of segment bigrams against the model (broadcast for
