@@ -37,6 +37,7 @@ object ScaleProbe {
     "pipeline_dsir_sample",
     "pipeline_ccnet_segment_filter",
     "pipeline_bpe_vocab",
+    "pipeline_bpe_tokenize",
     "dedup_substring_spans",
     "sim_ann_lsh_bucketed",
     "sim_ann_ivf",

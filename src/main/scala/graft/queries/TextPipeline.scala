@@ -36,12 +36,58 @@ object TextPipeline extends QueryGroup {
     * can unroll the identical rounds as a static CTE chain. */
   private val BpeRounds = 8
 
+  /** The BPE learning loop shared by pipeline_bpe_vocab (which reports
+    * the merge table) and pipeline_bpe_tokenize (which applies the
+    * final symbol vocabulary corpus-wide). Returns the merge rows and
+    * the post-merge vocabulary frame (w, freq, doubled-space seq).
+    * See the pipeline_bpe_vocab comment for the distributed shape and
+    * the doubled-space replace semantics. */
+  private def learnBpe(s: SparkSession, dir: String)
+      : (Seq[(Long, String, String, Long)], DataFrame) = {
+    import s.implicits._
+    def lit1(v: String) = "'" + v.replace("'", "''") + "'"
+    var vocab = Tables.documents(s, dir)
+      .select(explode(split(normText($"text"), " ")).as("w"))
+      .groupBy($"w").agg(count(lit(1)).as("freq"))
+      .select($"w", $"freq",
+        concat(lit(" "),
+          concat_ws("  ", expr("filter(split(w, ''), x -> x <> '')")),
+          lit(" ")).as("seq"))
+      .localCheckpoint()
+    val merges =
+      scala.collection.mutable.ListBuffer.empty[(Long, String, String, Long)]
+    for (r <- 1 to BpeRounds) {
+      val pairs = vocab
+        .select($"freq", explode(expr(
+          "transform(slice(split(trim(seq), '  '), 1, " +
+            "size(split(trim(seq), '  ')) - 1), " +
+            "(t, i) -> struct(t AS l, split(trim(seq), '  ')[i + 1] AS r))"))
+          .as("p"))
+        .groupBy($"p.l".as("l"), $"p.r".as("r"))
+        .agg(sum($"freq").as("c"))
+      // 1-row argmax to the driver: the merge decision is a global
+      // scalar, exactly like the fixpoint convergence checks
+      val best = pairs.orderBy($"c".desc, $"l", $"r").limit(1).collect()
+      require(best.nonEmpty, s"BPE: no pair to merge at round $r")
+      val (l, rr, c) =
+        (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+      merges += ((r.toLong, l, rr, c))
+      vocab = vocab.withColumn("seq", expr(
+        s"replace(seq, ${lit1(s" $l  $rr ")}, ${lit1(s" $l$rr ")})"))
+        .localCheckpoint()
+    }
+    (merges.toSeq, vocab)
+  }
+
   /** The BPE oracle: v0/s0 seed the (word, freq, doubled-space char
     * sequence) frame, then each round r appends p_r (pair counts),
     * b_r (total-order argmax) and s_r (merge applied via the same
     * leftmost non-overlapping replace) — a mechanical unroll of the
-    * Spark loop, sharing its representation exactly. */
-  private def bpeOracle(rounds: Int): String = {
+    * Spark loop, sharing its representation exactly. With no `tail`
+    * the final SELECT is the merge table; a `tail` (CTEs + SELECT)
+    * instead consumes the post-merge vocabulary s{rounds}
+    * (pipeline_bpe_tokenize). */
+  private def bpeOracle(rounds: Int, tail: String = ""): String = {
     val sb = new StringBuilder
     sb.append(
       """WITH v0 AS (
@@ -63,13 +109,14 @@ object TextPipeline extends QueryGroup {
         |  GROUP BY l, r2),
         |b$r AS (SELECT CAST($r AS BIGINT) AS merge_round, l, r2, c FROM p$r
         |        ORDER BY c DESC, l, r2 LIMIT 1)""".stripMargin)
-      if (r < rounds) sb.append(s""",
+      if (r < rounds || tail.nonEmpty) sb.append(s""",
         |s$r AS (SELECT w, freq,
         |  replace(seq, ' ' || b.l || '  ' || b.r2 || ' ',
         |    ' ' || b.l || b.r2 || ' ') AS seq
         |  FROM s${r - 1}, b$r AS b)""".stripMargin)
     }
-    sb.append(s"""
+    if (tail.nonEmpty) sb.append(",\n").append(tail)
+    else sb.append(s"""
       |SELECT merge_round, l AS merge_left, r2 AS merge_right,
       |  c AS pair_count
       |FROM (${(1 to rounds).map("SELECT * FROM b" + _).mkString(" UNION ALL ")})
@@ -844,42 +891,52 @@ object TextPipeline extends QueryGroup {
     "pipeline_bpe_vocab" -> QueryDef(
       (s, dir) => {
         import s.implicits._
-        def lit1(v: String) = "'" + v.replace("'", "''") + "'"
-        var vocab = Tables.documents(s, dir)
-          .select(explode(split(normText($"text"), " ")).as("w"))
-          .groupBy($"w").agg(count(lit(1)).as("freq"))
-          .select($"w", $"freq",
-            concat(lit(" "),
-              concat_ws("  ", expr("filter(split(w, ''), x -> x <> '')")),
-              lit(" ")).as("seq"))
-          .localCheckpoint()
-        val merges =
-          scala.collection.mutable.ListBuffer.empty[(Long, String, String, Long)]
-        for (r <- 1 to BpeRounds) {
-          val pairs = vocab
-            .select($"freq", explode(expr(
-              "transform(slice(split(trim(seq), '  '), 1, " +
-                "size(split(trim(seq), '  ')) - 1), " +
-                "(t, i) -> struct(t AS l, split(trim(seq), '  ')[i + 1] AS r))"))
-              .as("p"))
-            .groupBy($"p.l".as("l"), $"p.r".as("r"))
-            .agg(sum($"freq").as("c"))
-          // 1-row argmax to the driver: the merge decision is a global
-          // scalar, exactly like the fixpoint convergence checks
-          val best = pairs.orderBy($"c".desc, $"l", $"r").limit(1).collect()
-          require(best.nonEmpty, s"BPE: no pair to merge at round $r")
-          val (l, rr, c) =
-            (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
-          merges += ((r.toLong, l, rr, c))
-          vocab = vocab.withColumn("seq", expr(
-            s"replace(seq, ${lit1(s" $l  $rr ")}, ${lit1(s" $l$rr ")})"))
-            .localCheckpoint()
-        }
-        merges.toSeq
+        val (merges, _) = learnBpe(s, dir)
+        merges
           .toDF("merge_round", "merge_left", "merge_right", "pair_count")
           .orderBy($"merge_round")
       },
       Some(bpeOracle(BpeRounds))),
+
+    // BPE tokenization (r14; the application half of the tokenizer
+    // story): the learned symbol vocabulary is applied corpus-wide —
+    // every document's words are looked up against the post-merge
+    // vocabulary and the doc reports its word count, symbol count,
+    // and chars-per-symbol compression. 100 TB shape: learning as in
+    // pipeline_bpe_vocab (corpus touched once, vocab-bounded rounds);
+    // APPLICATION is one broadcast of the (word → symbol-count)
+    // vocabulary onto the exploded word stream — entirely map-side
+    // until the per-doc aggregate, plan-pinned BroadcastHashJoin.
+    // The oracle replays the 8 merge rounds and the same join.
+    "pipeline_bpe_tokenize" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val (_, finalVocab) = learnBpe(s, dir)
+        val wc = finalVocab.select($"w",
+          size(expr("split(trim(seq), '  ')")).cast("long").as("n_sym"))
+        Tables.documents(s, dir)
+          .select($"doc_id", explode(split(normText($"text"), " ")).as("w"))
+          .join(broadcast(wc), "w")
+          .groupBy($"doc_id")
+          .agg(count(lit(1)).as("n_words"),
+            sum($"n_sym").as("n_symbols"),
+            r4(sum(length($"w")).cast("double") / sum($"n_sym"))
+              .as("chars_per_symbol"))
+          .orderBy($"doc_id")
+      },
+      Some(bpeOracle(BpeRounds,
+        s"""wc AS (SELECT w, CAST(len(string_split(trim(seq), '  ')) AS BIGINT)
+           |  AS n_sym FROM s$BpeRounds),
+           |dw AS (
+           |  SELECT doc_id, unnest(string_split(
+           |    regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ')) AS w
+           |  FROM documents)
+           |SELECT doc_id, count(*) AS n_words,
+           |  CAST(sum(n_sym) AS BIGINT) AS n_symbols,
+           |  round(CAST(sum(length(w)) AS DOUBLE) / sum(n_sym), 4)
+           |    AS chars_per_symbol
+           |FROM dw JOIN wc USING (w)
+           |GROUP BY doc_id ORDER BY doc_id""".stripMargin))),
 
     // CCNet-style per-paragraph perplexity filter (r14; Wenzek et al.
     // 2020, "CCNet: Extracting High Quality Monolingual Datasets from

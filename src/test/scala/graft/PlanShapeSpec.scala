@@ -171,6 +171,16 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture with Matchers {
       .count(_ == "BroadcastNestedLoopJoin") should be <= 1
   }
 
+  test("BPE tokenization broadcasts the vocabulary onto the word stream") {
+    // application must be map-side: the (word -> symbol-count) vocab
+    // broadcast-joins the exploded corpus words; the corpus is never
+    // shuffled on the word key
+    val plan = planOf("pipeline_bpe_tokenize")
+    plan should include("BroadcastHashJoin")
+    plan should not include "SortMergeJoin"
+    plan should not include "CartesianProduct"
+  }
+
   test("CCNet segment filter joins model tables by key, never quadratic") {
     // segmentation + segment-bigram explode are map-side; the model
     // joins are keyed; the only nested loop is the 1-row vocab
