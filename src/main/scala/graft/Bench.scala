@@ -15,9 +15,19 @@ object Bench {
     // every query's generated code and faults in the page cache before
     // anything is timed, so measured passes see a warm JVM regardless
     // of suite order.
+    // hygiene after every execution: clearCache() drops CacheManager
+    // entries, and localCheckpoint blocks (dsir, BPE — registered as
+    // persistent RDDs, reclaimed otherwise only after a driver GC)
+    // are unpersisted explicitly so storage pressure never bleeds
+    // into the next measurement (r14 review).
+    def dropStorage(): Unit = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+    }
     for ((name, fn) <- ordered) {
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
-      spark.catalog.clearCache()
+      dropStorage()
     }
     // Min + median of three INTERLEAVED measured passes (not three
     // consecutive runs per query): a multi-second machine stall spans
@@ -53,9 +63,10 @@ object Bench {
         val ok = try { fn(spark, sfDir).count(); true }
           catch { case _: Throwable => false }
         val d = (System.nanoTime() - t0) / 1e9
-        // bench hygiene: queries that CACHE tables or register views
-        // must not bleed storage/GC pressure into later measurements
-        spark.catalog.clearCache()
+        // bench hygiene: queries that CACHE tables, checkpoint, or
+        // register views must not bleed storage/GC pressure into
+        // later measurements
+        dropStorage()
         // a fast-failing query must not record its (tiny) elapsed time
         // as a legitimate sample and deflate the total — flag it instead
         if (ok) samples(name) = d :: samples.getOrElse(name, Nil)

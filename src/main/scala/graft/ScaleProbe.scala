@@ -124,8 +124,15 @@ object ScaleProbe {
           val s = (System.nanoTime() - t0) / 1e9
           // bench hygiene (same as Bench): queries that materialize
           // intermediates (the dedup fixpoints) must not bleed storage
-          // pressure into the next sample or probe
+          // pressure into the next sample or probe. clearCache() only
+          // drops CacheManager entries; localCheckpoint blocks (dsir,
+          // BPE) are registered as persistent RDDs and must be
+          // unpersisted explicitly — waiting for the ContextCleaner
+          // needs a driver GC that may never come mid-probe (r14
+          // review)
           spark.catalog.clearCache()
+          spark.sparkContext.getPersistentRDDs.values
+            .foreach(_.unpersist(blocking = false))
           s
         }
         val sec = secs.min

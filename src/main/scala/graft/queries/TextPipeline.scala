@@ -45,7 +45,6 @@ object TextPipeline extends QueryGroup {
   private def learnBpe(s: SparkSession, dir: String)
       : (Seq[(Long, String, String, Long)], DataFrame) = {
     import s.implicits._
-    def lit1(v: String) = "'" + v.replace("'", "''") + "'"
     var vocab = Tables.documents(s, dir)
       .select(explode(split(normText($"text"), " ")).as("w"))
       .groupBy($"w").agg(count(lit(1)).as("freq"))
@@ -72,8 +71,14 @@ object TextPipeline extends QueryGroup {
       val (l, rr, c) =
         (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
       merges += ((r.toLong, l, rr, c))
-      vocab = vocab.withColumn("seq", expr(
-        s"replace(seq, ${lit1(s" $l  $rr ")}, ${lit1(s" $l$rr ")})"))
+      // Column-API replace with lit() arguments, NOT a SQL string with
+      // interpolated literals (r14 review): symbols containing
+      // escape-significant characters (backslashes etc.) would be
+      // re-parsed by Spark's SQL literal rules while DuckDB's raw
+      // '||' concatenation would not — lit() carries the bytes
+      // verbatim, matching the oracle for any symbol content.
+      vocab = vocab.withColumn("seq",
+          replace($"seq", lit(s" $l  $rr "), lit(s" $l$rr ")))
         .localCheckpoint()
     }
     (merges.toSeq, vocab)
@@ -212,11 +217,18 @@ object TextPipeline extends QueryGroup {
           .filter(length($"tok") >= 3)
         val dictNew = toks.distinct()
           .select($"tok", expr("word_stem(tok, 'en')").as("stem"))
+        // missing-path only (first run) falls back to the fresh dict;
+        // any OTHER read failure must propagate — silently dropping
+        // the accumulated dict would re-create the interleaved-run
+        // one-row miss this union exists to prevent, and a catch-all
+        // would also swallow JVM-fatal errors (r14 review)
         val combined = (try {
           val old = s.read.parquet(stemDictPath)
           dictNew.unionByName(
             old.join(dictNew.select($"tok"), Seq("tok"), "left_anti"))
-        } catch { case _: Throwable => dictNew }).localCheckpoint()
+        } catch {
+          case _: org.apache.spark.sql.AnalysisException => dictNew
+        }).localCheckpoint()
         combined.coalesce(1).write.mode("overwrite").parquet(stemDictPath)
         toks
           .select(expr("word_stem(tok, 'en')").as("stem"))

@@ -191,6 +191,22 @@ object Tpcds extends QueryGroup {
        |WHERE ss_item_sk IN (SELECT item_sk FROM frequent_items)
        |  AND ss_customer_sk IN (SELECT cust_sk FROM best_customers)""".stripMargin
 
+  /** Materializes the derived store_sales fact ONCE to the session
+    * warehouse (the shared FS on a cluster) and registers it as the
+    * `store_sales_mat` view — the common preamble of both
+    * materialized gate rows (one source of truth for the path scheme,
+    * write mode, and view name; r14 review). Returns the view name. */
+  private def materializeStar(s: org.apache.spark.sql.SparkSession,
+      dir: String): String = {
+    Tables.registerAll(s, dir)
+    val path = s.conf.get("spark.sql.warehouse.dir") +
+      "/graft_store_sales_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+    s.sql(s"WITH $starCtes\nSELECT * FROM store_sales")
+      .write.mode("overwrite").parquet(path)
+    s.read.parquet(path).createOrReplaceTempView("store_sales_mat")
+    "store_sales_mat"
+  }
+
   /** One shared SQL text: Spark runs it via spark.sql after
     * registering the base TPC-H views; DuckDB runs the identical
     * string as the oracle. */
@@ -1042,12 +1058,7 @@ object Tpcds extends QueryGroup {
     // same fact inline; results are identical by construction.
     "tpcds_star_materialized" -> QueryDef(
       (s, dir) => {
-        Tables.registerAll(s, dir)
-        val path = s.conf.get("spark.sql.warehouse.dir") +
-          "/graft_store_sales_" + dir.replaceAll("[^A-Za-z0-9]", "_")
-        s.sql(s"WITH $starCtes\nSELECT * FROM store_sales")
-          .write.mode("overwrite").parquet(path)
-        s.read.parquet(path).createOrReplaceTempView("store_sales_mat")
+        materializeStar(s, dir)
         s.sql(
           """SELECT CAST(floor(ss_sold_date_sk / 10000) AS BIGINT) AS d_year,
             |  ss_store_sk,
@@ -1078,13 +1089,8 @@ object Tpcds extends QueryGroup {
     // never touches lineitem.
     "tpcds_q23_materialized" -> QueryDef(
       (s, dir) => {
-        Tables.registerAll(s, dir)
-        val path = s.conf.get("spark.sql.warehouse.dir") +
-          "/graft_store_sales_" + dir.replaceAll("[^A-Za-z0-9]", "_")
-        s.sql(s"WITH $starCtes\nSELECT * FROM store_sales")
-          .write.mode("overwrite").parquet(path)
-        s.read.parquet(path).createOrReplaceTempView("store_sales_mat")
-        s.sql(s"WITH ${q23Ctes("store_sales_mat")}\n${q23Body("store_sales_mat")}")
+        val mat = materializeStar(s, dir)
+        s.sql(s"WITH ${q23Ctes(mat)}\n${q23Body(mat)}")
       },
       Some(s"WITH $starCtes,\n${q23Ctes("store_sales")}\n${q23Body("store_sales")}"))
   )
