@@ -64,6 +64,7 @@ object ScaleProbe {
     "tpcds_q78",
     "tpcds_q23",
     "tpcds_q23_materialized",
+    "tpcds_q64",
     "tpcds_q17",
     "tpcds_q5",
     "tpcds_q72",

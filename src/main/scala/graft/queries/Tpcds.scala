@@ -1051,6 +1051,38 @@ object Tpcds extends QueryGroup {
         |ORDER BY n_short DESC, item_sk
         |LIMIT 100""".stripMargin),
 
+    // q64 shape: the "catalog of returned items" cross-year chain —
+    // sales restricted to (ticket, item) pairs that WERE returned,
+    // aggregated to the (item, store, year) grain, then the two
+    // years self-joined per (item, store) with the published
+    // second-year-count <= first-year-count filter. The returns
+    // restriction is a semi join (never fans out on the duplicate
+    // (ticket, item) return rows); the self-join moves only
+    // aggregate-sized sides. Cents exact; display division as
+    // CAST DOUBLE.
+    "tpcds_q64" -> sharedWith(
+      s"""$returnsCte,
+         |cs AS (
+         |  SELECT ss_item_sk AS item, ss_store_sk AS store,
+         |    CAST(floor(ss_sold_date_sk / 10000) AS BIGINT) AS yr,
+         |    count(*) AS cnt,
+         |    CAST(sum(CAST(round(ss_net_paid * 100, 0) AS BIGINT))
+         |      AS BIGINT) AS paid_cents
+         |  FROM store_sales
+         |  WHERE EXISTS (SELECT 1 FROM store_returns
+         |    WHERE sr_ticket_number = ss_ticket_number
+         |      AND sr_item_sk = ss_item_sk)
+         |  GROUP BY 1, 2, 3)""".stripMargin,
+      """SELECT y1.item AS item_sk, y1.store AS store_sk,
+        |  y1.cnt AS cnt1, y2.cnt AS cnt2,
+        |  CAST(y1.paid_cents AS DOUBLE) / 100.0 AS paid1,
+        |  CAST(y2.paid_cents AS DOUBLE) / 100.0 AS paid2
+        |FROM cs y1 JOIN cs y2
+        |  ON y1.item = y2.item AND y1.store = y2.store
+        |  AND y1.yr = 1997 AND y2.yr = 1998
+        |WHERE y2.cnt <= y1.cnt
+        |ORDER BY item_sk, store_sk""".stripMargin),
+
     // The at-scale shape: the derived fact is MATERIALIZED once to
     // the session warehouse (the shared FS on a cluster — the
     // tpch_q11_materialized precedent, VERDICT r3 #2) and the q3

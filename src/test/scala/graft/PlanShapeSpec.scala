@@ -491,6 +491,16 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture with Matchers {
     plan should not include "lineitem"
   }
 
+  test("tpcds_q64's returns restriction is a semi join; self-join is aggregate-sized") {
+    // the EXISTS must lower to a semi join (duplicate (ticket, item)
+    // return rows can never fan the fact out), and the cross-year
+    // self-join joins two (item, store, year) aggregates, not facts
+    val plan = planOf("tpcds_q64")
+    plan should include("Semi")
+    plan should not include "BroadcastNestedLoopJoin"
+    plan should not include "CartesianProduct"
+  }
+
   test("tpcds_q72's shortage join is equi on both facts, never a date cross-join") {
     // the classic q72 hazard: sales joined to inventory through a
     // date-dim traversal explodes rows; here both facts key on
