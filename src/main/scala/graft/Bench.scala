@@ -20,6 +20,13 @@ object Bench {
     // persistent RDDs, reclaimed otherwise only after a driver GC)
     // are unpersisted explicitly so storage pressure never bleeds
     // into the next measurement (r14 review).
+    // CONTRACT (ADVICE r14 #5): this unpersists EVERY persistent RDD
+    // in the context, so no gate query may deliberately cache state
+    // for reuse across interleaved bench passes — each invocation
+    // must be self-contained (true of all 270+ today: localCheckpoints
+    // are per-invocation scaffolding). A future cross-pass cache would
+    // be silently evicted here and must instead persist to the
+    // warehouse (the materializeStar/materializeStemDict pattern).
     def dropStorage(): Unit = {
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values

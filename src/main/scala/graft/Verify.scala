@@ -13,6 +13,16 @@ object Verify {
     val selected =
       if (only.isEmpty) SparkEntry.queries
       else SparkEntry.queries.view.filterKeys(only.contains).toMap
+    // Oracle-side materializations that are NOT part of any gated
+    // query (VERDICT r14 wrong #1): text_stem_terms' oracle joins a
+    // corpus-derived (token → stem) dict that DuckDB cannot compute
+    // itself; export it once, before the dump, so the gate row
+    // measures only the aggregation.
+    if (selected.contains("text_stem_terms"))
+      try queries.TextPipeline.materializeStemDict(spark, sfDir)
+      catch { case e: Throwable =>
+        System.err.println(s"[verify] stem-dict export failed: ${e.getMessage}")
+      }
     selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

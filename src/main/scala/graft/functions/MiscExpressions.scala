@@ -176,8 +176,13 @@ case class ImageHeaderMeta(child: Expression)
         case 0x01 | 0xd8 => pos += 2 // TEM / SOI: standalone
         case m if m >= 0xd0 && m <= 0xd7 => pos += 2 // RSTn: standalone
         case 0xd9 => return null // EOI reached without a frame header
-        case m if m == 0xc0 || m == 0xc1 || m == 0xc2 =>
-          // SOF0/1/2: len(2) precision(1) height(2 BE) width(2 BE)
+        case m if m >= 0xc0 && m <= 0xcf &&
+            m != 0xc4 && m != 0xc8 && m != 0xcc =>
+          // Any SOFn frame header (baseline through lossless and the
+          // differential/arithmetic variants share the layout:
+          // len(2) precision(1) height(2 BE) width(2 BE)); 0xC4 DHT,
+          // 0xC8 JPG and 0xCC DAC are non-frame segments in the same
+          // marker range (ISO 10918-1 table B.1; ADVICE r14 #1).
           if (pos + 8 >= b.length) return null
           return row("jpeg", be16(b, pos + 7), be16(b, pos + 5),
             b(pos + 4) & 0xff)

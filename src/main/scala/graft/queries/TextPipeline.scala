@@ -22,15 +22,70 @@ import org.apache.spark.sql.functions._
 object TextPipeline extends QueryGroup {
   private def r4(c: Column): Column = round(c, 4)
 
-  /** Fixed export path for text_stem_terms' (token → stem) oracle
-    * dictionary. Anchored to the JVM working directory (where the
-    * default Spark warehouse also lives) so the Spark writer and the
-    * static oracle SQL — both built in the same Verify/Bench JVM —
-    * can never disagree about the location, whatever cwd the harness
-    * runs from. Overwritten per invocation, so sequential runs at
-    * different scale factors each see their own corpus's dict. */
-  private val stemDictPath: String =
-    s"${sys.props("user.dir")}/spark-warehouse/graft_stem_dict"
+  /** Base directory for text_stem_terms' per-corpus (token → stem)
+    * oracle dictionaries. Anchored to the JVM working directory
+    * (where the default Spark warehouse also lives) so the Spark
+    * writer and the static oracle SQL — both built in the same
+    * Verify JVM — can never disagree about the location, whatever
+    * cwd the harness runs from. Each corpus dir gets its own child
+    * (`dict_<sanitized-data-dir>`); the oracle globs ALL of them and
+    * de-dups by (tok, stem), which is lossless because the stemmer is
+    * a pure function of the token. */
+  private[graft] val stemDictBase: String =
+    s"${sys.props("user.dir")}/spark-warehouse/graft_stem_dicts"
+
+  private def stemDictDirFor(dir: String): java.io.File =
+    new java.io.File(stemDictBase,
+      "dict_" + dir.replaceAll("[^A-Za-z0-9]", "_"))
+
+  /** The corpus vocabulary's (token → stem) map — |vocab| rows,
+    * computed by the same word_stem the fn_word_stem2 gate and the 20
+    * frozen-corpus specs hash-verify. */
+  private def stemDictFrame(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select(explode(split(lower($"text"), "[^a-z]+")).as("tok"))
+      .filter(length($"tok") >= 3)
+      .distinct()
+      .select($"tok", expr("word_stem(tok, 'en')").as("stem"))
+  }
+
+  /** Exports this corpus's stem dictionary for the text_stem_terms
+    * oracle. Invoked by Verify BEFORE the query dump — never from the
+    * gated query itself, so the gate/bench row measures only the
+    * aggregation (VERDICT r14 wrong #1: the in-query export doubled
+    * the measured time and made a measurement artifact part of the
+    * product query).
+    *
+    * Idempotent and atomic (ADVICE r14 #2): the dict is a pure
+    * function of the corpus dir, so a completed export (_SUCCESS
+    * present) is reused as-is; a fresh export writes to a temp dir
+    * whose name the oracle glob cannot match and atomically renames
+    * it into place, so no reader — DuckDB's glob or another JVM —
+    * ever observes a partial dict. Per-corpus keying replaces the
+    * r14 accumulating union structurally: a run at another scale
+    * factor writes a different child dir and can never clobber this
+    * corpus's tokens (the r14 'rep'-token clobber class); foreign
+    * dirs are inert under the oracle's inner join. */
+  def materializeStemDict(s: SparkSession, dir: String): Unit = {
+    val target = stemDictDirFor(dir)
+    if (new java.io.File(target, "_SUCCESS").exists()) return
+    val tmp = new java.io.File(stemDictBase,
+      "tmp_" + target.getName + "_" +
+        java.util.UUID.randomUUID.toString.take(8))
+    stemDictFrame(s, dir).coalesce(1)
+      .write.mode("overwrite").parquet(tmp.toString)
+    try
+      java.nio.file.Files.move(tmp.toPath, target.toPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    catch {
+      // another process completed the identical (deterministic)
+      // export between our existence check and the rename — theirs
+      // is equally valid; discard ours
+      case _: java.nio.file.FileSystemException =>
+        org.apache.commons.io.FileUtils.deleteDirectory(tmp)
+    }
+  }
 
   /** Merge rounds for pipeline_bpe_vocab — fixed so the DuckDB oracle
     * can unroll the identical rounds as a static CTE chain. */
@@ -55,7 +110,8 @@ object TextPipeline extends QueryGroup {
       .localCheckpoint()
     val merges =
       scala.collection.mutable.ListBuffer.empty[(Long, String, String, Long)]
-    for (r <- 1 to BpeRounds) {
+    var exhausted = false
+    for (r <- 1 to BpeRounds if !exhausted) {
       val pairs = vocab
         .select($"freq", explode(expr(
           "transform(slice(split(trim(seq), '  '), 1, " +
@@ -67,19 +123,27 @@ object TextPipeline extends QueryGroup {
       // 1-row argmax to the driver: the merge decision is a global
       // scalar, exactly like the fixpoint convergence checks
       val best = pairs.orderBy($"c".desc, $"l", $"r").limit(1).collect()
-      require(best.nonEmpty, s"BPE: no pair to merge at round $r")
-      val (l, rr, c) =
-        (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
-      merges += ((r.toLong, l, rr, c))
+      if (best.isEmpty) {
+        // degenerate corpus: every word is down to one symbol before
+        // the round budget is spent — stop, don't throw (ADVICE r14
+        // #4). The oracle mirrors this structurally: its per-round
+        // LEFT JOIN against the (empty) argmax leaves the sequence
+        // frame unchanged and contributes no merge row.
+        exhausted = true
+      } else {
+        val (l, rr, c) =
+          (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        merges += ((r.toLong, l, rr, c))
       // Column-API replace with lit() arguments, NOT a SQL string with
       // interpolated literals (r14 review): symbols containing
       // escape-significant characters (backslashes etc.) would be
       // re-parsed by Spark's SQL literal rules while DuckDB's raw
       // '||' concatenation would not — lit() carries the bytes
       // verbatim, matching the oracle for any symbol content.
-      vocab = vocab.withColumn("seq",
-          replace($"seq", lit(s" $l  $rr "), lit(s" $l$rr ")))
-        .localCheckpoint()
+        vocab = vocab.withColumn("seq",
+            replace($"seq", lit(s" $l  $rr "), lit(s" $l$rr ")))
+          .localCheckpoint()
+      }
     }
     (merges.toSeq, vocab)
   }
@@ -114,11 +178,17 @@ object TextPipeline extends QueryGroup {
         |  GROUP BY l, r2),
         |b$r AS (SELECT CAST($r AS BIGINT) AS merge_round, l, r2, c FROM p$r
         |        ORDER BY c DESC, l, r2 LIMIT 1)""".stripMargin)
+      // LEFT JOIN, not cross join (ADVICE r14 #4): when the pair table
+      // empties before the round budget, b$r is EMPTY — a cross join
+      // would wipe s$r while the Spark loop's early stop keeps the
+      // vocabulary; the LEFT JOIN + CASE leaves the sequence frame
+      // unchanged instead, mirroring the early stop exactly.
       if (r < rounds || tail.nonEmpty) sb.append(s""",
         |s$r AS (SELECT w, freq,
-        |  replace(seq, ' ' || b.l || '  ' || b.r2 || ' ',
-        |    ' ' || b.l || b.r2 || ' ') AS seq
-        |  FROM s${r - 1}, b$r AS b)""".stripMargin)
+        |  CASE WHEN b.l IS NULL THEN seq
+        |    ELSE replace(seq, ' ' || b.l || '  ' || b.r2 || ' ',
+        |      ' ' || b.l || b.r2 || ' ') END AS seq
+        |  FROM s${r - 1} LEFT JOIN b$r AS b ON TRUE)""".stripMargin)
     }
     if (tail.nonEmpty) sb.append(",\n").append(tail)
     else sb.append(s"""
@@ -187,57 +257,34 @@ object TextPipeline extends QueryGroup {
     // training pipeline runs before dedup or vocabulary builds. Top
     // terms by stemmed form, count-desc with a total tie-break.
     // Oracle strategy: DuckDB's own Snowball stem() lives in the
-    // offline-absent fts extension, so the query EXPORTS the corpus
-    // vocabulary's (token → stem) map — |vocab| rows, computed by the
-    // same word_stem the fn_word_stem2 gate and the 20 frozen-corpus
-    // specs already hash-verify — to a fixed parquet next to the
-    // warehouse, and the oracle joins it. The stemmer is thus pinned
-    // by its own gates while THIS gate hash-checks the top-terms
-    // aggregation end to end (a wrong count, a dropped token class,
-    // or a broken tie-break all fail the compare). The dict is
-    // corpus-derived, so the oracle stays exact at any sf.
-    // The export is an ACCUMULATING union keyed by token (caught live
-    // in r14: a spec run at sf0.001 between the sf1 Verify and the
-    // sf1 oracle compare overwrote the dict and dropped the sf1-only
-    // token 'rep', failing the pending check by one row) — the
-    // current corpus's mappings are authoritative and other corpora's
-    // tokens are preserved via anti-join, so interleaved runs at
-    // different scale factors can never invalidate each other;
-    // foreign entries are inert under the oracle's inner join.
+    // offline-absent fts extension, so materializeStemDict (invoked
+    // by Verify before the dump — r15; the materializeStar
+    // precedent) exports the corpus vocabulary's (token → stem) map
+    // next to the warehouse and the oracle joins it. The stemmer is
+    // thus pinned by its own gates while THIS gate hash-checks the
+    // top-terms aggregation end to end (a wrong count, a dropped
+    // token class, or a broken tie-break all fail the compare). The
+    // dict is corpus-derived, so the oracle stays exact at any sf;
+    // per-corpus dict dirs + the oracle's DISTINCT-glob make
+    // interleaved runs at different scale factors structurally unable
+    // to invalidate each other (see materializeStemDict).
     // At scale: explode → partial count per stem map-side → one
     // shuffle of |vocab| rows → TakeOrderedAndProject, never a full
-    // sort of the corpus; the dict export is one distinct over the
-    // same |vocab|-row aggregate (localCheckpoint breaks the
-    // read-then-overwrite file dependency).
+    // sort of the corpus.
     "text_stem_terms" -> QueryDef(
       (s, dir) => {
         import s.implicits._
-        val toks = Tables.documents(s, dir)
+        Tables.documents(s, dir)
           .select(explode(split(lower($"text"), "[^a-z]+")).as("tok"))
           .filter(length($"tok") >= 3)
-        val dictNew = toks.distinct()
-          .select($"tok", expr("word_stem(tok, 'en')").as("stem"))
-        // missing-path only (first run) falls back to the fresh dict;
-        // any OTHER read failure must propagate — silently dropping
-        // the accumulated dict would re-create the interleaved-run
-        // one-row miss this union exists to prevent, and a catch-all
-        // would also swallow JVM-fatal errors (r14 review)
-        val combined = (try {
-          val old = s.read.parquet(stemDictPath)
-          dictNew.unionByName(
-            old.join(dictNew.select($"tok"), Seq("tok"), "left_anti"))
-        } catch {
-          case _: org.apache.spark.sql.AnalysisException => dictNew
-        }).localCheckpoint()
-        combined.coalesce(1).write.mode("overwrite").parquet(stemDictPath)
-        toks
           .select(expr("word_stem(tok, 'en')").as("stem"))
           .groupBy($"stem").agg(count(lit(1)).as("cnt"))
           .orderBy($"cnt".desc, $"stem")
           .limit(50)
       },
       Some(s"""WITH dict AS (
-             |  SELECT tok, stem FROM read_parquet('$stemDictPath/*.parquet')),
+             |  SELECT DISTINCT tok, stem
+             |  FROM read_parquet('$stemDictBase/dict_*/*.parquet')),
              |toks AS (
              |  SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS tok
              |  FROM documents)
@@ -948,6 +995,48 @@ object TextPipeline extends QueryGroup {
            |  round(CAST(sum(length(w)) AS DOUBLE) / sum(n_sym), 4)
            |    AS chars_per_symbol
            |FROM dw JOIN wc USING (w)
+           |GROUP BY doc_id ORDER BY doc_id""".stripMargin))),
+
+    // BPE encoding (r15; VERDICT r14 next #6): the id-sequence output
+    // a training pipeline actually ships — each document's words
+    // replaced by their post-merge subword symbols, in document
+    // order, as one array<string> per doc. Same 100 TB shape as
+    // pipeline_bpe_tokenize: the learned (word → symbol-array)
+    // vocabulary broadcasts onto the posexploded word stream
+    // (plan-pinned BroadcastHashJoin), and the per-doc reassembly is
+    // one grouped sort-by-position flatten — the corpus is never
+    // shuffled except to the doc grain it already lives at. The
+    // oracle replays the 8 merge rounds and rebuilds the same
+    // sequences with list(... ORDER BY position).
+    "pipeline_bpe_encode" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val (_, finalVocab) = learnBpe(s, dir)
+        val syms = finalVocab.select($"w",
+          expr("split(trim(seq), '  ')").as("syms"))
+        Tables.documents(s, dir)
+          .select($"doc_id",
+            posexplode(split(normText($"text"), " ")).as(Seq("i", "w")))
+          .join(broadcast(syms), "w")
+          .groupBy($"doc_id")
+          .agg(flatten(transform(
+            array_sort(collect_list(struct($"i", $"syms"))),
+            x => x.getField("syms"))).as("tokens"))
+          .withColumn("n_tokens", size($"tokens").cast("long"))
+          .orderBy($"doc_id")
+      },
+      Some(bpeOracle(BpeRounds,
+        s"""dw AS (
+           |  SELECT doc_id, toks[i] AS w, i
+           |  FROM (SELECT doc_id, string_split(
+           |      regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ') AS toks
+           |    FROM documents),
+           |    LATERAL unnest(range(1, len(toks) + 1)) AS u(i)),
+           |sy AS (SELECT w, string_split(trim(seq), '  ') AS syms
+           |       FROM s$BpeRounds)
+           |SELECT doc_id, flatten(list(syms ORDER BY i)) AS tokens,
+           |  CAST(len(flatten(list(syms ORDER BY i))) AS BIGINT) AS n_tokens
+           |FROM dw JOIN sy USING (w)
            |GROUP BY doc_id ORDER BY doc_id""".stripMargin))),
 
     // CCNet-style per-paragraph perplexity filter (r14; Wenzek et al.

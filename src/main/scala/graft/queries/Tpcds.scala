@@ -976,6 +976,38 @@ object Tpcds extends QueryGroup {
         |    THEN inv_quantity_on_hand ELSE 0 END)
         |ORDER BY w_warehouse_name, item_sk""".stripMargin),
 
+    // q22 shape (r15; VERDICT r14 missing #2 — the last published
+    // inventory shape): average quantity-on-hand ROLLUP'd over the
+    // item hierarchy, lowest average stock first, top 100. The
+    // published hierarchy (product_name, brand, class, category) maps
+    // onto the derived item dim as (category, brand, size, item_sk) —
+    // four levels, finest last, same Expand discipline as q67/q36.
+    // Cross-engine exactness: qoh = one IEEE division of two exact
+    // BIGINTs (Σqty / n), deterministic in both engines; the ORDER BY
+    // is total because the 4-tuple of grouping keys (NULL pattern
+    // included) is unique per rollup row — explicit NULLS FIRST
+    // aligns Spark's ASC default with DuckDB's opposite one, so the
+    // LIMIT cutoff cannot flake. Scale shape: one fact shuffle to the Expand output's
+    // grouping sets — the rollup is a single aggregation pass, item
+    // and date_dim broadcast; LIMIT 100 is a TakeOrderedAndProject,
+    // never a full sort of the rollup.
+    "tpcds_q22" -> sharedWith(
+      inventoryCtes,
+      """SELECT i_category, i_brand, i_size, item_sk,
+        |  CAST(CAST(sum(inv_quantity_on_hand) AS BIGINT) AS DOUBLE)
+        |    / count(*) AS qoh
+        |FROM (
+        |  SELECT i_category, i_brand, CAST(i_size AS BIGINT) AS i_size,
+        |    inv_item_sk AS item_sk, inv_quantity_on_hand
+        |  FROM inventory
+        |    JOIN item ON inv_item_sk = i_item_sk
+        |    JOIN date_dim ON inv_date_sk = d_date_sk
+        |  WHERE d_year BETWEEN 1997 AND 1998) t
+        |GROUP BY ROLLUP (i_category, i_brand, i_size, item_sk)
+        |ORDER BY qoh, i_category NULLS FIRST, i_brand NULLS FIRST,
+        |  i_size NULLS FIRST, item_sk NULLS FIRST
+        |LIMIT 100""".stripMargin),
+
     // q39 shape: the only stddev-over-fact query in the published
     // benchmark — per (warehouse, item, period), mean and stdev of
     // the quantity snapshots, keep series with coefficient of

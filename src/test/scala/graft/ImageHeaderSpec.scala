@@ -55,6 +55,20 @@ class ImageHeaderSpec extends AnyFunSuite with SparkFixture with Matchers {
     decode(hex) shouldBe Row("jpeg", 512, 256, 8)
   }
 
+  test("JPEG: every SOFn variant is a frame header; DHT/JPG/DAC are not") {
+    // ADVICE r14 #1: lossless (SOF3), arithmetic (SOF9) and
+    // differential (SOF13) JPEGs share the SOF layout and must decode
+    def sof(m: Int): String =
+      "FFD8" + f"FF$m%02X" + "000B" + "10" + "0040" + "0080" + "01" + "011100"
+    for (m <- Seq(0xc3, 0xc5, 0xc6, 0xc7, 0xc9, 0xca, 0xcb, 0xcd, 0xce, 0xcf))
+      decode(sof(m)) shouldBe Row("jpeg", 128, 64, 16)
+    // DHT (0xC4) sits in the SOFn range but is NOT a frame header —
+    // the walk must step over it by its length and reach the real SOF0
+    val viaDht = "FFD8" + "FFC40005" + "00" * 3 +
+      "FFC0000B" + "08" + "0020" + "0030" + "01" + "011100"
+    decode(viaDht) shouldBe Row("jpeg", 48, 32, 8)
+  }
+
   test("rejects: bad signature, truncation, EOI before SOF, corrupt length") {
     decodeNull("00112233445566778899") shouldBe true // neither format
     decodeNull("89504E470D0A1A0A0000000D494844") shouldBe true // cut IHDR

@@ -181,6 +181,16 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture with Matchers {
     plan should not include "CartesianProduct"
   }
 
+  test("BPE encoding broadcasts the symbol vocabulary onto the word stream") {
+    // same contract as tokenize (r15): the (word -> symbol-array)
+    // vocab broadcast-joins the posexploded corpus words; reassembly
+    // groups on the doc grain only, never a word-key shuffle
+    val plan = planOf("pipeline_bpe_encode")
+    plan should include("BroadcastHashJoin")
+    plan should not include "SortMergeJoin"
+    plan should not include "CartesianProduct"
+  }
+
   test("CCNet segment filter joins model tables by key, never quadratic") {
     // segmentation + segment-bigram explode are map-side; the model
     // joins are keyed; the only nested loop is the 1-row vocab

@@ -1,0 +1,45 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** Regression pins for the round-15 fixes. */
+class Round15FixesSpec extends AnyFunSuite with SparkFixture with Matchers {
+
+  /** ADVICE r14 #4: a degenerate corpus whose pair table empties before
+    * the 8-round budget must stop early, not throw. Every word below is
+    * a single character, so round 1 already finds no adjacent pair.
+    */
+  test("BPE early-stops on a corpus with no mergeable pair") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_bpe_degenerate").toString
+    Seq((1L, "a b c"), (2L, "b c a a"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // vocab: zero merge rows, no exception
+    val merges = SparkEntry.queries("pipeline_bpe_vocab")(spark, dir)
+    merges.count() shouldBe 0L
+    // the downstream appliers still run off the unmerged vocabulary:
+    // every word encodes to its own characters
+    val enc = SparkEntry.queries("pipeline_bpe_encode")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    enc(1L) shouldBe Seq("a", "b", "c")
+    enc(2L) shouldBe Seq("b", "c", "a", "a")
+  }
+
+  /** The early stop must also fire mid-budget (pairs exhaust after a
+    * few productive merges), leaving the completed merges intact. */
+  test("BPE keeps completed merges when pairs exhaust mid-budget") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_bpe_short").toString
+    // 'ab' merges once; after that no adjacent pair remains anywhere
+    Seq((1L, "ab ab c"), (2L, "ab c"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val merges = SparkEntry.queries("pipeline_bpe_vocab")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    merges shouldBe Array((1L, "a", "b"))
+  }
+}
