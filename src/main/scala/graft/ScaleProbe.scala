@@ -38,9 +38,11 @@ object ScaleProbe {
     "pipeline_ccnet_segment_filter",
     "pipeline_bpe_vocab",
     "pipeline_bpe_tokenize",
+    "pipeline_bpe_encode",
     "dedup_substring_spans",
     "sim_ann_lsh_bucketed",
     "sim_ann_ivf",
+    "sim_ann_pq",
     "sim_semdedup")
 
   /** Heavy relational tier (r13; VERDICT r12 next-round #4): the
@@ -69,6 +71,7 @@ object ScaleProbe {
     "tpcds_q5",
     "tpcds_q72",
     "tpcds_q39",
+    "tpcds_q22",
     "tpcds_star_materialized")
 
   private val FixpointQueries = Set("dedup_minhash_lsh_full", "sim_embed_neardup_full")

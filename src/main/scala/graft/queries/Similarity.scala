@@ -222,6 +222,132 @@ object Similarity extends QueryGroup {
              |SELECT q_id, rk, vec_id, round(cos, 4) AS cos
              |FROM r WHERE rk <= 3 ORDER BY q_id, rk""".stripMargin)),
 
+    // Product-quantization ANN (r15; Jégou et al. 2011, "Product
+    // Quantization for Nearest Neighbor Search" — the memory-bound
+    // scale path IVF alone lacks): the 64-dim vector splits into M=4
+    // 16-dim subspaces, each quantized against its own K=8-codeword
+    // codebook, so a vector stores as 4 small codes instead of 64
+    // floats (the 100 TB lever: corpus memory shrinks ~64×, and
+    // query scoring is O(N·M) table lookups off a precomputed
+    // query×codeword distance table instead of O(N·D) multiplies;
+    // exact rescore of the shortlist is sim_cosine_topk's job).
+    // Codebooks are learned DISTRIBUTED and deterministically: seeds
+    // = the subvectors of vec_id < K, one Lloyd iteration (assign to
+    // nearest seed with cid tie-break, per-dimension avg recenter) —
+    // fixed rounds, no RNG, so DuckDB replays learning exactly.
+    // Every fp decision is cross-engine-stable by construction: d2
+    // folds dimensions left-to-right in both engines, the ADC sum
+    // adds the M=4 partials in a FIXED order (conditional-sum pivot,
+    // never an order-dependent groupBy sum), and assignment/rank
+    // margins dwarf the ~1e-16 noise of the avg'd centroids (audited
+    // in PqMarginSpec). Scale shape: codebook (M·K rows) and the
+    // per-query ADC table (M·K rows/query) broadcast; encode and
+    // score are map-side over one corpus pass; the only corpus-keyed
+    // aggregation is to the (q_id, vec_id) grain.
+    "sim_ann_pq" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val M = 4; val Sub = 16; val K = 8
+        val corpus = vecs(s, dir)
+        val sub = corpus.select($"vec_id",
+          posexplode(expr(
+            s"transform(sequence(0, ${M - 1}), m -> slice(v, m * $Sub + 1, $Sub))"))
+            .as(Seq("m", "sv")))
+        def d2(a: Column, b: Column): Column =
+          aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+            lit(0.0), (acc, x) => acc + x)
+        val wAssign = Window.partitionBy($"vec_id", $"m").orderBy($"d2", $"cid")
+        val seeds = sub.filter($"vec_id" < K)
+          .select($"m", $"vec_id".cast("int").as("cid"), $"sv".as("cw"))
+        val assign1 = sub.join(broadcast(seeds), Seq("m"))
+          .withColumn("d2", d2($"sv", $"cw"))
+          .withColumn("rn", row_number().over(wAssign)).filter($"rn" === 1)
+        val codebook = assign1
+          .select($"m", $"cid", posexplode($"sv").as(Seq("i", "x")))
+          .groupBy($"m", $"cid", $"i").agg(avg($"x").as("c"))
+          .groupBy($"m", $"cid")
+          .agg(transform(array_sort(collect_list(struct($"i", $"c"))),
+            e => e.getField("c")).as("cw"))
+        val codes = sub.join(broadcast(codebook), Seq("m"))
+          .withColumn("d2", d2($"sv", $"cw"))
+          .withColumn("rn", row_number().over(wAssign)).filter($"rn" === 1)
+          .select($"vec_id", $"m", $"cid")
+        val qsub = sub.filter($"vec_id" < 10)
+          .select($"vec_id".as("q_id"), $"m", $"sv".as("qsv"))
+        val adcTab = qsub.join(broadcast(codebook), Seq("m"))
+          .select($"q_id", $"m", $"cid", d2($"qsv", $"cw").as("pd2"))
+        val wTop = Window.partitionBy($"q_id").orderBy($"adc", $"vec_id")
+        codes.join(broadcast(adcTab), Seq("m", "cid"))
+          .filter($"vec_id" =!= $"q_id")
+          .groupBy($"q_id", $"vec_id")
+          .agg(sum(when($"m" === 0, $"pd2")).as("p0"),
+            sum(when($"m" === 1, $"pd2")).as("p1"),
+            sum(when($"m" === 2, $"pd2")).as("p2"),
+            sum(when($"m" === 3, $"pd2")).as("p3"))
+          .withColumn("adc", ($"p0" + $"p1") + $"p2" + $"p3")
+          .withColumn("rk", row_number().over(wTop))
+          .filter($"rk" <= 3)
+          .select($"q_id", $"rk".cast("long").as("rk"), $"vec_id",
+            round($"adc", 4).as("adc"))
+          .orderBy($"q_id", $"rk")
+      },
+      Some(s"""WITH c AS ($duckVecs),
+             |sub AS (
+             |  SELECT vec_id, u.m AS m,
+             |    list_slice(v, u.m * 16 + 1, u.m * 16 + 16) AS sv
+             |  FROM c, LATERAL (SELECT unnest(range(0, 4)) AS m) u),
+             |seeds AS (SELECT m, CAST(vec_id AS INT) AS cid, sv AS cw
+             |          FROM sub WHERE vec_id < 8),
+             |a1 AS (
+             |  SELECT vec_id, m, cid, sv FROM (
+             |    SELECT s.vec_id, s.m, sd.cid, s.sv,
+             |      row_number() OVER (PARTITION BY s.vec_id, s.m ORDER BY
+             |        list_reduce(list_prepend(0.0, list_transform(
+             |          list_zip(s.sv, sd.cw),
+             |          p -> (p[1] - p[2]) * (p[1] - p[2]))), (a, b) -> a + b),
+             |        sd.cid) AS rn
+             |    FROM sub s JOIN seeds sd USING (m)) WHERE rn = 1),
+             |cbel AS (
+             |  SELECT a1.m, a1.cid, u.i AS i, avg(a1.sv[u.i]) AS cx
+             |  FROM a1, LATERAL (SELECT unnest(range(1, 17)) AS i) u
+             |  GROUP BY a1.m, a1.cid, u.i),
+             |cb AS (SELECT m, cid, list(cx ORDER BY i) AS cw
+             |       FROM cbel GROUP BY m, cid),
+             |codes AS (
+             |  SELECT vec_id, m, cid FROM (
+             |    SELECT s.vec_id, s.m, cb.cid,
+             |      row_number() OVER (PARTITION BY s.vec_id, s.m ORDER BY
+             |        list_reduce(list_prepend(0.0, list_transform(
+             |          list_zip(s.sv, cb.cw),
+             |          p -> (p[1] - p[2]) * (p[1] - p[2]))), (a, b) -> a + b),
+             |        cb.cid) AS rn
+             |    FROM sub s JOIN cb USING (m)) WHERE rn = 1),
+             |qs AS (SELECT vec_id AS q_id, m, sv AS qsv
+             |       FROM sub WHERE vec_id < 10),
+             |adct AS (
+             |  SELECT q.q_id, cb.m, cb.cid,
+             |    list_reduce(list_prepend(0.0, list_transform(
+             |      list_zip(q.qsv, cb.cw),
+             |      p -> (p[1] - p[2]) * (p[1] - p[2]))), (a, b) -> a + b) AS pd2
+             |  FROM qs q JOIN cb ON q.m = cb.m),
+             |pp AS (
+             |  SELECT a.q_id, co.vec_id,
+             |    sum(CASE WHEN co.m = 0 THEN a.pd2 END) AS p0,
+             |    sum(CASE WHEN co.m = 1 THEN a.pd2 END) AS p1,
+             |    sum(CASE WHEN co.m = 2 THEN a.pd2 END) AS p2,
+             |    sum(CASE WHEN co.m = 3 THEN a.pd2 END) AS p3
+             |  FROM codes co JOIN adct a ON co.m = a.m AND co.cid = a.cid
+             |  WHERE co.vec_id <> a.q_id
+             |  GROUP BY a.q_id, co.vec_id),
+             |r AS (
+             |  SELECT q_id, vec_id, ((p0 + p1) + p2) + p3 AS adc,
+             |    row_number() OVER (PARTITION BY q_id
+             |      ORDER BY ((p0 + p1) + p2) + p3, vec_id) AS rk
+             |  FROM pp)
+             |SELECT q_id, CAST(rk AS BIGINT) AS rk, vec_id,
+             |  round(adc, 4) AS adc
+             |FROM r WHERE rk <= 3 ORDER BY q_id, rk""".stripMargin)),
+
     // Embedding-cosine near-dup pairs on a bounded prefix. The corpus
     // has no natural pairs above 0.46, so jittered replays are planted
     // (withPlanted) — the emitted pair list is exactly the planted set,

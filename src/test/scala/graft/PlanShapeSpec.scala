@@ -191,6 +191,18 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture with Matchers {
     plan should not include "CartesianProduct"
   }
 
+  test("PQ ANN broadcasts codebooks and ADC tables; corpus never shuffles on a vector key") {
+    // every join in the PQ pipeline has a tiny build side (seeds M·K,
+    // codebook M·K, per-query ADC table M·K·|q|) — all broadcast; the
+    // only shuffles are the argmin windows and the (q_id, vec_id)
+    // aggregation, both corpus-linear
+    val plan = planOf("sim_ann_pq")
+    plan should include("BroadcastHashJoin")
+    plan should not include "SortMergeJoin"
+    plan should not include "CartesianProduct"
+    plan should not include "BroadcastNestedLoopJoin"
+  }
+
   test("CCNet segment filter joins model tables by key, never quadratic") {
     // segmentation + segment-bigram explode are map-side; the model
     // joins are keyed; the only nested loop is the 1-row vocab
