@@ -39,10 +39,12 @@ object ScaleProbe {
     "pipeline_bpe_vocab",
     "pipeline_bpe_tokenize",
     "pipeline_bpe_encode",
+    "pipeline_sequence_pack",
     "dedup_substring_spans",
     "sim_ann_lsh_bucketed",
     "sim_ann_ivf",
     "sim_ann_pq",
+    "sim_ann_sq8",
     "sim_semdedup")
 
   /** Heavy relational tier (r13; VERDICT r12 next-round #4): the

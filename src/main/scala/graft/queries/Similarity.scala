@@ -348,6 +348,84 @@ object Similarity extends QueryGroup {
              |  round(adc, 4) AS adc
              |FROM r WHERE rk <= 3 ORDER BY q_id, rk""".stripMargin)),
 
+    // Int8 scalar quantization ANN (r15; PQ's simpler sibling — the
+    // compression every production vector store ships first): each
+    // dimension maps to 0..127 against its corpus-wide [min, max]
+    // band, so a vector stores as 64 bytes instead of 64 floats (4×)
+    // and candidate scoring is an INTEGER dot product — SIMD-friendly
+    // on a real executor and, unlike any float path, bit-exact by
+    // construction: min/max are exact selections, the quantizer is
+    // floor((x−mn)·scale + 0.5) (explicit, not a rounding-mode-
+    // dependent round()), and int sums are associative, so no margin
+    // audit is even needed. 100 TB shape: the 64-row stats aggregate
+    // collapses to a 1-row broadcast; quantization and scoring are
+    // map-side over one corpus pass; the only corpus aggregation is
+    // the top-k window. Exact rescore of the shortlist remains
+    // sim_cosine_topk's job.
+    "sim_ann_sq8" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val corpus = vecs(s, dir)
+        // per-dimension corpus [min, max] → one broadcastable row
+        val stats = corpus
+          .select(posexplode($"v").as(Seq("i", "x")))
+          .groupBy($"i").agg(min($"x").as("mn"), max($"x").as("mx"))
+          .groupBy()
+          .agg(transform(array_sort(collect_list(struct($"i", $"mn"))),
+            e => e.getField("mn")).as("mns"),
+            transform(array_sort(collect_list(struct($"i", $"mx"))),
+              e => e.getField("mx")).as("mxs"))
+        def quant(v: Column, mns: Column, mxs: Column): Column =
+          transform(v, (x, i) => {
+            val mn = element_at(mns, i + 1)
+            val mx = element_at(mxs, i + 1)
+            when(mx === mn, lit(0L)).otherwise(
+              floor((x - mn) * lit(127.0) / (mx - mn) + lit(0.5)).cast("long"))
+          })
+        val coded = corpus.crossJoin(broadcast(stats))
+          .select($"vec_id", quant($"v", $"mns", $"mxs").as("code"))
+        val queries = coded.filter($"vec_id" < 10)
+          .select($"vec_id".as("q_id"), $"code".as("qcode"))
+        val w = Window.partitionBy($"q_id")
+          .orderBy($"score".desc, $"vec_id")
+        coded.join(broadcast(queries), $"vec_id" =!= $"q_id")
+          .withColumn("score",
+            aggregate(zip_with($"code", $"qcode", (a, b) => a * b),
+              lit(0L), (acc, x) => acc + x))
+          .withColumn("rk", row_number().over(w))
+          .filter($"rk" <= 3)
+          .select($"q_id", $"rk".cast("long").as("rk"), $"vec_id", $"score")
+          .orderBy($"q_id", $"rk")
+      },
+      Some(s"""WITH c AS ($duckVecs),
+             |dim AS (
+             |  SELECT u.i AS i, min(v[u.i]) AS mn, max(v[u.i]) AS mx
+             |  FROM c, LATERAL (SELECT unnest(range(1, 65)) AS i) u
+             |  GROUP BY u.i),
+             |st AS (SELECT list(mn ORDER BY i) AS mns,
+             |              list(mx ORDER BY i) AS mxs FROM dim),
+             |coded AS (
+             |  SELECT vec_id,
+             |    list_transform(range(1, 65), i ->
+             |      CASE WHEN st.mxs[i] = st.mns[i] THEN CAST(0 AS BIGINT)
+             |      ELSE CAST(floor((c.v[i] - st.mns[i]) * 127.0 /
+             |        (st.mxs[i] - st.mns[i]) + 0.5) AS BIGINT) END) AS code
+             |  FROM c, st),
+             |q AS (SELECT vec_id AS q_id, code AS qcode
+             |      FROM coded WHERE vec_id < 10),
+             |scored AS (
+             |  SELECT q.q_id, cd.vec_id,
+             |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |      list_transform(list_zip(cd.code, q.qcode),
+             |        p -> p[1] * p[2])), (a, b) -> a + b) AS score
+             |  FROM coded cd, q WHERE cd.vec_id <> q.q_id),
+             |r AS (SELECT q_id, vec_id, score,
+             |        row_number() OVER (PARTITION BY q_id
+             |          ORDER BY score DESC, vec_id) AS rk
+             |      FROM scored)
+             |SELECT q_id, CAST(rk AS BIGINT) AS rk, vec_id, score
+             |FROM r WHERE rk <= 3 ORDER BY q_id, rk""".stripMargin)),
+
     // Embedding-cosine near-dup pairs on a bounded prefix. The corpus
     // has no natural pairs above 0.46, so jittered replays are planted
     // (withPlanted) — the emitted pair list is exactly the planted set,

@@ -203,6 +203,20 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture with Matchers {
     plan should not include "BroadcastNestedLoopJoin"
   }
 
+  test("SQ8 ANN: stats and query codes broadcast; corpus scanned once") {
+    // the 1-row stats and the bounded query-code set are the only
+    // build sides (broadcast); the corpus never shuffles on a vector
+    // key. Three nested loops, all broadcast-tiny: the 1-row stats
+    // crossJoin appears twice (the query branch re-derives the coded
+    // frame) plus the query-batch broadcast — the sim_cosine_topk
+    // brute-force precedent
+    val plan = planOf("sim_ann_sq8")
+    plan should not include "SortMergeJoin"
+    plan should not include "CartesianProduct"
+    plan.sliding("BroadcastNestedLoopJoin".length)
+      .count(_ == "BroadcastNestedLoopJoin") should be <= 3
+  }
+
   test("CCNet segment filter joins model tables by key, never quadratic") {
     // segmentation + segment-bigram explode are map-side; the model
     // joins are keyed; the only nested loop is the 1-row vocab
