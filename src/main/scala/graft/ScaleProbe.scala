@@ -40,6 +40,7 @@ object ScaleProbe {
     "pipeline_bpe_tokenize",
     "pipeline_bpe_encode",
     "pipeline_sequence_pack",
+    "lm_stupid_backoff",
     "dedup_substring_spans",
     "sim_ann_lsh_bucketed",
     "sim_ann_ivf",
@@ -74,6 +75,7 @@ object ScaleProbe {
     "tpcds_q72",
     "tpcds_q39",
     "tpcds_q22",
+    "join_fuzzy_ed1",
     "tpcds_star_materialized")
 
   private val FixpointQueries = Set("dedup_minhash_lsh_full", "sim_embed_neardup_full")

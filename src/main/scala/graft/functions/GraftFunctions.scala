@@ -301,6 +301,9 @@ object GraftFunctions {
     ("img_header_meta",
       new ExpressionInfo(classOf[ImageHeaderMeta].getName, "img_header_meta"),
       (args: Seq[Expression]) => ImageHeaderMeta(args(0))),
+    ("audio_header_meta",
+      new ExpressionInfo(classOf[AudioHeaderMeta].getName, "audio_header_meta"),
+      (args: Seq[Expression]) => AudioHeaderMeta(args(0))),
     ("combine_hash",
       new ExpressionInfo(classOf[CombineHash].getName, "combine_hash"),
       (args: Seq[Expression]) =>

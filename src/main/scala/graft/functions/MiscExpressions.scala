@@ -199,3 +199,78 @@ case class ImageHeaderMeta(child: Expression)
   override protected def withNewChildInternal(newChild: Expression): ImageHeaderMeta =
     copy(child = newChild)
 }
+
+/** Real binary audio-header decoder (r15; the audio sibling of
+  * [[ImageHeaderMeta]]): parses WAV (RIFF spec / RFC 2361 registry —
+  * 'RIFF' + size + 'WAVE', then a chunk walk by declared
+  * little-endian sizes, odd sizes padded per the RIFF rule) out of a
+  * binary column, yielding struct(format, channels, sample_rate,
+  * bits_per_sample, n_frames). n_frames = the data chunk's declared
+  * size / block align — recoverable from the header prefix alone,
+  * exactly how a streaming prober reads the first KB of a media file
+  * without fetching the payload. NULL for anything that does not
+  * parse: bad magic, a truncated fmt chunk, a corrupt chunk size, a
+  * zero block align, or a missing fmt/data chunk.
+  *
+  * The walk is data-dependent — any LIST/INFO chunk before fmt moves
+  * every later offset by its own size field — so a fixed-offset
+  * "parser" fails the gate. Map-side; CodegenFallback deliberate
+  * (header sniffing; sample decode belongs in a mapInPandas batch).
+  */
+case class AudioHeaderMeta(child: Expression)
+  extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StructType(Seq(
+    StructField("format", StringType),
+    StructField("channels", IntegerType),
+    StructField("sample_rate", IntegerType),
+    StructField("bits_per_sample", IntegerType),
+    StructField("n_frames", LongType)))
+  override def nullable: Boolean = true
+  override def prettyName: String = "audio_header_meta"
+
+  private def le16(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+  private def le32(b: Array[Byte], i: Int): Long =
+    (b(i) & 0xffL) | ((b(i + 1) & 0xffL) << 8) |
+      ((b(i + 2) & 0xffL) << 16) | ((b(i + 3) & 0xffL) << 24)
+  private def tag(b: Array[Byte], i: Int): String =
+    new String(b, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val b = v.asInstanceOf[Array[Byte]]
+    if (b.length < 12 || tag(b, 0) != "RIFF" || tag(b, 8) != "WAVE")
+      return null
+    // Long cursor: a declared 32-bit chunk size near 4 GiB must walk
+    // the cursor past the buffer end, never wrap an Int
+    var pos = 12L
+    var channels = -1; var rate = -1L; var bits = -1; var blockAlign = -1
+    var dataSize = -1L
+    while (pos + 8 <= b.length && (channels < 0 || dataSize < 0)) {
+      val p = pos.toInt
+      val id = tag(b, p)
+      val size = le32(b, p + 4)
+      if (id == "fmt ") {
+        if (size < 16 || pos + 8 + 16 > b.length) return null
+        channels = le16(b, p + 10)
+        rate = le32(b, p + 12)
+        blockAlign = le16(b, p + 20)
+        bits = le16(b, p + 22)
+        if (channels <= 0 || rate <= 0 || blockAlign <= 0 || bits <= 0)
+          return null
+      } else if (id == "data") {
+        // declared size suffices — the payload need not be present
+        // (streaming probe semantics)
+        dataSize = size
+      }
+      // chunks are word-aligned: odd sizes carry one pad byte
+      pos += 8 + size + size % 2
+    }
+    if (channels < 0 || dataSize < 0) return null
+    org.apache.spark.sql.catalyst.InternalRow(
+      UTF8String.fromString("wav"), channels, rate.toInt, bits,
+      dataSize / blockAlign)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): AudioHeaderMeta =
+    copy(child = newChild)
+}

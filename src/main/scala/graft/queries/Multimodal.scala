@@ -167,6 +167,62 @@ object Multimodal extends QueryGroup {
              |FROM documents WHERE doc_id < 400
              |ORDER BY media_id""".stripMargin)),
 
+    // REAL audio-header decode (r15; the audio sibling of
+    // mm_decode_dims): payloads are WAV header byte prefixes planted
+    // deterministically from doc_id — 'RIFF'/'WAVE', then a LIST
+    // chunk whose LENGTH VARIES with doc_id (so fmt/data sit at
+    // data-dependent offsets and a fixed-offset "parser" fails every
+    // id), then fmt (channels/rate/bits/block-align, all
+    // little-endian) and a data chunk whose declared size stands in
+    // for the absent payload — exactly how a streaming prober reads
+    // the first KB of a media file. audio_header_meta walks the
+    // chunks and recovers the params; the oracle recomputes the
+    // planted values arithmetically (the mm_decode_dims split:
+    // encode∘decode identity gated here, real-file fidelity pinned
+    // by the golden 44-byte canonical-WAV vector in
+    // AudioHeaderSpec). All map-side.
+    "mm_audio_meta" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        // little-endian hex of the low n bytes of an integral column
+        def le(c: Column, n: Int): Column =
+          concat((0 until n).map(i =>
+            lpad(hex(pmod(shiftright(c, 8 * i), lit(256))), 2, "0")): _*)
+        Tables.documents(s, dir)
+          .filter($"doc_id" < 400)
+          .select($"doc_id",
+            ($"doc_id" % 2 + 1).as("ch"),
+            (($"doc_id" % 3 + 1) * 8).as("bits"),
+            (($"doc_id" % 6 + 1) * 8000).as("rate"),
+            ($"doc_id" % 1000 + 1).as("frames"),
+            (($"doc_id" % 5) * 2 + 4).as("pad"))
+          .withColumn("ba", ($"ch" * $"bits" / 8).cast("long"))
+          .withColumn("data_size", $"frames" * $"ba")
+          .withColumn("riff_size", lit(4 + 8) + $"pad" + lit(24 + 8) + $"data_size")
+          .withColumn("payload", unhex(concat(
+            lit("52494646"), le($"riff_size", 4), lit("57415645"),
+            lit("4C495354"), le($"pad", 4), expr("repeat('41', pad)"),
+            lit("666D7420"), le(lit(16L), 4),
+            le(lit(1L), 2), le($"ch", 2), le($"rate", 4),
+            le($"rate" * $"ba", 4), le($"ba", 2), le($"bits", 2),
+            lit("64617461"), le($"data_size", 4))))
+          .select($"doc_id".as("media_id"),
+            expr("audio_header_meta(payload)").as("m"))
+          .select($"media_id", $"m.format".as("format"),
+            $"m.channels".as("channels"),
+            $"m.sample_rate".as("sample_rate"),
+            $"m.bits_per_sample".as("bits_per_sample"),
+            $"m.n_frames".as("n_frames"))
+          .orderBy($"media_id")
+      },
+      Some("""SELECT doc_id AS media_id, 'wav' AS format,
+             |  CAST(doc_id % 2 + 1 AS INT) AS channels,
+             |  CAST((doc_id % 6 + 1) * 8000 AS INT) AS sample_rate,
+             |  CAST((doc_id % 3 + 1) * 8 AS INT) AS bits_per_sample,
+             |  CAST(doc_id % 1000 + 1 AS BIGINT) AS n_frames
+             |FROM documents WHERE doc_id < 400
+             |ORDER BY media_id""".stripMargin)),
+
     // Resize stub: metadata-only transform (image pipelines routinely
     // run metadata passes without touching payloads — verify Spark
     // prunes the payload column away entirely; see MultimodalSpec).

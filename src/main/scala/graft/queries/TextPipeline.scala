@@ -923,6 +923,119 @@ object TextPipeline extends QueryGroup {
              |FROM db d JOIN bi USING (w1, w2) JOIN uni USING (w1) CROSS JOIN vc
              |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin)),
 
+    // Stupid-backoff trigram LM (r15; Brants et al. 2007, "Large
+    // Language Models in Machine Translation" — THE web-scale n-gram
+    // scoring scheme: no discounting to compute, scores need only
+    // count lookups, which is why it distributes). Trained HELD-OUT
+    // (even doc_ids) and scored corpus-wide, so all three backoff
+    // tiers genuinely fire on odd documents: S = c3/c2(w1w2) when the
+    // trigram was seen, else 0.4·c2(w2w3)/c1(w2), else
+    // 0.4·0.4·(c1(w3)+1)/(N+V) (an add-one unigram floor — documented
+    // adaptation: open-vocabulary scoring must not ln(0)). Tier
+    // decisions are integer null-checks (exact); each score is a
+    // couple of IEEE ops from integer counts (identical both
+    // engines); per-doc ln-sums round to 4 (the lm_train_perplexity
+    // discipline). 100 TB shape: model = three count aggregations
+    // over the training stream; scoring = keyed joins of the doc
+    // trigram stream against vocab-bounded model tables (broadcast
+    // here, shuffle join beyond), never quadratic. Emits per-doc
+    // tier hit counts — an exact integer fingerprint of the whole
+    // backoff lattice.
+    "lm_stupid_backoff" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val toksDf = Tables.documents(s, dir)
+          .select($"doc_id", split(normText($"text"), " ").as("toks"))
+        def triOf(df: DataFrame): DataFrame = df
+          .filter(size($"toks") >= 3)
+          .select($"doc_id", explode(expr(
+            "transform(slice(toks, 1, size(toks) - 2), " +
+              "(t, i) -> struct(t AS w1, toks[i + 1] AS w2, " +
+              "toks[i + 2] AS w3))")).as("tg"))
+          .select($"doc_id", $"tg.w1", $"tg.w2", $"tg.w3")
+        val docTri = triOf(toksDf)
+        val train = toksDf.filter($"doc_id" % 2 === 0)
+        val tri = triOf(train).groupBy($"w1", $"w2", $"w3")
+          .agg(count(lit(1)).as("ct"))
+        val bi = train.filter(size($"toks") >= 2)
+          .select(explode(expr(
+            "transform(slice(toks, 1, size(toks) - 1), " +
+              "(t, i) -> struct(t AS wa, toks[i + 1] AS wb))")).as("bg"))
+          .select($"bg.wa", $"bg.wb")
+          .groupBy($"wa", $"wb").agg(count(lit(1)).as("cb"))
+        val uni = train.select(explode($"toks").as("w"))
+          .groupBy($"w").agg(count(lit(1)).as("cu"))
+        val tot = uni.agg(sum($"cu").as("n"), count(lit(1)).as("v"))
+        val sCol =
+          when($"ct".isNotNull, $"ct" / $"c12")
+            .when($"c23".isNotNull, lit(0.4) * ($"c23" / $"c2u"))
+            .otherwise(lit(0.4) * lit(0.4) *
+              ((coalesce($"c3u", lit(0L)) + 1) / ($"n" + $"v")))
+        docTri
+          .join(broadcast(tri), Seq("w1", "w2", "w3"), "left")
+          .join(broadcast(bi.toDF("w1", "w2", "c12")), Seq("w1", "w2"), "left")
+          .join(broadcast(bi.toDF("w2", "w3", "c23")), Seq("w2", "w3"), "left")
+          .join(broadcast(uni.toDF("w2", "c2u")), Seq("w2"), "left")
+          .join(broadcast(uni.toDF("w3", "c3u")), Seq("w3"), "left")
+          .crossJoin(broadcast(tot))
+          .groupBy($"doc_id")
+          .agg(count(lit(1)).as("n_trigrams"),
+            sum(when($"ct".isNotNull, 1L).otherwise(0L)).as("n_tier3"),
+            sum(when($"ct".isNull && $"c23".isNotNull, 1L).otherwise(0L))
+              .as("n_tier2"),
+            sum(when($"ct".isNull && $"c23".isNull, 1L).otherwise(0L))
+              .as("n_tier1"),
+            r4(sum(log(sCol))).as("logscore"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id,
+             |    string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS toks
+             |  FROM documents),
+             |dt AS (
+             |  SELECT doc_id,
+             |    unnest(list_transform(range(1, len(toks) - 1), i -> toks[i])) AS w1,
+             |    unnest(list_transform(range(1, len(toks) - 1), i -> toks[i + 1])) AS w2,
+             |    unnest(list_transform(range(1, len(toks) - 1), i -> toks[i + 2])) AS w3
+             |  FROM t WHERE len(toks) >= 3),
+             |tt AS (SELECT * FROM dt WHERE doc_id % 2 = 0),
+             |tri AS (SELECT w1, w2, w3, count(*) AS ct FROM tt GROUP BY 1, 2, 3),
+             |tb AS (
+             |  SELECT wa, wb, count(*) AS cb FROM (
+             |    SELECT unnest(list_transform(range(1, len(toks)), i -> toks[i])) AS wa,
+             |      unnest(list_transform(range(1, len(toks)), i -> toks[i + 1])) AS wb
+             |    FROM t WHERE doc_id % 2 = 0 AND len(toks) >= 2)
+             |  GROUP BY wa, wb),
+             |tu AS (
+             |  SELECT w, count(*) AS cu FROM (
+             |    SELECT unnest(toks) AS w FROM t WHERE doc_id % 2 = 0)
+             |  GROUP BY w),
+             |tot AS (SELECT CAST(sum(cu) AS BIGINT) AS n,
+             |               count(*) AS v FROM tu),
+             |sc AS (
+             |  SELECT d.doc_id, tri.ct, b12.cb AS c12, b23.cb AS c23,
+             |    u2.cu AS c2u, u3.cu AS c3u, tot.n, tot.v
+             |  FROM dt d
+             |  LEFT JOIN tri ON d.w1 = tri.w1 AND d.w2 = tri.w2 AND d.w3 = tri.w3
+             |  LEFT JOIN tb b12 ON d.w1 = b12.wa AND d.w2 = b12.wb
+             |  LEFT JOIN tb b23 ON d.w2 = b23.wa AND d.w3 = b23.wb
+             |  LEFT JOIN tu u2 ON d.w2 = u2.w
+             |  LEFT JOIN tu u3 ON d.w3 = u3.w
+             |  CROSS JOIN tot)
+             |SELECT doc_id, count(*) AS n_trigrams,
+             |  CAST(sum(CASE WHEN ct IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_tier3,
+             |  CAST(sum(CASE WHEN ct IS NULL AND c23 IS NOT NULL THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_tier2,
+             |  CAST(sum(CASE WHEN ct IS NULL AND c23 IS NULL THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_tier1,
+             |  round(sum(ln(
+             |    CASE WHEN ct IS NOT NULL THEN ct / c12
+             |         WHEN c23 IS NOT NULL THEN 0.4 * (c23 / c2u)
+             |         ELSE 0.4 * 0.4 * ((coalesce(c3u, 0) + 1) / (n + v))
+             |    END)), 4) AS logscore
+             |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
     // Distributed BPE vocabulary induction (r14; Sennrich et al. 2016,
     // "Neural Machine Translation of Rare Words with Subword Units" —
     // the tokenizer-training step of an LLM data pipeline). Classic

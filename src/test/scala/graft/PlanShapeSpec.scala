@@ -217,6 +217,23 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture with Matchers {
       .count(_ == "BroadcastNestedLoopJoin") should be <= 3
   }
 
+  test("stupid-backoff LM joins model tables by key, never quadratic") {
+    // doc trigram stream LEFT JOINs five vocab-bounded model tables
+    // by key; the only nested loop is the 1-row (N, V) broadcast
+    val plan = planOf("lm_stupid_backoff")
+    plan should not include "CartesianProduct"
+    plan.sliding("BroadcastNestedLoopJoin".length)
+      .count(_ == "BroadcastNestedLoopJoin") should be <= 1
+  }
+
+  test("fuzzy ed1 lookup equi-joins on the deletion-variant key") {
+    // candidate generation is the variant-key equi-join; the exact
+    // levenshtein runs only on candidates — never an all-pairs stage
+    val plan = planOf("join_fuzzy_ed1")
+    plan should not include "CartesianProduct"
+    plan should not include "BroadcastNestedLoopJoin"
+  }
+
   test("CCNet segment filter joins model tables by key, never quadratic") {
     // segmentation + segment-bigram explode are map-side; the model
     // joins are keyed; the only nested loop is the 1-row vocab
