@@ -274,3 +274,102 @@ case class AudioHeaderMeta(child: Expression)
   override protected def withNewChildInternal(newChild: Expression): AudioHeaderMeta =
     copy(child = newChild)
 }
+
+/** Real binary video-container decoder (r15; completes the
+  * image/audio/video header triple): parses the ISO base media file
+  * format (MP4 — ISO/IEC 14496-12 §4.2 box structure) out of a binary
+  * column, yielding struct(format, brand, timescale, duration). The
+  * walk reads each top-level box's 32-bit big-endian size (honoring
+  * the size==1 64-bit largesize escape and the size==0
+  * extends-to-EOF rule), records ftyp's major brand, descends into
+  * moov, and parses mvhd (version 0: 32-bit timescale/duration at
+  * payload offsets 12/16; version 1: 64-bit fields after 64-bit
+  * timestamps). NULL when anything fails to parse: no ftyp/moov/mvhd,
+  * a box size below the 8-byte header, or a truncated mvhd.
+  *
+  * Data-dependent by construction — any free/skip box before moov
+  * moves every later offset by its own size field — so a fixed-offset
+  * "parser" fails the gate. Map-side; CodegenFallback deliberate.
+  */
+case class VideoHeaderMeta(child: Expression)
+  extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StructType(Seq(
+    StructField("format", StringType),
+    StructField("brand", StringType),
+    StructField("timescale", IntegerType),
+    StructField("duration", LongType)))
+  override def nullable: Boolean = true
+  override def prettyName: String = "video_header_meta"
+
+  private def be32(b: Array[Byte], i: Int): Long =
+    ((b(i) & 0xffL) << 24) | ((b(i + 1) & 0xffL) << 16) |
+      ((b(i + 2) & 0xffL) << 8) | (b(i + 3) & 0xffL)
+  private def be64(b: Array[Byte], i: Int): Long =
+    (be32(b, i) << 32) | be32(b, i + 4)
+  private def tag(b: Array[Byte], i: Int): String =
+    new String(b, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+  /** (payloadStart, boxEnd) of the box at `pos`, or null on corrupt
+    * sizes. boxEnd may exceed b.length (probe semantics: declared
+    * sizes describe the full file, the buffer is a prefix). */
+  private def boxBounds(b: Array[Byte], pos: Long, limit: Long): (Long, Long) = {
+    if (pos + 8 > b.length) return null
+    val size = be32(b, pos.toInt)
+    if (size == 1L) {
+      if (pos + 16 > b.length) return null
+      val large = be64(b, pos.toInt + 8)
+      if (large < 16) return null
+      (pos + 16, pos + large)
+    } else if (size == 0L) (pos + 8, limit) // extends to EOF
+    else if (size < 8) null
+    else (pos + 8, pos + size)
+  }
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val b = v.asInstanceOf[Array[Byte]]
+    var pos = 0L
+    var brand: String = null
+    while (pos + 8 <= b.length) {
+      val bounds = boxBounds(b, pos, b.length.toLong)
+      if (bounds == null) return null
+      val (payload, end) = bounds
+      tag(b, pos.toInt + 4) match {
+        case "ftyp" =>
+          if (payload + 4 > b.length) return null
+          brand = tag(b, payload.toInt)
+        case "moov" =>
+          if (brand == null) return null // ftyp must precede moov
+          // walk moov's children for mvhd
+          var cp = payload
+          while (cp + 8 <= math.min(end, b.length)) {
+            val cb = boxBounds(b, cp, end)
+            if (cb == null) return null
+            val (cpl, cend) = cb
+            if (tag(b, cp.toInt + 4) == "mvhd") {
+              if (cpl + 4 > b.length) return null
+              val ver = b(cpl.toInt) & 0xff
+              return if (ver == 1) {
+                if (cpl + 32 > b.length) return null
+                org.apache.spark.sql.catalyst.InternalRow(
+                  UTF8String.fromString("mp4"), UTF8String.fromString(brand),
+                  be32(b, cpl.toInt + 20).toInt, be64(b, cpl.toInt + 24))
+              } else {
+                if (cpl + 20 > b.length) return null
+                org.apache.spark.sql.catalyst.InternalRow(
+                  UTF8String.fromString("mp4"), UTF8String.fromString(brand),
+                  be32(b, cpl.toInt + 12).toInt, be32(b, cpl.toInt + 16))
+              }
+            }
+            cp = cend
+          }
+          return null // moov without mvhd
+        case _ => // free/skip/mdat/...: step over by declared size
+      }
+      pos = end
+    }
+    null
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): VideoHeaderMeta =
+    copy(child = newChild)
+}

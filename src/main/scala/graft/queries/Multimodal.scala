@@ -223,6 +223,46 @@ object Multimodal extends QueryGroup {
              |FROM documents WHERE doc_id < 400
              |ORDER BY media_id""".stripMargin)),
 
+    // REAL video-container decode (r15; completes the
+    // image/audio/video triple): payloads are MP4 box prefixes
+    // planted deterministically from doc_id — ftyp(isom), then a
+    // free box whose SIZE VARIES with doc_id (so moov sits at a
+    // data-dependent offset), then moov▸mvhd v0 carrying the planted
+    // timescale/duration, all 32-bit big-endian per ISO 14496-12.
+    // video_header_meta walks the boxes (size==1 largesize and
+    // size==0 to-EOF escapes spec'd in VideoHeaderSpec) and recovers
+    // the params; the oracle recomputes them arithmetically (the
+    // mm_decode_dims split — golden vectors carry format fidelity).
+    "mm_video_meta" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        def be(c: Column): Column = lpad(hex(c), 8, "0")
+        Tables.documents(s, dir)
+          .filter($"doc_id" < 400)
+          .select($"doc_id",
+            (($"doc_id" % 5 + 1) * 1000).as("ts"),
+            ($"doc_id" % 10000 + 1).as("dur"),
+            ($"doc_id" % 7 + 2).as("pad"))
+          .withColumn("payload", unhex(concat(
+            lit("00000010"), lit("66747970"), lit("69736F6D"), lit("00000000"),
+            be($"pad" + 8), lit("66726565"), expr("repeat('00', pad)"),
+            lit("00000074"), lit("6D6F6F76"),
+            lit("0000006C"), lit("6D766864"), lit("00000000"),
+            lit("00000000"), lit("00000000"), be($"ts"), be($"dur"),
+            expr("repeat('00', 80)"))))
+          .select($"doc_id".as("media_id"),
+            expr("video_header_meta(payload)").as("m"))
+          .select($"media_id", $"m.format".as("format"),
+            $"m.brand".as("brand"), $"m.timescale".as("timescale"),
+            $"m.duration".as("duration"))
+          .orderBy($"media_id")
+      },
+      Some("""SELECT doc_id AS media_id, 'mp4' AS format, 'isom' AS brand,
+             |  CAST((doc_id % 5 + 1) * 1000 AS INT) AS timescale,
+             |  CAST(doc_id % 10000 + 1 AS BIGINT) AS duration
+             |FROM documents WHERE doc_id < 400
+             |ORDER BY media_id""".stripMargin)),
+
     // Resize stub: metadata-only transform (image pipelines routinely
     // run metadata passes without touching payloads — verify Spark
     // prunes the payload column away entirely; see MultimodalSpec).
