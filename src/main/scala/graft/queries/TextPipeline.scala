@@ -1154,64 +1154,70 @@ object TextPipeline extends QueryGroup {
 
     // Sequence packing (r15; the concat-and-chunk stage of a training
     // pipeline — GPT-style: Brown et al. 2020 §2.1 pack documents
-    // end-to-end into fixed-length training sequences): each source
-    // stream's documents concatenate in doc_id order and slice into
-    // 128-token sequences; the emitted manifest — per (source, chunk):
-    // docs spanned, tokens contributed, boundary ids — is what a
-    // dataloader consumes to locate examples. PACKING IS PER SOURCE
-    // STREAM, deliberately: the window sorts within each source
-    // partition, never a corpus-global total order — at 100 TB each
-    // stream (or shard) packs independently, the standard layout. All
-    // arithmetic is integer (offsets, interval intersections), so the
-    // oracle is exact by construction. One window pass + a bounded
-    // explode (a doc spans ⌈n_tok/128⌉ chunks); the only shuffles are
-    // the source-keyed window and the (source, chunk) aggregate.
+    // end-to-end into fixed-length training sequences): documents
+    // concatenate in doc_id order and slice into 128-token sequences;
+    // the emitted manifest — per packed chunk: docs spanned, tokens
+    // contributed, boundary ids — is what a dataloader consumes to
+    // locate examples. PACKING IS PER (source, SHARD), deliberately:
+    // sequences never span shard boundaries (exactly how tokenized
+    // corpora ship — one packed stream per output file), so the
+    // window sorts within (source, shard) partitions whose COUNT
+    // GROWS WITH THE DATA (shard = doc_id range of 2000 docs) —
+    // never a corpus-global total order, and never parallelism
+    // capped at the handful of distinct sources (r15 self-review:
+    // source alone is ~20-ary at every scale). All arithmetic is
+    // integer (offsets, interval intersections), so the oracle is
+    // exact by construction. One window pass + a bounded explode (a
+    // doc spans ⌈n_tok/128⌉ chunks); the only shuffles are the
+    // (source, shard)-keyed window and the manifest aggregate.
     "pipeline_sequence_pack" -> QueryDef(
       (s, dir) => {
         import s.implicits._
         import org.apache.spark.sql.expressions.Window
         val L = 128
-        val w = Window.partitionBy($"source").orderBy($"doc_id")
+        val w = Window.partitionBy($"source", $"shard").orderBy($"doc_id")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         Tables.documents(s, dir)
           .select($"doc_id", $"source",
+            floor($"doc_id" / 2000).cast("long").as("shard"),
             size(split(normText($"text"), " ")).cast("long").as("n_tok"))
           .withColumn("off", sum($"n_tok").over(w) - $"n_tok")
           .withColumn("chunk", explode(sequence(
             floor($"off" / L).cast("long"),
             floor(($"off" + $"n_tok" - 1) / L).cast("long"))))
-          .groupBy($"source", $"chunk")
+          .groupBy($"source", $"shard", $"chunk")
           .agg(count(lit(1)).as("n_docs"),
             sum(least(($"chunk" + 1) * L, $"off" + $"n_tok")
               - greatest($"chunk" * L, $"off")).as("n_tokens"),
             min($"doc_id").as("first_doc"),
             max($"doc_id").as("last_doc"))
-          .orderBy($"source", $"chunk")
+          .orderBy($"source", $"shard", $"chunk")
       },
       Some("""WITH d AS (
              |  SELECT doc_id, source,
+             |    CAST(floor(doc_id / 2000) AS BIGINT) AS shard,
              |    CAST(len(string_split(regexp_replace(trim(lower(text)),
              |      '\s+', ' ', 'g'), ' ')) AS BIGINT) AS n_tok
              |  FROM documents),
              |o AS (
-             |  SELECT doc_id, source, n_tok,
-             |    sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+             |  SELECT doc_id, source, shard, n_tok,
+             |    sum(n_tok) OVER (PARTITION BY source, shard ORDER BY doc_id
              |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
              |      - n_tok AS off
              |  FROM d),
              |e AS (
-             |  SELECT source, doc_id, n_tok, off, u.chunk AS chunk
+             |  SELECT source, shard, doc_id, n_tok, off, u.chunk AS chunk
              |  FROM o, LATERAL unnest(range(
              |    CAST(floor(off / 128) AS BIGINT),
              |    CAST(floor((off + n_tok - 1) / 128) AS BIGINT) + 1))
              |    AS u(chunk))
-             |SELECT source, chunk,
+             |SELECT source, shard, chunk,
              |  count(*) AS n_docs,
              |  CAST(sum(least((chunk + 1) * 128, off + n_tok)
              |    - greatest(chunk * 128, off)) AS BIGINT) AS n_tokens,
              |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
-             |FROM e GROUP BY source, chunk
-             |ORDER BY source, chunk""".stripMargin)),
+             |FROM e GROUP BY source, shard, chunk
+             |ORDER BY source, shard, chunk""".stripMargin)),
 
     // CCNet-style per-paragraph perplexity filter (r14; Wenzek et al.
     // 2020, "CCNet: Extracting High Quality Monolingual Datasets from
