@@ -1120,7 +1120,13 @@ object TextPipeline extends QueryGroup {
     // one grouped sort-by-position flatten — the corpus is never
     // shuffled except to the doc grain it already lives at. The
     // oracle replays the 8 merge rounds and rebuilds the same
-    // sequences with list(... ORDER BY position).
+    // sequences with list(... ORDER BY position). The full per-doc
+    // subword sequence is emitted FLATTENED to a space-joined scalar
+    // (token_seq) — same information, totally ordered — because the
+    // driver's pandas compare can only sort/hash scalar columns
+    // (r15 VERDICT wrong #1: a raw array<string> column errs the
+    // gate; the GateSchemaSpec now pins every gate output to
+    // AtomicType-only).
     "pipeline_bpe_encode" -> QueryDef(
       (s, dir) => {
         import s.implicits._
@@ -1135,7 +1141,9 @@ object TextPipeline extends QueryGroup {
           .agg(flatten(transform(
             array_sort(collect_list(struct($"i", $"syms"))),
             x => x.getField("syms"))).as("tokens"))
-          .withColumn("n_tokens", size($"tokens").cast("long"))
+          .select($"doc_id",
+            array_join($"tokens", " ").as("token_seq"),
+            size($"tokens").cast("long").as("n_tokens"))
           .orderBy($"doc_id")
       },
       Some(bpeOracle(BpeRounds,
@@ -1147,7 +1155,8 @@ object TextPipeline extends QueryGroup {
            |    LATERAL unnest(range(1, len(toks) + 1)) AS u(i)),
            |sy AS (SELECT w, string_split(trim(seq), '  ') AS syms
            |       FROM s$BpeRounds)
-           |SELECT doc_id, flatten(list(syms ORDER BY i)) AS tokens,
+           |SELECT doc_id,
+           |  array_to_string(flatten(list(syms ORDER BY i)), ' ') AS token_seq,
            |  CAST(len(flatten(list(syms ORDER BY i))) AS BIGINT) AS n_tokens
            |FROM dw JOIN sy USING (w)
            |GROUP BY doc_id ORDER BY doc_id""".stripMargin))),

