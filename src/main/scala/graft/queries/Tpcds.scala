@@ -160,6 +160,34 @@ object Tpcds extends QueryGroup {
       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |  GROUP BY 1, 2, 3)""".stripMargin
 
+  /** Catalog + web sales facts (r16, VERDICT r15 missing #3 — the
+    * tier modeled channels as a COLUMN of one fact, so cross-channel
+    * shapes pivoted by conditional aggregation instead of joining
+    * separate facts the way the published schema forces; the
+    * reference generates catalog_sales and web_sales as independent
+    * tables in presto-tpcds/.../TpcdsMetadata.java). Derived the
+    * store_returns way: the two new facts PARTITION the order lines
+    * by l_linenumber parity — catalog takes odd lines, web takes even
+    * — so they are genuinely disjoint purchase sets with their own
+    * row counts, keys, and totals, not column-slices of store_sales
+    * (which keeps its 30-query legacy definition as the store
+    * channel). Year is derived inline (year() agrees across engines)
+    * so the channel aggregates need no date_dim join; all money lands
+    * as exact integer cents downstream. */
+  private val channelCtes: String =
+    """catalog_sales AS (
+      |  SELECT CAST(year(o_orderdate) AS BIGINT) AS cs_year,
+      |    o_custkey AS cs_bill_customer_sk,
+      |    l_extendedprice AS cs_ext_sales_price
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  WHERE l_linenumber % 2 = 1),
+      |web_sales AS (
+      |  SELECT CAST(year(o_orderdate) AS BIGINT) AS ws_year,
+      |    o_custkey AS ws_bill_customer_sk,
+      |    l_extendedprice AS ws_ext_sales_price
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  WHERE l_linenumber % 2 = 0)""".stripMargin
+
   /** q23 text, parameterized by fact-table name so the same semantics
     * run over the inline CTE derivation (tpcds_q23 — the faithful
     * Presto-0.216 CTE-inlining economics: FOUR derivations of the
@@ -1142,6 +1170,82 @@ object Tpcds extends QueryGroup {
              |FROM store_sales
              |GROUP BY CAST(floor(ss_sold_date_sk / 10000) AS BIGINT), ss_store_sk
              |ORDER BY d_year, ss_store_sk""".stripMargin)),
+
+    // q4 shape (r16, VERDICT r15 next #3 — the three-way
+    // year-over-year customer chain, the q11 family's full form):
+    // customers whose CATALOG-channel spend grew faster than both
+    // their store spend and their web spend between consecutive
+    // years. Unlike every prior cross-channel row, the three
+    // channels here are THREE SEPARATE FACTS — store_sales plus the
+    // derived catalog_sales/web_sales (disjoint line-parity slices,
+    // channelCtes) — so the query is a genuine fact-to-fact join at
+    // the customer grain, the published q4 economics. Spark-first
+    // shape: the published SQL references one year_total CTE six
+    // ways, which Presto 0.216 (and Spark) inline into SIX fact
+    // aggregations; pivoting each channel's two years with
+    // conditional sums (the q11 lesson) makes it exactly THREE fact
+    // passes — one per fact, the floor for three-channel semantics —
+    // followed by joins whose sides are customer-grain aggregates
+    // only. Both growth comparisons are exact DECIMAL(38,0)
+    // cross-multiplications over integer cents (the tpcds_q31
+    // overflow + tpch_q11 fp lessons), so the row set cannot flip on
+    // cross-engine summation noise. All three aggregates and the
+    // joins share the customer_sk key, so AQE reuses one exchange
+    // partitioning end-to-end.
+    "tpcds_q4" -> sharedWith(
+      s"""$channelCtes,
+         |store_yt AS (
+         |  SELECT ss_customer_sk AS customer_sk,
+         |    CAST(sum(CASE WHEN d_year = 1995
+         |      THEN CAST(round(ss_ext_sales_price * 100, 0) AS BIGINT)
+         |      END) AS BIGINT) AS s1_cents,
+         |    CAST(sum(CASE WHEN d_year = 1996
+         |      THEN CAST(round(ss_ext_sales_price * 100, 0) AS BIGINT)
+         |      END) AS BIGINT) AS s2_cents
+         |  FROM store_sales JOIN date_dim ON ss_sold_date_sk = d_date_sk
+         |  WHERE d_year IN (1995, 1996)
+         |  GROUP BY ss_customer_sk),
+         |catalog_yt AS (
+         |  SELECT cs_bill_customer_sk AS customer_sk,
+         |    CAST(sum(CASE WHEN cs_year = 1995
+         |      THEN CAST(round(cs_ext_sales_price * 100, 0) AS BIGINT)
+         |      END) AS BIGINT) AS c1_cents,
+         |    CAST(sum(CASE WHEN cs_year = 1996
+         |      THEN CAST(round(cs_ext_sales_price * 100, 0) AS BIGINT)
+         |      END) AS BIGINT) AS c2_cents
+         |  FROM catalog_sales
+         |  WHERE cs_year IN (1995, 1996)
+         |  GROUP BY cs_bill_customer_sk),
+         |web_yt AS (
+         |  SELECT ws_bill_customer_sk AS customer_sk,
+         |    CAST(sum(CASE WHEN ws_year = 1995
+         |      THEN CAST(round(ws_ext_sales_price * 100, 0) AS BIGINT)
+         |      END) AS BIGINT) AS w1_cents,
+         |    CAST(sum(CASE WHEN ws_year = 1996
+         |      THEN CAST(round(ws_ext_sales_price * 100, 0) AS BIGINT)
+         |      END) AS BIGINT) AS w2_cents
+         |  FROM web_sales
+         |  WHERE ws_year IN (1995, 1996)
+         |  GROUP BY ws_bill_customer_sk)""".stripMargin,
+      """SELECT s.customer_sk,
+        |  CAST(s.s1_cents AS DOUBLE) / 100.0 AS store_year1,
+        |  CAST(s.s2_cents AS DOUBLE) / 100.0 AS store_year2,
+        |  CAST(c.c1_cents AS DOUBLE) / 100.0 AS catalog_year1,
+        |  CAST(c.c2_cents AS DOUBLE) / 100.0 AS catalog_year2,
+        |  CAST(w.w1_cents AS DOUBLE) / 100.0 AS web_year1,
+        |  CAST(w.w2_cents AS DOUBLE) / 100.0 AS web_year2
+        |FROM store_yt s
+        |JOIN catalog_yt c ON s.customer_sk = c.customer_sk
+        |JOIN web_yt w ON s.customer_sk = w.customer_sk
+        |WHERE s.s1_cents IS NOT NULL AND s.s2_cents IS NOT NULL
+        |  AND c.c1_cents IS NOT NULL AND c.c2_cents IS NOT NULL
+        |  AND w.w1_cents IS NOT NULL AND w.w2_cents IS NOT NULL
+        |  AND s.s1_cents > 0 AND c.c1_cents > 0 AND w.w1_cents > 0
+        |  AND CAST(c.c2_cents AS DECIMAL(38,0)) * s.s1_cents >
+        |      CAST(s.s2_cents AS DECIMAL(38,0)) * c.c1_cents
+        |  AND CAST(c.c2_cents AS DECIMAL(38,0)) * w.w1_cents >
+        |      CAST(w.w2_cents AS DECIMAL(38,0)) * c.c1_cents
+        |ORDER BY s.customer_sk""".stripMargin),
 
     // q23 over the materialized star (r14, VERDICT r13 wrong #4):
     // identical semantics to tpcds_q23, but the fact is derived ONCE

@@ -402,6 +402,19 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture with Matchers {
     plan should include("partial_sum")
   }
 
+  test("tpcds_q4's three-channel chain aggregates each fact exactly once") {
+    // the published SQL references year_total six ways, which CTE
+    // inlining would turn into SIX fact aggregations; the per-channel
+    // conditional-sum pivot keeps it at the three-channel floor —
+    // exactly one partial aggregation per fact — and every join
+    // thereafter moves customer-grain aggregate sides only
+    val plan = planOf("tpcds_q4")
+    plan should not include "BroadcastNestedLoopJoin"
+    plan should not include "CartesianProduct"
+    plan.linesIterator.count(
+      _.contains("partial_sum(CASE WHEN")) shouldBe 3
+  }
+
   test("tpcds_q77's rollup re-aggregates the tiny per-store pass") {
     // one combinable fact aggregation to ~channels×stores rows, then
     // Expand (×3 for the two-level ROLLUP) over ONLY that small set —
