@@ -266,6 +266,9 @@ case class AudioHeaderMeta(child: Expression)
       pos += 8 + size + size % 2
     }
     if (channels < 0 || dataSize < 0) return null
+    // the u32 sample rate must fit the struct's IntegerType — a
+    // spec-legal value >= 2^31 would wrap negative (ADVICE r15 #3)
+    if (rate > Int.MaxValue) return null
     org.apache.spark.sql.catalyst.InternalRow(
       UTF8String.fromString("wav"), channels, rate.toInt, bits,
       dataSize / blockAlign)
@@ -348,16 +351,22 @@ case class VideoHeaderMeta(child: Expression)
             if (tag(b, cp.toInt + 4) == "mvhd") {
               if (cpl + 4 > b.length) return null
               val ver = b(cpl.toInt) & 0xff
+              // the u32 timescale must fit the struct's IntegerType —
+              // a spec-legal value >= 2^31 would wrap (ADVICE r15 #3)
               return if (ver == 1) {
                 if (cpl + 32 > b.length) return null
+                val ts = be32(b, cpl.toInt + 20)
+                if (ts > Int.MaxValue) return null
                 org.apache.spark.sql.catalyst.InternalRow(
                   UTF8String.fromString("mp4"), UTF8String.fromString(brand),
-                  be32(b, cpl.toInt + 20).toInt, be64(b, cpl.toInt + 24))
+                  ts.toInt, be64(b, cpl.toInt + 24))
               } else {
                 if (cpl + 20 > b.length) return null
+                val ts = be32(b, cpl.toInt + 12)
+                if (ts > Int.MaxValue) return null
                 org.apache.spark.sql.catalyst.InternalRow(
                   UTF8String.fromString("mp4"), UTF8String.fromString(brand),
-                  be32(b, cpl.toInt + 12).toInt, be32(b, cpl.toInt + 16))
+                  ts.toInt, be32(b, cpl.toInt + 16))
               }
             }
             cp = cend

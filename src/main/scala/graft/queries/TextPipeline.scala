@@ -35,8 +35,7 @@ object TextPipeline extends QueryGroup {
     s"${sys.props("user.dir")}/spark-warehouse/graft_stem_dicts"
 
   private def stemDictDirFor(dir: String): java.io.File =
-    new java.io.File(stemDictBase,
-      "dict_" + dir.replaceAll("[^A-Za-z0-9]", "_"))
+    new java.io.File(stemDictBase, "dict_" + graft.PathKey(dir))
 
   /** The corpus vocabulary's (token → stem) map — |vocab| rows,
     * computed by the same word_stem the fn_word_stem2 gate and the 20
@@ -79,11 +78,17 @@ object TextPipeline extends QueryGroup {
       java.nio.file.Files.move(tmp.toPath, target.toPath,
         java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     catch {
-      // another process completed the identical (deterministic)
-      // export between our existence check and the rename — theirs
-      // is equally valid; discard ours
-      case _: java.nio.file.FileSystemException =>
-        org.apache.commons.io.FileUtils.deleteDirectory(tmp)
+      // the rename can fail because another process completed the
+      // identical (deterministic) export between our existence check
+      // and the rename — theirs is equally valid, discard ours. But
+      // FileSystemException also covers AtomicMoveNotSupported,
+      // permissions, etc. (ADVICE r15 #1), where discarding tmp would
+      // silently leave NO dict and an opaque oracle mismatch — so a
+      // completed target must actually exist before we discard.
+      case e: java.nio.file.FileSystemException =>
+        if (new java.io.File(target, "_SUCCESS").exists())
+          org.apache.commons.io.FileUtils.deleteDirectory(tmp)
+        else throw e
     }
   }
 

@@ -228,7 +228,7 @@ object Tpcds extends QueryGroup {
       dir: String): String = {
     Tables.registerAll(s, dir)
     val path = s.conf.get("spark.sql.warehouse.dir") +
-      "/graft_store_sales_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      "/graft_store_sales_" + graft.PathKey(dir)
     s.sql(s"WITH $starCtes\nSELECT * FROM store_sales")
       .write.mode("overwrite").parquet(path)
     s.read.parquet(path).createOrReplaceTempView("store_sales_mat")

@@ -315,7 +315,7 @@ object TpchExtra extends QueryGroup {
         // mode — on a cluster the warehouse dir is the shared
         // filesystem all executors write through (VERDICT r3 #2).
         val path = s.conf.get("spark.sql.warehouse.dir") +
-          "/graft_partsupp_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+          "/graft_partsupp_" + graft.PathKey(dir)
         partsupp(s, dir).write.mode("overwrite").parquet(path)
         s.read.parquet(path).createOrReplaceTempView("partsupp_mat")
         s.sql(q11Sql("partsupp_mat"))

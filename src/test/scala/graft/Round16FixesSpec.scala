@@ -1,0 +1,70 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** Regression pins for the round-16 fixes, plus the spec-asserted half
+  * of the SHOW statement family (SHOW FUNCTIONS / SHOW SESSION have no
+  * DuckDB-derivable oracle — the DESCRIBE INPUT precedent; the
+  * oracle-checkable statements are the show_statements gate row). */
+class Round16FixesSpec extends AnyFunSuite with SparkFixture with Matchers {
+
+  test("SHOW FUNCTIONS lists the graft-registered surface") {
+    // SqlBase.g4:78-79 #showFunctions — the reference enumerates its
+    // function registry; Spark's SHOW FUNCTIONS reads the same
+    // registry graft.Registry populated at session build
+    val fns = spark.sql("SHOW FUNCTIONS").collect()
+      .map(_.getString(0).split("\\.").last).toSet
+    Seq("word_stem", "approx_most_frequent", "st_contains", "hmac_sha256",
+      "to_base64", "bing_tile_at", "url_extract_host").foreach { f =>
+      withClue(s"missing from SHOW FUNCTIONS: $f") { fns(f) shouldBe true }
+    }
+  }
+
+  test("SHOW SESSION analog: SET reads back session configuration") {
+    // SqlBase.g4:86 #showSession — Presto lists session properties;
+    // Spark's SET <key> surfaces the same key/value readback
+    val row = spark.sql("SET spark.sql.shuffle.partitions").head()
+    row.getString(0) shouldBe "spark.sql.shuffle.partitions"
+    // GraftSession sizes this to the local core count; the readback
+    // must agree with the live conf, whatever the machine
+    row.getString(1) shouldBe
+      spark.conf.get("spark.sql.shuffle.partitions")
+    // and the unparameterized form enumerates (non-empty listing)
+    spark.sql("SET").count() should be > 0L
+  }
+
+  test("PathKey disambiguates paths that sanitize identically") {
+    // ADVICE r15 #4: data/sf0.1, data/sf0_1 and data_sf0-1 all
+    // collapse to data_sf0_1 under bare sanitization — one corpus's
+    // stem dict / materialized star could be served for another's
+    val keys = Seq("data/sf0.1", "data/sf0_1", "data_sf0-1").map(PathKey(_))
+    keys.distinct should have size 3
+    // stable across calls (names persist across JVMs)
+    PathKey("data/sf0.1") shouldBe keys.head
+  }
+
+  test("audio decoder nulls a sample rate that exceeds Int range") {
+    // ADVICE r15 #3: a spec-legal u32 >= 2^31 must not wrap negative
+    val hex = "52494646" + "28000000" + "57415645" +
+      "666D7420" + "10000000" +
+      "0100" + "0100" + "00000080" + "00000080" + // rate 0x80000000
+      "0100" + "0800" +
+      "64617461" + "04000000" + "80808080"
+    spark.sql(s"SELECT audio_header_meta(unhex('$hex')) AS m")
+      .head().isNullAt(0) shouldBe true
+  }
+
+  test("video decoder nulls an mvhd timescale that exceeds Int range") {
+    // ftyp(isom) + moov>mvhd v0 with timescale 0x80000000
+    val ftyp = "00000010" + "66747970" + "69736F6D" + "00000000"
+    val mvhd = "00000074" + "6D766864" + "00000000" + // v0
+      "00000000" + "00000000" +                        // ctime mtime
+      "80000000" +                                     // timescale 2^31
+      "00000064" +                                     // duration 100
+      "00" * 80
+    val moov = "0000007C" + "6D6F6F76" + mvhd
+    spark.sql(s"SELECT video_header_meta(unhex('$ftyp$moov')) AS m")
+      .head().isNullAt(0) shouldBe true
+  }
+}
