@@ -40,6 +40,7 @@ object ScaleProbe {
     "pipeline_bpe_tokenize",
     "pipeline_bpe_encode",
     "pipeline_sequence_pack",
+    "pipeline_domain_curation",
     "lm_stupid_backoff",
     "dedup_substring_spans",
     "sim_ann_lsh_bucketed",
@@ -75,6 +76,7 @@ object ScaleProbe {
     "tpcds_q72",
     "tpcds_q39",
     "tpcds_q22",
+    "tpcds_q4",
     "join_fuzzy_ed1",
     "tpcds_star_materialized")
 

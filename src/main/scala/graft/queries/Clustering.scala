@@ -21,8 +21,9 @@ import org.apache.spark.storage.StorageLevel
   *
   * Reference semantics: presto-ads has no clustering operator — this is
   * the dedup completion the 100 TB pipeline needs (VERDICT r2 §3).
-  * At cluster scale each round's result would be checkpointed to
-  * truncate lineage; here persist() is enough for ≤maxIters rounds.
+  * At cluster scale each round's result is checkpointed to truncate
+  * lineage — enabled by the [[CheckpointConf]] session conf (r16);
+  * locally persist() is enough for ≤maxIters rounds and stays default.
   */
 object Clustering {
 
@@ -55,6 +56,25 @@ object Clustering {
   @volatile var lastRounds: Int = 0
   @volatile var lastConverged: Boolean = false
 
+  /** Conf flag (r16; VERDICT r15 next #7 — makes the 100 TB lineage
+    * caveat code instead of a comment): when true, each fixpoint
+    * round's labels are localCheckpoint-ed (eager) instead of
+    * persisted, TRUNCATING lineage so round r's plan never chains
+    * back through rounds 1..r-1 — at cluster scale an un-truncated
+    * iterative lineage grows the plan (and any recomputation after
+    * cache eviction) linearly in the round count. Default off
+    * locally: persist() is cheaper for ≤maxIters rounds in one JVM.
+    * localCheckpoint trades fault-tolerance for speed (blocks live on
+    * executors); a deployment that must survive executor loss sets
+    * spark.checkpoint.dir and swaps in reliable checkpoint(). */
+  val CheckpointConf = "spark.graft.clustering.checkpoint"
+
+  private def roundMaterialize(df: DataFrame): DataFrame =
+    if (df.sparkSession.conf.getOption(CheckpointConf)
+        .exists(_.toBoolean))
+      df.localCheckpoint(eager = true)
+    else df.persist(StorageLevel.MEMORY_AND_DISK)
+
   /** Iterate propagation until the label assignment is stable.
     * Returns (id, cluster) with cluster = component-minimum id.
     *
@@ -71,10 +91,9 @@ object Clustering {
     val e = edges.select($"id", $"bucket").persist(StorageLevel.MEMORY_AND_DISK)
     // round 1 folded into initialization: with cluster(id)=id the
     // bucket minimum is just min(id) per bucket — no labels join yet
-    var labels = e.join(
+    var labels = roundMaterialize(e.join(
         e.groupBy($"bucket").agg(min($"id").as("bmin")), "bucket")
-      .groupBy($"id").agg(min($"bmin").as("cluster"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .groupBy($"id").agg(min($"bmin").as("cluster")))
     var prevSum = labels.agg(sum($"cluster")).as[Long].head()
     var it = 1
     var converged = false
@@ -84,8 +103,8 @@ object Clustering {
       // implies both sub-rounds were stationary — same fixpoint,
       // half the driver round-trips (each action is the latency
       // floor on an iterative job, locally and on a cluster)
-      val next = propagateRound(e, propagateRound(e, labels))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+      val next = roundMaterialize(
+        propagateRound(e, propagateRound(e, labels)))
       val nextSum = next.agg(sum($"cluster")).as[Long].head()
       converged = nextSum == prevSum
       prevSum = nextSum

@@ -871,6 +871,92 @@ object TextPipeline extends QueryGroup {
              |FROM r WHERE rn <= ceil(n_total * 0.2)
              |GROUP BY lang ORDER BY lang""".stripMargin)),
 
+    // Per-domain curation (r16; VERDICT r15 next #6 — RefinedWeb-style
+    // domain-level processing, Penedo et al. 2023 §3: web corpora are
+    // curated at the DOMAIN grain — per-domain stats, a blocklist, and
+    // frequency capping so mega-domains can't dominate the training
+    // mix). The domain derives deterministically from document
+    // metadata (synthetic URL host: half of all docs land on ~20
+    // '.hub' domains — the heavy head — and the rest spread over
+    // source×53 tail domains, reproducing web skew). 100 TB shape:
+    // ONE domain-grain aggregate (map-side combinable) produces the
+    // per-domain table; that aggregate-sized table broadcasts back
+    // onto the doc stream, so the blocklist anti-join and the
+    // frequency-capped sample are entirely map-side over the corpus —
+    // the raw docs are never shuffled on the (skewed) domain key.
+    // Capping is hash-sampling with rate min(1, cap/n_domain): keep a
+    // doc iff its 60-bit md5 draw u < rate·2^60, compared as the
+    // exact DECIMAL(38,0) cross-multiplication u·n < cap·2^60 (the
+    // tpcds_q4/q31 discipline — BIGINT would overflow, fp would
+    // flake), with the md5 primitive DuckDB evaluates bit-identically
+    // (the dedup_substring_spans precedent). The report is per-domain:
+    // doc count, kept count + id checksum, planned rate, mean length.
+    "pipeline_domain_curation" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val cap = 8L
+        val twoTo60 = 1152921504606846976L
+        val docs = Tables.documents(s, dir)
+          .select($"doc_id", $"n_chars",
+            when($"doc_id" % 10 < 5, concat($"source", lit(".hub")))
+              .otherwise(concat($"source", lit("."),
+                ($"doc_id" % 53).cast("string")))
+              .as("domain"))
+        val blocked = Seq("src0.hub", "src3.hub", "src7.13").toDF("domain")
+        val perDomain = docs.groupBy($"domain")
+          .agg(count(lit(1)).as("n_docs"),
+            r4(avg($"n_chars")).as("avg_chars"))
+          .join(broadcast(blocked), Seq("domain"), "left_anti")
+        val kept = docs
+          .join(broadcast(perDomain.select($"domain", $"n_docs")), "domain")
+          .filter(
+            expr(s"""CAST(CAST(conv(substring(md5(concat(domain, ':',
+                     |  CAST(doc_id AS STRING))), 1, 15), 16, 10) AS BIGINT)
+                     |  AS DECIMAL(38,0)) * n_docs <
+                     |CAST($cap AS DECIMAL(38,0)) * $twoTo60""".stripMargin))
+          .groupBy($"domain")
+          .agg(count(lit(1)).as("n_kept"), sum($"doc_id").as("kept_id_sum"))
+        perDomain.join(kept, Seq("domain"), "left_outer")
+          .select($"domain", $"n_docs",
+            coalesce($"n_kept", lit(0L)).as("n_kept"),
+            round(least(lit(1.0), lit(cap).cast("double") / $"n_docs"), 6)
+              .as("planned_rate"),
+            $"avg_chars",
+            coalesce($"kept_id_sum", lit(0L)).as("kept_id_sum"))
+          .orderBy($"domain")
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id, n_chars,
+             |    CASE WHEN doc_id % 10 < 5 THEN source || '.hub'
+             |         ELSE source || '.' || CAST(doc_id % 53 AS VARCHAR)
+             |    END AS domain
+             |  FROM documents),
+             |bl AS (SELECT * FROM (VALUES ('src0.hub'), ('src3.hub'),
+             |  ('src7.13')) AS t(domain)),
+             |pd AS (
+             |  SELECT domain, count(*) AS n_docs,
+             |    round(avg(n_chars), 4) AS avg_chars
+             |  FROM d GROUP BY domain),
+             |ok AS (SELECT * FROM pd
+             |       WHERE domain NOT IN (SELECT domain FROM bl)),
+             |k AS (
+             |  SELECT d.domain, count(*) AS n_kept,
+             |    CAST(sum(d.doc_id) AS BIGINT) AS kept_id_sum
+             |  FROM d JOIN ok ON d.domain = ok.domain
+             |  WHERE CAST(CAST('0x' || substr(md5(d.domain || ':' ||
+             |      CAST(d.doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+             |      AS DECIMAL(38,0)) * ok.n_docs <
+             |    CAST(8 AS DECIMAL(38,0)) * 1152921504606846976
+             |  GROUP BY d.domain)
+             |SELECT ok.domain, ok.n_docs,
+             |  coalesce(k.n_kept, 0) AS n_kept,
+             |  round(least(CAST(1 AS DOUBLE),
+             |    CAST(8 AS DOUBLE) / ok.n_docs), 6) AS planned_rate,
+             |  ok.avg_chars,
+             |  coalesce(k.kept_id_sum, 0) AS kept_id_sum
+             |FROM ok LEFT JOIN k ON ok.domain = k.domain
+             |ORDER BY ok.domain""".stripMargin)),
+
     // Bigram language-model quality scoring (r4 late): train add-k
     // smoothed bigram/unigram counts over the corpus in two hash
     // aggregations, then score every document by joining its bigrams

@@ -402,6 +402,17 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture with Matchers {
     plan should include("partial_sum")
   }
 
+  test("domain curation broadcasts the per-domain table; docs never shuffle on domain") {
+    // the only shuffle over raw docs is the domain-grain aggregate
+    // (map-side combinable); the blocklist anti-join and the
+    // frequency-cap filter see the per-domain counts via BROADCAST
+    // joins, so the skewed domain key never partitions the corpus
+    val plan = planOf("pipeline_domain_curation")
+    plan should include("BroadcastHashJoin")
+    plan should not include "CartesianProduct"
+    plan should not include "BroadcastNestedLoopJoin"
+  }
+
   test("tpcds_q4's three-channel chain aggregates each fact exactly once") {
     // the published SQL references year_total six ways, which CTE
     // inlining would turn into SIX fact aggregations; the per-channel
