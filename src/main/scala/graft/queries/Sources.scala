@@ -513,14 +513,37 @@ object Sources extends QueryGroup {
         val catalogs = s.sql("SHOW CATALOGS").collect()
           .map(_.getString(0)).filter(_ == "spark_catalog")
           .map(n => ("show_catalogs", n, Option("present"))).toSeq
-        (showCols ++ showCreate ++ schemas ++ catalogs)
+        // the VIEW half (SHOW CREATE VIEW's full text is dialect-
+        // specific, but its column surface is oracle-derivable): a
+        // projection view must list exactly its projected columns,
+        // and SHOW CREATE VIEW must embed the defining query —
+        // asserted here as the 'present' fact, with the literal-text
+        // check in Round16FixesSpec
+        s.sql("DROP VIEW IF EXISTS graft_show_v")
+        s.sql(s"CREATE VIEW graft_show_v AS " +
+          s"SELECT o_orderkey, o_totalprice FROM $tbl")
+        val viewCols = s.sql("SHOW COLUMNS IN graft_show_v").collect()
+          .map(r => ("show_columns_view", r.getString(0),
+            Option.empty[String])).toSeq
+        val viewCreate = {
+          val txt = s.sql("SHOW CREATE TABLE graft_show_v").collect()
+            .head.getString(0)
+          if (txt.contains("SELECT o_orderkey, o_totalprice"))
+            Seq(("show_create_view", "graft_show_v", Option("present")))
+          else Nil
+        }
+        (showCols ++ showCreate ++ schemas ++ catalogs ++
+            viewCols ++ viewCreate)
           .toDF("stmt", "name", "col_type")
           .orderBy($"stmt", $"name")
       },
       Some("""WITH cols AS (
              |  SELECT column_name, column_type
              |  FROM (DESCRIBE SELECT o_orderkey, o_custkey, o_totalprice,
-             |    o_orderstatus FROM orders))
+             |    o_orderstatus FROM orders)),
+             |vcols AS (
+             |  SELECT column_name
+             |  FROM (DESCRIBE SELECT o_orderkey, o_totalprice FROM orders))
              |SELECT * FROM (
              |  SELECT 'show_columns' AS stmt, column_name AS name,
              |    CAST(NULL AS VARCHAR) AS col_type
@@ -531,7 +554,12 @@ object Sources extends QueryGroup {
              |  UNION ALL
              |  SELECT 'show_schemas', 'default', 'present'
              |  UNION ALL
-             |  SELECT 'show_catalogs', 'spark_catalog', 'present')
+             |  SELECT 'show_catalogs', 'spark_catalog', 'present'
+             |  UNION ALL
+             |  SELECT 'show_columns_view', column_name, CAST(NULL AS VARCHAR)
+             |  FROM vcols
+             |  UNION ALL
+             |  SELECT 'show_create_view', 'graft_show_v', 'present')
              |ORDER BY stmt, name""".stripMargin)),
 
     // Hive-style partitioned layout + partition pruning — THE layout

@@ -34,6 +34,19 @@ class Round16FixesSpec extends AnyFunSuite with SparkFixture with Matchers {
     spark.sql("SET").count() should be > 0L
   }
 
+  test("SHOW CREATE VIEW embeds the defining query text") {
+    // SqlBase.g4:76-77 #showCreateView — the gate row
+    // (show_statements) checks the view's column surface against
+    // DuckDB; the dialect-specific CREATE text is pinned here
+    spark.sql("DROP VIEW IF EXISTS graft_r16_v")
+    spark.sql("CREATE VIEW graft_r16_v AS SELECT 1 AS one, 2 AS two")
+    val txt = spark.sql("SHOW CREATE TABLE graft_r16_v")
+      .head().getString(0)
+    txt should include("CREATE VIEW")
+    txt should include("SELECT 1 AS one, 2 AS two")
+    spark.sql("DROP VIEW graft_r16_v")
+  }
+
   test("PathKey disambiguates paths that sanitize identically") {
     // ADVICE r15 #4: data/sf0.1, data/sf0_1 and data_sf0-1 all
     // collapse to data_sf0_1 under bare sanitization — one corpus's
