@@ -177,13 +177,17 @@ object Tpcds extends QueryGroup {
   private val channelCtes: String =
     """catalog_sales AS (
       |  SELECT CAST(year(o_orderdate) AS BIGINT) AS cs_year,
+      |    CAST(month(o_orderdate) AS BIGINT) AS cs_moy,
       |    o_custkey AS cs_bill_customer_sk,
+      |    l_partkey AS cs_item_sk,
       |    l_extendedprice AS cs_ext_sales_price
       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |  WHERE l_linenumber % 2 = 1),
       |web_sales AS (
       |  SELECT CAST(year(o_orderdate) AS BIGINT) AS ws_year,
+      |    CAST(month(o_orderdate) AS BIGINT) AS ws_moy,
       |    o_custkey AS ws_bill_customer_sk,
+      |    l_partkey AS ws_item_sk,
       |    l_extendedprice AS ws_ext_sales_price
       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |  WHERE l_linenumber % 2 = 0)""".stripMargin
@@ -1246,6 +1250,79 @@ object Tpcds extends QueryGroup {
         |  AND CAST(c.c2_cents AS DECIMAL(38,0)) * w.w1_cents >
         |      CAST(w.w2_cents AS DECIMAL(38,0)) * c.c1_cents
         |ORDER BY s.customer_sk""".stripMargin),
+
+    // q97 shape: cross-channel purchase-set overlap. The published
+    // query takes the DISTINCT (customer, item) pair set of each of
+    // two channel facts and FULL OUTER JOINs them to count pairs seen
+    // in one channel only vs both — the canonical fact-to-fact
+    // set-reconciliation archetype (neither side is a dimension; both
+    // are corpus-sized distinct aggregates). Channels here are
+    // catalog vs web (the two line-parity facts): they partition the
+    // purchase EVENTS, so their (customer, item) pair sets genuinely
+    // diverge in both directions — store_sales would be a superset of
+    // either and collapse one branch to zero. 100 TB shape: each
+    // side is one distinct-aggregate shuffle on the composite key,
+    // then ONE sort-merge full-outer join on that same key (AQE
+    // reuses the distinct's partitioning — no extra exchange), then a
+    // partial-aggregating count to a single row. The counts are
+    // integers, so the gate cannot flake.
+    "tpcds_q97" -> sharedWith(
+      s"""$channelCtes,
+         |csci AS (
+         |  SELECT DISTINCT cs_bill_customer_sk AS customer_sk,
+         |    cs_item_sk AS item_sk
+         |  FROM catalog_sales WHERE cs_year = 1995),
+         |wsci AS (
+         |  SELECT DISTINCT ws_bill_customer_sk AS customer_sk,
+         |    ws_item_sk AS item_sk
+         |  FROM web_sales WHERE ws_year = 1995)""".stripMargin,
+      """SELECT
+        |  CAST(sum(CASE WHEN c.customer_sk IS NOT NULL
+        |    AND w.customer_sk IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS catalog_only,
+        |  CAST(sum(CASE WHEN c.customer_sk IS NULL
+        |    AND w.customer_sk IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS web_only,
+        |  CAST(sum(CASE WHEN c.customer_sk IS NOT NULL
+        |    AND w.customer_sk IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS catalog_and_web
+        |FROM csci c
+        |FULL OUTER JOIN wsci w
+        |  ON c.customer_sk = w.customer_sk AND c.item_sk = w.item_sk""".stripMargin),
+
+    // q71 shape: three-channel revenue by brand — the published
+    // query's UNION ALL of the store/catalog/web facts into one
+    // sales stream that then joins the item dimension and aggregates
+    // at the brand grain. This is the union archetype the channel
+    // COLUMN could never exercise: three physically distinct fact
+    // scans interleave through one exchange (Spark plans UNION ALL as
+    // free interleaving, no shuffle of its own), the item dim
+    // broadcasts, and the only fact-sized shuffle is the final brand
+    // aggregate's partial→final. Revenue sums as exact integer cents
+    // (BIGINT) so the ORDER BY rank can never flip on fp summation
+    // noise; the emitted revenue is one IEEE division at the end.
+    "tpcds_q71" -> sharedWith(
+      s"""$channelCtes,
+         |sales AS (
+         |  SELECT ss_item_sk AS item_sk,
+         |    CAST(round(ss_ext_sales_price * 100, 0) AS BIGINT) AS cents
+         |  FROM store_sales JOIN date_dim ON ss_sold_date_sk = d_date_sk
+         |  WHERE d_year = 1995 AND d_moy = 12
+         |  UNION ALL
+         |  SELECT cs_item_sk AS item_sk,
+         |    CAST(round(cs_ext_sales_price * 100, 0) AS BIGINT) AS cents
+         |  FROM catalog_sales WHERE cs_year = 1995 AND cs_moy = 12
+         |  UNION ALL
+         |  SELECT ws_item_sk AS item_sk,
+         |    CAST(round(ws_ext_sales_price * 100, 0) AS BIGINT) AS cents
+         |  FROM web_sales WHERE ws_year = 1995 AND ws_moy = 12)""".stripMargin,
+      """SELECT i_brand,
+        |  CAST(sum(cents) AS BIGINT) AS ext_price_cents,
+        |  CAST(CAST(sum(cents) AS DOUBLE) / 100.0 AS DOUBLE) AS ext_price,
+        |  count(*) AS n_sales
+        |FROM sales JOIN item ON item_sk = i_item_sk
+        |GROUP BY i_brand
+        |ORDER BY ext_price_cents DESC, i_brand""".stripMargin),
 
     // q23 over the materialized star (r14, VERDICT r13 wrong #4):
     // identical semantics to tpcds_q23, but the fact is derived ONCE

@@ -426,6 +426,30 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture with Matchers {
       _.contains("partial_sum(CASE WHEN")) shouldBe 3
   }
 
+  test("tpcds_q97's overlap is one full-outer join of two distinct sets") {
+    // each channel side collapses to a HashAggregate(distinct) on the
+    // composite (customer, item) key, then exactly ONE join — the
+    // full-outer set reconciliation — feeds the single-row count;
+    // no nested-loop shape and no second fact-sized join
+    val plan = planOf("tpcds_q97")
+    plan should not include "BroadcastNestedLoopJoin"
+    plan should not include "CartesianProduct"
+    plan should include("FullOuter")
+    plan.linesIterator.count(l =>
+      l.contains("SortMergeJoin") && l.contains("FullOuter")) shouldBe 1
+  }
+
+  test("tpcds_q71's union interleaves three facts, dim join broadcasts") {
+    // UNION ALL is free interleaving (Union exec, no shuffle of its
+    // own); the item dim must broadcast; the only fact-sized exchange
+    // is the brand aggregate's partial→final pair
+    val plan = planOf("tpcds_q71")
+    plan should include("Union")
+    plan should include("BroadcastHashJoin")
+    plan should not include "BroadcastNestedLoopJoin"
+    plan should not include "CartesianProduct"
+  }
+
   test("tpcds_q77's rollup re-aggregates the tiny per-store pass") {
     // one combinable fact aggregation to ~channels×stores rows, then
     // Expand (×3 for the two-level ROLLUP) over ONLY that small set —
