@@ -41,6 +41,8 @@ object ScaleProbe {
     "pipeline_bpe_encode",
     "pipeline_sequence_pack",
     "pipeline_domain_curation",
+    "pipeline_paragraph_dedup",
+    "search_hybrid_rrf",
     "lm_stupid_backoff",
     "dedup_substring_spans",
     "sim_ann_lsh_bucketed",
@@ -77,6 +79,8 @@ object ScaleProbe {
     "tpcds_q39",
     "tpcds_q22",
     "tpcds_q4",
+    "tpcds_q97",
+    "tpcds_q71",
     "join_fuzzy_ed1",
     "tpcds_star_materialized")
 

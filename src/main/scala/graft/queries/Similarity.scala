@@ -734,7 +734,171 @@ object Similarity extends QueryGroup {
              |SELECT id_b AS dropped_id, min(id_a) AS kept_id,
              |  round(max(cos), 4) AS max_cos
              |FROM pairs WHERE cos >= 0.97
-             |GROUP BY id_b ORDER BY dropped_id""".stripMargin))
+             |GROUP BY id_b ORDER BY dropped_id""".stripMargin)),
+
+    // Hybrid retrieval with reciprocal-rank fusion (Cormack et al.
+    // 2009, "Reciprocal Rank Fusion outperforms Condorcet and
+    // individual Rank Learning Methods"): the standard RAG/search
+    // stack runs a LEXICAL ranker (BM25) and a DENSE ranker (embedding
+    // cosine) over the same corpus and fuses by rank, not score —
+    // rrf(d) = Σ_r 1/(k + rank_r(d)), k = 60. Queries are ids 0-4;
+    // each query's lexical form is its own document's 8
+    // lexicographically-smallest distinct tokens (order-independent
+    // in both engines — array_distinct preserves encounter order in
+    // Spark but list_distinct does NOT in DuckDB, so a sort is the
+    // only portable selection), its dense form is its embedding
+    // (vec_id aligns with doc_id in the corpus).
+    // Cross-engine determinism: the BM25 total is summed in INTEGER
+    // micro-units — each per-term score is quantized to round(s·1e6)
+    // BEFORE the per-document sum, so the aggregate is exact and
+    // immune to fp summation order (a raw double sum over a join is
+    // order-nondeterministic even within one engine); quantization
+    // margins are audited in HybridRrfMarginSpec (the PqMarginSpec
+    // precedent). RRF scores are then sums of two doubles derived
+    // from integer ranks — bit-identical in both engines — and exact
+    // ties break by doc_id.
+    // 100 TB shape: postings = one (doc, term) aggregate of the
+    // exploded corpus; query terms, per-term df, and corpus stats are
+    // all query-batch-sized broadcasts, so lexical scoring never
+    // shuffles the corpus on a term key; dense scoring is the
+    // brute-force map-side scan (sim_cosine_topk's shape — IVF/PQ are
+    // the recall/cost knobs at scale); both top-k cuts compile to
+    // WindowGroupLimit (bounded per-partition state, partial top-k
+    // before the shuffle); the fusion join moves only 2·|Q|·k rows.
+    "search_hybrid_rrf" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val topK = 20
+        val toksDf = Tables.documents(s, dir)
+          .select($"doc_id",
+            split(regexp_replace(trim(lower($"text")), "\\s+", " "), " ")
+              .as("toks"))
+        val stats = toksDf.agg(
+          count(lit(1)).cast("double").as("n_docs"),
+          avg(size($"toks")).as("avgdl"))
+        val qt = toksDf.filter($"doc_id" < 5)
+          .select($"doc_id".as("q_id"),
+            explode(slice(array_sort(array_distinct($"toks")), 1, 8))
+              .as("term"))
+        val post = toksDf
+          .select($"doc_id", size($"toks").cast("double").as("dl"),
+            explode($"toks").as("term"))
+          .groupBy($"doc_id", $"dl", $"term")
+          .agg(count(lit(1)).cast("double").as("tf"))
+        val dft = post
+          .join(broadcast(qt.select($"term").distinct()), Seq("term"))
+          .groupBy($"term").agg(count(lit(1)).cast("double").as("df"))
+        val perTerm = post
+          .join(broadcast(qt), Seq("term"))
+          .filter($"doc_id" =!= $"q_id")
+          .join(broadcast(dft), Seq("term"))
+          .crossJoin(broadcast(stats))
+          .withColumn("unit", round(
+            log(lit(1.0) + (($"n_docs" - $"df" + 0.5) / ($"df" + 0.5)))
+              * $"tf" * 2.2
+              / ($"tf" + lit(1.2) * (lit(0.25) + lit(0.75) * $"dl" / $"avgdl"))
+              * 1e6, 0).cast("long"))
+        val wl = Window.partitionBy($"q_id")
+          .orderBy($"lex_units".desc, $"doc_id")
+        val lexTop = perTerm.groupBy($"q_id", $"doc_id")
+          .agg(sum($"unit").as("lex_units"))
+          .withColumn("rk_lex", row_number().over(wl))
+          .filter($"rk_lex" <= topK)
+          .select($"q_id", $"doc_id", $"rk_lex")
+        val corpus = vecs(s, dir)
+        val queries = corpus.filter($"vec_id" < 5)
+          .select($"vec_id".as("q_id"), $"v".as("qv"), $"nrm".as("qn"))
+        val wd = Window.partitionBy($"q_id")
+          .orderBy($"cos".desc_nulls_last, $"vec_id")
+        val denTop = corpus.crossJoin(broadcast(queries))
+          .filter($"vec_id" =!= $"q_id")
+          .withColumn("cos", expr("vec_dot(v, qv)") / ($"nrm" * $"qn"))
+          .withColumn("rk_cos", row_number().over(wd))
+          .filter($"rk_cos" <= topK)
+          .select($"q_id", $"vec_id".as("doc_id"), $"rk_cos")
+        val wf = Window.partitionBy($"q_id").orderBy($"rrf".desc, $"doc_id")
+        lexTop.join(denTop, Seq("q_id", "doc_id"), "full_outer")
+          .withColumn("rrf",
+            coalesce(lit(1.0) / (lit(60.0) + $"rk_lex"), lit(0.0)) +
+              coalesce(lit(1.0) / (lit(60.0) + $"rk_cos"), lit(0.0)))
+          .withColumn("rk", row_number().over(wf))
+          .filter($"rk" <= 10)
+          .select($"q_id", $"rk".cast("long").as("rk"), $"doc_id",
+            round($"rrf", 6).as("rrf"),
+            coalesce($"rk_lex".cast("long"), lit(0L)).as("rk_lex"),
+            coalesce($"rk_cos".cast("long"), lit(0L)).as("rk_cos"))
+          .orderBy($"q_id", $"rk")
+      },
+      Some(s"""WITH t AS (
+             |  SELECT doc_id,
+             |    string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ') AS toks
+             |  FROM documents),
+             |stats AS (
+             |  SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+             |    avg(len(toks)) AS avgdl FROM t),
+             |qt AS (
+             |  SELECT doc_id AS q_id,
+             |    unnest(list_sort(list_distinct(toks))[1:8]) AS term
+             |  FROM t WHERE doc_id < 5),
+             |post AS (
+             |  SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl,
+             |    unnest(toks) AS term
+             |  FROM t),
+             |tfp AS (
+             |  SELECT doc_id, dl, term, CAST(count(*) AS DOUBLE) AS tf
+             |  FROM post GROUP BY doc_id, dl, term),
+             |dft AS (
+             |  SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tfp
+             |  WHERE term IN (SELECT DISTINCT term FROM qt)
+             |  GROUP BY term),
+             |lex AS (
+             |  SELECT q.q_id, f.doc_id,
+             |    sum(CAST(round(
+             |      ln(1.0 + ((s.n_docs - d.df + 0.5) / (d.df + 0.5)))
+             |        * f.tf * 2.2
+             |        / (f.tf + 1.2 * (0.25 + 0.75 * f.dl / s.avgdl))
+             |        * 1000000.0, 0) AS BIGINT)) AS lex_units
+             |  FROM tfp f JOIN qt q ON f.term = q.term
+             |  JOIN dft d ON f.term = d.term
+             |  CROSS JOIN stats s
+             |  WHERE f.doc_id <> q.q_id
+             |  GROUP BY q.q_id, f.doc_id),
+             |lext AS (
+             |  SELECT q_id, doc_id,
+             |    row_number() OVER (PARTITION BY q_id
+             |      ORDER BY lex_units DESC, doc_id) AS rk_lex
+             |  FROM lex QUALIFY rk_lex <= 20),
+             |c AS ($duckVecs),
+             |q AS (SELECT vec_id AS q_id, v AS qv FROM c WHERE vec_id < 5),
+             |den AS (
+             |  SELECT q.q_id, c.vec_id AS doc_id,
+             |    list_dot_product(c.v, q.qv) /
+             |      (sqrt(list_dot_product(c.v, c.v)) *
+             |       sqrt(list_dot_product(q.qv, q.qv))) AS cos
+             |  FROM c, q WHERE c.vec_id <> q.q_id),
+             |dent AS (
+             |  SELECT q_id, doc_id,
+             |    row_number() OVER (PARTITION BY q_id
+             |      ORDER BY cos DESC, doc_id) AS rk_cos
+             |  FROM den QUALIFY rk_cos <= 20),
+             |fused AS (
+             |  SELECT coalesce(l.q_id, d.q_id) AS q_id,
+             |    coalesce(l.doc_id, d.doc_id) AS doc_id,
+             |    coalesce(1.0 / (60.0 + l.rk_lex), 0.0)
+             |      + coalesce(1.0 / (60.0 + d.rk_cos), 0.0) AS rrf,
+             |    l.rk_lex, d.rk_cos
+             |  FROM lext l
+             |  FULL OUTER JOIN dent d
+             |    ON l.q_id = d.q_id AND l.doc_id = d.doc_id)
+             |SELECT q_id,
+             |  row_number() OVER (PARTITION BY q_id
+             |    ORDER BY rrf DESC, doc_id) AS rk,
+             |  doc_id, round(rrf, 6) AS rrf,
+             |  coalesce(rk_lex, 0) AS rk_lex,
+             |  coalesce(rk_cos, 0) AS rk_cos
+             |FROM fused
+             |QUALIFY rk <= 10
+             |ORDER BY q_id, rk""".stripMargin))
   )
 
   /** Cluster-size bound for sim_semdedup's derived-k clustering, and

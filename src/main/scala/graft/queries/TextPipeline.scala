@@ -1424,6 +1424,69 @@ object TextPipeline extends QueryGroup {
              |  round(avg(CASE WHEN ppl < 30.0 THEN ppl END), 4) AS avg_kept_ppl
              |FROM sppl GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
+    // CCNet step-1 paragraph-level exact dedup (Wenzek et al. 2020
+    // §3.1): before any LM filtering, CCNet hash-dedups PARAGRAPHS
+    // across the whole crawl, keeping one occurrence of each — the
+    // single biggest byte-reduction step of the published pipeline
+    // (they report ~70% of raw text removed). Adaptation, documented:
+    // the synthetic corpus has no paragraph marks, so the unit is a
+    // fixed 4-token segment — short enough that the tiny synthetic
+    // vocabulary produces a real duplicate population (6% of segments
+    // at sf0.01, 10% at sf0.1 — density GROWS with the corpus, as
+    // dedup economics should). First occurrence wins, ordered by
+    // (doc_id, seg_id) — deterministic in both engines.
+    // 100 TB shape: segmentation is map-side; the dedup decision is
+    // ONE row_number window shuffle keyed on the segment text (at
+    // real scale the key would be the segment's 128-bit hash — same
+    // shuffle, smaller keys; the text key here keeps the oracle
+    // exact), then one doc-grain aggregate. Never a self-join of the
+    // segment stream against itself. Output is all-integer, so the
+    // gate cannot flake on fp rounding.
+    "pipeline_paragraph_dedup" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val L = 4
+        val toksDf = Tables.documents(s, dir)
+          .select($"doc_id", split(normText($"text"), " ").as("toks"))
+        val segs = toksDf
+          .select($"doc_id", explode(expr(
+            s"transform(sequence(0, CAST(ceil(size(toks) / $L.0) AS INT) - 1), " +
+              s"s -> named_struct('seg_id', CAST(s AS BIGINT), " +
+              s"'stext', array_join(slice(toks, s * $L + 1, $L), ' '), " +
+              s"'slen', CAST(size(slice(toks, s * $L + 1, $L)) AS BIGINT)))"))
+            .as("g"))
+          .select($"doc_id", $"g.seg_id".as("seg_id"),
+            $"g.stext".as("stext"), $"g.slen".as("slen"))
+        val w = Window.partitionBy($"stext").orderBy($"doc_id", $"seg_id")
+        segs.withColumn("rn", row_number().over(w))
+          .groupBy($"doc_id")
+          .agg(count(lit(1)).as("n_segs"),
+            sum(when($"rn" > 1, 1L).otherwise(0L)).as("n_removed"),
+            sum(when($"rn" === 1, $"slen").otherwise(0L)).as("kept_tokens"),
+            sum($"slen").as("total_tokens"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id,
+             |    string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS toks
+             |  FROM documents),
+             |seg AS (
+             |  SELECT doc_id, CAST(s AS BIGINT) AS seg_id,
+             |    array_to_string(toks[s * 4 + 1 : s * 4 + 4], ' ') AS stext,
+             |    CAST(len(toks[s * 4 + 1 : s * 4 + 4]) AS BIGINT) AS slen
+             |  FROM t, LATERAL unnest(
+             |    range(0, CAST(ceil(len(toks) / 4.0) AS BIGINT))) AS u(s)),
+             |r AS (
+             |  SELECT doc_id, slen,
+             |    row_number() OVER (PARTITION BY stext ORDER BY doc_id, seg_id) AS rn
+             |  FROM seg)
+             |SELECT doc_id, count(*) AS n_segs,
+             |  CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+             |  CAST(sum(CASE WHEN rn = 1 THEN slen ELSE 0 END) AS BIGINT) AS kept_tokens,
+             |  CAST(sum(slen) AS BIGINT) AS total_tokens
+             |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
     // BM25 relevance scoring (Robertson/Sparck Jones as in Lucene:
     // idf = ln(1 + (N − df + 0.5)/(df + 0.5)), k1 = 1.2, b = 0.75)
     // of the whole corpus against a query-term set. 100 TB shape: df

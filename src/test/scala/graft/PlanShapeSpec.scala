@@ -413,6 +413,30 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture with Matchers {
     plan should not include "BroadcastNestedLoopJoin"
   }
 
+  test("paragraph dedup is one window shuffle over segments, no joins") {
+    // segmentation is map-side; the first-occurrence decision is ONE
+    // row_number window keyed on the segment text; a join of the
+    // segment stream against itself (the naive dedup) would shuffle
+    // the corpus twice and blow up on duplicate-heavy keys
+    val plan = planOf("pipeline_paragraph_dedup")
+    plan should include("Window")
+    plan should not include "Join"
+    plan should not include "CartesianProduct"
+  }
+
+  test("hybrid rrf: bounded top-k windows, corpus never shuffles on a term") {
+    // both ranker cuts compile to WindowGroupLimit (partial top-k per
+    // partition before the shuffle); the only nested-loop joins are
+    // the bounded query-batch / 1-row stats broadcasts; postings join
+    // query terms via broadcast, so no corpus-sized term-key shuffle
+    val plan = planOf("search_hybrid_rrf")
+    plan should include("WindowGroupLimit")
+    plan should include("BroadcastHashJoin")
+    plan should not include "CartesianProduct"
+    plan.linesIterator.count(
+      _.contains("BroadcastNestedLoopJoin")) should be <= 2
+  }
+
   test("tpcds_q4's three-channel chain aggregates each fact exactly once") {
     // the published SQL references year_total six ways, which CTE
     // inlining would turn into SIX fact aggregations; the per-channel
