@@ -59,12 +59,21 @@ object PortableLsh {
   /** Spark side: the 16 band-bucket strings for an x-array column, all
     * minhashes computed in ONE projection (mirrors the r2/r3 lesson:
     * explode only the 16 bucket strings, never the wide array). */
-  def bucketArray(x: Column): Column = {
+  def bucketArray(x: Column): Column = bucketArrayBanded(x, RowsPerBand)
+
+  /** [[bucketArray]] at an explicit rows-per-band (band count =
+    * NumPerms / rowsPerBand). More rows per band = stricter candidate
+    * threshold (collision prob ≈ j^rows per band): dedup recall wants
+    * the default 4; split hygiene (pipeline_leakage_split) wants 16 —
+    * at 4 this corpus's LSH graph is one connected component, which
+    * would put every document in one split. */
+  def bucketArrayBanded(x: Column, rowsPerBand: Int): Column = {
+    require(NumPerms % rowsPerBand == 0)
     def mh(i: Int): Column =
       array_min(transform(x, v => (lit(alphas(i)) * v + lit(betas(i))) % P))
-    val buckets = (0 until NumBands).map { b =>
+    val buckets = (0 until NumPerms / rowsPerBand).map { b =>
       concat_ws(":", lit(b), concat_ws("-",
-        (0 until RowsPerBand).map(r => mh(b * RowsPerBand + r)): _*))
+        (0 until rowsPerBand).map(r => mh(b * rowsPerBand + r)): _*))
     }
     array(buckets: _*)
   }
@@ -111,6 +120,24 @@ object PortableLsh {
        |  FROM mh)""".stripMargin
   }
 
+  /** [[duckMinhashEdges]] at an explicit rows-per-band, mirroring
+    * [[bucketArrayBanded]] (identical "b:m1-m2-…" bucket strings). */
+  def duckMinhashEdgesBanded(rowsPerBand: Int): String = {
+    require(NumPerms % rowsPerBand == 0)
+    val nb = NumPerms / rowsPerBand
+    val sig = duckMinhashEdges
+    val cut = sig.lastIndexOf(",\nedges AS MATERIALIZED")
+    sig.substring(0, cut) +
+      s""",
+         |edges AS MATERIALIZED (
+         |  SELECT doc_id AS id,
+         |    unnest(list_transform(range(0, $nb), b ->
+         |      b::VARCHAR || ':' || array_to_string(
+         |        m[CAST(b * $rowsPerBand + 1 AS INT) :
+         |          CAST((b + 1) * $rowsPerBand AS INT)], '-'))) AS bucket
+         |  FROM mh)""".stripMargin
+  }
+
   /** DuckDB fragment: exact connected components over a CTE
     * `edges(id, bucket)` — the independent recomputation of
     * [[Clustering.propagateToFixpoint]]'s fixpoint. The label graph is
@@ -132,6 +159,13 @@ object PortableLsh {
     * the CONTRACTED label graph (a few hundred nodes), which is exact
     * for any component diameter. */
   def duckClosureSelect: String =
+    s"""$duckClosureCtes
+      |SELECT id, cluster FROM assign ORDER BY id""".stripMargin
+
+  /** The closure chain ending in an `assign(id, cluster)` CTE, for
+    * oracles that post-process the assignment (pipeline_leakage_split)
+    * instead of emitting it directly. */
+  def duckClosureCtes: String =
     """bm0 AS (SELECT bucket, min(id) AS m FROM edges GROUP BY bucket),
       |r1 AS (SELECT e.id, min(bm0.m) AS l FROM edges e JOIN bm0 USING (bucket) GROUP BY e.id),
       |bm1 AS (SELECT e.bucket, min(r1.l) AS m FROM edges e JOIN r1 ON r1.id = e.id GROUP BY e.bucket),
@@ -169,6 +203,7 @@ object PortableLsh {
       |  SELECT u.y AS lid, r.rid FROM und2 u JOIN reach r ON r.lid = u.x),
       |rm AS (SELECT lid, min(rid) AS m FROM reach GROUP BY lid),
       |lc AS (SELECT f4.x AS lid, coalesce(rm.m, f4.f) AS cluster
-      |       FROM f4 LEFT JOIN rm ON rm.lid = f4.f)
-      |SELECT r3.id, lc.cluster FROM r3 JOIN lc ON lc.lid = r3.l ORDER BY r3.id""".stripMargin
+      |       FROM f4 LEFT JOIN rm ON rm.lid = f4.f),
+      |assign AS (SELECT r3.id, lc.cluster
+      |           FROM r3 JOIN lc ON lc.lid = r3.l)""".stripMargin
 }

@@ -562,6 +562,61 @@ object TextPipeline extends QueryGroup {
              |${PortableLsh.duckMinhashEdges},
              |${PortableLsh.duckClosureSelect}""".stripMargin)),
 
+    // Leakage-safe train/validation/test split (the GPT-3 lesson,
+    // Brown et al. 2020 appendix C: eval contamination comes from
+    // near-duplicates straddling the split, so membership must be
+    // decided per near-dup CLUSTER, never per document). Clusters are
+    // the dedup_minhash_lsh_full LSH + min-label fixpoint at a
+    // TIGHTER banding (16 rows/band × 4 bands, candidate threshold
+    // ≈ j^16 per band): split hygiene wants high-precision near-dup
+    // edges, and at the dedup-recall banding (4 rows) this corpus's
+    // LSH graph is one connected component — every document would
+    // land in one split, the degenerate-but-safe extreme.
+    // The split is then a pure function of the cluster label — a
+    // 56-bit md5 draw on the cluster id cross-multiplied against the
+    // 90/5/5 fractions in exact BIGINT (56 bits so u*20 cannot
+    // overflow; the domain-curation discipline without needing
+    // DECIMAL) — so by construction no two near-dup documents can
+    // land in different splits. 100 TB shape: clustering is the
+    // proven two-shuffles-per-round fixpoint; the split assignment
+    // adds ZERO shuffles (a map over the labeled stream). The oracle
+    // recomputes the identical clusters (recursive-CTE closure) and
+    // the identical md5 draw — the full per-doc assignment is
+    // value-checked.
+    "pipeline_leakage_split" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.documents(s, dir)
+          .select($"doc_id", PortableLsh.wordBaseHashes($"text").as("x"))
+        val edges = docs
+          .select($"doc_id".as("id"),
+            explode(PortableLsh.bucketArrayBanded($"x", 16)).as("bucket"))
+        Clustering.propagateToFixpoint(edges)
+          .select($"id", $"cluster")
+          .withColumn("u", expr(
+            "CAST(conv(substring(md5(concat('split:', " +
+              "CAST(cluster AS STRING))), 1, 14), 16, 10) AS BIGINT)"))
+          .select($"id", $"cluster",
+            when($"u" * 10 < 648518346341351424L, "train")
+              .when($"u" * 20 < 1369094286720630784L, "validation")
+              .otherwise("test").as("split"))
+          .orderBy($"id")
+      },
+      Some(s"""WITH RECURSIVE
+             |base AS (SELECT doc_id, text FROM documents),
+             |${PortableLsh.duckMinhashEdgesBanded(16)},
+             |${PortableLsh.duckClosureCtes},
+             |drawn AS (
+             |  SELECT id, cluster,
+             |    CAST('0x' || substr(md5('split:' || CAST(cluster AS VARCHAR)),
+             |      1, 14) AS BIGINT) AS u
+             |  FROM assign)
+             |SELECT id, cluster,
+             |  CASE WHEN u * 10 < 648518346341351424 THEN 'train'
+             |       WHEN u * 20 < 1369094286720630784 THEN 'validation'
+             |       ELSE 'test' END AS split
+             |FROM drawn ORDER BY id""".stripMargin)),
+
     // SimHash near-dup: 64-bit signature from token hashes; property:
     // high-Jaccard pairs sit strictly closer in Hamming space than the
     // average unrelated pair (deterministic given fixed hashing).

@@ -68,6 +68,20 @@ class Round16FixesSpec extends AnyFunSuite with SparkFixture with Matchers {
       .head().isNullAt(0) shouldBe true
   }
 
+  test("leakage split never straddles a near-dup cluster across splits") {
+    // the contamination guarantee: split is a function of the cluster
+    // label, so every cluster must map to exactly ONE split — and the
+    // assignment must be non-degenerate (all three splits populated,
+    // many clusters) or the property is vacuous
+    import spark.implicits._
+    val df = SparkEntry.queries("pipeline_leakage_split")(spark, sfDir)
+    val perCluster = df.groupBy($"cluster")
+      .agg(org.apache.spark.sql.functions.countDistinct($"split").as("k"))
+    perCluster.filter($"k" =!= 1L).count() shouldBe 0L
+    df.select($"split").distinct().count() shouldBe 3L
+    perCluster.count() should be >= 20L
+  }
+
   test("video decoder nulls an mvhd timescale that exceeds Int range") {
     // ftyp(isom) + moov>mvhd v0 with timescale 0x80000000
     val ftyp = "00000010" + "66747970" + "69736F6D" + "00000000"
