@@ -81,6 +81,8 @@ object ScaleProbe {
     "tpcds_q4",
     "tpcds_q97",
     "tpcds_q71",
+    "tpcds_q38",
+    "tpcds_q60",
     "join_fuzzy_ed1",
     "tpcds_star_materialized")
 

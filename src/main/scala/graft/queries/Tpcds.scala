@@ -1324,6 +1324,75 @@ object Tpcds extends QueryGroup {
         |GROUP BY i_brand
         |ORDER BY ext_price_cents DESC, i_brand""".stripMargin),
 
+    // q38 shape: customers active in ALL THREE channels — the
+    // published query INTERSECTs the distinct customer sets of the
+    // store, catalog, and web facts and counts the survivors. The
+    // set-operation-on-facts archetype: each leg is a corpus-sized
+    // distinct aggregate, and INTERSECT itself plans as a left-semi
+    // chain on the already-partitioned keys (AQE reuses the distinct
+    // exchanges). Catalog/web partition the purchase events, so the
+    // three-way intersection is a genuine filter, not a tautology.
+    // Single integer output — the gate cannot flake.
+    "tpcds_q38" -> sharedWith(
+      channelCtes,
+      """SELECT count(*) AS hot_customers FROM (
+        |  SELECT DISTINCT ss_customer_sk AS customer_sk
+        |  FROM store_sales JOIN date_dim ON ss_sold_date_sk = d_date_sk
+        |  WHERE d_year = 1995
+        |  INTERSECT
+        |  SELECT DISTINCT cs_bill_customer_sk AS customer_sk
+        |  FROM catalog_sales WHERE cs_year = 1995
+        |  INTERSECT
+        |  SELECT DISTINCT ws_bill_customer_sk AS customer_sk
+        |  FROM web_sales WHERE ws_year = 1995)""".stripMargin),
+
+    // q60 shape: category-restricted item revenue, each channel
+    // PRE-AGGREGATED then combined — the complement of q71's
+    // union-then-aggregate: the published q33/q56/q60 family
+    // aggregates each channel fact to the item grain first and unions
+    // the three partial aggregates, so the final re-aggregation moves
+    // only |items|-sized sides. The category restriction joins the
+    // (broadcast) filtered item dim INSIDE each leg, so pruning
+    // happens before any fact shuffle. Exact integer cents
+    // throughout; the ORDER BY ranks on the exact sum.
+    "tpcds_q60" -> sharedWith(
+      s"""$channelCtes,
+         |cat_items AS (
+         |  SELECT i_item_sk FROM item WHERE i_category = 'STANDARD'),
+         |ss AS (
+         |  SELECT ss_item_sk AS item_sk,
+         |    CAST(sum(CAST(round(ss_ext_sales_price * 100, 0) AS BIGINT))
+         |      AS BIGINT) AS cents
+         |  FROM store_sales
+         |  JOIN cat_items ON ss_item_sk = i_item_sk
+         |  JOIN date_dim ON ss_sold_date_sk = d_date_sk
+         |  WHERE d_year = 1995 AND d_moy = 9
+         |  GROUP BY ss_item_sk),
+         |cs AS (
+         |  SELECT cs_item_sk AS item_sk,
+         |    CAST(sum(CAST(round(cs_ext_sales_price * 100, 0) AS BIGINT))
+         |      AS BIGINT) AS cents
+         |  FROM catalog_sales
+         |  JOIN cat_items ON cs_item_sk = i_item_sk
+         |  WHERE cs_year = 1995 AND cs_moy = 9
+         |  GROUP BY cs_item_sk),
+         |ws AS (
+         |  SELECT ws_item_sk AS item_sk,
+         |    CAST(sum(CAST(round(ws_ext_sales_price * 100, 0) AS BIGINT))
+         |      AS BIGINT) AS cents
+         |  FROM web_sales
+         |  JOIN cat_items ON ws_item_sk = i_item_sk
+         |  WHERE ws_year = 1995 AND ws_moy = 9
+         |  GROUP BY ws_item_sk)""".stripMargin,
+      """SELECT item_sk,
+        |  CAST(sum(cents) AS BIGINT) AS total_cents,
+        |  CAST(CAST(sum(cents) AS DOUBLE) / 100.0 AS DOUBLE) AS total_sales
+        |FROM (SELECT * FROM ss UNION ALL
+        |      SELECT * FROM cs UNION ALL
+        |      SELECT * FROM ws)
+        |GROUP BY item_sk
+        |ORDER BY total_cents DESC, item_sk""".stripMargin),
+
     // q23 over the materialized star (r14, VERDICT r13 wrong #4):
     // identical semantics to tpcds_q23, but the fact is derived ONCE
     // to warehouse parquet and the four CTE references scan it back —

@@ -474,6 +474,27 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture with Matchers {
     plan should not include "CartesianProduct"
   }
 
+  test("tpcds_q38's intersect chain never goes nested-loop") {
+    // three distinct aggregates reconciled by INTERSECT (left-semi
+    // chain on the shared customer key); the count is one row
+    val plan = planOf("tpcds_q38")
+    plan should not include "BroadcastNestedLoopJoin"
+    plan should not include "CartesianProduct"
+    plan should include("LeftSemi")
+  }
+
+  test("tpcds_q60 pre-aggregates each channel before the union") {
+    // the q33/q56/q60 family shape: per-channel item-grain partial
+    // aggregation (3 legs), category dim broadcast INSIDE each leg,
+    // union of aggregate-sized sides only
+    val plan = planOf("tpcds_q60")
+    plan should include("Union")
+    plan should include("BroadcastHashJoin")
+    plan should not include "CartesianProduct"
+    plan.linesIterator.count(
+      _.contains("partial_sum")) should be >= 3
+  }
+
   test("tpcds_q77's rollup re-aggregates the tiny per-store pass") {
     // one combinable fact aggregation to ~channels×stores rows, then
     // Expand (×3 for the two-level ROLLUP) over ONLY that small set —
