@@ -42,6 +42,7 @@ object ScaleProbe {
     "pipeline_sequence_pack",
     "pipeline_domain_curation",
     "pipeline_paragraph_dedup",
+    "pipeline_incremental_dedup",
     "search_hybrid_rrf",
     "lm_stupid_backoff",
     "dedup_substring_spans",
@@ -49,6 +50,7 @@ object ScaleProbe {
     "sim_ann_ivf",
     "sim_ann_pq",
     "sim_ann_sq8",
+    "sim_ann_ivf_materialized",
     "sim_semdedup")
 
   /** Heavy relational tier (r13; VERDICT r12 next-round #4): the

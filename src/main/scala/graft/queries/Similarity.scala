@@ -97,6 +97,78 @@ object Similarity extends QueryGroup {
        |                  THEN (1::BIGINT << CAST(p.i AS INT)) ELSE 0 END) AS BIGINT) AS sig
        |  FROM $srcCte a, planes p GROUP BY a.vec_id, p.b)""".stripMargin
 
+  /** Per-cell centroids, computed distributed (posexplode → per-dim
+    * avg → re-assembled array) — shared by the inline and the
+    * materialized IVF rows. */
+  private def centroidsOf(corpus: DataFrame): DataFrame = {
+    import corpus.sparkSession.implicits._
+    corpus
+      .select($"label", posexplode($"v").as(Seq("i", "x")))
+      .groupBy($"label", $"i").agg(avg($"x").as("m"))
+      .groupBy($"label")
+      .agg(transform(array_sort(collect_list(struct($"i", $"m"))),
+        e => e.getField("m")).as("centroid"))
+  }
+
+  /** The multiprobe serve path over any (vec_id, label, v, nrm)
+    * corpus and (label, centroid) table: rank cells per query by
+    * centroid distance, probe the 2 nearest, exact-score the union. */
+  private def multiprobeServe(s: SparkSession, corpus: DataFrame,
+      cent: DataFrame): DataFrame = {
+    import s.implicits._
+    val queries = corpus.filter($"vec_id" < 10)
+      .select($"vec_id".as("q_id"), $"v".as("qv"), $"nrm".as("qn"))
+    val wp = Window.partitionBy($"q_id").orderBy($"d2", $"label")
+    val probes = queries.crossJoin(broadcast(cent))
+      .withColumn("d2",
+        aggregate(zip_with($"qv", $"centroid", (a, b) => (a - b) * (a - b)),
+          lit(0.0), (acc, x) => acc + x))
+      .withColumn("pr", row_number().over(wp))
+      .filter($"pr" <= 2)
+      .select($"q_id", $"label", $"qv", $"qn")
+    val w = Window.partitionBy($"q_id")
+      .orderBy($"cos".desc_nulls_last, $"vec_id")
+    corpus.join(broadcast(probes), Seq("label"))
+      .filter($"vec_id" =!= $"q_id")
+      .withColumn("cos", expr("vec_dot(v, qv)") / ($"nrm" * $"qn"))
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= 3)
+      .select($"q_id", $"rk", $"vec_id", round($"cos", 4).as("cos"))
+      .orderBy($"q_id", $"rk")
+  }
+
+  /** The multiprobe oracle — shared verbatim by sim_ann_ivf_multiprobe
+    * and sim_ann_ivf_materialized (materialization must not change a
+    * single value, the q23_materialized discipline). */
+  private lazy val duckMultiprobeSql: String =
+    s"""WITH c AS ($duckVecs),
+       |byel AS (
+       |  SELECT label, u.i AS i, avg(v[u.i]) AS m
+       |  FROM c, LATERAL (SELECT unnest(generate_series(1, 64)) AS i) u
+       |  GROUP BY label, u.i),
+       |cent AS (SELECT label, list(m ORDER BY i) AS centroid FROM byel GROUP BY label),
+       |q AS (SELECT vec_id AS q_id, v AS qv FROM c WHERE vec_id < 10),
+       |pd AS (
+       |  SELECT q.q_id, cent.label, q.qv,
+       |    list_reduce(list_prepend(0.0, list_transform(list_zip(q.qv, cent.centroid),
+       |      p -> (p[1] - p[2]) * (p[1] - p[2]))), (a, b) -> a + b) AS d2
+       |  FROM q, cent),
+       |probes AS (
+       |  SELECT q_id, label, qv FROM (
+       |    SELECT q_id, label, qv,
+       |      row_number() OVER (PARTITION BY q_id ORDER BY d2, label) AS pr
+       |    FROM pd) WHERE pr <= 2),
+       |scored AS (
+       |  SELECT p.q_id, c.vec_id,
+       |    list_dot_product(c.v, p.qv) /
+       |      (sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(p.qv, p.qv))) AS cos
+       |  FROM c JOIN probes p ON c.label = p.label AND c.vec_id <> p.q_id),
+       |r AS (SELECT q_id, vec_id, cos,
+       |        row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rk
+       |      FROM scored)
+       |SELECT q_id, rk, vec_id, round(cos, 4) AS cos
+       |FROM r WHERE rk <= 3 ORDER BY q_id, rk""".stripMargin
+
   override def defs: Map[String, QueryDef] = Map(
     // Brute-force cosine top-5 for 10 query vectors.
     "sim_cosine_topk" -> QueryDef(
@@ -168,59 +240,39 @@ object Similarity extends QueryGroup {
       (s, dir) => {
         import s.implicits._
         val corpus = vecs(s, dir)
-        val cent = corpus
-          .select($"label", posexplode($"v").as(Seq("i", "x")))
-          .groupBy($"label", $"i").agg(avg($"x").as("m"))
-          .groupBy($"label")
-          .agg(transform(array_sort(collect_list(struct($"i", $"m"))),
-            e => e.getField("m")).as("centroid"))
-        val queries = corpus.filter($"vec_id" < 10)
-          .select($"vec_id".as("q_id"), $"v".as("qv"), $"nrm".as("qn"))
-        val wp = Window.partitionBy($"q_id").orderBy($"d2", $"label")
-        val probes = queries.crossJoin(broadcast(cent))
-          .withColumn("d2",
-            aggregate(zip_with($"qv", $"centroid", (a, b) => (a - b) * (a - b)),
-              lit(0.0), (acc, x) => acc + x))
-          .withColumn("pr", row_number().over(wp))
-          .filter($"pr" <= 2)
-          .select($"q_id", $"label", $"qv", $"qn")
-        val w = Window.partitionBy($"q_id")
-          .orderBy($"cos".desc_nulls_last, $"vec_id")
-        corpus.join(broadcast(probes), Seq("label"))
-          .filter($"vec_id" =!= $"q_id")
-          .withColumn("cos", expr("vec_dot(v, qv)") / ($"nrm" * $"qn"))
-          .withColumn("rk", row_number().over(w))
-          .filter($"rk" <= 3)
-          .select($"q_id", $"rk", $"vec_id", round($"cos", 4).as("cos"))
-          .orderBy($"q_id", $"rk")
+        multiprobeServe(s, corpus, centroidsOf(corpus))
       },
-      Some(s"""WITH c AS ($duckVecs),
-             |byel AS (
-             |  SELECT label, u.i AS i, avg(v[u.i]) AS m
-             |  FROM c, LATERAL (SELECT unnest(generate_series(1, 64)) AS i) u
-             |  GROUP BY label, u.i),
-             |cent AS (SELECT label, list(m ORDER BY i) AS centroid FROM byel GROUP BY label),
-             |q AS (SELECT vec_id AS q_id, v AS qv FROM c WHERE vec_id < 10),
-             |pd AS (
-             |  SELECT q.q_id, cent.label, q.qv,
-             |    list_reduce(list_prepend(0.0, list_transform(list_zip(q.qv, cent.centroid),
-             |      p -> (p[1] - p[2]) * (p[1] - p[2]))), (a, b) -> a + b) AS d2
-             |  FROM q, cent),
-             |probes AS (
-             |  SELECT q_id, label, qv FROM (
-             |    SELECT q_id, label, qv,
-             |      row_number() OVER (PARTITION BY q_id ORDER BY d2, label) AS pr
-             |    FROM pd) WHERE pr <= 2),
-             |scored AS (
-             |  SELECT p.q_id, c.vec_id,
-             |    list_dot_product(c.v, p.qv) /
-             |      (sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(p.qv, p.qv))) AS cos
-             |  FROM c JOIN probes p ON c.label = p.label AND c.vec_id <> p.q_id),
-             |r AS (SELECT q_id, vec_id, cos,
-             |        row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rk
-             |      FROM scored)
-             |SELECT q_id, rk, vec_id, round(cos, 4) AS cos
-             |FROM r WHERE rk <= 3 ORDER BY q_id, rk""".stripMargin)),
+      Some(duckMultiprobeSql)),
+
+    // IVF index MATERIALIZED to the warehouse, then served from the
+    // read-back files — the tpch_q11_materialized pairing applied to
+    // vector search: a production ANN index is BUILT once (cell
+    // assignments + centroids written to the shared FS, assignments
+    // PARTITIONED BY CELL so each cell is its own file subtree) and
+    // every query batch thereafter probes the standing index without
+    // recomputing anything. At 100 TB the separation is the whole
+    // economics: index build is one corpus pass amortized over every
+    // future query; serving reads the centroid table (tiny) plus the
+    // probed cells. The oracle runs the inline multiprobe text — the
+    // two forms are checked equal by construction, exactly the
+    // q23/q23_materialized discipline.
+    "sim_ann_ivf_materialized" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val pfx = s.conf.get("spark.sql.warehouse.dir") +
+          "/graft_ivf_" + graft.PathKey(dir)
+        val corpus = vecs(s, dir)
+        corpus.select($"vec_id", $"v", $"nrm", $"label")
+          .write.mode("overwrite").partitionBy("label")
+          .parquet(s"$pfx/assignments")
+        centroidsOf(corpus)
+          .write.mode("overwrite").parquet(s"$pfx/centroids")
+        val asg = s.read.parquet(s"$pfx/assignments")
+          .select($"vec_id", $"label".cast("int").as("label"), $"v", $"nrm")
+        val cen = s.read.parquet(s"$pfx/centroids")
+        multiprobeServe(s, asg, cen)
+      },
+      Some(duckMultiprobeSql)),
 
     // Product-quantization ANN (r15; Jégou et al. 2011, "Product
     // Quantization for Nearest Neighbor Search" — the memory-bound

@@ -437,6 +437,30 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture with Matchers {
       _.contains("BroadcastNestedLoopJoin")) should be <= 2
   }
 
+  test("materialized IVF serve plan reads only the index, never the corpus") {
+    // index build is a side effect of the builder; the SERVE plan must
+    // scan the written assignments/centroids parquet and do no index
+    // recomputation — no embeddings scan, no per-dimension centroid
+    // aggregation (posexplode) anywhere in the serving query
+    val plan = planOf("sim_ann_ivf_materialized")
+    plan should include("graft_ivf_")
+    plan should not include "embeddings.parquet"
+    plan should not include "posexplode"
+  }
+
+  test("incremental dedup probes the index with one equi-join, no pair stage") {
+    // each probe (doc, bucket) row matches at most one DISTINCT index
+    // bucket — strictly linear; a join keyed on (bucket, indexed doc)
+    // would enumerate candidate pairs, which measured ~100x growth
+    // for 10x data on this corpus's dense near-dup tail
+    val plan = planOf("pipeline_incremental_dedup")
+    plan should not include "CartesianProduct"
+    plan should not include "BroadcastNestedLoopJoin"
+    plan.linesIterator.count(l =>
+      l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin") ||
+        l.contains("BroadcastHashJoin")) shouldBe 1
+  }
+
   test("tpcds_q4's three-channel chain aggregates each fact exactly once") {
     // the published SQL references year_total six ways, which CTE
     // inlining would turn into SIX fact aggregations; the per-channel
