@@ -788,6 +788,66 @@ object Similarity extends QueryGroup {
              |FROM pairs WHERE cos >= 0.97
              |GROUP BY id_b ORDER BY dropped_id""".stripMargin)),
 
+    // Hard-negative mining for contrastive embedding training (the
+    // triplet-construction step of every dual-encoder pipeline,
+    // Karpukhin et al. 2020 §4.2: in-batch random negatives are too
+    // easy — training signal comes from the closest WRONG-label
+    // neighbors). For each anchor: the top same-label neighbor (the
+    // positive) and the top-2 different-label neighbors (the hard
+    // negatives), emitted long-form (anchor, role, vec_id, cos).
+    // 100 TB shape: one corpus scan against a broadcast anchor batch,
+    // both rank cuts WindowGroupLimit-bounded; the role split is a
+    // partition key of the SAME window shuffle (q_id, is_pos), not a
+    // second corpus pass. Rank determinism is the sim_cosine_topk
+    // class (identical left-to-right folds both engines, doc-id
+    // tie-break).
+    "sim_hard_negatives" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val corpus = vecs(s, dir)
+        val anchors = corpus.filter($"vec_id" < 8)
+          .select($"vec_id".as("q_id"), $"label".as("q_label"),
+            $"v".as("qv"), $"nrm".as("qn"))
+        val w = Window.partitionBy($"q_id", $"is_pos")
+          .orderBy($"cos".desc_nulls_last, $"vec_id")
+        corpus.crossJoin(broadcast(anchors))
+          .filter($"vec_id" =!= $"q_id")
+          .withColumn("cos", expr("vec_dot(v, qv)") / ($"nrm" * $"qn"))
+          .withColumn("is_pos", ($"label" === $"q_label").cast("int"))
+          .withColumn("rk", row_number().over(w))
+          // uniform rank cut FIRST so InferWindowGroupLimit fires
+          // (bounded per-partition state); the role-specific residual
+          // (positives keep only rank 1) filters the tiny remainder
+          .filter($"rk" <= 2)
+          .filter($"is_pos" === 0 || $"rk" === 1)
+          .select($"q_id",
+            when($"is_pos" === 1, "pos")
+              .otherwise(concat(lit("neg"), $"rk")).as("role"),
+            $"vec_id", round($"cos", 4).as("cos"))
+          .orderBy($"q_id", $"role")
+      },
+      Some(s"""WITH c AS ($duckVecs),
+             |a AS (SELECT vec_id AS q_id, label AS q_label, v AS qv
+             |      FROM c WHERE vec_id < 8),
+             |scored AS (
+             |  SELECT a.q_id, c.vec_id,
+             |    CASE WHEN c.label = a.q_label THEN 1 ELSE 0 END AS is_pos,
+             |    list_dot_product(c.v, a.qv) /
+             |      (sqrt(list_dot_product(c.v, c.v)) *
+             |       sqrt(list_dot_product(a.qv, a.qv))) AS cos
+             |  FROM c, a WHERE c.vec_id <> a.q_id),
+             |r AS (SELECT q_id, vec_id, is_pos, cos,
+             |        row_number() OVER (PARTITION BY q_id, is_pos
+             |          ORDER BY cos DESC, vec_id) AS rk
+             |      FROM scored)
+             |SELECT q_id,
+             |  CASE WHEN is_pos = 1 THEN 'pos'
+             |       ELSE 'neg' || CAST(rk AS VARCHAR) END AS role,
+             |  vec_id, round(cos, 4) AS cos
+             |FROM r
+             |WHERE (is_pos = 1 AND rk = 1) OR (is_pos = 0 AND rk <= 2)
+             |ORDER BY q_id, role""".stripMargin)),
+
     // Hybrid retrieval with reciprocal-rank fusion (Cormack et al.
     // 2009, "Reciprocal Rank Fusion outperforms Condorcet and
     // individual Rank Learning Methods"): the standard RAG/search

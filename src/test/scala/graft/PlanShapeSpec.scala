@@ -437,6 +437,17 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture with Matchers {
       _.contains("BroadcastNestedLoopJoin")) should be <= 2
   }
 
+  test("hard-negative mining is one corpus pass with bounded windows") {
+    // broadcast anchor batch (the only nested-loop join), one scan,
+    // the pos/neg split is a partition key of the same window — both
+    // rank cuts must be WindowGroupLimit-bounded
+    val plan = planOf("sim_hard_negatives")
+    plan should include("WindowGroupLimit")
+    plan should not include "CartesianProduct"
+    plan.linesIterator.count(
+      _.contains("BroadcastNestedLoopJoin")) should be <= 1
+  }
+
   test("materialized IVF serve plan reads only the index, never the corpus") {
     // index build is a side effect of the builder; the SERVE plan must
     // scan the written assignments/centroids parquet and do no index
