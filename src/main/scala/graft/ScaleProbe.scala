@@ -43,6 +43,7 @@ object ScaleProbe {
     "pipeline_domain_curation",
     "pipeline_paragraph_dedup",
     "pipeline_incremental_dedup",
+    "pipeline_leakage_split",
     "search_hybrid_rrf",
     "lm_stupid_backoff",
     "dedup_substring_spans",
@@ -88,7 +89,8 @@ object ScaleProbe {
     "join_fuzzy_ed1",
     "tpcds_star_materialized")
 
-  private val FixpointQueries = Set("dedup_minhash_lsh_full", "sim_embed_neardup_full")
+  private val FixpointQueries = Set("dedup_minhash_lsh_full",
+    "sim_embed_neardup_full", "pipeline_leakage_split")
 
   def main(args: Array[String]): Unit = {
     val srcDir = args.headOption.getOrElse("/root/testdata/sf0.1")

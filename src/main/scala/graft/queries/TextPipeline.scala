@@ -591,7 +591,12 @@ object TextPipeline extends QueryGroup {
         val edges = docs
           .select($"doc_id".as("id"),
             explode(PortableLsh.bucketArrayBanded($"x", 16)).as("bucket"))
-        Clustering.propagateToFixpoint(edges)
+        // strict bands = a sparser bucket graph than the dedup-recall
+        // banding, so min-label chains run longer (7 actions at the
+        // derived sf1 vs dedup's 3); maxIters=15 leaves the same
+        // relative headroom at probe scale (convergence is probed at
+        // 1x/10x/100x — ScaleProbe FixpointQueries)
+        Clustering.propagateToFixpoint(edges, maxIters = 15)
           .select($"id", $"cluster")
           .withColumn("u", expr(
             "CAST(conv(substring(md5(concat('split:', " +
