@@ -86,6 +86,8 @@ object ScaleProbe {
     "tpcds_q71",
     "tpcds_q38",
     "tpcds_q60",
+    "tpcds_q32",
+    "tpcds_q54",
     "join_fuzzy_ed1",
     "tpcds_star_materialized")
 

@@ -180,7 +180,8 @@ object Tpcds extends QueryGroup {
       |    CAST(month(o_orderdate) AS BIGINT) AS cs_moy,
       |    o_custkey AS cs_bill_customer_sk,
       |    l_partkey AS cs_item_sk,
-      |    l_extendedprice AS cs_ext_sales_price
+      |    l_extendedprice AS cs_ext_sales_price,
+      |    l_extendedprice * l_discount AS cs_ext_discount_amt
       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |  WHERE l_linenumber % 2 = 1),
       |web_sales AS (
@@ -1392,6 +1393,75 @@ object Tpcds extends QueryGroup {
         |      SELECT * FROM ws)
         |GROUP BY item_sk
         |ORDER BY total_cents DESC, item_sk""".stripMargin),
+
+    // q32 shape: "excess discount amount" — the correlated
+    // scalar-average threshold archetype: sum the discounts that
+    // exceed 1.3x the SAME fact's per-item average discount. The
+    // published correlated subquery decorrelates into one item-grain
+    // aggregate of the fact joined back to the fact on the item key —
+    // two passes over one fact, the aggregate side item-bounded.
+    // The 1.3x comparison is an exact integer cross-multiplication
+    // over cents (disc*10*n > 13*sum), so the qualifying row set
+    // cannot flip on cross-engine division noise; both sides stay
+    // within BIGINT at every probed scale and the DECIMAL(38,0)
+    // widening applies verbatim beyond.
+    "tpcds_q32" -> sharedWith(
+      s"""$channelCtes,
+         |disc AS (
+         |  SELECT cs_item_sk AS item_sk,
+         |    CAST(round(cs_ext_discount_amt * 100, 0) AS BIGINT)
+         |      AS disc_cents
+         |  FROM catalog_sales WHERE cs_year = 1995),
+         |item_avg AS (
+         |  SELECT item_sk,
+         |    CAST(sum(disc_cents) AS BIGINT) AS sum_cents,
+         |    count(*) AS n
+         |  FROM disc GROUP BY item_sk)""".stripMargin,
+      """SELECT
+        |  CAST(sum(d.disc_cents) AS BIGINT) AS excess_discount_cents,
+        |  CAST(CAST(sum(d.disc_cents) AS DOUBLE) / 100.0 AS DOUBLE)
+        |    AS excess_discount,
+        |  count(*) AS n_excess
+        |FROM disc d JOIN item_avg a ON d.item_sk = a.item_sk
+        |WHERE CAST(d.disc_cents AS DECIMAL(38,0)) * 10 * a.n >
+        |      CAST(13 AS DECIMAL(38,0)) * a.sum_cents""".stripMargin),
+
+    // q54 shape: cross-channel audience construction + revenue-band
+    // histogram — the published query finds customers who bought in
+    // the catalog OR web channel in a window, totals their STORE
+    // revenue, buckets it into fixed $50 bands, and counts customers
+    // per band. Three stages, each aggregate-sized after the first:
+    // the audience is a distinct union of two channel probes
+    // (customer-grain), the revenue total joins that audience back to
+    // the store fact (semi-join economics — the audience broadcasts
+    // under AQE at this selectivity), and the band histogram is a
+    // count over the customer-grain aggregate. Bands are $5,000 wide
+    // (the published $50 over this corpus's order-of-magnitude-larger
+    // per-customer revenue would put every customer in its own band
+    // and degenerate the histogram); floor(cents / 500000.0) is exact
+    // for any cents < 2^53, identical in both engines.
+    "tpcds_q54" -> sharedWith(
+      s"""$channelCtes,
+         |audience AS (
+         |  SELECT cs_bill_customer_sk AS customer_sk
+         |  FROM catalog_sales WHERE cs_year = 1995 AND cs_moy = 3
+         |  UNION
+         |  SELECT ws_bill_customer_sk AS customer_sk
+         |  FROM web_sales WHERE ws_year = 1995 AND ws_moy = 3),
+         |revenue AS (
+         |  SELECT ss_customer_sk AS customer_sk,
+         |    CAST(sum(CAST(round(ss_ext_sales_price * 100, 0) AS BIGINT))
+         |      AS BIGINT) AS cents
+         |  FROM store_sales
+         |  JOIN audience ON ss_customer_sk = customer_sk
+         |  JOIN date_dim ON ss_sold_date_sk = d_date_sk
+         |  WHERE d_year = 1995 AND d_moy IN (4, 5, 6)
+         |  GROUP BY ss_customer_sk)""".stripMargin,
+      """SELECT CAST(floor(cents / 500000.0) AS BIGINT) AS segment,
+        |  count(*) AS num_customers
+        |FROM revenue
+        |GROUP BY CAST(floor(cents / 500000.0) AS BIGINT)
+        |ORDER BY segment""".stripMargin),
 
     // q23 over the materialized star (r14, VERDICT r13 wrong #4):
     // identical semantics to tpcds_q23, but the fact is derived ONCE

@@ -94,6 +94,7 @@ class OrderTotalitySpec extends AnyFunSuite with SparkFixture with Matchers {
     "ml_train_score_evaluate", "tpch_q6", "tpch_q14", "tpch_q17",
     "tpch_q19", "tpcds_q88", "tpcds_q95", "tpcds_q87", "tpcds_q23",
     "tpcds_q97", "tpcds_q38", // 1-row cross-channel overlap / intersect counts
+    "tpcds_q32", // 1-row excess-discount aggregate
     "tpcds_q23_materialized", // same 1-row basket aggregate as tpcds_q23
     "sketch_checksum",
     "sketch_hll_mergeable", "sketch_merge_generic", "sketch_qdigest_merge",

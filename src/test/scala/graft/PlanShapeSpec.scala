@@ -531,6 +531,26 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture with Matchers {
       _.contains("partial_sum")) should be >= 3
   }
 
+  test("tpcds_q32's threshold joins the fact to its item-grain aggregate") {
+    // the decorrelated correlated-scalar-average: one item-bounded
+    // aggregate of the fact joined back on the item key — never a
+    // per-row subquery loop, no nested-loop shape
+    val plan = planOf("tpcds_q32")
+    plan should not include "BroadcastNestedLoopJoin"
+    plan should not include "CartesianProduct"
+    plan should include("partial_sum")
+  }
+
+  test("tpcds_q54's audience and bands stay aggregate-sized") {
+    // distinct channel-probe union (customer grain) joins the store
+    // fact once; the band histogram aggregates the customer-grain
+    // revenue — no fact-to-fact join, no nested loop
+    val plan = planOf("tpcds_q54")
+    plan should not include "BroadcastNestedLoopJoin"
+    plan should not include "CartesianProduct"
+    plan should include("Union")
+  }
+
   test("tpcds_q77's rollup re-aggregates the tiny per-store pass") {
     // one combinable fact aggregation to ~channels×stores rows, then
     // Expand (×3 for the two-level ROLLUP) over ONLY that small set —
