@@ -82,6 +82,19 @@ class Round16FixesSpec extends AnyFunSuite with SparkFixture with Matchers {
     perCluster.count() should be >= 20L
   }
 
+  test("materialized IVF index is idempotent across invocations") {
+    // Verify/Bench call every builder repeatedly (warm-up + 3 measured
+    // passes); the index rebuild is mode=overwrite per cell partition,
+    // so a second invocation must yield byte-identical results — the
+    // materializeStar discipline
+    val a = SparkEntry.queries("sim_ann_ivf_materialized")(spark, sfDir)
+      .collect().toSeq
+    val b = SparkEntry.queries("sim_ann_ivf_materialized")(spark, sfDir)
+      .collect().toSeq
+    a shouldBe b
+    a.nonEmpty shouldBe true
+  }
+
   test("video decoder nulls an mvhd timescale that exceeds Int range") {
     // ftyp(isom) + moov>mvhd v0 with timescale 0x80000000
     val ftyp = "00000010" + "66747970" + "69736F6D" + "00000000"
