@@ -127,6 +127,9 @@ object PortableLsh {
     val nb = NumPerms / rowsPerBand
     val sig = duckMinhashEdges
     val cut = sig.lastIndexOf(",\nedges AS MATERIALIZED")
+    require(cut >= 0,
+      "duckMinhashEdges no longer contains the edges-CTE marker; " +
+        "update duckMinhashEdgesBanded's cut alongside any reformat")
     sig.substring(0, cut) +
       s""",
          |edges AS MATERIALIZED (

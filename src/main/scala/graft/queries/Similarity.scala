@@ -137,6 +137,91 @@ object Similarity extends QueryGroup {
       .orderBy($"q_id", $"rk")
   }
 
+  /** Raw (pre-quantization) per-(query, doc, term) BM25 micro-unit
+    * scores for search_hybrid_rrf — the exact fp values the gate
+    * quantizes with round(raw). private[graft] so
+    * HybridRrfMarginSpec audits THESE values (the audit can never
+    * drift from the shipped scoring — r16 review finding). */
+  private[graft] def hybridRawPerTerm(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toksDf = graft.Tables.documents(s, dir)
+      .select($"doc_id",
+        split(regexp_replace(trim(lower($"text")), "\\s+", " "), " ")
+          .as("toks"))
+    val qt = toksDf.filter($"doc_id" < 5)
+      .select($"doc_id".as("q_id"),
+        explode(slice(array_sort(array_distinct($"toks")), 1, 8))
+          .as("term"))
+    val post = toksDf
+      .select($"doc_id", size($"toks").cast("double").as("dl"),
+        explode($"toks").as("term"))
+      .groupBy($"doc_id", $"dl", $"term")
+      .agg(count(lit(1)).cast("double").as("tf"))
+    // n_docs/avgdl derive from the postings aggregate (each doc
+    // carries dl on every posting row) — a doc-grain re-aggregate of
+    // post, NOT a second full tokenize scan of the corpus (regex
+    // tokenization dominates per-doc cost at scale; the first cut
+    // paid it twice). avg(dl) is order-immune: dl is integer-valued,
+    // so the double sum is exact below 2^53 regardless of order.
+    val stats = post.groupBy($"doc_id").agg(first($"dl").as("dl"))
+      .agg(count(lit(1)).cast("double").as("n_docs"),
+        avg($"dl").as("avgdl"))
+    val dft = post
+      .join(broadcast(qt.select($"term").distinct()), Seq("term"))
+      .groupBy($"term").agg(count(lit(1)).cast("double").as("df"))
+    post
+      .join(broadcast(qt), Seq("term"))
+      .filter($"doc_id" =!= $"q_id")
+      .join(broadcast(dft), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .withColumn("raw",
+        log(lit(1.0) + (($"n_docs" - $"df" + 0.5) / ($"df" + 0.5)))
+          * $"tf" * 2.2
+          / ($"tf" + lit(1.2) * (lit(0.25) + lit(0.75) * $"dl" / $"avgdl"))
+          * 1e6)
+  }
+
+  /** Dense cosine scores with per-query rank, unfiltered — shared by
+    * the gate (cut at 20) and the margin audit (gaps through 21). */
+  private[graft] def hybridDenseRanked(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val corpus = vecs(s, dir)
+    val queries = corpus.filter($"vec_id" < 5)
+      .select($"vec_id".as("q_id"), $"v".as("qv"), $"nrm".as("qn"))
+    val wd = Window.partitionBy($"q_id")
+      .orderBy($"cos".desc_nulls_last, $"vec_id")
+    corpus.crossJoin(broadcast(queries))
+      .filter($"vec_id" =!= $"q_id")
+      .withColumn("cos", expr("vec_dot(v, qv)") / ($"nrm" * $"qn"))
+      .withColumn("rk_cos", row_number().over(wd))
+  }
+
+  /** The fused frame with UNROUNDED rrf and the fused rank, before the
+    * top-10 cut — the gate filters rk <= 10 and rounds; the margin
+    * audit reads the rank-10/11 boundary off the raw values. */
+  private[graft] def hybridFusedRanked(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val topK = 20
+    val wl = Window.partitionBy($"q_id")
+      .orderBy($"lex_units".desc, $"doc_id")
+    val lexTop = hybridRawPerTerm(s, dir)
+      .withColumn("unit", round($"raw", 0).cast("long"))
+      .groupBy($"q_id", $"doc_id")
+      .agg(sum($"unit").as("lex_units"))
+      .withColumn("rk_lex", row_number().over(wl))
+      .filter($"rk_lex" <= topK)
+      .select($"q_id", $"doc_id", $"rk_lex")
+    val denTop = hybridDenseRanked(s, dir)
+      .filter($"rk_cos" <= topK)
+      .select($"q_id", $"vec_id".as("doc_id"), $"rk_cos")
+    val wf = Window.partitionBy($"q_id").orderBy($"rrf".desc, $"doc_id")
+    lexTop.join(denTop, Seq("q_id", "doc_id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (lit(60.0) + $"rk_lex"), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60.0) + $"rk_cos"), lit(0.0)))
+      .withColumn("rk", row_number().over(wf))
+  }
+
   /** The multiprobe oracle — shared verbatim by sim_ann_ivf_multiprobe
     * and sim_ann_ivf_materialized (materialization must not change a
     * single value, the q23_materialized discipline). */
@@ -880,60 +965,7 @@ object Similarity extends QueryGroup {
     "search_hybrid_rrf" -> QueryDef(
       (s, dir) => {
         import s.implicits._
-        val topK = 20
-        val toksDf = Tables.documents(s, dir)
-          .select($"doc_id",
-            split(regexp_replace(trim(lower($"text")), "\\s+", " "), " ")
-              .as("toks"))
-        val stats = toksDf.agg(
-          count(lit(1)).cast("double").as("n_docs"),
-          avg(size($"toks")).as("avgdl"))
-        val qt = toksDf.filter($"doc_id" < 5)
-          .select($"doc_id".as("q_id"),
-            explode(slice(array_sort(array_distinct($"toks")), 1, 8))
-              .as("term"))
-        val post = toksDf
-          .select($"doc_id", size($"toks").cast("double").as("dl"),
-            explode($"toks").as("term"))
-          .groupBy($"doc_id", $"dl", $"term")
-          .agg(count(lit(1)).cast("double").as("tf"))
-        val dft = post
-          .join(broadcast(qt.select($"term").distinct()), Seq("term"))
-          .groupBy($"term").agg(count(lit(1)).cast("double").as("df"))
-        val perTerm = post
-          .join(broadcast(qt), Seq("term"))
-          .filter($"doc_id" =!= $"q_id")
-          .join(broadcast(dft), Seq("term"))
-          .crossJoin(broadcast(stats))
-          .withColumn("unit", round(
-            log(lit(1.0) + (($"n_docs" - $"df" + 0.5) / ($"df" + 0.5)))
-              * $"tf" * 2.2
-              / ($"tf" + lit(1.2) * (lit(0.25) + lit(0.75) * $"dl" / $"avgdl"))
-              * 1e6, 0).cast("long"))
-        val wl = Window.partitionBy($"q_id")
-          .orderBy($"lex_units".desc, $"doc_id")
-        val lexTop = perTerm.groupBy($"q_id", $"doc_id")
-          .agg(sum($"unit").as("lex_units"))
-          .withColumn("rk_lex", row_number().over(wl))
-          .filter($"rk_lex" <= topK)
-          .select($"q_id", $"doc_id", $"rk_lex")
-        val corpus = vecs(s, dir)
-        val queries = corpus.filter($"vec_id" < 5)
-          .select($"vec_id".as("q_id"), $"v".as("qv"), $"nrm".as("qn"))
-        val wd = Window.partitionBy($"q_id")
-          .orderBy($"cos".desc_nulls_last, $"vec_id")
-        val denTop = corpus.crossJoin(broadcast(queries))
-          .filter($"vec_id" =!= $"q_id")
-          .withColumn("cos", expr("vec_dot(v, qv)") / ($"nrm" * $"qn"))
-          .withColumn("rk_cos", row_number().over(wd))
-          .filter($"rk_cos" <= topK)
-          .select($"q_id", $"vec_id".as("doc_id"), $"rk_cos")
-        val wf = Window.partitionBy($"q_id").orderBy($"rrf".desc, $"doc_id")
-        lexTop.join(denTop, Seq("q_id", "doc_id"), "full_outer")
-          .withColumn("rrf",
-            coalesce(lit(1.0) / (lit(60.0) + $"rk_lex"), lit(0.0)) +
-              coalesce(lit(1.0) / (lit(60.0) + $"rk_cos"), lit(0.0)))
-          .withColumn("rk", row_number().over(wf))
+        hybridFusedRanked(s, dir)
           .filter($"rk" <= 10)
           .select($"q_id", $"rk".cast("long").as("rk"), $"doc_id",
             round($"rrf", 6).as("rrf"),
