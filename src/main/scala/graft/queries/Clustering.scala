@@ -78,13 +78,24 @@ object Clustering {
   /** Iterate propagation until the label assignment is stable.
     * Returns (id, cluster) with cluster = component-minimum id.
     *
+    * `requireConverged` (r17; ADVICE r16 #1): when true, hitting the
+    * maxIters valve with the label sum still moving THROWS instead of
+    * returning the non-converged assignment. pipeline_leakage_split
+    * sets it — a silently unconverged clustering there could put
+    * near-dup docs in different splits, the exact leakage the query
+    * exists to prevent, with no error raised. Dedup callers keep the
+    * default: an early-cut clustering merely under-merges (keeps an
+    * extra survivor), which degrades recall, not correctness of the
+    * guarantee the operator advertises.
+    *
     * Synchronized for its WHOLE duration (ADVICE r3): two concurrent
     * fixpoints would otherwise race on [[lastLabels]] between the
     * release of the previous cache and the publish of the new one.
     * Serializing concurrent fixpoints is acceptable — the engine's
     * query harnesses run queries sequentially, and the iterative jobs
     * inside would contend for the same executors anyway. */
-  def propagateToFixpoint(edges: DataFrame, maxIters: Int = 10): DataFrame = synchronized {
+  def propagateToFixpoint(edges: DataFrame, maxIters: Int = 10,
+      requireConverged: Boolean = false): DataFrame = synchronized {
     val spark = edges.sparkSession
     import spark.implicits._
     if (lastLabels != null) { lastLabels.unpersist(); lastLabels = null }
@@ -113,6 +124,12 @@ object Clustering {
       it += 1
     }
     e.unpersist()
+    if (requireConverged && !converged) {
+      labels.unpersist()
+      sys.error(s"label propagation still moving after maxIters=$maxIters " +
+        "rounds — refusing to return a non-converged clustering " +
+        "(requireConverged=true)")
+    }
     // observability for scale runs (VERDICT r3 #3): how close the
     // corpus comes to the maxIters valve. Each loop iteration is a
     // DOUBLE round, plus the folded round-1 initialization.

@@ -78,19 +78,25 @@ object PortableLsh {
     array(buckets: _*)
   }
 
-  /** DuckDB fragment computing the same (id, bucket) edges from a CTE
-    * `base(doc_id, text)`; emits CTEs `xs`, `consts`, `mhrow`, `mh`,
-    * `edges`. The per-permutation constants are joined in from a
-    * 64-row `consts` CTE — inlining the literal arrays inside the
-    * nested lambda re-materializes them per word × permutation and is
-    * ~200× slower in DuckDB 1.0. The per-permutation minimum is
-    * computed ROW-based (unnest the shingle hashes, then a grouped
-    * min) rather than `list_min(list_transform(...))`: the list form
-    * materializes a |tokens|-length list per doc × permutation —
-    * tens of GB at 50k docs, and DuckDB list intermediates don't
-    * spill (sf1 gate OOM) — while the grouped min is a spilling
-    * hash aggregate at any scale. */
-  def duckMinhashEdges: String = {
+  /** DuckDB fragment: the shared xs/consts/mhrow/mh minhash prefix
+    * over a CTE `base(doc_id, text)` — everything up to (not
+    * including) the banding-specific `edges` CTE. Factored (r17;
+    * ADVICE r16 #2) so both edge builders APPEND their own edges CTE
+    * instead of one slicing the other's finished SQL at a formatting
+    * marker, which survived reformat-detection but not a rename of
+    * the upstream CTEs it silently depended on.
+    *
+    * The per-permutation constants are joined in from a 64-row
+    * `consts` CTE — inlining the literal arrays inside the nested
+    * lambda re-materializes them per word × permutation and is ~200×
+    * slower in DuckDB 1.0. The per-permutation minimum is computed
+    * ROW-based (unnest the shingle hashes, then a grouped min) rather
+    * than `list_min(list_transform(...))`: the list form materializes
+    * a |tokens|-length list per doc × permutation — tens of GB at 50k
+    * docs, and DuckDB list intermediates don't spill (sf1 gate OOM) —
+    * while the grouped min is a spilling hash aggregate at any
+    * scale. */
+  private def duckMinhashPrefix: String = {
     val alphaList = alphas.mkString("[", ", ", "]")
     val betaList = betas.mkString("[", ", ", "]")
     s"""xs AS MATERIALIZED (
@@ -108,29 +114,18 @@ object PortableLsh {
        |mhrow AS (
        |  SELECT doc_id, c.i, min((c.a * v + c.b) % $P) AS mi
        |  FROM xr, consts c GROUP BY doc_id, c.i),
-       |mh AS MATERIALIZED (SELECT doc_id, list(mi ORDER BY i) AS m FROM mhrow GROUP BY doc_id),
-       |edges AS MATERIALIZED (
-       |  SELECT doc_id AS id,
-       |    unnest(list_transform(range(0, $NumBands), b ->
-       |      b::VARCHAR || ':' ||
-       |      list_extract(m, CAST(b*4 + 1 AS INT))::VARCHAR || '-' ||
-       |      list_extract(m, CAST(b*4 + 2 AS INT))::VARCHAR || '-' ||
-       |      list_extract(m, CAST(b*4 + 3 AS INT))::VARCHAR || '-' ||
-       |      list_extract(m, CAST(b*4 + 4 AS INT))::VARCHAR)) AS bucket
-       |  FROM mh)""".stripMargin
+       |mh AS MATERIALIZED (SELECT doc_id, list(mi ORDER BY i) AS m FROM mhrow GROUP BY doc_id)""".stripMargin
   }
 
-  /** [[duckMinhashEdges]] at an explicit rows-per-band, mirroring
-    * [[bucketArrayBanded]] (identical "b:m1-m2-…" bucket strings). */
+  def duckMinhashEdges: String = duckMinhashEdgesBanded(RowsPerBand)
+
+  /** The (id, bucket) edge CTE chain at an explicit rows-per-band,
+    * mirroring [[bucketArrayBanded]] (identical "b:m1-m2-…" bucket
+    * strings). */
   def duckMinhashEdgesBanded(rowsPerBand: Int): String = {
     require(NumPerms % rowsPerBand == 0)
     val nb = NumPerms / rowsPerBand
-    val sig = duckMinhashEdges
-    val cut = sig.lastIndexOf(",\nedges AS MATERIALIZED")
-    require(cut >= 0,
-      "duckMinhashEdges no longer contains the edges-CTE marker; " +
-        "update duckMinhashEdgesBanded's cut alongside any reformat")
-    sig.substring(0, cut) +
+    duckMinhashPrefix +
       s""",
          |edges AS MATERIALIZED (
          |  SELECT doc_id AS id,

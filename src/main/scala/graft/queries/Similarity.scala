@@ -352,9 +352,18 @@ object Similarity extends QueryGroup {
           .parquet(s"$pfx/assignments")
         centroidsOf(corpus)
           .write.mode("overwrite").parquet(s"$pfx/centroids")
+        // cast the read-back PARTITION column (directory-inferred
+        // type) to the corpus label's ACTUAL type, and the centroid
+        // table's key likewise (r17; ADVICE r16 #4): the serve join
+        // must never rely on implicit cross-type equality casts,
+        // which would silently drop matches if labels outgrew the
+        // inferred width
+        val labelType = corpus.schema("label").dataType
         val asg = s.read.parquet(s"$pfx/assignments")
-          .select($"vec_id", $"label".cast("int").as("label"), $"v", $"nrm")
+          .select($"vec_id", $"label".cast(labelType).as("label"),
+            $"v", $"nrm")
         val cen = s.read.parquet(s"$pfx/centroids")
+          .select($"label".cast(labelType).as("label"), $"centroid")
         multiprobeServe(s, asg, cen)
       },
       Some(duckMultiprobeSql)),

@@ -595,8 +595,12 @@ object TextPipeline extends QueryGroup {
         // banding, so min-label chains run longer (7 actions at the
         // derived sf1 vs dedup's 3); maxIters=15 leaves the same
         // relative headroom at probe scale (convergence is probed at
-        // 1x/10x/100x — ScaleProbe FixpointQueries)
-        Clustering.propagateToFixpoint(edges, maxIters = 15)
+        // 1x/10x/100x — ScaleProbe FixpointQueries).
+        // requireConverged (r17; ADVICE r16 #1): the no-contamination
+        // guarantee is only as good as the fixpoint — fail loudly if
+        // the valve is hit, never return a split that might leak
+        Clustering.propagateToFixpoint(edges, maxIters = 15,
+          requireConverged = true)
           .select($"id", $"cluster")
           .withColumn("u", expr(
             "CAST(conv(substring(md5(concat('split:', " +

@@ -51,6 +51,14 @@ class HybridRrfMarginSpec extends AnyFunSuite with SparkFixture with Matchers {
 
   test("cosine adjacent-rank gaps through the k+1 cut are macroscopic") {
     import spark.implicits._
+    // fixture-sf only (ADVICE r16 #3): a DERIVED corpus (scratch/sf1,
+    // scale-probe replicas) has exact ties and ulp-scale gaps by
+    // construction — determinism there rests on bit-identical
+    // cross-engine folds + the vec_id tie-break (see the scaladoc),
+    // so running this gap assertion against it would fail spuriously.
+    // Cancel, don't fail, if sfDir is ever pointed off the fixtures.
+    assume(sfDir.startsWith("/root/testdata/"),
+      "cosine-gap margins are measured on the fixture corpora only")
     val ranked = graft.queries.Similarity.hybridDenseRanked(spark, sfDir)
       .filter($"rk_cos" <= 22)
     val gaps = ranked
