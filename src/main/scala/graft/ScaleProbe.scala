@@ -52,6 +52,7 @@ object ScaleProbe {
     "sim_ann_pq",
     "sim_ann_sq8",
     "sim_ann_ivf_materialized",
+    "sim_ann_recall",
     "sim_semdedup")
 
   /** Heavy relational tier (r13; VERDICT r12 next-round #4): the

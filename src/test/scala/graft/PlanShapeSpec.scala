@@ -750,4 +750,15 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture with Matchers {
     plan should not include "CartesianProduct"
     plan should not include "SortMergeJoin"
   }
+
+  test("ann recall harness adds no pairwise stage beyond the tiers' own") {
+    // the harness unions the five tiers' own (already plan-pinned)
+    // shortlists; everything it ADDS — the overlap semi-join, the
+    // per-tier counts, the possible scalar — is id-sized. No
+    // CartesianProduct anywhere; every tier's top-k cut stays
+    // WindowGroupLimit-bounded
+    val plan = planOf("sim_ann_recall")
+    plan should not include "CartesianProduct"
+    plan should include("WindowGroupLimit")
+  }
 }
