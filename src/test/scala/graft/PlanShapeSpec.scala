@@ -751,6 +751,18 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture with Matchers {
     plan should not include "SortMergeJoin"
   }
 
+  test("materialized leakage split serves fixpoint-free from the standing asset") {
+    // the fixpoint build is a side effect of the builder; the SERVE
+    // plan must scan the written (id, cluster) parquet and apply the
+    // md5 draw — never re-derive signatures (no documents scan) and
+    // never aggregate (zero fixpoint rounds in the plan)
+    val plan = planOf("pipeline_leakage_split_materialized")
+    plan should include("graft_neardup_")
+    plan should not include "documents.parquet"
+    plan should not include "HashAggregate"
+    plan should not include "Join"
+  }
+
   test("ann recall harness adds no pairwise stage beyond the tiers' own") {
     // the harness unions the five tiers' own (already plan-pinned)
     // shortlists; everything it ADDS — the overlap semi-join, the

@@ -34,6 +34,23 @@ class Round17FixesSpec extends AnyFunSuite with SparkFixture with Matchers {
     spark.sql("DROP TABLE graft_r17_ct")
   }
 
+  test("materialized leakage split is idempotent and equals the inline row") {
+    // Verify/Bench call every builder repeatedly; the assignment
+    // rebuild is mode=overwrite, so a second invocation must yield
+    // byte-identical results — and the materialized serve must equal
+    // the inline derivation row-for-row (the q23_materialized
+    // discipline: materialization cannot change a value)
+    val inline = SparkEntry.queries("pipeline_leakage_split")(spark, sfDir)
+      .collect().toSeq
+    val a = SparkEntry.queries("pipeline_leakage_split_materialized")(
+      spark, sfDir).collect().toSeq
+    val b = SparkEntry.queries("pipeline_leakage_split_materialized")(
+      spark, sfDir).collect().toSeq
+    a shouldBe b
+    a shouldBe inline
+    a.nonEmpty shouldBe true
+  }
+
   test("requireConverged fails loudly when the fixpoint valve is hit") {
     // ADVICE r16 #1: pipeline_leakage_split's no-contamination
     // guarantee depends on convergence — a chain component of
