@@ -90,6 +90,7 @@ object ScaleProbe {
     "tpcds_q60",
     "tpcds_q32",
     "tpcds_q54",
+    "tpcds_q16",
     "join_fuzzy_ed1",
     "tpcds_star_materialized")
 

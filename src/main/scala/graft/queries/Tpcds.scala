@@ -180,8 +180,13 @@ object Tpcds extends QueryGroup {
       |    CAST(month(o_orderdate) AS BIGINT) AS cs_moy,
       |    o_custkey AS cs_bill_customer_sk,
       |    l_partkey AS cs_item_sk,
+      |    l_orderkey AS cs_order_number,
+      |    CAST(l_suppkey % 2 AS BIGINT) AS cs_ship_warehouse_sk,
       |    l_extendedprice AS cs_ext_sales_price,
-      |    l_extendedprice * l_discount AS cs_ext_discount_amt
+      |    l_extendedprice * l_discount AS cs_ext_discount_amt,
+      |    l_extendedprice * l_tax AS cs_ext_ship_cost,
+      |    l_extendedprice * (1 - l_discount) - 420.0 * l_quantity
+      |      AS cs_net_profit
       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |  WHERE l_linenumber % 2 = 1),
       |web_sales AS (
@@ -1471,6 +1476,47 @@ object Tpcds extends QueryGroup {
     // the inline-CTE text, so the two forms are checked equal by
     // construction; PlanShapeSpec pins that the materialized plan
     // never touches lineitem.
+    // q16 shape (r17; VERDICT r16 next #6 — the last set-probe
+    // archetype the tier lacked): order-grain shipping report with an
+    // EXISTS probe on a second ship condition and a NOT EXISTS probe
+    // on the channel's returns — count(DISTINCT order), ship-cost and
+    // profit totals for orders shipped from warehouse 0 that ALSO
+    // have lines shipped from a different warehouse and were never
+    // returned. catalog_returns derives from the catalog channel's
+    // own odd lines ('R'-flagged, every other one — the store_returns
+    // partial-match discipline, so both probe branches stay
+    // populated). 100 TB shape: both probes are semi/anti joins on
+    // the SAME cs_order_number key the outer fact filters on — one
+    // exchange partitioning serves the self-probe and the returns
+    // anti-join (AQE reuse), and the distinct-count is the only
+    // order-grain aggregate. Money totals are exact integer cents.
+    "tpcds_q16" -> sharedWith(
+      s"""$channelCtes,
+         |catalog_returns AS (
+         |  SELECT l_orderkey AS cr_order_number,
+         |    l_partkey AS cr_item_sk,
+         |    l_extendedprice AS cr_return_amount
+         |  FROM lineitem
+         |  WHERE l_returnflag = 'R' AND l_linenumber % 4 = 1)""".stripMargin,
+      """SELECT
+        |  count(DISTINCT cs1.cs_order_number) AS order_count,
+        |  CAST(CAST(sum(CAST(round(cs1.cs_ext_ship_cost * 100, 0)
+        |    AS BIGINT)) AS BIGINT) AS DOUBLE) / 100.0
+        |    AS total_shipping_cost,
+        |  CAST(CAST(sum(CAST(round(cs1.cs_net_profit * 100, 0)
+        |    AS BIGINT)) AS BIGINT) AS DOUBLE) / 100.0 AS total_net_profit
+        |FROM catalog_sales cs1
+        |WHERE cs1.cs_year = 1995
+        |  AND cs1.cs_ship_warehouse_sk = 0
+        |  AND EXISTS (
+        |    SELECT 1 FROM catalog_sales cs2
+        |    WHERE cs1.cs_order_number = cs2.cs_order_number
+        |      AND cs1.cs_ship_warehouse_sk <> cs2.cs_ship_warehouse_sk)
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM catalog_returns cr
+        |    WHERE cs1.cs_order_number = cr.cr_order_number)
+        |ORDER BY order_count""".stripMargin),
+
     "tpcds_q23_materialized" -> QueryDef(
       (s, dir) => {
         val mat = materializeStar(s, dir)

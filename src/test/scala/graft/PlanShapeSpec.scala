@@ -519,6 +519,17 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture with Matchers {
     plan should include("LeftSemi")
   }
 
+  test("tpcds_q16's probes lower to semi/anti joins on the order key") {
+    // the EXISTS self-probe must be a semi join and the returns probe
+    // an anti join — both keyed on cs_order_number, the same key the
+    // outer fact shuffles on (one exchange partitioning serves all
+    // three sides); no nested-loop, no pairwise stage
+    val plan = planOf("tpcds_q16")
+    plan should not include "CartesianProduct"
+    plan should include("LeftSemi")
+    plan should include("LeftAnti")
+  }
+
   test("tpcds_q60 pre-aggregates each channel before the union") {
     // the q33/q56/q60 family shape: per-channel item-grain partial
     // aggregation (3 legs), category dim broadcast INSIDE each leg,
