@@ -39,6 +39,8 @@ object ScaleProbe {
     "pipeline_bpe_vocab",
     "pipeline_bpe_tokenize",
     "pipeline_bpe_encode",
+    "pipeline_unigram_vocab",
+    "pipeline_unigram_tokenize",
     "pipeline_sequence_pack",
     "pipeline_domain_curation",
     "pipeline_paragraph_dedup",

@@ -774,6 +774,17 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture with Matchers {
     plan should not include "Join"
   }
 
+  test("unigram tokenize: vocab-bounded lattice, units broadcast, no pair stage") {
+    // one corpus aggregate builds the word-frequency table; the EM
+    // lattice runs on DISTINCT words with the unit table broadcast
+    // into the scoring join — never a shuffle of the corpus on a
+    // piece key, never a pairwise stage
+    val plan = planOf("pipeline_unigram_tokenize")
+    plan should include("BroadcastHashJoin")
+    plan should not include "CartesianProduct"
+    plan should not include "SortMergeJoin"
+  }
+
   test("ann recall harness adds no pairwise stage beyond the tiers' own") {
     // the harness unions the five tiers' own (already plan-pinned)
     // shortlists; everything it ADDS — the overlap semi-join, the
