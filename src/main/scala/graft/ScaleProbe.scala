@@ -195,6 +195,17 @@ object ScaleProbe {
       f""""$n":${sc / math.max(b, 1e-9)}%.2f"""
     }.mkString("{", ",", "}")
 
+    // checkpoint-path leg (r17; VERDICT r16 next #7): the deepest
+    // fixpoints re-run at the SCALED dir with lineage truncation on —
+    // CheckpointConf is spec-asserted result-equal, and this records
+    // whether truncation costs more than it saves at depth-13
+    // fixpoints (same warm-min methodology, directly comparable to
+    // the scaled entries above)
+    val ckptNames = Seq("dedup_minhash_lsh_full", "pipeline_leakage_split")
+    spark.conf.set(graft.queries.Clustering.CheckpointConf, "true")
+    val ckpt = probeSet(ckptNames)(scaleDir)
+    spark.conf.set(graft.queries.Clustering.CheckpointConf, "false")
+
     val heavyJson = heavy.map { case (hb, hs) =>
       val hr = hb.zip(hs).map { case ((n, b, _, _), (_, sc, _, _)) =>
         f""""$n":${sc / math.max(b, 1e-9)}%.2f"""
@@ -205,7 +216,9 @@ object ScaleProbe {
 
     val json =
       s"""{"probe":"scale${replicas}x","src":"$srcDir","replicas":$replicas,""" +
-        s""""base":${fmt(base)},"scaled":${fmt(scaled)},"time_ratio":$ratios$heavyJson}"""
+        s""""base":${fmt(base)},"scaled":${fmt(scaled)},""" +
+        s""""checkpoint_scaled":${fmt(ckpt)},""" +
+        s""""time_ratio":$ratios$heavyJson}"""
     Files.writeString(Paths.get(s"SCALE_PROBE_${replicas}x.json"), json + "\n")
     println(json)
     spark.stop()
