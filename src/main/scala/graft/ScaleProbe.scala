@@ -41,6 +41,7 @@ object ScaleProbe {
     "pipeline_bpe_encode",
     "pipeline_unigram_vocab",
     "pipeline_unigram_tokenize",
+    "pipeline_tokenizer_eval",
     "pipeline_sequence_pack",
     "pipeline_domain_curation",
     "pipeline_paragraph_dedup",

@@ -342,10 +342,17 @@ object TextPipeline extends QueryGroup {
     * discipline). With no `tail` the final SELECT is the piece-count
     * table c{rounds}; a `tail` instead consumes the FINAL Viterbi
     * pass bs{rounds+1} (pipeline_unigram_tokenize). */
-  private def unigramOracle(rounds: Int, tail: String = ""): String = {
+  private def unigramOracle(rounds: Int, tail: String = ""): String =
+    "WITH " + unigramOracleCtes(rounds, tail)
+
+  /** The CTE chain of [[unigramOracle]] WITHOUT the leading WITH, so
+    * composite oracles (pipeline_tokenizer_eval) can append it to
+    * another chain — CTE names (v, c*, t*, u*, sg*, px*, sc*, bs*)
+    * are disjoint from bpeOracle's (v0, s*, p*, b*) by construction. */
+  private def unigramOracleCtes(rounds: Int, tail: String = ""): String = {
     val sb = new StringBuilder
     sb.append(
-      s"""WITH v AS (
+      s"""v AS (
          |  SELECT w, count(*) AS freq FROM (
          |    SELECT unnest(string_split(
          |      regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ')) AS w
@@ -1681,6 +1688,54 @@ object TextPipeline extends QueryGroup {
         s"""fin AS (SELECT w, freq, seg, CAST(np AS BIGINT) AS n_pieces
            |        FROM bs${UnigramRounds + 1})
            |SELECT w, freq, seg, n_pieces FROM fin ORDER BY w""".stripMargin))),
+
+    // Tokenizer evaluation (r17; the measure-don't-ship discipline of
+    // sim_ann_recall applied to the subword family: two tokenizers
+    // are only an OFFERING if their compression is compared on the
+    // same corpus). Per tokenizer — the BPE model after its 8 merge
+    // rounds and the unigram model after its 2 EM rounds — the
+    // corpus-weighted word count, piece count, and fertility
+    // (pieces/word, THE tokenizer-quality headline; Rust et al. 2021).
+    // Totals are exact BIGINT sums over the vocabulary grain
+    // (freq·pieces), fertility one IEEE division of exact integers —
+    // bit-identical cross-engine. The oracle runs BOTH learners'
+    // unrolled CTE chains in one WITH (names disjoint by
+    // construction), so the comparison is value-checked end to end.
+    // 100 TB shape: both learners are the proven one-corpus-aggregate
+    // + vocab-bounded-rounds pipelines; the eval itself adds one
+    // 2-group aggregate over vocabulary-sized frames.
+    "pipeline_tokenizer_eval" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val (_, bpeVocab) = learnBpe(s, dir)
+        val (_, uniBest, _) = learnUnigram(s, dir)
+        val b = bpeVocab.select(lit("bpe").as("tokenizer"), $"freq",
+          size(expr("split(trim(seq), '  ')")).cast("long").as("np"))
+        val u = uniBest.select(lit("unigram").as("tokenizer"), $"freq",
+          $"np".cast("long").as("np"))
+        b.unionByName(u).groupBy($"tokenizer")
+          .agg(sum($"freq").as("total_words"),
+            sum($"freq" * $"np").as("total_pieces"))
+          .select($"tokenizer", $"total_words", $"total_pieces",
+            ($"total_pieces".cast("double") / $"total_words")
+              .as("fertility"))
+          .orderBy($"tokenizer")
+      },
+      Some(bpeOracle(BpeRounds,
+        unigramOracleCtes(UnigramRounds,
+          s"""ev AS (
+             |  SELECT 'bpe' AS tokenizer,
+             |    CAST(sum(freq) AS BIGINT) AS total_words,
+             |    CAST(sum(freq * len(string_split(trim(seq), '  ')))
+             |      AS BIGINT) AS total_pieces
+             |  FROM s$BpeRounds
+             |  UNION ALL
+             |  SELECT 'unigram', CAST(sum(freq) AS BIGINT),
+             |    CAST(sum(freq * np) AS BIGINT)
+             |  FROM bs${UnigramRounds + 1})
+             |SELECT tokenizer, total_words, total_pieces,
+             |  CAST(total_pieces AS DOUBLE) / total_words AS fertility
+             |FROM ev ORDER BY tokenizer""".stripMargin)))),
 
     // Sequence packing (r15; the concat-and-chunk stage of a training
     // pipeline — GPT-style: Brown et al. 2020 §2.1 pack documents
