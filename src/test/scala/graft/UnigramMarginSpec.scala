@@ -30,4 +30,17 @@ class UnigramMarginSpec extends AnyFunSuite with SparkFixture with Matchers {
     info(f"min quantization margin across rounds: $minMargin%.3e")
     minMargin should be >= 1e-5
   }
+
+  test("every final segmentation reconstructs its word exactly (round-trip)") {
+    // lossless-tokenization property (SentencePiece's core contract):
+    // concatenating the argmax pieces must give back the word for
+    // EVERY vocabulary entry — a dropped/overlapping piece in the
+    // cut-mask enumeration would break this before any oracle ran
+    import spark.implicits._
+    val (_, best, _) = graft.queries.TextPipeline.learnUnigram(spark, sfDir)
+    val broken = best
+      .filter(regexp_replace($"seg", " ", "") =!= $"w")
+    broken.count() shouldBe 0L
+    best.count() should be > 0L
+  }
 }
