@@ -55,6 +55,7 @@ object ScaleProbe {
     "sim_ann_ivf",
     "sim_ann_pq",
     "sim_ann_sq8",
+    "sim_ann_sq8_corrected",
     "sim_ann_ivf_materialized",
     "sim_ann_recall",
     "sim_semdedup")

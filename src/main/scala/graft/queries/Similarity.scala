@@ -254,6 +254,56 @@ object Similarity extends QueryGroup {
        |SELECT q_id, rk, vec_id, round(cos, 4) AS cos
        |FROM r WHERE rk <= 3 ORDER BY q_id, rk""".stripMargin
 
+  // --- SQ8 shared pieces (raw + corrected rows) -------------------------
+
+  /** Per-dimension corpus [min, max] → one broadcastable row
+    * (mns, mxs). */
+  private def sq8StatsOf(corpus: DataFrame): DataFrame = {
+    import corpus.sparkSession.implicits._
+    corpus
+      .select(posexplode($"v").as(Seq("i", "x")))
+      .groupBy($"i").agg(min($"x").as("mn"), max($"x").as("mx"))
+      .groupBy()
+      .agg(transform(array_sort(collect_list(struct($"i", $"mn"))),
+        e => e.getField("mn")).as("mns"),
+        transform(array_sort(collect_list(struct($"i", $"mx"))),
+          e => e.getField("mx")).as("mxs"))
+  }
+
+  /** (vec_id, code) with code = per-dimension 0..127 quantization
+    * against the corpus [min, max] band — floor((x−mn)·scale + 0.5)
+    * explicitly, never a rounding-mode-dependent round(). Shared by
+    * the raw-integer-dot and reconstruction-cosine SQ8 rows. */
+  private def sq8CodedOf(corpus: DataFrame): DataFrame = {
+    import corpus.sparkSession.implicits._
+    def quant(v: Column, mns: Column, mxs: Column): Column =
+      transform(v, (x, i) => {
+        val mn = element_at(mns, i + 1)
+        val mx = element_at(mxs, i + 1)
+        when(mx === mn, lit(0L)).otherwise(
+          floor((x - mn) * lit(127.0) / (mx - mn) + lit(0.5)).cast("long"))
+      })
+    corpus.crossJoin(broadcast(sq8StatsOf(corpus)))
+      .select($"vec_id", quant($"v", $"mns", $"mxs").as("code"))
+  }
+
+  /** DuckDB CTEs `dim`, `st`, `coded` re-deriving [[sq8CodedOf]] over
+    * a source CTE `c(vec_id, v)` — shared by both SQ8 oracles. */
+  private lazy val duckSq8CodedCtes: String =
+    """dim AS (
+      |  SELECT u.i AS i, min(v[u.i]) AS mn, max(v[u.i]) AS mx
+      |  FROM c, LATERAL (SELECT unnest(range(1, 65)) AS i) u
+      |  GROUP BY u.i),
+      |st AS (SELECT list(mn ORDER BY i) AS mns,
+      |              list(mx ORDER BY i) AS mxs FROM dim),
+      |coded AS (
+      |  SELECT vec_id,
+      |    list_transform(range(1, 65), i ->
+      |      CASE WHEN st.mxs[i] = st.mns[i] THEN CAST(0 AS BIGINT)
+      |      ELSE CAST(floor((c.v[i] - st.mns[i]) * 127.0 /
+      |        (st.mxs[i] - st.mns[i]) + 0.5) AS BIGINT) END) AS code
+      |  FROM c, st)""".stripMargin
+
   // --- per-tier shortlist builders (shared by the gate rows and the
   // --- recall harness; VERDICT r16 next #1) ---------------------------
 
@@ -530,25 +580,7 @@ object Similarity extends QueryGroup {
     "sim_ann_sq8" -> QueryDef(
       (s, dir) => {
         import s.implicits._
-        val corpus = vecs(s, dir)
-        // per-dimension corpus [min, max] → one broadcastable row
-        val stats = corpus
-          .select(posexplode($"v").as(Seq("i", "x")))
-          .groupBy($"i").agg(min($"x").as("mn"), max($"x").as("mx"))
-          .groupBy()
-          .agg(transform(array_sort(collect_list(struct($"i", $"mn"))),
-            e => e.getField("mn")).as("mns"),
-            transform(array_sort(collect_list(struct($"i", $"mx"))),
-              e => e.getField("mx")).as("mxs"))
-        def quant(v: Column, mns: Column, mxs: Column): Column =
-          transform(v, (x, i) => {
-            val mn = element_at(mns, i + 1)
-            val mx = element_at(mxs, i + 1)
-            when(mx === mn, lit(0L)).otherwise(
-              floor((x - mn) * lit(127.0) / (mx - mn) + lit(0.5)).cast("long"))
-          })
-        val coded = corpus.crossJoin(broadcast(stats))
-          .select($"vec_id", quant($"v", $"mns", $"mxs").as("code"))
+        val coded = sq8CodedOf(vecs(s, dir))
         val queries = coded.filter($"vec_id" < 10)
           .select($"vec_id".as("q_id"), $"code".as("qcode"))
         val w = Window.partitionBy($"q_id")
@@ -563,19 +595,7 @@ object Similarity extends QueryGroup {
           .orderBy($"q_id", $"rk")
       },
       Some(s"""WITH c AS ($duckVecs),
-             |dim AS (
-             |  SELECT u.i AS i, min(v[u.i]) AS mn, max(v[u.i]) AS mx
-             |  FROM c, LATERAL (SELECT unnest(range(1, 65)) AS i) u
-             |  GROUP BY u.i),
-             |st AS (SELECT list(mn ORDER BY i) AS mns,
-             |              list(mx ORDER BY i) AS mxs FROM dim),
-             |coded AS (
-             |  SELECT vec_id,
-             |    list_transform(range(1, 65), i ->
-             |      CASE WHEN st.mxs[i] = st.mns[i] THEN CAST(0 AS BIGINT)
-             |      ELSE CAST(floor((c.v[i] - st.mns[i]) * 127.0 /
-             |        (st.mxs[i] - st.mns[i]) + 0.5) AS BIGINT) END) AS code
-             |  FROM c, st),
+             |$duckSq8CodedCtes,
              |q AS (SELECT vec_id AS q_id, code AS qcode
              |      FROM coded WHERE vec_id < 10),
              |scored AS (
@@ -589,6 +609,65 @@ object Similarity extends QueryGroup {
              |          ORDER BY score DESC, vec_id) AS rk
              |      FROM scored)
              |SELECT q_id, CAST(rk AS BIGINT) AS rk, vec_id, score
+             |FROM r WHERE rk <= 3 ORDER BY q_id, rk""".stripMargin)),
+
+    // SQ8 with reconstruction-cosine scoring (r17 — the fix the new
+    // recall harness MOTIVATED: the raw integer dot above is bit-
+    // exact but rank-BROKEN for cosine, because the quantizer is
+    // affine (q ≈ a·x + b per dimension) — dot(q_u, q_v) carries
+    // a·b·(Σu + Σv) offset terms that reorder neighbors; measured
+    // recall@3 2/30. The standard production fix scores candidates on
+    // the DEQUANTIZED reconstruction x̂_i = mn_i + q_i·(mx_i−mn_i)/127
+    // — still served entirely from the 64-byte codes plus the 1-row
+    // broadcast stats (the vectors are never touched after encode),
+    // recall@3 recovers to near-exact. Determinism is the
+    // sim_cosine_topk class: both engines fold the identical
+    // reconstructed doubles left-to-right, so cos is bit-identical
+    // and vec_id breaks exact ties. Same 100 TB shape as the raw row:
+    // map-side encode + decode over one corpus pass, top-k window the
+    // only aggregation.
+    "sim_ann_sq8_corrected" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val dec = sq8CodedOf(vecs(s, dir))
+          .crossJoin(broadcast(sq8StatsOf(vecs(s, dir))))
+          .select($"vec_id", transform($"code", (q, i) =>
+            element_at($"mns", i + 1) +
+              q * (element_at($"mxs", i + 1) - element_at($"mns", i + 1))
+                / lit(127.0)).as("dv"))
+          .withColumn("dn", expr("vec_norm(dv)"))
+        val queries = dec.filter($"vec_id" < 10)
+          .select($"vec_id".as("q_id"), $"dv".as("qv"), $"dn".as("qn"))
+        val w = Window.partitionBy($"q_id")
+          .orderBy($"cos".desc_nulls_last, $"vec_id")
+        dec.crossJoin(broadcast(queries))
+          .filter($"vec_id" =!= $"q_id")
+          .withColumn("cos", expr("vec_dot(dv, qv)") / ($"dn" * $"qn"))
+          .withColumn("rk", row_number().over(w))
+          .filter($"rk" <= 3)
+          .select($"q_id", $"rk", $"vec_id", round($"cos", 4).as("cos"))
+          .orderBy($"q_id", $"rk")
+      },
+      Some(s"""WITH c AS ($duckVecs),
+             |$duckSq8CodedCtes,
+             |dec AS (
+             |  SELECT vec_id,
+             |    list_transform(range(1, 65), i ->
+             |      st.mns[i] + coded.code[i] *
+             |        (st.mxs[i] - st.mns[i]) / 127.0) AS dv
+             |  FROM coded, st),
+             |q AS (SELECT vec_id AS q_id, dv AS qv FROM dec WHERE vec_id < 10),
+             |scored AS (
+             |  SELECT q.q_id, d.vec_id,
+             |    list_dot_product(d.dv, q.qv) /
+             |      (sqrt(list_dot_product(d.dv, d.dv)) *
+             |       sqrt(list_dot_product(q.qv, q.qv))) AS cos
+             |  FROM dec d, q WHERE d.vec_id <> q.q_id),
+             |r AS (SELECT q_id, vec_id, cos,
+             |        row_number() OVER (PARTITION BY q_id
+             |          ORDER BY cos DESC, vec_id) AS rk
+             |      FROM scored)
+             |SELECT q_id, rk, vec_id, round(cos, 4) AS cos
              |FROM r WHERE rk <= 3 ORDER BY q_id, rk""".stripMargin)),
 
     // Edit-distance-1 fuzzy LOOKUP via deletion neighborhoods (r15;
@@ -1082,7 +1161,8 @@ object Similarity extends QueryGroup {
     "ivf_multiprobe" -> "sim_ann_ivf_multiprobe",
     "lsh_bucketed" -> "sim_ann_lsh_bucketed",
     "pq" -> "sim_ann_pq",
-    "sq8" -> "sim_ann_sq8")
+    "sq8" -> "sim_ann_sq8",
+    "sq8_corrected" -> "sim_ann_sq8_corrected")
 
   /** recall@3 of every approximate tier against the exact brute-force
     * top-3 (the [[exactTopk]] ground truth) over the shared query

@@ -785,6 +785,16 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture with Matchers {
     plan should not include "SortMergeJoin"
   }
 
+  test("corrected SQ8 serves from codes: map-side decode, top-k window only") {
+    // encode and reconstruction-decode are map-side over one corpus
+    // pass (the stats row broadcasts); the only corpus aggregation is
+    // the bounded top-k window — no pairwise stage, no shuffle join
+    val plan = planOf("sim_ann_sq8_corrected")
+    plan should not include "CartesianProduct"
+    plan should include("WindowGroupLimit")
+    plan should not include "SortMergeJoin"
+  }
+
   test("ann recall harness adds no pairwise stage beyond the tiers' own") {
     // the harness unions the five tiers' own (already plan-pinned)
     // shortlists; everything it ADDS — the overlap semi-join, the
