@@ -41,6 +41,7 @@ object ScaleProbe {
     "pipeline_bpe_encode",
     "pipeline_unigram_vocab",
     "pipeline_unigram_tokenize",
+    "pipeline_unigram_encode",
     "pipeline_tokenizer_eval",
     "pipeline_sequence_pack",
     "pipeline_domain_curation",
@@ -149,7 +150,16 @@ object ScaleProbe {
         var rows = 0L
         val secs = (1 to samples).map { _ =>
           val t0 = System.nanoTime()
-          rows = SparkEntry.queries(name)(spark, dir).count()
+          // a per-query failure (e.g. requireConverged tripping the
+          // maxIters valve at a larger replica factor) records
+          // rows=-1 and keeps the run — never discards the legs that
+          // already completed (ADVICE r17)
+          try rows = SparkEntry.queries(name)(spark, dir).count()
+          catch {
+            case scala.util.control.NonFatal(e) =>
+              rows = -1L
+              System.err.println(s"[scale-probe] $name FAILED: $e")
+          }
           val s = (System.nanoTime() - t0) / 1e9
           // bench hygiene (same as Bench): queries that materialize
           // intermediates (the dedup fixpoints) must not bleed storage
@@ -204,9 +214,20 @@ object ScaleProbe {
     // fixpoints (same warm-min methodology, directly comparable to
     // the scaled entries above)
     val ckptNames = Seq("dedup_minhash_lsh_full", "pipeline_leakage_split")
+    val prevCkpt = spark.conf
+      .getOption(graft.queries.Clustering.CheckpointConf)
     spark.conf.set(graft.queries.Clustering.CheckpointConf, "true")
-    val ckpt = probeSet(ckptNames)(scaleDir)
-    spark.conf.set(graft.queries.Clustering.CheckpointConf, "false")
+    // restore the prior conf even if a ckpt probe throws — a leaked
+    // "true" would silently change every later query in this session
+    // (ADVICE r17)
+    val ckpt =
+      try probeSet(ckptNames)(scaleDir)
+      finally prevCkpt match {
+        case Some(v) =>
+          spark.conf.set(graft.queries.Clustering.CheckpointConf, v)
+        case None =>
+          spark.conf.unset(graft.queries.Clustering.CheckpointConf)
+      }
 
     val heavyJson = heavy.map { case (hb, hs) =>
       val hr = hb.zip(hs).map { case ((n, b, _, _), (_, sc, _, _)) =>

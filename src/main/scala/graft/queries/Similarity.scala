@@ -273,8 +273,11 @@ object Similarity extends QueryGroup {
   /** (vec_id, code) with code = per-dimension 0..127 quantization
     * against the corpus [min, max] band — floor((x−mn)·scale + 0.5)
     * explicitly, never a rounding-mode-dependent round(). Shared by
-    * the raw-integer-dot and reconstruction-cosine SQ8 rows. */
-  private def sq8CodedOf(corpus: DataFrame): DataFrame = {
+    * the raw-integer-dot and reconstruction-cosine SQ8 rows; `stats`
+    * is passed IN (one [[sq8StatsOf]] per caller — ADVICE r17 #2: the
+    * r17 form recomputed the full-corpus stats aggregate inside,
+    * doubling the stats scan for any caller that also needs it). */
+  private def sq8CodedOf(corpus: DataFrame, stats: DataFrame): DataFrame = {
     import corpus.sparkSession.implicits._
     def quant(v: Column, mns: Column, mxs: Column): Column =
       transform(v, (x, i) => {
@@ -283,7 +286,7 @@ object Similarity extends QueryGroup {
         when(mx === mn, lit(0L)).otherwise(
           floor((x - mn) * lit(127.0) / (mx - mn) + lit(0.5)).cast("long"))
       })
-    corpus.crossJoin(broadcast(sq8StatsOf(corpus)))
+    corpus.crossJoin(broadcast(stats))
       .select($"vec_id", quant($"v", $"mns", $"mxs").as("code"))
   }
 
@@ -580,7 +583,8 @@ object Similarity extends QueryGroup {
     "sim_ann_sq8" -> QueryDef(
       (s, dir) => {
         import s.implicits._
-        val coded = sq8CodedOf(vecs(s, dir))
+        val corpus = vecs(s, dir)
+        val coded = sq8CodedOf(corpus, sq8StatsOf(corpus))
         val queries = coded.filter($"vec_id" < 10)
           .select($"vec_id".as("q_id"), $"code".as("qcode"))
         val w = Window.partitionBy($"q_id")
@@ -629,8 +633,10 @@ object Similarity extends QueryGroup {
     "sim_ann_sq8_corrected" -> QueryDef(
       (s, dir) => {
         import s.implicits._
-        val dec = sq8CodedOf(vecs(s, dir))
-          .crossJoin(broadcast(sq8StatsOf(vecs(s, dir))))
+        val corpus = vecs(s, dir)
+        val stats = sq8StatsOf(corpus)
+        val dec = sq8CodedOf(corpus, stats)
+          .crossJoin(broadcast(stats))
           .select($"vec_id", transform($"code", (q, i) =>
             element_at($"mns", i + 1) +
               q * (element_at($"mxs", i + 1) - element_at($"mns", i + 1))
@@ -1178,8 +1184,9 @@ object Similarity extends QueryGroup {
     * distance and SQ8 by quantized integer dot product, so their
     * recall measures QUANTIZATION loss, not implementation error.
     * 100 TB shape: adds no corpus scan beyond the tiers' own — the
-    * overlap join moves 5·|Q|·k ids, the per-tier counts are one
-    * 5-group aggregate, and `possible` is a broadcast scalar. */
+    * overlap join moves |Q|·k ids PER TIER, the per-tier counts are
+    * one aggregate grouped by tier, and `possible` is a broadcast
+    * scalar. */
   private lazy val recallDef: QueryDef = QueryDef(
     (s, dir) => {
       import s.implicits._

@@ -57,8 +57,16 @@ class HybridRrfMarginSpec extends AnyFunSuite with SparkFixture with Matchers {
     // cross-engine folds + the vec_id tie-break (see the scaladoc),
     // so running this gap assertion against it would fail spuriously.
     // Cancel, don't fail, if sfDir is ever pointed off the fixtures.
-    assume(sfDir.startsWith("/root/testdata/"),
-      "cosine-gap margins are measured on the fixture corpora only")
+    // The marker is a property of the corpus itself, not a path
+    // prefix (ADVICE r17 #5): every derivation path (DeriveSf1,
+    // ScaleProbe replicas) offsets replica ids by 10M·rep, so a
+    // derived corpus always contains ids ≥ 10M and a fixture never
+    // does.
+    val maxId = Tables.documents(spark, sfDir)
+      .agg(max($"doc_id")).head.getLong(0)
+    assume(maxId < 10000000L,
+      "cosine-gap margins are measured on the fixture corpora only " +
+        s"(max doc_id $maxId marks a derived replica corpus)")
     val ranked = graft.queries.Similarity.hybridDenseRanked(spark, sfDir)
       .filter($"rk_cos" <= 22)
     val gaps = ranked

@@ -785,6 +785,16 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture with Matchers {
     plan should not include "SortMergeJoin"
   }
 
+  test("unigram encode broadcasts the model onto the doc stream") {
+    // the vocabulary-sized (word → pieces) model broadcasts onto the
+    // posexploded word stream; the only corpus shuffle is the per-doc
+    // reassembly aggregate at the grain the corpus already lives at
+    val plan = planOf("pipeline_unigram_encode")
+    plan should include("BroadcastHashJoin")
+    plan should not include "CartesianProduct"
+    plan should not include "SortMergeJoin"
+  }
+
   test("corrected SQ8 serves from codes: map-side decode, top-k window only") {
     // encode and reconstruction-decode are map-side over one corpus
     // pass (the stats row broadcasts); the only corpus aggregation is
