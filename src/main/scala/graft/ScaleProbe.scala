@@ -53,8 +53,11 @@ object ScaleProbe {
     "lm_stupid_backoff",
     "dedup_substring_spans",
     "sim_ann_lsh_bucketed",
+    "sim_ann_lsh_multiprobe",
     "sim_ann_ivf",
+    "sim_ann_ivf_geo",
     "sim_ann_pq",
+    "sim_ann_pq_rescored",
     "sim_ann_sq8",
     "sim_ann_sq8_corrected",
     "sim_ann_ivf_materialized",

