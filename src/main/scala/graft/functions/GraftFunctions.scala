@@ -304,6 +304,9 @@ object GraftFunctions {
     ("audio_header_meta",
       new ExpressionInfo(classOf[AudioHeaderMeta].getName, "audio_header_meta"),
       (args: Seq[Expression]) => AudioHeaderMeta(args(0))),
+    ("png_pixel_stats",
+      new ExpressionInfo(classOf[PngPixelStats].getName, "png_pixel_stats"),
+      (args: Seq[Expression]) => PngPixelStats(args(0))),
     ("video_header_meta",
       new ExpressionInfo(classOf[VideoHeaderMeta].getName, "video_header_meta"),
       (args: Seq[Expression]) => VideoHeaderMeta(args(0))),
