@@ -31,6 +31,7 @@ object ScaleProbe {
     "text_quality",
     "dedup_minhash_lsh",
     "dedup_minhash_lsh_full",
+    "dedup_lsh_recall",
     "sim_embed_neardup_full",
     "pipeline_corpus_curation",
     "pipeline_decontamination",

@@ -940,6 +940,86 @@ object TextPipeline extends QueryGroup {
              |${PortableLsh.duckMinhashEdges},
              |${PortableLsh.duckClosureSelect}""".stripMargin)),
 
+    // MinHash-LSH banding recall/precision measured against the exact
+    // Jaccard pair set (r18; VERDICT r17 next #7 — the sim_ann_recall
+    // discipline applied to the dedup tier: the banding's
+    // 1−(1−j^4)^16 capture curve was asserted from theory, never
+    // measured on the shipped hash family). On the bounded 500-doc
+    // slice, EVERY pair's exact word-set Jaccard is computed and
+    // bucketed into similarity bands, and each pair is marked caught
+    // iff it shares ≥1 of the 16 PortableLsh band buckets — the SAME
+    // md5/Carter-Wegman family dedup_minhash_lsh_full, the leakage
+    // split, and the incremental-dedup index ship, at the full-dedup
+    // banding (4 rows/band), which is exactly what makes the row
+    // DuckDB-exact: the oracle re-derives the identical buckets and
+    // counts the identical integers (the xxhash64 variant in
+    // dedup_minhash_lsh has no oracle-side hash and stays covered by
+    // its all-pairs rescore). Expected S-curve: ~100% capture at
+    // j≥0.9, decaying through the 0.5-0.7 band, near-zero collisions
+    // on dissimilar pairs — n_caught in the 0.0-0.5 band IS the
+    // pre-rescore false-positive count, the precision story. The
+    // all-pairs stage is the bounded ORACLE pattern (125k pairs at
+    // the 500-doc cap, constant at every sf); the candidate side is
+    // the production equi-join shape.
+    "dedup_lsh_recall" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.documents(s, dir).filter($"doc_id" < 500)
+        val buckets = docs
+          .select($"doc_id", PortableLsh.wordBaseHashes($"text").as("x"))
+          .select($"doc_id".as("id"),
+            explode(PortableLsh.bucketArray($"x")).as("bucket"))
+        val candPairs = buckets.as("a").join(buckets.as("b"), "bucket")
+          .filter($"a.id" < $"b.id")
+          .select($"a.id".as("id_a"), $"b.id".as("id_b")).distinct()
+          .withColumn("caught", lit(1L))
+        val t = docs.select($"doc_id", wordSet($"text").as("w"))
+        val a = t.select($"doc_id".as("id_a"), $"w".as("wa"))
+        val b = t.select($"doc_id".as("id_b"), $"w".as("wb"))
+        a.crossJoin(b).filter($"id_a" < $"id_b")
+          .withColumn("ni", size(array_intersect($"wa", $"wb")))
+          .withColumn("j", $"ni".cast("double") /
+            (size($"wa") + size($"wb") - $"ni"))
+          .withColumn("j_band",
+            when($"j" >= 0.9, "j_0.9_1.0")
+              .when($"j" >= 0.7, "j_0.7_0.9")
+              .when($"j" >= 0.5, "j_0.5_0.7")
+              .otherwise("j_0.0_0.5"))
+          .join(candPairs, Seq("id_a", "id_b"), "left")
+          .groupBy($"j_band")
+          .agg(count(lit(1)).as("n_pairs"),
+            sum(coalesce($"caught", lit(0L))).as("n_caught"))
+          .orderBy($"j_band")
+      },
+      Some(s"""WITH base AS (
+             |  SELECT doc_id, text FROM documents WHERE doc_id < 500),
+             |${PortableLsh.duckMinhashEdges},
+             |cp AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+             |       FROM edges a JOIN edges b
+             |         ON a.bucket = b.bucket AND a.id < b.id),
+             |t AS (
+             |  SELECT doc_id, list_sort(list_distinct(string_split(
+             |    regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' '))) AS w
+             |  FROM base),
+             |bd AS (
+             |  SELECT id_a, id_b,
+             |    CASE
+             |      WHEN j >= 0.9 THEN 'j_0.9_1.0'
+             |      WHEN j >= 0.7 THEN 'j_0.7_0.9'
+             |      WHEN j >= 0.5 THEN 'j_0.5_0.7'
+             |      ELSE 'j_0.0_0.5' END AS j_band
+             |  FROM (
+             |    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             |      CAST(len(list_intersect(a.w, b.w)) AS DOUBLE) /
+             |        (len(a.w) + len(b.w) - len(list_intersect(a.w, b.w))) AS j
+             |    FROM t a JOIN t b ON a.doc_id < b.doc_id))
+             |SELECT bd.j_band, count(*) AS n_pairs,
+             |  CAST(sum(CASE WHEN cp.id_a IS NOT NULL THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_caught
+             |FROM bd LEFT JOIN cp
+             |  ON bd.id_a = cp.id_a AND bd.id_b = cp.id_b
+             |GROUP BY bd.j_band ORDER BY bd.j_band""".stripMargin)),
+
     // Leakage-safe train/validation/test split (the GPT-3 lesson,
     // Brown et al. 2020 appendix C: eval contamination comes from
     // near-duplicates straddling the split, so membership must be
