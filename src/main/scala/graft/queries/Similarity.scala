@@ -1459,7 +1459,7 @@ object Similarity extends QueryGroup {
   /** recall@3 of every approximate tier against the exact brute-force
     * top-3 (the [[exactTopk]] ground truth) over the shared query
     * batch vec_id < 10 — the reference's ml_evaluate discipline
-    * applied to the ANN index offering: six implementations are only
+    * applied to the ANN index offering: the tier implementations are only
     * an OFFERING if their recall is measured, and recall@k is THE
     * number a vector-store user asks first. Each tier's shortlist is
     * built by the SAME QueryDef the gate serves (never a re-

@@ -104,4 +104,19 @@ class Round18FixesSpec extends AnyFunSuite with SparkFixture with Matchers {
     val (_, seg, _) = got.find(_._1 == longW).get
     seg.replace(" ", "") shouldBe longW
   }
+
+  test("standing near-dup bucket index is build-once") {
+    // ensureNeardupBuckets writes only when the warehouse asset is
+    // absent — a second call must not rewrite a single file, or the
+    // "one signature pass per corpus EVER" claim is false and every
+    // consumer pays the 64-minhash build per run
+    val tp = queries.TextPipeline
+    val path = tp.ensureNeardupBuckets(spark, sfDir)
+    val dir = new java.io.File(path.stripPrefix("file:"))
+    dir.exists() shouldBe true
+    val stamps = dir.listFiles().map(f => (f.getName, f.lastModified())).toSet
+    Thread.sleep(1100) // mtime granularity
+    tp.ensureNeardupBuckets(spark, sfDir) shouldBe path
+    dir.listFiles().map(f => (f.getName, f.lastModified())).toSet shouldBe stamps
+  }
 }
