@@ -307,6 +307,9 @@ object GraftFunctions {
     ("png_pixel_stats",
       new ExpressionInfo(classOf[PngPixelStats].getName, "png_pixel_stats"),
       (args: Seq[Expression]) => PngPixelStats(args(0))),
+    ("wav_sample_stats",
+      new ExpressionInfo(classOf[WavSampleStats].getName, "wav_sample_stats"),
+      (args: Seq[Expression]) => WavSampleStats(args(0))),
     ("video_header_meta",
       new ExpressionInfo(classOf[VideoHeaderMeta].getName, "video_header_meta"),
       (args: Seq[Expression]) => VideoHeaderMeta(args(0))),

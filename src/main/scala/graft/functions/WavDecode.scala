@@ -1,0 +1,105 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.types._
+
+/** Real WAV PCM SAMPLE decode (r18; the audio sibling of
+  * [[PngPixelStats]], closing the sample-decode half of the seam
+  * [[AudioHeaderMeta]] left at the header): `wav_sample_stats(payload)`
+  * walks the RIFF chunks by declared little-endian sizes (odd sizes
+  * padded per the RIFF word-alignment rule — a variable-length LIST
+  * chunk before fmt/data moves every later offset, so fixed-offset
+  * "parsers" fail), requires integer PCM (format tag 1) at 16 bits
+  * per sample, and DECODES the data chunk: every sample read as a
+  * signed 16-bit little-endian integer. Returns
+  * struct(channels, sample_rate, n_frames, sum_abs, sum_sq, peak):
+  * exact integer amplitude sums (Σ|s|, Σs², max |s|), so mean
+  * amplitude and RMS are one IEEE division (+ correctly-rounded sqrt)
+  * of exact integers — the cents-division discipline applied to audio.
+  *
+  * Unlike the header prober, the data chunk's bytes must actually be
+  * present: a declared size that overruns the buffer is malformed
+  * here (NULL), not streaming-probe-acceptable. NULL likewise for bad
+  * magic, a missing fmt or data chunk, non-PCM format tags
+  * (compressed audio belongs in a mapInPandas batch with real codecs),
+  * non-16-bit depths, a data size that is not a whole number of
+  * frames, or >2^22 frames (bounds the per-row scan).
+  *
+  * Format spec: RIFF/WAVE (RFC 2361 registry); the reference has no
+  * sample decode to cite.
+  */
+case class WavSampleStats(child: Expression)
+  extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("channels", IntegerType),
+    StructField("sample_rate", IntegerType),
+    StructField("n_frames", LongType),
+    StructField("sum_abs", LongType),
+    StructField("sum_sq", LongType),
+    StructField("peak", IntegerType)))
+  override def nullable: Boolean = true
+  override def prettyName: String = "wav_sample_stats"
+
+  private def le16(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+  private def le32(b: Array[Byte], i: Int): Long =
+    (b(i) & 0xffL) | ((b(i + 1) & 0xffL) << 8) |
+      ((b(i + 2) & 0xffL) << 16) | ((b(i + 3) & 0xffL) << 24)
+  private def tag(b: Array[Byte], i: Int): String =
+    new String(b, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val b = v.asInstanceOf[Array[Byte]]
+    if (b.length < 12 || tag(b, 0) != "RIFF" || tag(b, 8) != "WAVE")
+      return null
+    var pos = 12L
+    var fmtTag = -1; var channels = -1; var rate = -1L; var bits = -1
+    var blockAlign = -1
+    var dataOff = -1L; var dataSize = -1L
+    while (pos + 8 <= b.length && (channels < 0 || dataOff < 0)) {
+      val p = pos.toInt
+      val id = tag(b, p)
+      val size = le32(b, p + 4)
+      if (id == "fmt ") {
+        if (size < 16 || pos + 8 + 16 > b.length) return null
+        fmtTag = le16(b, p + 8)
+        channels = le16(b, p + 10)
+        rate = le32(b, p + 12)
+        blockAlign = le16(b, p + 20)
+        bits = le16(b, p + 22)
+        if (channels <= 0 || rate <= 0 || blockAlign <= 0 || bits <= 0)
+          return null
+      } else if (id == "data") {
+        dataOff = pos + 8
+        dataSize = size
+      }
+      pos += 8 + size + size % 2
+    }
+    if (channels < 0 || dataOff < 0) return null
+    if (fmtTag != 1 || bits != 16 || blockAlign != channels * 2)
+      return null
+    if (rate > Int.MaxValue) return null
+    if (dataOff + dataSize > b.length) return null // samples must exist
+    if (dataSize % blockAlign != 0) return null
+    val frames = dataSize / blockAlign
+    if (frames > (1L << 22)) return null
+    var sumAbs = 0L; var sumSq = 0L; var peak = 0
+    var i = dataOff.toInt
+    val end = (dataOff + dataSize).toInt
+    while (i + 1 < end) {
+      val s = le16(b, i).toShort.toInt
+      val a = math.abs(s)
+      sumAbs += a
+      sumSq += s.toLong * s
+      if (a > peak) peak = a
+      i += 2
+    }
+    InternalRow(channels, rate.toInt, frames, sumAbs, sumSq, peak)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WavSampleStats =
+    copy(child = newChild)
+}

@@ -323,6 +323,92 @@ object Multimodal extends QueryGroup {
              |FROM documents WHERE doc_id < 400
              |ORDER BY media_id""".stripMargin)),
 
+    // REAL PCM SAMPLE decode (r18; the audio sibling of
+    // mm_decode_pixels — mm_audio_meta probes headers, this row
+    // decodes the audio itself): payloads are COMPLETE 16-bit PCM
+    // WAVs planted from doc_id arithmetic — an odd-id variable-length
+    // LIST chunk (exercising the RIFF odd-size pad rule with real
+    // samples following it), then fmt, then a data chunk whose
+    // samples are the signed 16-bit pattern w(i) = (id·31 + i²·7)
+    // mod 2¹⁶ stored little-endian. wav_sample_stats walks the
+    // chunks and DECODES every sample, emitting exact integer
+    // amplitude sums (Σ|s|, Σs², peak); the oracle recomputes the
+    // planted sums arithmetically — disagreement anywhere in the
+    // encode→chunk-walk→decode→sum loop fails the hash. mean_abs is
+    // one IEEE division of exact integers and rms one
+    // correctly-rounded sqrt of one — bit-identical cross-engine.
+    // All map-side; malformed/truncated/compressed reject paths are
+    // pinned in WavSampleSpec.
+    "mm_decode_samples" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        def le(c: Column, n: Int): Column =
+          concat((0 until n).map(i =>
+            lpad(hex(pmod(shiftright(c, 8 * i), lit(256))), 2, "0")): _*)
+        Tables.documents(s, dir)
+          .filter($"doc_id" < 300)
+          .select($"doc_id",
+            ($"doc_id" % 2 + 1).as("ch"),
+            ($"doc_id" % 40 + 20).as("nf"),
+            (lit(8000) + ($"doc_id" % 4) * 4000).as("rate"),
+            ($"doc_id" % 7 + 1).as("pl"))
+          .withColumn("ns", $"nf" * $"ch")
+          .withColumn("listlen",
+            when($"doc_id" % 2 === 1, lit(8) + $"pl" + pmod($"pl", lit(2)))
+              .otherwise(lit(0)))
+          .withColumn("riff_size",
+            lit(4) + $"listlen" + lit(24) + lit(8) + $"ns" * 2)
+          .withColumn("samphex", expr(
+            "array_join(transform(sequence(0, cast(ns as int) - 1), i -> " +
+              "concat(substring(lpad(hex(pmod(doc_id * 31 + i * i * 7, " +
+              "65536)), 4, '0'), 3, 2), " +
+              "substring(lpad(hex(pmod(doc_id * 31 + i * i * 7, 65536)), " +
+              "4, '0'), 1, 2))), '')"))
+          .withColumn("payload", unhex(concat(
+            lit("52494646"), le($"riff_size", 4), lit("57415645"),
+            when($"doc_id" % 2 === 1, concat(
+              lit("4C495354"), le($"pl", 4),
+              expr("repeat('41', pl + pmod(pl, 2))"))).otherwise(lit("")),
+            lit("666D7420"), le(lit(16L), 4),
+            le(lit(1L), 2), le($"ch", 2), le($"rate", 4),
+            le($"rate" * $"ch" * 2, 4), le($"ch" * 2, 2), le(lit(16L), 2),
+            lit("64617461"), le($"ns" * 2, 4), $"samphex")))
+          .select($"doc_id".as("media_id"),
+            expr("wav_sample_stats(payload)").as("st"))
+          .select($"media_id",
+            $"st.channels".as("channels"),
+            $"st.sample_rate".as("sample_rate"),
+            $"st.n_frames".as("n_frames"),
+            $"st.sum_abs".as("sum_abs"), $"st.sum_sq".as("sum_sq"),
+            $"st.peak".as("peak"),
+            ($"st.sum_abs".cast("double") /
+              ($"st.n_frames" * $"st.channels")).as("mean_abs"),
+            sqrt($"st.sum_sq".cast("double") /
+              ($"st.n_frames" * $"st.channels")).as("rms"))
+          .orderBy($"media_id")
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id, CAST(doc_id % 2 + 1 AS INT) AS ch,
+             |    CAST(doc_id % 40 + 20 AS BIGINT) AS nf,
+             |    CAST(8000 + (doc_id % 4) * 4000 AS INT) AS rate
+             |  FROM documents WHERE doc_id < 300),
+             |sm AS (
+             |  SELECT d.doc_id, d.ch, d.nf, d.rate,
+             |    CASE WHEN (d.doc_id * 31 + i.i * i.i * 7) % 65536 >= 32768
+             |         THEN (d.doc_id * 31 + i.i * i.i * 7) % 65536 - 65536
+             |         ELSE (d.doc_id * 31 + i.i * i.i * 7) % 65536 END AS s
+             |  FROM d,
+             |    LATERAL (SELECT unnest(range(0, d.nf * d.ch)) AS i) i)
+             |SELECT doc_id AS media_id, ch AS channels, rate AS sample_rate,
+             |  nf AS n_frames,
+             |  CAST(sum(abs(s)) AS BIGINT) AS sum_abs,
+             |  CAST(sum(s * s) AS BIGINT) AS sum_sq,
+             |  CAST(max(abs(s)) AS INT) AS peak,
+             |  CAST(sum(abs(s)) AS DOUBLE) / (nf * ch) AS mean_abs,
+             |  sqrt(CAST(sum(s * s) AS DOUBLE) / (nf * ch)) AS rms
+             |FROM sm GROUP BY doc_id, ch, nf, rate
+             |ORDER BY media_id""".stripMargin)),
+
     // REAL video-container decode (r15; completes the
     // image/audio/video triple): payloads are MP4 box prefixes
     // planted deterministically from doc_id — ftyp(isom), then a
