@@ -32,6 +32,7 @@ object ScaleProbe {
     "dedup_minhash_lsh",
     "dedup_minhash_lsh_full",
     "dedup_lsh_recall",
+    "dedup_lsh_recall_strict",
     "sim_embed_neardup_full",
     "pipeline_corpus_curation",
     "pipeline_decontamination",

@@ -597,6 +597,74 @@ object TextPipeline extends QueryGroup {
        |       ELSE 'test' END AS split
        |FROM drawn ORDER BY id""".stripMargin
 
+  /** The banding capture-curve measurement shared by dedup_lsh_recall
+    * (4 rows/band — the full-dedup recall banding) and
+    * dedup_lsh_recall_strict (16 rows/band — the leakage-split
+    * precision banding): every pair of the bounded 500-doc slice
+    * bucketed by exact word-set Jaccard, marked caught iff it shares
+    * ≥1 PortableLsh band bucket at the given banding. */
+  private def lshBandingRecall(s: SparkSession, dir: String,
+      rowsPerBand: Int): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir).filter($"doc_id" < 500)
+    val buckets = docs
+      .select($"doc_id", PortableLsh.wordBaseHashes($"text").as("x"))
+      .select($"doc_id".as("id"),
+        explode(PortableLsh.bucketArrayBanded($"x", rowsPerBand)).as("bucket"))
+    val candPairs = buckets.as("a").join(buckets.as("b"), "bucket")
+      .filter($"a.id" < $"b.id")
+      .select($"a.id".as("id_a"), $"b.id".as("id_b")).distinct()
+      .withColumn("caught", lit(1L))
+    val t = docs.select($"doc_id", wordSet($"text").as("w"))
+    val a = t.select($"doc_id".as("id_a"), $"w".as("wa"))
+    val b = t.select($"doc_id".as("id_b"), $"w".as("wb"))
+    a.crossJoin(b).filter($"id_a" < $"id_b")
+      .withColumn("ni", size(array_intersect($"wa", $"wb")))
+      .withColumn("j", $"ni".cast("double") /
+        (size($"wa") + size($"wb") - $"ni"))
+      .withColumn("j_band",
+        when($"j" >= 0.9, "j_0.9_1.0")
+          .when($"j" >= 0.7, "j_0.7_0.9")
+          .when($"j" >= 0.5, "j_0.5_0.7")
+          .otherwise("j_0.0_0.5"))
+      .join(candPairs, Seq("id_a", "id_b"), "left")
+      .groupBy($"j_band")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(coalesce($"caught", lit(0L))).as("n_caught"))
+      .orderBy($"j_band")
+  }
+
+  /** DuckDB oracle of [[lshBandingRecall]] at the same banding. */
+  private def duckLshRecallSql(rowsPerBand: Int): String =
+    s"""WITH base AS (
+       |  SELECT doc_id, text FROM documents WHERE doc_id < 500),
+       |${PortableLsh.duckMinhashEdgesBanded(rowsPerBand)},
+       |cp AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+       |       FROM edges a JOIN edges b
+       |         ON a.bucket = b.bucket AND a.id < b.id),
+       |t AS (
+       |  SELECT doc_id, list_sort(list_distinct(string_split(
+       |    regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' '))) AS w
+       |  FROM base),
+       |bd AS (
+       |  SELECT id_a, id_b,
+       |    CASE
+       |      WHEN j >= 0.9 THEN 'j_0.9_1.0'
+       |      WHEN j >= 0.7 THEN 'j_0.7_0.9'
+       |      WHEN j >= 0.5 THEN 'j_0.5_0.7'
+       |      ELSE 'j_0.0_0.5' END AS j_band
+       |  FROM (
+       |    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |      CAST(len(list_intersect(a.w, b.w)) AS DOUBLE) /
+       |        (len(a.w) + len(b.w) - len(list_intersect(a.w, b.w))) AS j
+       |    FROM t a JOIN t b ON a.doc_id < b.doc_id))
+       |SELECT bd.j_band, count(*) AS n_pairs,
+       |  CAST(sum(CASE WHEN cp.id_a IS NOT NULL THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_caught
+       |FROM bd LEFT JOIN cp
+       |  ON bd.id_a = cp.id_a AND bd.id_b = cp.id_b
+       |GROUP BY bd.j_band ORDER BY bd.j_band""".stripMargin
+
   override def defs: Map[String, QueryDef] = Map(
     // Quality metrics: length, token stats, stopword + distinct ratios.
     "text_quality" -> QueryDef(
@@ -962,63 +1030,22 @@ object TextPipeline extends QueryGroup {
     // the 500-doc cap, constant at every sf); the candidate side is
     // the production equi-join shape.
     "dedup_lsh_recall" -> QueryDef(
-      (s, dir) => {
-        import s.implicits._
-        val docs = Tables.documents(s, dir).filter($"doc_id" < 500)
-        val buckets = docs
-          .select($"doc_id", PortableLsh.wordBaseHashes($"text").as("x"))
-          .select($"doc_id".as("id"),
-            explode(PortableLsh.bucketArray($"x")).as("bucket"))
-        val candPairs = buckets.as("a").join(buckets.as("b"), "bucket")
-          .filter($"a.id" < $"b.id")
-          .select($"a.id".as("id_a"), $"b.id".as("id_b")).distinct()
-          .withColumn("caught", lit(1L))
-        val t = docs.select($"doc_id", wordSet($"text").as("w"))
-        val a = t.select($"doc_id".as("id_a"), $"w".as("wa"))
-        val b = t.select($"doc_id".as("id_b"), $"w".as("wb"))
-        a.crossJoin(b).filter($"id_a" < $"id_b")
-          .withColumn("ni", size(array_intersect($"wa", $"wb")))
-          .withColumn("j", $"ni".cast("double") /
-            (size($"wa") + size($"wb") - $"ni"))
-          .withColumn("j_band",
-            when($"j" >= 0.9, "j_0.9_1.0")
-              .when($"j" >= 0.7, "j_0.7_0.9")
-              .when($"j" >= 0.5, "j_0.5_0.7")
-              .otherwise("j_0.0_0.5"))
-          .join(candPairs, Seq("id_a", "id_b"), "left")
-          .groupBy($"j_band")
-          .agg(count(lit(1)).as("n_pairs"),
-            sum(coalesce($"caught", lit(0L))).as("n_caught"))
-          .orderBy($"j_band")
-      },
-      Some(s"""WITH base AS (
-             |  SELECT doc_id, text FROM documents WHERE doc_id < 500),
-             |${PortableLsh.duckMinhashEdges},
-             |cp AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
-             |       FROM edges a JOIN edges b
-             |         ON a.bucket = b.bucket AND a.id < b.id),
-             |t AS (
-             |  SELECT doc_id, list_sort(list_distinct(string_split(
-             |    regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' '))) AS w
-             |  FROM base),
-             |bd AS (
-             |  SELECT id_a, id_b,
-             |    CASE
-             |      WHEN j >= 0.9 THEN 'j_0.9_1.0'
-             |      WHEN j >= 0.7 THEN 'j_0.7_0.9'
-             |      WHEN j >= 0.5 THEN 'j_0.5_0.7'
-             |      ELSE 'j_0.0_0.5' END AS j_band
-             |  FROM (
-             |    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-             |      CAST(len(list_intersect(a.w, b.w)) AS DOUBLE) /
-             |        (len(a.w) + len(b.w) - len(list_intersect(a.w, b.w))) AS j
-             |    FROM t a JOIN t b ON a.doc_id < b.doc_id))
-             |SELECT bd.j_band, count(*) AS n_pairs,
-             |  CAST(sum(CASE WHEN cp.id_a IS NOT NULL THEN 1 ELSE 0 END)
-             |    AS BIGINT) AS n_caught
-             |FROM bd LEFT JOIN cp
-             |  ON bd.id_a = cp.id_a AND bd.id_b = cp.id_b
-             |GROUP BY bd.j_band ORDER BY bd.j_band""".stripMargin)),
+      (s, dir) => lshBandingRecall(s, dir, rowsPerBand = 4),
+      Some(duckLshRecallSql(rowsPerBand = 4))),
+
+    // The same measurement at the STRICT 16-rows/4-bands banding the
+    // leakage split, the materialized cluster asset, and the
+    // incremental-dedup index actually run at (r18-continued): split
+    // hygiene chose j^16-per-band for PRECISION — at the dedup
+    // banding this corpus's LSH graph is one connected component —
+    // and that precision claim deserves the same measured row as the
+    // recall claim above. Expected: low-similarity collisions near
+    // zero (precision), capture at j≥0.9 well below the 4-row
+    // banding's 100% (the accepted cost; transitive cluster chaining
+    // recovers connectivity for the split's purposes).
+    "dedup_lsh_recall_strict" -> QueryDef(
+      (s, dir) => lshBandingRecall(s, dir, rowsPerBand = 16),
+      Some(duckLshRecallSql(rowsPerBand = 16))),
 
     // Leakage-safe train/validation/test split (the GPT-3 lesson,
     // Brown et al. 2020 appendix C: eval contamination comes from
