@@ -72,7 +72,9 @@ case class WavSampleStats(child: Expression)
         bits = le16(b, p + 22)
         if (channels <= 0 || rate <= 0 || blockAlign <= 0 || bits <= 0)
           return null
-      } else if (id == "data") {
+      } else if (id == "data" && dataOff < 0) {
+        // first-wins: RIFF readers conventionally use the FIRST data
+        // chunk; a later duplicate must not overwrite it (ADVICE r18)
         dataOff = pos + 8
         dataSize = size
       }

@@ -552,7 +552,18 @@ object TextPipeline extends QueryGroup {
   private[graft] def ensureNeardupBuckets(s: SparkSession,
       dir: String): String = {
     val path = neardupAssetPrefix(s, dir) + "/buckets"
-    if (!new java.io.File(path.stripPrefix("file:")).exists())
+    // Existence resolves through the Hadoop FileSystem API so the check
+    // works for ANY warehouse scheme (hdfs://, s3a://, file:) — a
+    // java.io.File test is always-false off the local FS and would
+    // silently rebuild the index every run, defeating the
+    // build-once-per-corpus economics this asset exists for (ADVICE
+    // r18). The asset counts as built only when the committer's
+    // _SUCCESS marker is present: a crashed prior write leaves a
+    // partial parquet dir that a bare directory-existence test would
+    // serve as truth.
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS")))
       neardupBucketEdges(s, dir).write.mode("overwrite").parquet(path)
     path
   }

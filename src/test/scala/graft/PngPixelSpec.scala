@@ -49,9 +49,13 @@ class PngPixelSpec extends AnyFunSuite with SparkFixture with Matchers {
     }
     val d = new Deflater()
     d.setInput(raw); d.finish()
-    val buf = new Array[Byte](raw.length + 64)
-    val n = d.deflate(buf); d.end()
-    val zlib = buf.take(n)
+    // loop until finished(): a single deflate call can truncate the
+    // stream for large/incompressible fixtures (ADVICE r18)
+    val zout = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    while (!d.finished()) zout.write(buf, 0, d.deflate(buf))
+    d.end()
+    val zlib = zout.toByteArray
 
     val out = new java.io.ByteArrayOutputStream()
     def be32(v: Long): Array[Byte] = Array(

@@ -1,0 +1,68 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** Regression pins for the round-19 fixes. */
+class Round19FixesSpec extends AnyFunSuite with SparkFixture with Matchers {
+
+  test("near-dup asset check resolves URIs and demands _SUCCESS") {
+    // The warehouse path carries Spark's `file:` scheme prefix — the
+    // existence test must resolve it through the Hadoop FileSystem API
+    // (a java.io.File test is always-false for any non-local scheme
+    // and would rebuild the index every run; ADVICE r18). And a dir
+    // WITHOUT the committer's _SUCCESS marker is a crashed partial
+    // write, not a built asset: deleting the marker must trigger a
+    // rebuild that restores it.
+    val tp = queries.TextPipeline
+    val path = tp.ensureNeardupBuckets(spark, sfDir)
+    val dir = new java.io.File(path.stripPrefix("file:"))
+    val marker = new java.io.File(dir, "_SUCCESS")
+    marker.exists() shouldBe true
+
+    marker.delete() shouldBe true
+    tp.ensureNeardupBuckets(spark, sfDir) shouldBe path
+    marker.exists() shouldBe true
+
+    // and with the marker present the second call is a no-op
+    val stamps = dir.listFiles().map(f => (f.getName, f.lastModified())).toSet
+    Thread.sleep(1100)
+    tp.ensureNeardupBuckets(spark, sfDir) shouldBe path
+    dir.listFiles().map(f => (f.getName, f.lastModified())).toSet shouldBe stamps
+  }
+
+  test("WAV RIFF walk uses the FIRST data chunk (first-wins)") {
+    // A second 'data' chunk before 'fmt ' must not overwrite the
+    // first's offset/size — lenient-decoder convention (ADVICE r18).
+    import java.io.ByteArrayOutputStream
+    def le16(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def le32(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    // data chunk 1: two frames (mono 16-bit): +1000, -1000
+    val d1 = le16(1000) ++ le16(-1000 & 0xffff)
+    // data chunk 2 (decoy, BEFORE fmt): one loud frame
+    val d2 = le16(30000)
+    val body = new ByteArrayOutputStream()
+    body.write("WAVE".getBytes("US-ASCII"))
+    body.write("data".getBytes("US-ASCII")); body.write(le32(d1.length)); body.write(d1)
+    body.write("data".getBytes("US-ASCII")); body.write(le32(d2.length)); body.write(d2)
+    body.write("fmt ".getBytes("US-ASCII")); body.write(le32(16))
+    body.write(le16(1)); body.write(le16(1)) // PCM, mono
+    body.write(le32(8000)); body.write(le32(16000)) // rate, byterate
+    body.write(le16(2)); body.write(le16(16)) // block align, bits
+    val wav = new ByteArrayOutputStream()
+    wav.write("RIFF".getBytes("US-ASCII"))
+    wav.write(le32(body.size())); wav.write(body.toByteArray)
+    val bytes = wav.toByteArray
+    val df = spark.createDataFrame(
+      java.util.Arrays.asList(org.apache.spark.sql.Row(bytes)),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("b",
+          org.apache.spark.sql.types.BinaryType))))
+    val r = df.selectExpr("wav_sample_stats(b) AS s")
+      .selectExpr("s.n_frames", "s.sum_abs", "s.peak").head()
+    r.getLong(0) shouldBe 2L   // the FIRST data chunk's two frames
+    r.getLong(1) shouldBe 2000L
+    r.getInt(2) shouldBe 1000  // not the decoy's 30000
+  }
+}
