@@ -33,6 +33,7 @@ object ScaleProbe {
     "dedup_minhash_lsh_full",
     "dedup_lsh_recall",
     "dedup_lsh_recall_strict",
+    "dedup_lsh_recall_verified",
     "sim_embed_neardup_full",
     "pipeline_corpus_curation",
     "pipeline_decontamination",
@@ -105,7 +106,8 @@ object ScaleProbe {
     "tpcds_star_materialized")
 
   private val FixpointQueries = Set("dedup_minhash_lsh_full",
-    "sim_embed_neardup_full", "pipeline_leakage_split")
+    "dedup_lsh_recall_verified", "sim_embed_neardup_full",
+    "pipeline_leakage_split")
 
   def main(args: Array[String]): Unit = {
     val srcDir = args.headOption.getOrElse("/root/testdata/sf0.1")
