@@ -845,4 +845,19 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture with Matchers {
     plan should include("WindowGroupLimit")
     plan should include("BroadcastHashJoin")
   }
+
+  test("ivfpq: candidate scan bounded to probed cells, all small sides broadcast") {
+    // the composed index must not reintroduce a full-corpus score:
+    // codes join cell assignments BY ID (equi), the probe list and
+    // the M·K ADC table broadcast against them, and the only
+    // corpus-grain aggregation is the (q_id, vec_id) ADC sum — the
+    // shortlist and top-3 cuts are bounded windows. Nothing pairwise.
+    val plan = planOf("sim_ann_ivfpq")
+    plan should not include "CartesianProduct"
+    plan should include("WindowGroupLimit")
+    plan should include("BroadcastHashJoin")
+    // probe semi-join present: the cell key appears as a join key
+    plan.sliding("BroadcastHashJoin".length)
+      .count(_ == "BroadcastHashJoin") should be >= 3
+  }
 }
