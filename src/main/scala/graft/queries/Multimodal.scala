@@ -409,6 +409,147 @@ object Multimodal extends QueryGroup {
              |FROM sm GROUP BY doc_id, ch, nf, rate
              |ORDER BY media_id""".stripMargin)),
 
+    // GRAYSCALE pixel decode (r19; VERDICT r18 missing #4 — real
+    // corpora carry color-type-0 PNGs, scans and masks above all):
+    // complete 8-bit grayscale PNGs planted from doc_id arithmetic —
+    // the mm_decode_pixels fixture class at bpp 1, alternating
+    // None/UP filters (the 16-bit row alternates None/Sub, so both
+    // vertical and horizontal predictors are gate-exercised), stored-
+    // deflate zlib with the closed-form Adler-32. The decoder expands
+    // gray into all three channel sums (the standard gray→RGB
+    // convention); the oracle recomputes the planted gray sum once
+    // and emits it for r, g, and b.
+    "mm_decode_pixels_gray" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        Tables.documents(s, dir)
+          .filter($"doc_id" < 300)
+          .select($"doc_id",
+            (($"doc_id" % 5 + 1) * 3).cast("int").as("w"),
+            ($"doc_id" % 4 + 2).cast("int").as("h"))
+          .withColumn("pix", expr(
+            """flatten(transform(sequence(0, h - 1), y ->
+              |  transform(sequence(0, w - 1), x ->
+              |    pmod(doc_id * 7 + x * x * 5 + y * 31, 256))))""".stripMargin))
+          .withColumn("rawb", expr(
+            """flatten(transform(sequence(0, h - 1), y ->
+              |  concat(array(2 * pmod(y, 2)),
+              |    transform(sequence(0, w - 1), x ->
+              |      if(pmod(y, 2) = 0,
+              |        element_at(pix, y * w + x + 1),
+              |        pmod(element_at(pix, y * w + x + 1)
+              |             - element_at(pix, (y - 1) * w + x + 1), 256))))))"""
+              .stripMargin))
+          .withColumn("L", size($"rawb"))
+          .withColumn("s1", expr(
+            "pmod(1 + aggregate(rawb, cast(0 as bigint), (a, x) -> a + x), 65521)"))
+          .withColumn("s2", expr(
+            "pmod(L + aggregate(zip_with(rawb, sequence(1, L), (x, i) -> " +
+              "cast(x as bigint) * (L - i + 1)), cast(0 as bigint), " +
+              "(a, x) -> a + x), 65521)"))
+          .withColumn("payload", expr(
+            """unhex(concat(
+              |  '89504E470D0A1A0A',
+              |  '0000000D', '49484452', lpad(hex(w), 8, '0'),
+              |  lpad(hex(h), 8, '0'), '08', '00', '000000', '00000000',
+              |  lpad(hex(L + 11), 8, '0'), '49444154',
+              |  '7801', '01',
+              |  substring(lpad(hex(L), 4, '0'), 3, 2),
+              |  substring(lpad(hex(L), 4, '0'), 1, 2),
+              |  substring(lpad(hex(65535 - L), 4, '0'), 3, 2),
+              |  substring(lpad(hex(65535 - L), 4, '0'), 1, 2),
+              |  array_join(transform(rawb, b -> lpad(hex(b), 2, '0')), ''),
+              |  lpad(hex(cast(s2 as bigint) * 65536 + s1), 8, '0'),
+              |  '00000000',
+              |  '00000000', '49454E44', '00000000'))""".stripMargin))
+          .select($"doc_id".as("media_id"),
+            expr("png_pixel_stats(payload)").as("st"))
+          .select($"media_id",
+            $"st.width".as("width"), $"st.height".as("height"),
+            $"st.n_pixels".as("n_pixels"),
+            $"st.sum_r".as("sum_r"), $"st.sum_g".as("sum_g"),
+            $"st.sum_b".as("sum_b"),
+            ($"st.sum_r".cast("double") / $"st.n_pixels").as("mean_gray"))
+          .orderBy($"media_id")
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id, CAST((doc_id % 5 + 1) * 3 AS INT) AS w,
+             |    CAST(doc_id % 4 + 2 AS INT) AS h
+             |  FROM documents WHERE doc_id < 300),
+             |px AS (
+             |  SELECT d.doc_id, d.w, d.h,
+             |    CAST(sum((d.doc_id * 7 + x.x * x.x * 5 + y.y * 31) % 256)
+             |      AS BIGINT) AS s
+             |  FROM d,
+             |    LATERAL (SELECT unnest(range(0, d.w)) AS x) x,
+             |    LATERAL (SELECT unnest(range(0, d.h)) AS y) y
+             |  GROUP BY d.doc_id, d.w, d.h)
+             |SELECT doc_id AS media_id, w AS width, h AS height,
+             |  CAST(w * h AS BIGINT) AS n_pixels,
+             |  s AS sum_r, s AS sum_g, s AS sum_b,
+             |  CAST(s AS DOUBLE) / (w * h) AS mean_gray
+             |FROM px ORDER BY media_id""".stripMargin)),
+
+    // 8-BIT PCM sample decode (r19; the WAV sibling of the grayscale
+    // row — VERDICT r18 missing #4): complete 8-bit unsigned PCM
+    // WAVs planted from doc_id arithmetic, samples u(i) = (id·13 +
+    // i²·5) mod 256 stored as raw bytes (no LE split — the 8-bit
+    // convention), decoded with the 128 bias removed. The oracle
+    // recomputes the centered sums arithmetically.
+    "mm_decode_samples_u8" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        def le(c: Column, n: Int): Column =
+          concat((0 until n).map(i =>
+            lpad(hex(pmod(shiftright(c, 8 * i), lit(256))), 2, "0")): _*)
+        Tables.documents(s, dir)
+          .filter($"doc_id" < 300)
+          .select($"doc_id",
+            ($"doc_id" % 2 + 1).as("ch"),
+            ($"doc_id" % 50 + 16).as("nf"),
+            (lit(8000) + ($"doc_id" % 3) * 3025).as("rate"))
+          .withColumn("ns", $"nf" * $"ch")
+          .withColumn("riff_size", lit(4) + lit(24) + lit(8) + $"ns")
+          .withColumn("samphex", expr(
+            "array_join(transform(sequence(0, cast(ns as int) - 1), i -> " +
+              "lpad(hex(pmod(doc_id * 13 + i * i * 5, 256)), 2, '0')), '')"))
+          .withColumn("payload", unhex(concat(
+            lit("52494646"), le($"riff_size", 4), lit("57415645"),
+            lit("666D7420"), le(lit(16L), 4),
+            le(lit(1L), 2), le($"ch", 2), le($"rate", 4),
+            le($"rate" * $"ch", 4), le($"ch", 2), le(lit(8L), 2),
+            lit("64617461"), le($"ns", 4), $"samphex")))
+          .select($"doc_id".as("media_id"),
+            expr("wav_sample_stats(payload)").as("st"))
+          .select($"media_id",
+            $"st.channels".as("channels"),
+            $"st.sample_rate".as("sample_rate"),
+            $"st.n_frames".as("n_frames"),
+            $"st.sum_abs".as("sum_abs"), $"st.sum_sq".as("sum_sq"),
+            $"st.peak".as("peak"),
+            ($"st.sum_abs".cast("double") /
+              ($"st.n_frames" * $"st.channels")).as("mean_abs"))
+          .orderBy($"media_id")
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id, CAST(doc_id % 2 + 1 AS INT) AS ch,
+             |    CAST(doc_id % 50 + 16 AS BIGINT) AS nf,
+             |    CAST(8000 + (doc_id % 3) * 3025 AS INT) AS rate
+             |  FROM documents WHERE doc_id < 300),
+             |sm AS (
+             |  SELECT d.doc_id, d.ch, d.nf, d.rate,
+             |    (d.doc_id * 13 + i.i * i.i * 5) % 256 - 128 AS s
+             |  FROM d,
+             |    LATERAL (SELECT unnest(range(0, d.nf * d.ch)) AS i) i)
+             |SELECT doc_id AS media_id, ch AS channels, rate AS sample_rate,
+             |  nf AS n_frames,
+             |  CAST(sum(abs(s)) AS BIGINT) AS sum_abs,
+             |  CAST(sum(s * s) AS BIGINT) AS sum_sq,
+             |  CAST(max(abs(s)) AS INT) AS peak,
+             |  CAST(sum(abs(s)) AS DOUBLE) / (nf * ch) AS mean_abs
+             |FROM sm GROUP BY doc_id, ch, nf, rate
+             |ORDER BY media_id""".stripMargin)),
+
     // REAL video-container decode (r15; completes the
     // image/audio/video triple): payloads are MP4 box prefixes
     // planted deterministically from doc_id — ftyp(isom), then a

@@ -18,21 +18,28 @@ import org.scalatest.matchers.should.Matchers
   */
 class PngPixelSpec extends AnyFunSuite with SparkFixture with Matchers {
 
+  /** Bytes per pixel for a supported color type (0 gray, 2 RGB,
+    * 6 RGBA). */
+  private def bppOf(colorType: Int): Int =
+    colorType match { case 0 => 1; case 2 => 3; case 6 => 4 }
+
   /** Independent encoder: filters each scanline with `filterOf(y)`,
     * deflates, emits signature + IHDR + IDAT(s) + IEND with real
-    * CRCs. Pixels are px(y)(x*3 + c) ints 0..255. */
+    * CRCs. Pixels are px(y)(x*bpp + c) ints 0..255. */
   private def encodePng(w: Int, h: Int, px: Array[Array[Int]],
-      filterOf: Int => Int, idatSplit: Int = Int.MaxValue): Array[Byte] = {
-    val stride = w * 3
+      filterOf: Int => Int, idatSplit: Int = Int.MaxValue,
+      colorType: Int = 2): Array[Byte] = {
+    val bpp = bppOf(colorType)
+    val stride = w * bpp
     val raw = new Array[Byte](h * (1 + stride))
     for (y <- 0 until h) {
       val ft = filterOf(y)
       raw(y * (1 + stride)) = ft.toByte
       for (i <- 0 until stride) {
         val cur = px(y)(i)
-        val a = if (i >= 3) px(y)(i - 3) else 0
+        val a = if (i >= bpp) px(y)(i - bpp) else 0
         val up = if (y > 0) px(y - 1)(i) else 0
-        val ul = if (y > 0 && i >= 3) px(y - 1)(i - 3) else 0
+        val ul = if (y > 0 && i >= bpp) px(y - 1)(i - bpp) else 0
         val pred = ft match {
           case 0 => 0
           case 1 => a
@@ -70,7 +77,7 @@ class PngPixelSpec extends AnyFunSuite with SparkFixture with Matchers {
     out.write(Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
       .map(_.toByte))
     chunk("IHDR", be32(w) ++ be32(h) ++
-      Array[Byte](8, 2, 0, 0, 0))
+      Array[Byte](8, colorType.toByte, 0, 0, 0))
     zlib.grouped(math.max(1, idatSplit)).foreach(g => chunk("IDAT", g))
     chunk("IEND", Array.emptyByteArray)
     out.toByteArray
@@ -123,18 +130,45 @@ class PngPixelSpec extends AnyFunSuite with SparkFixture with Matchers {
     (row.getLong(3), row.getLong(4), row.getLong(5)) shouldBe ((sr, sg, sb))
   }
 
+  test("grayscale (type 0) decodes with gray expanded to all channels") {
+    val (w, h) = (13, 7)
+    val px = Array.tabulate(h, w)((y, i) =>
+      (11 + y * 83 + i * 29 + (i * i) % 113) % 256)
+    val row = decode(encodePng(w, h, px, y => y % 5, colorType = 0))
+    val gray = px.map(_.map(_.toLong).sum).sum
+    (row.getInt(0), row.getInt(1), row.getLong(2)) shouldBe ((w, h, w.toLong * h))
+    (row.getLong(3), row.getLong(4), row.getLong(5)) shouldBe ((gray, gray, gray))
+  }
+
+  test("RGBA (type 6) filters through alpha but sums only RGB") {
+    val (w, h) = (9, 5)
+    val px = Array.tabulate(h, w * 4)((y, i) =>
+      (3 + y * 59 + i * 37 + (i * i) % 97) % 256)
+    val row = decode(encodePng(w, h, px, y => y % 5, colorType = 6))
+    var s = Array(0L, 0L, 0L, 0L)
+    for (r <- px; i <- r.indices) s(i % 4) += r(i)
+    (row.getInt(0), row.getInt(1), row.getLong(2)) shouldBe ((w, h, w.toLong * h))
+    (row.getLong(3), row.getLong(4), row.getLong(5)) shouldBe ((s(0), s(1), s(2)))
+  }
+
   test("reject paths return NULL, never throw") {
     import spark.implicits._
     val good = encodePng(4, 3, pixels(4, 3, 1), _ => 0)
     val truncated = good.take(good.length - 20)
-    val grayscale = { // color type 0 at offset 25
+    val mislabeled = { // color type 0 at offset 25: now a SUPPORTED
+      // type, but the stream holds 3 bytes/px — the exact-size check
+      // must reject the mislabel instead of reading a garbage prefix
       val b = good.clone(); b(25) = 0; b
+    }
+    val palette = { // color type 3 stays rejected outright
+      val b = good.clone(); b(25) = 3; b
     }
     val corrupt = { // flip a byte inside the deflate stream
       val b = good.clone(); b(45) = (b(45) ^ 0x5a).toByte; b
     }
     val notPng = "not a png at all".getBytes("UTF-8")
-    val rows = Seq(truncated, grayscale, corrupt, notPng).toDF("payload")
+    val rows = Seq(truncated, mislabeled, palette, corrupt, notPng)
+      .toDF("payload")
       .select(expr("png_pixel_stats(payload)").as("st"))
       .collect()
     all(rows.map(_.isNullAt(0))) shouldBe true

@@ -64,6 +64,36 @@ class WavSampleSpec extends AnyFunSuite with SparkFixture with Matchers {
     (row.getLong(3), row.getLong(4), row.getInt(5)) shouldBe ((sa, sq, pk))
   }
 
+  /** Independent encoder for 8-bit unsigned PCM (r19): samples are
+    * raw unsigned bytes 0..255 (biased at 128, RIFF convention). */
+  private def encodeWav8(ch: Int, rate: Int,
+      samples: Array[Int]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def le16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    def le32(v: Int): Unit = { le16(v & 0xffff); le16((v >>> 16) & 0xffff) }
+    def tag(t: String): Unit = out.write(t.getBytes("US-ASCII"))
+    tag("RIFF"); le32(4 + 24 + 8 + samples.length); tag("WAVE")
+    tag("fmt "); le32(16)
+    le16(1); le16(ch); le32(rate); le32(rate * ch); le16(ch); le16(8)
+    tag("data"); le32(samples.length)
+    samples.foreach(out.write)
+    out.toByteArray
+  }
+
+  test("8-bit unsigned PCM decodes with the 128 bias removed") {
+    val samples = Array.tabulate(131)(i => (i * 53 + 7) % 256) // 0..255
+    val row = decode(encodeWav8(1, 11025, samples))
+    val centered = samples.map(_ - 128)
+    (row.getInt(0), row.getInt(1), row.getLong(2)) shouldBe ((1, 11025, 131L))
+    row.getLong(3) shouldBe centered.map(s => math.abs(s).toLong).sum
+    row.getLong(4) shouldBe centered.map(s => s.toLong * s).sum
+    row.getInt(5) shouldBe centered.map(math.abs).max
+    // extremes: 0 -> -128 (abs 128), 255 -> 127
+    val ext = decode(encodeWav8(1, 8000, Array(0, 255, 128)))
+    ext.getLong(3) shouldBe 128L + 127L + 0L
+    ext.getInt(5) shouldBe 128
+  }
+
   test("extreme values: Short.MinValue abs and peak stay exact") {
     val samples = Array[Short](Short.MinValue, Short.MaxValue, 0, -1)
     val row = decode(encodeWav(1, 8000, samples))
@@ -77,7 +107,11 @@ class WavSampleSpec extends AnyFunSuite with SparkFixture with Matchers {
     val good = encodeWav(1, 8000, Array.tabulate(10)(i => (i * 1000).toShort))
     val truncated = good.take(good.length - 6) // data chunk overruns
     val floatFmt = { val b = good.clone(); b(20) = 3; b } // format tag 3
-    val eightBit = { val b = good.clone(); b(34) = 8; b } // bits = 8
+    val eightBit = { // bits flipped to 8 while block align stays ch*2:
+      // 8-bit is SUPPORTED now (r19), but the inconsistent block
+      // align must still reject the mislabel
+      val b = good.clone(); b(34) = 8; b
+    }
     val raggedData = { // declared data size not a whole frame count
       val b = encodeWav(2, 8000, Array.tabulate(9)(_.toShort)); b
     }
