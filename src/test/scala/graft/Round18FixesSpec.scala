@@ -48,8 +48,16 @@ class Round18FixesSpec extends AnyFunSuite with SparkFixture with Matchers {
     // round-1 re-counted units (both engine frames, zero drift).
     import spark.implicits._
     val tp = queries.TextPipeline
-    val words = tp.unigramWords(spark, sfDir).localCheckpoint()
-    val seedUnits = tp.unigramUnits(tp.unigramSeedCounts(words))
+    // the r19 planted 40-char token is exactly what the enumeration
+    // CANNOT attempt (2^39 masks) — this pin compares DP vs
+    // enumeration on the enumerable words only; the long-token case
+    // has its own independent-reference pin below. Units still derive
+    // from the FULL word table (plant included), matching the gate.
+    val allWords = tp.unigramWords(spark, sfDir).localCheckpoint()
+    val words = allWords
+      .filter(org.apache.spark.sql.functions.length($"w") <= 16)
+      .localCheckpoint()
+    val seedUnits = tp.unigramUnits(tp.unigramSeedCounts(allWords))
     def collectSet(df: org.apache.spark.sql.DataFrame) =
       df.select($"w", $"freq", $"seg", $"np").collect()
         .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getInt(3)))
