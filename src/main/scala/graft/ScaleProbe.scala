@@ -60,6 +60,7 @@ object ScaleProbe {
     "sim_ann_ivf",
     "sim_ann_ivf_geo",
     "sim_ann_ivfpq",
+    "sim_ann_ivfpq_materialized",
     "sim_ann_pq",
     "sim_ann_pq_rescored",
     "sim_ann_sq8",

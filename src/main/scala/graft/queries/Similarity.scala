@@ -199,6 +199,47 @@ object Similarity extends QueryGroup {
        |${duckRoundedCentroidsCte("a0", "c1")},
        |${duckAssignCte("c", "c1", "a1")}""".stripMargin
 
+  /** The IVFADC oracle — shared VERBATIM by sim_ann_ivfpq and
+    * sim_ann_ivfpq_materialized (materialization must not change a
+    * value — the q23_materialized discipline). */
+  private lazy val duckIvfpqSql: String =
+    s"""WITH c AS ($duckVecs),
+       |$duckGeoCellCtes,
+       |$duckPqCoreCtes,
+       |q AS (SELECT vec_id AS q_id, v AS qv FROM c WHERE vec_id < 10),
+       |pd AS (
+       |  SELECT q.q_id, c1.cell,
+       |    list_reduce(list_prepend(0.0, list_transform(
+       |      list_zip(q.qv, c1.centroid),
+       |      p -> (p[1] - p[2]) * (p[1] - p[2]))), (a, b) -> a + b) AS d2
+       |  FROM q, c1),
+       |probes AS (
+       |  SELECT q_id, cell FROM (
+       |    SELECT q_id, cell,
+       |      row_number() OVER (PARTITION BY q_id ORDER BY d2, cell) AS pr
+       |    FROM pd) WHERE pr <= 10),
+       |pp AS (
+       |  SELECT a.q_id, co.vec_id,
+       |    sum(CASE WHEN co.m = 0 THEN a.pd2 END) AS p0,
+       |    sum(CASE WHEN co.m = 1 THEN a.pd2 END) AS p1,
+       |    sum(CASE WHEN co.m = 2 THEN a.pd2 END) AS p2,
+       |    sum(CASE WHEN co.m = 3 THEN a.pd2 END) AS p3
+       |  FROM codes co
+       |  JOIN a1 ON a1.vec_id = co.vec_id
+       |  JOIN probes pb ON pb.cell = a1.cell
+       |  JOIN adct a ON co.m = a.m AND co.cid = a.cid
+       |             AND a.q_id = pb.q_id
+       |  WHERE co.vec_id <> a.q_id
+       |  GROUP BY a.q_id, co.vec_id),
+       |pqr AS (
+       |  SELECT q_id, vec_id,
+       |    row_number() OVER (PARTITION BY q_id
+       |      ORDER BY ((p0 + p1) + p2) + p3, vec_id) AS rk
+       |  FROM pp),
+       |cand AS (SELECT q_id, vec_id FROM pqr
+       |         WHERE rk <= ($duckScaledShortlist)),
+       |${duckRescoreSelect(3)}""".stripMargin
+
   /** The multiprobe serve path over any (vec_id, label, v, nrm)
     * corpus and (label, centroid) table: rank cells per query by
     * centroid distance, probe the `nprobe` nearest, exact-score the
@@ -471,7 +512,7 @@ object Similarity extends QueryGroup {
     * Scaladoc for the algorithm and determinism argument. */
   private def pqAdcRanked(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val (codes, adcTab) = pqCodesAdc(s, dir)
+    val (codes, _, adcTab) = pqCodesAdc(s, dir)
     val wTop = Window.partitionBy($"q_id").orderBy($"adc", $"vec_id")
     codes.join(broadcast(adcTab), Seq("m", "cid"))
       .filter($"vec_id" =!= $"q_id")
@@ -485,12 +526,30 @@ object Similarity extends QueryGroup {
       .select($"q_id", $"vec_id", $"adc", $"rk")
   }
 
+  /** Left-to-right-fold squared distance — the bit-identical
+    * cross-engine form every PQ/IVF stage scores with. */
+  private def sqDist(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** Per-query subvector slices (q_id, m, qsv) — the query side of an
+    * ADC table, computable from corpus queries alone (10 rows). */
+  private def pqQuerySub(corpus: DataFrame): DataFrame = {
+    import corpus.sparkSession.implicits._
+    corpus.filter($"vec_id" < 10).select($"vec_id".as("q_id"),
+      posexplode(expr(
+        "transform(sequence(0, 3), m -> slice(v, m * 16 + 1, 16))"))
+        .as(Seq("m", "qsv")))
+  }
+
   /** The PQ index pieces — (codes(vec_id, m, cid),
-    * adcTab(q_id, m, cid, pd2)) — extracted r19 so sim_ann_ivfpq can
-    * compose the SAME shipped codes/codebooks with the geometric cell
-    * index instead of re-deriving a drifting copy. */
+    * codebook(m, cid, cw), adcTab(q_id, m, cid, pd2)) — extracted r19
+    * so sim_ann_ivfpq (and its materialized sibling, which persists
+    * codes + codebook and rebuilds only the query-side ADC table at
+    * serve) compose the SAME shipped codes/codebooks instead of
+    * re-deriving a drifting copy. */
   private def pqCodesAdc(s: SparkSession,
-      dir: String): (DataFrame, DataFrame) = {
+      dir: String): (DataFrame, DataFrame, DataFrame) = {
     import s.implicits._
     val M = 4; val Sub = 16; val K = 8
     val corpus = vecs(s, dir)
@@ -498,14 +557,11 @@ object Similarity extends QueryGroup {
       posexplode(expr(
         s"transform(sequence(0, ${M - 1}), m -> slice(v, m * $Sub + 1, $Sub))"))
         .as(Seq("m", "sv")))
-    def d2(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-        lit(0.0), (acc, x) => acc + x)
     val wAssign = Window.partitionBy($"vec_id", $"m").orderBy($"d2", $"cid")
     val seeds = sub.filter($"vec_id" < K)
       .select($"m", $"vec_id".cast("int").as("cid"), $"sv".as("cw"))
     val assign1 = sub.join(broadcast(seeds), Seq("m"))
-      .withColumn("d2", d2($"sv", $"cw"))
+      .withColumn("d2", sqDist($"sv", $"cw"))
       .withColumn("rn", row_number().over(wAssign)).filter($"rn" === 1)
     val codebook = assign1
       .select($"m", $"cid", posexplode($"sv").as(Seq("i", "x")))
@@ -514,14 +570,12 @@ object Similarity extends QueryGroup {
       .agg(transform(array_sort(collect_list(struct($"i", $"c"))),
         e => e.getField("c")).as("cw"))
     val codes = sub.join(broadcast(codebook), Seq("m"))
-      .withColumn("d2", d2($"sv", $"cw"))
+      .withColumn("d2", sqDist($"sv", $"cw"))
       .withColumn("rn", row_number().over(wAssign)).filter($"rn" === 1)
       .select($"vec_id", $"m", $"cid")
-    val qsub = sub.filter($"vec_id" < 10)
-      .select($"vec_id".as("q_id"), $"m", $"sv".as("qsv"))
-    val adcTab = qsub.join(broadcast(codebook), Seq("m"))
-      .select($"q_id", $"m", $"cid", d2($"qsv", $"cw").as("pd2"))
-    (codes, adcTab)
+    val adcTab = pqQuerySub(corpus).join(broadcast(codebook), Seq("m"))
+      .select($"q_id", $"m", $"cid", sqDist($"qsv", $"cw").as("pd2"))
+    (codes, codebook, adcTab)
   }
 
   /** ADC-shortlist size scaled to the corpus (r19; VERDICT r18 wrong
@@ -868,7 +922,7 @@ object Similarity extends QueryGroup {
         import s.implicits._
         val corpus = vecs(s, dir)
         val (a1, c1) = geoCellIndex(s, dir)
-        val (codes, adcTab) = pqCodesAdc(s, dir)
+        val (codes, _, adcTab) = pqCodesAdc(s, dir)
         val queries = corpus.filter($"vec_id" < 10)
           .select($"vec_id".as("q_id"), $"v".as("qv"), $"nrm".as("qn"))
         val wp = Window.partitionBy($"q_id").orderBy($"d2", $"cell")
@@ -898,42 +952,75 @@ object Similarity extends QueryGroup {
           .select($"q_id", $"vec_id")
         exactRescore(corpus, queries, cand, 3)
       },
-      Some(s"""WITH c AS ($duckVecs),
-             |$duckGeoCellCtes,
-             |$duckPqCoreCtes,
-             |q AS (SELECT vec_id AS q_id, v AS qv FROM c WHERE vec_id < 10),
-             |pd AS (
-             |  SELECT q.q_id, c1.cell,
-             |    list_reduce(list_prepend(0.0, list_transform(
-             |      list_zip(q.qv, c1.centroid),
-             |      p -> (p[1] - p[2]) * (p[1] - p[2]))), (a, b) -> a + b) AS d2
-             |  FROM q, c1),
-             |probes AS (
-             |  SELECT q_id, cell FROM (
-             |    SELECT q_id, cell,
-             |      row_number() OVER (PARTITION BY q_id ORDER BY d2, cell) AS pr
-             |    FROM pd) WHERE pr <= 10),
-             |pp AS (
-             |  SELECT a.q_id, co.vec_id,
-             |    sum(CASE WHEN co.m = 0 THEN a.pd2 END) AS p0,
-             |    sum(CASE WHEN co.m = 1 THEN a.pd2 END) AS p1,
-             |    sum(CASE WHEN co.m = 2 THEN a.pd2 END) AS p2,
-             |    sum(CASE WHEN co.m = 3 THEN a.pd2 END) AS p3
-             |  FROM codes co
-             |  JOIN a1 ON a1.vec_id = co.vec_id
-             |  JOIN probes pb ON pb.cell = a1.cell
-             |  JOIN adct a ON co.m = a.m AND co.cid = a.cid
-             |             AND a.q_id = pb.q_id
-             |  WHERE co.vec_id <> a.q_id
-             |  GROUP BY a.q_id, co.vec_id),
-             |pqr AS (
-             |  SELECT q_id, vec_id,
-             |    row_number() OVER (PARTITION BY q_id
-             |      ORDER BY ((p0 + p1) + p2) + p3, vec_id) AS rk
-             |  FROM pp),
-             |cand AS (SELECT q_id, vec_id FROM pqr
-             |         WHERE rk <= ($duckScaledShortlist)),
-             |${duckRescoreSelect(3)}""".stripMargin)),
+      Some(duckIvfpqSql)),
+
+    // IVFADC index MATERIALIZED to the warehouse, then served from
+    // the read-back files (r19 — the build/serve split every
+    // production vector store ships, composed for the composed
+    // index): BUILD writes cell assignments PARTITIONED BY CELL
+    // (probing prunes whole partitions), the 20-row centroid table,
+    // the (vec_id, m, cid) code table — 4 small ints per vector, the
+    // PQ memory story persisted — and the M·K codebook. SERVE reads
+    // them back and never retrains: the query-side ADC table is
+    // rebuilt from the 10 query vectors × the read-back codebook
+    // (M·K·|Q| rows), cells are probed from the read-back centroids,
+    // and only the ⌊√N⌋-scaled shortlist rejoins the corpus BY ID
+    // for the exact rescore (full vectors live outside the index —
+    // the standard IVFADC deployment shape; the ADC stage itself
+    // touches no corpus vector). Plan-pinned: serve contains no
+    // training aggregate and scans embeddings only for the query
+    // batch + the id-keyed rescore. Oracle = the inline ivfpq SQL
+    // VERBATIM (materialization must not change a value — the
+    // q23_materialized discipline); doubles round-trip parquet
+    // exactly, so read-back centroids/codebooks are bit-identical.
+    "sim_ann_ivfpq_materialized" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val pfx = s.conf.get("spark.sql.warehouse.dir") +
+          "/graft_ivfpq_" + graft.PathKey(dir)
+        val corpus = vecs(s, dir)
+        val (a1, c1) = geoCellIndex(s, dir)
+        val (codes, codebook, _) = pqCodesAdc(s, dir)
+        a1.select($"vec_id", $"cell").write.mode("overwrite")
+          .partitionBy("cell").parquet(s"$pfx/cells")
+        c1.write.mode("overwrite").parquet(s"$pfx/centroids")
+        codes.write.mode("overwrite").parquet(s"$pfx/codes")
+        codebook.write.mode("overwrite").parquet(s"$pfx/codebook")
+        val cells = s.read.parquet(s"$pfx/cells")
+          .select($"vec_id", $"cell".cast("string").as("cell"))
+        val cen = s.read.parquet(s"$pfx/centroids")
+        val rcodes = s.read.parquet(s"$pfx/codes")
+        val rcb = s.read.parquet(s"$pfx/codebook")
+        val queries = corpus.filter($"vec_id" < 10)
+          .select($"vec_id".as("q_id"), $"v".as("qv"), $"nrm".as("qn"))
+        val adcTab = pqQuerySub(corpus).join(broadcast(rcb), Seq("m"))
+          .select($"q_id", $"m", $"cid", sqDist($"qsv", $"cw").as("pd2"))
+        val wp = Window.partitionBy($"q_id").orderBy($"d2", $"cell")
+        val probes = queries.select($"q_id", $"qv")
+          .crossJoin(broadcast(cen))
+          .withColumn("d2", sqDist($"qv", $"centroid"))
+          .withColumn("pr", row_number().over(wp))
+          .filter($"pr" <= 10)
+          .select($"q_id", $"cell")
+        val wTop = Window.partitionBy($"q_id").orderBy($"adc", $"vec_id")
+        val cand = rcodes
+          .join(cells, Seq("vec_id"))
+          .join(broadcast(probes), Seq("cell"))
+          .join(broadcast(adcTab), Seq("q_id", "m", "cid"))
+          .filter($"vec_id" =!= $"q_id")
+          .groupBy($"q_id", $"vec_id")
+          .agg(sum(when($"m" === 0, $"pd2")).as("p0"),
+            sum(when($"m" === 1, $"pd2")).as("p1"),
+            sum(when($"m" === 2, $"pd2")).as("p2"),
+            sum(when($"m" === 3, $"pd2")).as("p3"))
+          .withColumn("adc", ($"p0" + $"p1") + $"p2" + $"p3")
+          .withColumn("rk", row_number().over(wTop))
+          .crossJoin(broadcast(scaledShortlist(cells)))
+          .filter($"rk" <= $"kp")
+          .select($"q_id", $"vec_id")
+        exactRescore(corpus, queries, cand, 3)
+      },
+      Some(duckIvfpqSql)),
 
     // Int8 scalar quantization ANN (r15; PQ's simpler sibling — the
     // compression every production vector store ships first): each

@@ -846,6 +846,24 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture with Matchers {
     plan should include("BroadcastHashJoin")
   }
 
+  test("materialized IVFPQ serve reads the index and never retrains") {
+    // the serve plan must contain no Lloyd/codebook training
+    // aggregate (those ran at BUILD time, into the warehouse); the
+    // corpus appears only as the query batch and the id-keyed exact
+    // rescore of the shortlist — the ADC stage itself is served
+    // entirely from the read-back cells/codes/codebook/centroids
+    val plan = planOf("sim_ann_ivfpq_materialized")
+    plan should include("graft_ivfpq_")
+    plan should not include "partial_avg" // no centroid/codebook retrain
+    plan should not include "posexplode(v" // no corpus-side re-slicing
+    plan should not include "CartesianProduct"
+    // embeddings appears only as vec_id<10 query-batch branches and
+    // the one id-keyed rescore join — never as an ADC-stage scan
+    // (that stage reads graft_ivfpq_ assets exclusively)
+    plan.sliding("embeddings.parquet".length)
+      .count(_ == "embeddings.parquet") should be <= 5
+  }
+
   test("ivfpq: candidate scan bounded to probed cells, all small sides broadcast") {
     // the composed index must not reintroduce a full-corpus score:
     // codes join cell assignments BY ID (equi), the probe list and

@@ -76,6 +76,17 @@ class Round19FixesSpec extends AnyFunSuite with SparkFixture with Matchers {
     both.getSeq[String](0) shouldBe both.getSeq[String](1)
   }
 
+  test("materialized IVFPQ serves the exact inline values") {
+    // the q23_materialized discipline: materializing the index must
+    // not change a single value — both rows share one oracle, and
+    // the engine sides must agree row-for-row too
+    def rows(name: String) =
+      SparkEntry.queries(name)(spark, sfDir).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+        .toSeq
+    rows("sim_ann_ivfpq_materialized") shouldBe rows("sim_ann_ivfpq")
+  }
+
   test("WAV RIFF walk uses the FIRST data chunk (first-wins)") {
     // A second 'data' chunk before 'fmt ' must not overwrite the
     // first's offset/size — lenient-decoder convention (ADVICE r18).
