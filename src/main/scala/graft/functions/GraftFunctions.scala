@@ -46,6 +46,15 @@ object GraftFunctions {
     ("hyperplane_sigs",
       new ExpressionInfo(classOf[HyperplaneSigs].getName, "hyperplane_sigs"),
       (args: Seq[Expression]) => HyperplaneSigs(args(0))),
+    ("minhash_sigs",
+      new ExpressionInfo(classOf[CwMinhashSigs].getName, "minhash_sigs"),
+      (args: Seq[Expression]) => CwMinhashSigs(args(0))),
+    ("arr_eq_count",
+      new ExpressionInfo(classOf[ArrEqCount].getName, "arr_eq_count"),
+      (args: Seq[Expression]) => ArrEqCount(args(0), args(1))),
+    ("vec_sqdist",
+      new ExpressionInfo(classOf[VecSqDist].getName, "vec_sqdist"),
+      (args: Seq[Expression]) => VecSqDist(args(0), args(1))),
     ("st_buffer",
       new ExpressionInfo(classOf[StBuffer].getName, "st_buffer"),
       (args: Seq[Expression]) => StBuffer(args(0), Cast(args(1), DoubleType))),

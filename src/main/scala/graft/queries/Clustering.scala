@@ -99,13 +99,49 @@ object Clustering {
     val spark = edges.sparkSession
     import spark.implicits._
     if (lastLabels != null) { lastLabels.unpersist(); lastLabels = null }
-    val e = edges.select($"id", $"bucket").persist(StorageLevel.MEMORY_AND_DISK)
+    // Optimization r19 (guide §2.4 — two operations keyed the same way
+    // share one exchange): the edge table is hash-partitioned ONCE on
+    // each of its two join keys and cached, so no fixpoint round ever
+    // re-shuffles it — each round's two joins run exchange-free on the
+    // edge side and only the label-sized aggregate streams move. The
+    // SHUFFLE_HASH hint on the label side pins the strategy: without
+    // it the planner broadcasts the (locally tiny) label frame every
+    // round — a per-round driver collect + broadcast build that is
+    // pure latency here and a non-starter at cluster scale where
+    // labels are corpus-sized (one row per doc).
+    val nParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val eById = edges.select($"id", $"bucket")
+      .repartition(nParts, $"id").persist(StorageLevel.MEMORY_AND_DISK)
+    val eByBucket = eById.repartition(nParts, $"bucket")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    def round(labels: DataFrame): DataFrame = {
+      val bucketMin = eById.join(labels.hint("shuffle_hash"), "id")
+        .groupBy("bucket").agg(min("cluster").as("bmin"))
+      eByBucket.join(bucketMin.hint("shuffle_hash"), "bucket")
+        .groupBy("id").agg(min("bmin").as("cluster"))
+    }
     // round 1 folded into initialization: with cluster(id)=id the
     // bucket minimum is just min(id) per bucket — no labels join yet
-    var labels = roundMaterialize(e.join(
-        e.groupBy($"bucket").agg(min($"id").as("bmin")), "bucket")
-      .groupBy($"id").agg(min($"bmin").as("cluster")))
-    var prevSum = labels.agg(sum($"cluster")).as[Long].head()
+    // (and on the bucket-partitioned cache the aggregate + join are
+    // exchange-free: only the final groupBy(id) moves data)
+    def sumOnce(df: DataFrame): (DataFrame, Long) = {
+      // convergence sum rides the materializing action as an observed
+      // metric — one job materializes the cache AND yields the sum,
+      // instead of a second pass over the cached labels per round
+      val obs = new org.apache.spark.sql.Observation
+      val m = roundMaterialize(df.observe(obs, sum($"cluster").as("s")))
+      m.count()
+      (m, obs.get("s").asInstanceOf[Long])
+    }
+    // the FIRST action runs three rounds (the folded init + one double
+    // round): measured components converge in 5-7 rounds, so a deeper
+    // first plan saves one whole action — the per-action latency
+    // (stage scheduling + cache materialization + convergence check)
+    // is the fixpoint's floor, locally and on a cluster
+    var (labels, prevSum) = sumOnce(round(round(eByBucket.join(
+        eByBucket.groupBy($"bucket").agg(min($"id").as("bmin"))
+          .hint("shuffle_hash"), "bucket")
+      .groupBy($"id").agg(min($"bmin").as("cluster")))))
     var it = 1
     var converged = false
     while (!converged && it < maxIters) {
@@ -114,16 +150,15 @@ object Clustering {
       // implies both sub-rounds were stationary — same fixpoint,
       // half the driver round-trips (each action is the latency
       // floor on an iterative job, locally and on a cluster)
-      val next = roundMaterialize(
-        propagateRound(e, propagateRound(e, labels)))
-      val nextSum = next.agg(sum($"cluster")).as[Long].head()
+      val (next, nextSum) = sumOnce(round(round(labels)))
       converged = nextSum == prevSum
       prevSum = nextSum
       labels.unpersist()
       labels = next
       it += 1
     }
-    e.unpersist()
+    eById.unpersist()
+    eByBucket.unpersist()
     if (requireConverged && !converged) {
       labels.unpersist()
       sys.error(s"label propagation still moving after maxIters=$maxIters " +
@@ -131,12 +166,13 @@ object Clustering {
         "(requireConverged=true)")
     }
     // observability for scale runs (VERDICT r3 #3): how close the
-    // corpus comes to the maxIters valve. Each loop iteration is a
-    // DOUBLE round, plus the folded round-1 initialization.
-    lastRounds = 1 + 2 * (it - 1)
+    // corpus comes to the maxIters valve. The first action runs three
+    // rounds (folded init + one double round); each later loop
+    // iteration is a DOUBLE round.
+    lastRounds = 3 + 2 * (it - 1)
     lastConverged = converged
     System.err.println(
-      s"[clustering] fixpoint after ${1 + 2 * (it - 1)} rounds " +
+      s"[clustering] fixpoint after ${3 + 2 * (it - 1)} rounds " +
         s"($it actions, maxIters=$maxIters, converged=$converged)")
     lastLabels = labels
     labels

@@ -31,8 +31,8 @@ import org.apache.spark.sql.functions._
   * codegen'd `functions._`, no UDFs.
   */
 object PortableLsh {
-  val P: Long = 2147483647L // 2^31 - 1, prime
-  val NumPerms = 64
+  val P: Long = graft.functions.CwMinhash.P // 2^31 - 1, prime
+  val NumPerms = graft.functions.CwMinhash.NumPerms
   val NumBands = 16
   val RowsPerBand = 4
 
@@ -52,18 +52,12 @@ object PortableLsh {
     * computed signatures — no text re-read, O(64) per candidate. */
   val VerifyAgree = 48
 
-  private def splitmix64(seed: Long): Long = {
-    var z = seed + 0x9E3779B97F4A7C15L
-    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-    z ^ (z >>> 31)
-  }
-
-  /** alpha in [1, p-1], beta in [0, p-1] — fixed, engine-shared. */
-  val alphas: Array[Long] =
-    Array.tabulate(NumPerms)(i => Math.floorMod(splitmix64(0xA1FAL + i), P - 1) + 1)
-  val betas: Array[Long] =
-    Array.tabulate(NumPerms)(i => Math.floorMod(splitmix64(0xBE7AL + i), P))
+  /** alpha in [1, p-1], beta in [0, p-1] — fixed, engine-shared
+    * (SplitMix64-derived in [[graft.functions.CwMinhash]], the single
+    * source of truth shared with the codegen signature expression;
+    * these aliases keep the oracle interpolation here). */
+  val alphas: Array[Long] = graft.functions.CwMinhash.alphas
+  val betas: Array[Long] = graft.functions.CwMinhash.betas
 
   /** Spark side: distinct-word base hashes for a text column —
     * array<long> of x(word) values (md5 hex prefix → int, mod p). */
@@ -89,24 +83,30 @@ object PortableLsh {
     * with ZERO collisions below j=0.5). */
   def bucketArrayBanded(x: Column, rowsPerBand: Int): Column = {
     require(NumPerms % rowsPerBand == 0)
-    def mh(i: Int): Column =
-      array_min(transform(x, v => (lit(alphas(i)) * v + lit(betas(i))) % P))
-    val buckets = (0 until NumPerms / rowsPerBand).map { b =>
-      concat_ws(":", lit(b), concat_ws("-",
-        (0 until rowsPerBand).map(r => mh(b * rowsPerBand + r)): _*))
-    }
-    array(buckets: _*)
+    // NOTE (optimization r19): this inline form embeds the signature
+    // expression once per element_at reference (the optimizer does not
+    // CSE across the bucket strings), re-evaluating it up to 64× per
+    // row. Hot paths must two-step project instead:
+    //   .select(minhashArray($"x").as("m"))
+    //   .select(bucketArrayFromSigs($"m", rowsPerBand))
+    // (the wordBaseHashes materialize-before-reference rule, one level
+    // up). All gate call sites do; this stays for spec-level parity
+    // checks.
+    bucketArrayFromSigs(minhashArray(x), rowsPerBand)
   }
 
   /** The full 64-row minhash SIGNATURE for an x-array column — the
     * verification currency of the star-verified dedup path: buckets
     * derive from it by slicing ([[bucketArrayFromSigs]]) and candidate
-    * edges are accepted by counting agreeing rows, so the signature is
-    * computed ONCE per doc and reused for both (x must be a projected
-    * column, not an inline expression — the lambda-inlining rule). */
-  def minhashArray(x: Column): Column =
-    array((0 until NumPerms).map(i =>
-      array_min(transform(x, v => (lit(alphas(i)) * v + lit(betas(i))) % P))): _*)
+    * edges are accepted by counting agreeing rows.
+    *
+    * Optimization r19 (guide §1.2 step 2): computed by the codegen'd
+    * [[graft.functions.CwMinhashSigs]] expression — one pass over the
+    * base-hash buffer, no per-permutation array allocation — replacing
+    * 64 interpreted `array_min(transform(...))` higher-order folds.
+    * Values are bit-identical (exact integer arithmetic, min is
+    * order-insensitive); the DuckDB oracle derivation is unchanged. */
+  def minhashArray(x: Column): Column = call_function("minhash_sigs", x)
 
   /** Band-bucket strings derived from an already-computed signature
     * column `m` (array<long>, length 64) — identical strings to

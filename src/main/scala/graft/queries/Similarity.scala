@@ -102,12 +102,11 @@ object Similarity extends QueryGroup {
     * materialized IVF rows. */
   private def centroidsOf(corpus: DataFrame): DataFrame = {
     import corpus.sparkSession.implicits._
-    corpus
-      .select($"label", posexplode($"v").as(Seq("i", "x")))
-      .groupBy($"label", $"i").agg(avg($"x").as("m"))
-      .groupBy($"label")
-      .agg(transform(array_sort(collect_list(struct($"i", $"m"))),
-        e => e.getField("m")).as("centroid"))
+    // Optimization r19 (the roundedCentroids treatment): one hash
+    // aggregate with 64 per-dimension avg columns instead of
+    // posexplode (64× the exchange rows) + double groupBy.
+    corpus.groupBy($"label").agg(array((0 until 64).map(i =>
+      avg(element_at($"v", i + 1))): _*).as("centroid"))
   }
 
   /** Per-cell centroids ROUNDED to 6 decimals (the semdedup
@@ -118,26 +117,39 @@ object Similarity extends QueryGroup {
     * Input (cell, v), output (cell, centroid). */
   private def roundedCentroids(df: DataFrame): DataFrame = {
     import df.sparkSession.implicits._
-    df.select($"cell", posexplode($"v").as(Seq("i", "x")))
-      .groupBy($"cell", $"i").agg(round(avg($"x"), 6).as("m"))
-      .groupBy($"cell")
-      .agg(transform(array_sort(collect_list(struct($"i", $"m"))),
-        e => e.getField("m")).as("centroid"))
+    // Optimization r19 (guide §2.3 — aggregate before you shuffle,
+    // shuffle fewer bytes): one hash aggregate with 64 per-dimension
+    // avg columns replaces the posexplode (64× row blowup through the
+    // exchange) + double groupBy + collect_list re-assembly. Values:
+    // same per-dimension averages (the 6-decimal round already
+    // absorbs summation-order noise — the DuckDB oracle sums in its
+    // own order and has always matched).
+    df.groupBy($"cell").agg(array((0 until 64).map(i =>
+      round(avg(element_at($"v", i + 1)), 6)): _*).as("centroid"))
   }
 
   /** Nearest-centroid assignment — the Lloyd assign step: the cell
     * table broadcasts, d2 folds dimensions left-to-right (identical
     * in both engines over the bit-identical rounded centroids), ties
-    * break on the cell name. Output (vec_id, v, nrm, cell). */
+    * break on the cell name. Output (vec_id, v, nrm, cell).
+    *
+    * Optimization r19 (guide §2.4 — remove shuffles outright): the
+    * nearest of ~20 broadcast centroids is a per-row argmin, so the
+    * centroid table collapses to ONE broadcast array row and the
+    * winner is `array_min` over (d2, cell) structs — a pure map over
+    * the corpus. The r19 build's form exploded every vector ×|cells|
+    * and ranked with a row_number window, i.e. a full corpus shuffle
+    * + sort per assign pass. Selection is identical: min by (d2 asc,
+    * cell asc) = the window's rn=1 row; d2 is the same left-to-right
+    * fold (codegen'd vec_sqdist). */
   private def assignCells(corpus: DataFrame, cents: DataFrame): DataFrame = {
     import corpus.sparkSession.implicits._
-    val wA = Window.partitionBy($"vec_id").orderBy($"d2", $"cell")
-    corpus.crossJoin(broadcast(cents))
-      .withColumn("d2",
-        aggregate(zip_with($"v", $"centroid", (a, b) => (a - b) * (a - b)),
-          lit(0.0), (acc, x) => acc + x))
-      .withColumn("rn", row_number().over(wA)).filter($"rn" === 1)
-      .select($"vec_id", $"v", $"nrm", $"cell")
+    val centsArr = cents.agg(collect_list(struct($"cell", $"centroid")).as("cs"))
+    corpus.crossJoin(broadcast(centsArr))
+      .withColumn("best", array_min(transform($"cs", c =>
+        struct(call_function("vec_sqdist", $"v", c.getField("centroid")).as("d2"),
+          c.getField("cell").as("cell")))))
+      .select($"vec_id", $"v", $"nrm", $"best".getField("cell").as("cell"))
   }
 
   /** DuckDB CTE pair mirroring one [[assignCells]] step: `$out` =
@@ -251,9 +263,7 @@ object Similarity extends QueryGroup {
       .select($"vec_id".as("q_id"), $"v".as("qv"), $"nrm".as("qn"))
     val wp = Window.partitionBy($"q_id").orderBy($"d2", $"label")
     val probes = queries.crossJoin(broadcast(cent))
-      .withColumn("d2",
-        aggregate(zip_with($"qv", $"centroid", (a, b) => (a - b) * (a - b)),
-          lit(0.0), (acc, x) => acc + x))
+      .withColumn("d2", sqDist($"qv", $"centroid"))
       .withColumn("pr", row_number().over(wp))
       .filter($"pr" <= nprobe)
       .select($"q_id", $"label", $"qv", $"qn")
@@ -527,10 +537,13 @@ object Similarity extends QueryGroup {
   }
 
   /** Left-to-right-fold squared distance — the bit-identical
-    * cross-engine form every PQ/IVF stage scores with. */
+    * cross-engine form every PQ/IVF stage scores with. Optimization
+    * r19: the codegen'd [[graft.functions.VecSqDist]] — the same IEEE
+    * addition order as the aggregate(zip_with(...)) fold it replaces,
+    * without the two intermediate arrays per row or interpreted
+    * lambda dispatch (guide §1.2 step 2). */
   private def sqDist(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-      lit(0.0), (acc, x) => acc + x)
+    call_function("vec_sqdist", a, b)
 
   /** Per-query subvector slices (q_id, m, qsv) — the query side of an
     * ADC table, computable from corpus queries alone (10 rows). */
@@ -557,22 +570,32 @@ object Similarity extends QueryGroup {
       posexplode(expr(
         s"transform(sequence(0, ${M - 1}), m -> slice(v, m * $Sub + 1, $Sub))"))
         .as(Seq("m", "sv")))
-    val wAssign = Window.partitionBy($"vec_id", $"m").orderBy($"d2", $"cid")
-    val seeds = sub.filter($"vec_id" < K)
+    // Optimization r19 (the assignCells treatment, guide §2.4): each
+    // nearest-codeword assignment is a per-(row, m) argmin over the ≤8
+    // broadcast codewords of that subspace — array_min over (d2, cid)
+    // structs replaces the ×K explode + row_number window (a full
+    // corpus shuffle + sort per assign pass). Selection identical:
+    // min (d2 asc, cid asc) = the window's rn=1. The codebook recenter
+    // is one hash aggregate with 16 per-dimension avg columns instead
+    // of posexplode + double groupBy (same averages; downstream
+    // decisions are margin-audited in PqMarginSpec and the oracle has
+    // always summed in its own order).
+    def nearest(cands: Column, sv: Column): Column =
+      array_min(transform(cands, c =>
+        struct(call_function("vec_sqdist", sv, c.getField("cw")).as("d2"),
+          c.getField("cid").as("cid")))).getField("cid")
+    val seedsArr = sub.filter($"vec_id" < K)
       .select($"m", $"vec_id".cast("int").as("cid"), $"sv".as("cw"))
-    val assign1 = sub.join(broadcast(seeds), Seq("m"))
-      .withColumn("d2", sqDist($"sv", $"cw"))
-      .withColumn("rn", row_number().over(wAssign)).filter($"rn" === 1)
-    val codebook = assign1
-      .select($"m", $"cid", posexplode($"sv").as(Seq("i", "x")))
-      .groupBy($"m", $"cid", $"i").agg(avg($"x").as("c"))
-      .groupBy($"m", $"cid")
-      .agg(transform(array_sort(collect_list(struct($"i", $"c"))),
-        e => e.getField("c")).as("cw"))
-    val codes = sub.join(broadcast(codebook), Seq("m"))
-      .withColumn("d2", sqDist($"sv", $"cw"))
-      .withColumn("rn", row_number().over(wAssign)).filter($"rn" === 1)
-      .select($"vec_id", $"m", $"cid")
+      .groupBy($"m").agg(collect_list(struct($"cid", $"cw")).as("cands"))
+    val assign1 = sub.join(broadcast(seedsArr), Seq("m"))
+      .select($"vec_id", $"m", nearest($"cands", $"sv").as("cid"), $"sv")
+    val codebook = assign1.groupBy($"m", $"cid")
+      .agg(array((0 until Sub).map(i =>
+        avg(element_at($"sv", i + 1))): _*).as("cw"))
+    val cbArr = codebook
+      .groupBy($"m").agg(collect_list(struct($"cid", $"cw")).as("cands"))
+    val codes = sub.join(broadcast(cbArr), Seq("m"))
+      .select($"vec_id", $"m", nearest($"cands", $"sv").as("cid"))
     val adcTab = pqQuerySub(corpus).join(broadcast(codebook), Seq("m"))
       .select($"q_id", $"m", $"cid", sqDist($"qsv", $"cw").as("pd2"))
     (codes, codebook, adcTab)
@@ -928,9 +951,7 @@ object Similarity extends QueryGroup {
         val wp = Window.partitionBy($"q_id").orderBy($"d2", $"cell")
         val probes = queries.select($"q_id", $"qv")
           .crossJoin(broadcast(c1))
-          .withColumn("d2",
-            aggregate(zip_with($"qv", $"centroid", (a, b) => (a - b) * (a - b)),
-              lit(0.0), (acc, x) => acc + x))
+          .withColumn("d2", sqDist($"qv", $"centroid"))
           .withColumn("pr", row_number().over(wp))
           .filter($"pr" <= 10)
           .select($"q_id", $"cell")
@@ -1431,9 +1452,7 @@ object Similarity extends QueryGroup {
             transform(array_sort(collect_list(struct($"i", $"m"))),
               e => e.getField("m")).as("centroid"))
         t.join(broadcast(cent), Seq("label"))
-          .withColumn("dist2",
-            aggregate(zip_with($"v", $"centroid", (a, b) => (a - b) * (a - b)),
-              lit(0.0), (acc, x) => acc + x))
+          .withColumn("dist2", sqDist($"v", $"centroid"))
           .groupBy($"label")
           .agg(max($"n").as("n"), round(avg($"dist2"), 4).as("avg_dist2"))
           .orderBy($"label")

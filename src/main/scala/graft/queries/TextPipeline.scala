@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.{QueryDef, QueryGroup, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Training-data text pipeline over `documents` — deduplication
@@ -568,8 +569,9 @@ object TextPipeline extends QueryGroup {
     import s.implicits._
     Tables.documents(s, dir)
       .select($"doc_id", PortableLsh.wordBaseHashes($"text").as("x"))
+      .select($"doc_id", PortableLsh.minhashArray($"x").as("m"))
       .select($"doc_id".as("id"),
-        explode(PortableLsh.bucketArrayBanded($"x", 16)).as("bucket"))
+        explode(PortableLsh.bucketArrayFromSigs($"m", 16)).as("bucket"))
   }
 
   // the verified-dedup signature table must stay persisted while the
@@ -615,25 +617,35 @@ object TextPipeline extends QueryGroup {
       val s = docs.sparkSession
       import s.implicits._
       if (lastVerifyMh != null) { lastVerifyMh.unpersist(); lastVerifyMh = null }
+      // Optimization r19 (guide §2.4 — remove shuffles outright): the
+      // star candidates and their verification are ONE window pass
+      // over the exploded (id, m, bucket) rows instead of the r19
+      // build's groupBy(bucket)+join-back for the hub plus TWO
+      // signature joins against mh for (ma, mb). Both the hub id and
+      // the hub's signature come from first_value over the bucket
+      // window (orderBy id: the frame's first row IS the min-id hub),
+      // so the signatures never rejoin — one exchange by bucket
+      // carries each doc's 512-byte signature exactly once per band
+      // membership, and agreement is counted right there by the
+      // codegen'd arr_eq_count. Selected pairs are identical: the
+      // same (hub=min bucket id, member, agreement ≥ VerifyAgree)
+      // predicate, deduped across buckets after the filter.
       val mh = docs
         .select($"doc_id", PortableLsh.wordBaseHashes($"text").as("x"))
         .select($"doc_id", PortableLsh.minhashArray($"x").as("m"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       lastVerifyMh = mh
-      val cand = mh.select($"doc_id".as("id"),
+      val cand = mh.select($"doc_id".as("id"), $"m",
         explode(PortableLsh.bucketArrayFromSigs($"m",
           PortableLsh.RowsPerBand)).as("bucket"))
-      val star = cand
-        .join(cand.groupBy($"bucket").agg(min($"id").as("hub")), "bucket")
+      val wb = Window.partitionBy($"bucket").orderBy($"id")
+      val ver = cand
+        .withColumn("hub", first($"id").over(wb))
+        .withColumn("hm", first($"m").over(wb))
         .filter($"id" =!= $"hub")
-        .select($"hub", $"id").distinct()
-      val ver = star
-        .join(mh.select($"doc_id".as("hub"), $"m".as("ma")), Seq("hub"))
-        .join(mh.select($"doc_id".as("id"), $"m".as("mb")), Seq("id"))
-        .filter(aggregate(
-          zip_with($"ma", $"mb", (a, b) => when(a === b, 1).otherwise(0)),
-          lit(0), (acc, v) => acc + v) >= PortableLsh.VerifyAgree)
-        .select($"id", $"hub")
+        .filter(call_function("arr_eq_count", $"hm", $"m")
+          >= PortableLsh.VerifyAgree)
+        .select($"id", $"hub").distinct()
       val edges = ver.select($"id", $"hub".cast("string").as("bucket"))
         .unionByName(docs.select($"doc_id".as("id"),
           $"doc_id".cast("string").as("bucket")))
@@ -728,8 +740,9 @@ object TextPipeline extends QueryGroup {
     val docs = Tables.documents(s, dir).filter($"doc_id" < 500)
     val buckets = docs
       .select($"doc_id", PortableLsh.wordBaseHashes($"text").as("x"))
+      .select($"doc_id", PortableLsh.minhashArray($"x").as("m"))
       .select($"doc_id".as("id"),
-        explode(PortableLsh.bucketArrayBanded($"x", rowsPerBand)).as("bucket"))
+        explode(PortableLsh.bucketArrayFromSigs($"m", rowsPerBand)).as("bucket"))
     val candPairs = buckets.as("a").join(buckets.as("b"), "bucket")
       .filter($"a.id" < $"b.id")
       .select($"a.id".as("id_a"), $"b.id".as("id_b")).distinct()
@@ -1335,8 +1348,9 @@ object TextPipeline extends QueryGroup {
         val probe = Tables.documents(s, dir)
           .filter($"doc_id" % 2 === 1)
           .select($"doc_id", PortableLsh.wordBaseHashes($"text").as("x"))
+          .select($"doc_id", PortableLsh.minhashArray($"x").as("m"))
           .select($"doc_id",
-            explode(PortableLsh.bucketArrayBanded($"x", 16)).as("bucket"))
+            explode(PortableLsh.bucketArrayFromSigs($"m", 16)).as("bucket"))
         probe.join(idx, Seq("bucket"), "left")
           .groupBy($"doc_id")
           .agg(sum(coalesce($"hit", lit(0L))).as("n_band_hits"))
