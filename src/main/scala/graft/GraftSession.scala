@@ -27,6 +27,18 @@ object GraftSession {
       // AQE: runtime shuffle-partition coalescing + skew-join splitting,
       // the scale path for 100 TB joins (SURVEY.md §4.1).
       .config("spark.sql.adaptive.enabled", "true")
+      // Optimization r19 (guide §3.1/§9): allow shuffled-hash join when
+      // its size conditions hold instead of always sort-merge — skips
+      // both sides' sorts on fact-to-derived-dim joins (e.g. tpcds_q72's
+      // store_sales ⋈ inv_monthly). Scale-safe: the planner still sizes
+      // the build side, AQE skew splitting stays on, and SMJ remains the
+      // fallback when no side can build a per-partition hash map.
+      .config("spark.sql.join.preferSortMergeJoin", "false")
+      // AQE's runtime SMJ→SHJ rewrite for small post-shuffle partitions
+      // (off by default, guide §3.1): bound by the advisory partition
+      // size, so a build side never exceeds one coalesced partition.
+      .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+        "64MB")
       // map_agg/map_union keep one value per duplicate key (Presto
       // MapAggregationFunction behavior) instead of erroring.
       .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")

@@ -92,6 +92,25 @@ object Tables {
   private def eventsRaw(s: SparkSession, d: String): DataFrame =
     s.read.parquet(s"$d/events.parquet")
 
+  /** Scale-adaptive scan parallelization (optimization r19; guide §2.5
+    * "input skew — one huge unsplittable file ... repartition
+    * immediately after the read"): the driver's testdata ships ONE
+    * parquet row group per table, so every scan plans as a single
+    * task and any heavy per-row compute fused into the scan stage
+    * (minhash signatures, shingle hashing, all-pairs scoring legs)
+    * serializes on one core while the rest idle. When the plan's scan
+    * yields fewer partitions than the session's parallelism, insert a
+    * round-robin repartition (deterministic: sortBeforeRepartition is
+    * on); when the table is laid out properly (scan partitions ≥
+    * cores — any real cluster table) this is a NO-OP, so no shuffle
+    * is ever added at scale. Partition-count inspection is
+    * planning-only (no job runs). */
+  def parallelized(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    val parts = df.queryExecution.toRdd.getNumPartitions
+    if (parts >= target) df else df.repartition(target)
+  }
+
   def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
   def orders(s: SparkSession, d: String): DataFrame = table(s, d, "orders")
   def customer(s: SparkSession, d: String): DataFrame = table(s, d, "customer")

@@ -285,7 +285,7 @@ object Similarity extends QueryGroup {
     * drift from the shipped scoring — r16 review finding). */
   private[graft] def hybridRawPerTerm(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val toksDf = graft.Tables.documents(s, dir)
+    val toksDf = graft.Tables.parallelized(graft.Tables.documents(s, dir))
       .select($"doc_id",
         split(regexp_replace(trim(lower($"text")), "\\s+", " "), " ")
           .as("toks"))
@@ -1183,7 +1183,7 @@ object Similarity extends QueryGroup {
             """transform(sequence(1, length(nm)), i ->
               |concat(substring(nm, 1, i - 1),
               |  substring(nm, i + 1, length(nm))))""".stripMargin)))
-        val names = Tables.customer(s, dir)
+        val names = graft.Tables.parallelized(Tables.customer(s, dir))
           .select($"c_custkey".as("id"), $"c_name".as("nm"))
         val refIdx = names
           .select($"id", $"nm", explode(delVariants($"nm")).as("v"))

@@ -43,7 +43,7 @@ object TextPipeline extends QueryGroup {
     * frozen-corpus specs hash-verify. */
   private def stemDictFrame(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    Tables.documents(s, dir)
+    Tables.parallelized(Tables.documents(s, dir))
       .select(explode(split(lower($"text"), "[^a-z]+")).as("tok"))
       .filter(length($"tok") >= 3)
       .distinct()
@@ -106,13 +106,19 @@ object TextPipeline extends QueryGroup {
   private def learnBpe(s: SparkSession, dir: String)
       : (Seq[(Long, String, String, Long)], DataFrame) = {
     import s.implicits._
-    var vocab = Tables.documents(s, dir)
+    var vocab = Tables.parallelized(Tables.documents(s, dir))
       .select(explode(split(normText($"text"), " ")).as("w"))
       .groupBy($"w").agg(count(lit(1)).as("freq"))
       .select($"w", $"freq",
         concat(lit(" "),
           concat_ws("  ", expr("filter(split(w, ''), x -> x <> '')")),
           lit(" ")).as("seq"))
+      // NOTE (optimization r19): eager localCheckpoint is deliberate —
+      // a lazy persist() chain was measured ~2x SLOWER on the BPE
+      // consumers (pipeline_tokenizer_eval 1.9 -> 3.6 s): each round
+      // re-analyzes and re-optimizes a one-deeper InMemoryRelation
+      // tree, and the per-round argmax pays that planning cost 8
+      // times, while the checkpoint keeps every round a flat RDD leaf.
       .localCheckpoint()
     val merges =
       scala.collection.mutable.ListBuffer.empty[(Long, String, String, Long)]
@@ -237,7 +243,7 @@ object TextPipeline extends QueryGroup {
     * along at freq 1 (and in the oracle's v CTE verbatim). */
   private[graft] def unigramWords(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    Tables.documents(s, dir)
+    Tables.parallelized(Tables.documents(s, dir))
       .select(explode(split(normText($"text"), " ")).as("w"))
       .filter(length($"w") >= 1)
       .groupBy($"w").agg(count(lit(1)).as("freq"))
@@ -404,6 +410,13 @@ object TextPipeline extends QueryGroup {
   private[graft] def learnUnigram(s: SparkSession, dir: String)
       : (DataFrame, DataFrame, Seq[DataFrame]) = {
     import s.implicits._
+    // NOTE (optimization r19): eager localCheckpoint is deliberate
+    // here — a lazy persist() was measured 2-3x SLOWER
+    // (pipeline_tokenizer_eval 1.9 -> 6.0 s): the per-round unit
+    // tables feed broadcast builds, and with nothing materialized the
+    // planning-time broadcast of round r re-derives the whole EM
+    // chain below it before the caches ever fill. The eager cut per
+    // round keeps each level computed exactly once.
     val words = unigramWords(s, dir).localCheckpoint()
     var cnts = unigramSeedCounts(words).localCheckpoint()
     val raws = Seq.newBuilder[DataFrame]
@@ -567,7 +580,7 @@ object TextPipeline extends QueryGroup {
     * ~2× the row). */
   private def neardupBucketEdges(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    Tables.documents(s, dir)
+    Tables.parallelized(Tables.documents(s, dir))
       .select($"doc_id", PortableLsh.wordBaseHashes($"text").as("x"))
       .select($"doc_id", PortableLsh.minhashArray($"x").as("m"))
       .select($"doc_id".as("id"),
@@ -630,7 +643,7 @@ object TextPipeline extends QueryGroup {
       // codegen'd arr_eq_count. Selected pairs are identical: the
       // same (hub=min bucket id, member, agreement ≥ VerifyAgree)
       // predicate, deduped across buckets after the filter.
-      val mh = docs
+      val mh = Tables.parallelized(docs)
         .select($"doc_id", PortableLsh.wordBaseHashes($"text").as("x"))
         .select($"doc_id", PortableLsh.minhashArray($"x").as("m"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -737,7 +750,8 @@ object TextPipeline extends QueryGroup {
   private def lshBandingRecall(s: SparkSession, dir: String,
       rowsPerBand: Int): DataFrame = {
     import s.implicits._
-    val docs = Tables.documents(s, dir).filter($"doc_id" < 500)
+    val docs = Tables.parallelized(
+      Tables.documents(s, dir).filter($"doc_id" < 500))
     val buckets = docs
       .select($"doc_id", PortableLsh.wordBaseHashes($"text").as("x"))
       .select($"doc_id", PortableLsh.minhashArray($"x").as("m"))
@@ -803,7 +817,7 @@ object TextPipeline extends QueryGroup {
       (s, dir) => {
         import s.implicits._
         val stop = array(Seq("the", "a", "of", "and", "to").map(lit): _*)
-        Tables.documents(s, dir)
+        Tables.parallelized(Tables.documents(s, dir))
           .withColumn("toks", split(normText($"text"), " "))
           .select($"doc_id",
             length($"text").as("n_chars_actual"),
@@ -857,7 +871,7 @@ object TextPipeline extends QueryGroup {
     "text_stem_terms" -> QueryDef(
       (s, dir) => {
         import s.implicits._
-        Tables.documents(s, dir)
+        Tables.parallelized(Tables.documents(s, dir))
           .select(explode(split(lower($"text"), "[^a-z]+")).as("tok"))
           .filter(length($"tok") >= 3)
           .select(expr("word_stem(tok, 'en')").as("stem"))
@@ -882,7 +896,7 @@ object TextPipeline extends QueryGroup {
     "text_token_count" -> QueryDef(
       (s, dir) => {
         import s.implicits._
-        Tables.documents(s, dir)
+        Tables.parallelized(Tables.documents(s, dir))
           .select($"doc_id",
             size(split(normText($"text"), " ")).as("ws_tokens"),
             size(expr("regexp_extract_all(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9\\\\s]', 0)"))
@@ -912,7 +926,7 @@ object TextPipeline extends QueryGroup {
             size(array_intersect(toks, array(ws.map(lit): _*))).as("score"),
             lit(lang).as("lang"))
         }
-        Tables.documents(s, dir)
+        Tables.parallelized(Tables.documents(s, dir))
           .select($"doc_id", $"lang".as("labeled_lang"),
             greatest(scores: _*).getField("lang").as("predicted_lang"),
             greatest(scores: _*).getField("score").as("score"))
@@ -950,7 +964,7 @@ object TextPipeline extends QueryGroup {
     "text_fingerprint" -> QueryDef(
       (s, dir) => {
         import s.implicits._
-        Tables.documents(s, dir)
+        Tables.parallelized(Tables.documents(s, dir))
           .select(xxhash64(normText($"text")).as("fp"), normText($"text").as("nt"))
           .agg(countDistinct($"fp").as("n_fp"), countDistinct($"nt").as("n_text"))
           .select(($"n_fp" === $"n_text").as("collision_free"), $"n_fp", $"n_text")
@@ -968,7 +982,8 @@ object TextPipeline extends QueryGroup {
     "dedup_char_shingles" -> QueryDef(
       (s, dir) => {
         import s.implicits._
-        val t = Tables.documents(s, dir).filter($"doc_id" < 120)
+        val t = Tables.parallelized(
+            Tables.documents(s, dir).filter($"doc_id" < 120))
           .withColumn("nt", normText($"text"))
           .filter(length($"nt") >= 5)
           .select($"doc_id",
@@ -1007,7 +1022,7 @@ object TextPipeline extends QueryGroup {
     "text_rolling_hash" -> QueryDef(
       (s, dir) => {
         import s.implicits._
-        Tables.documents(s, dir)
+        Tables.parallelized(Tables.documents(s, dir))
           .select($"doc_id",
             aggregate(split(normText($"text"), ""), lit(0L),
               (acc, ch) => (acc * 31 + ascii(ch)) % 2147483647L).as("rhash"))
@@ -1025,7 +1040,7 @@ object TextPipeline extends QueryGroup {
     "dedup_exact" -> QueryDef(
       (s, dir) => {
         import s.implicits._
-        val d = Tables.documents(s, dir)
+        val d = Tables.parallelized(Tables.documents(s, dir))
         val replayed = d.filter($"doc_id" < 50)
           .withColumn("doc_id", $"doc_id" + 1000000)
         d.unionAll(replayed)
@@ -1052,7 +1067,8 @@ object TextPipeline extends QueryGroup {
     "dedup_ngram_jaccard" -> QueryDef(
       (s, dir) => {
         import s.implicits._
-        val t = Tables.documents(s, dir).filter($"doc_id" < 500)
+        val t = Tables.parallelized(
+            Tables.documents(s, dir).filter($"doc_id" < 500))
           .select($"doc_id", hashedWordSet($"text").as("w"))
         val a = t.select($"doc_id".as("id_a"), $"w".as("wa"))
         val b = t.select($"doc_id".as("id_b"), $"w".as("wb"))
@@ -1199,7 +1215,8 @@ object TextPipeline extends QueryGroup {
         import s.implicits._
         val assign = verifiedClusterAssignment(
           Tables.documents(s, dir).select($"doc_id", $"text"))
-        val t = Tables.documents(s, dir).filter($"doc_id" < 500)
+        val t = Tables.parallelized(
+            Tables.documents(s, dir).filter($"doc_id" < 500))
           .select($"doc_id", wordSet($"text").as("w"))
         val a = t.select($"doc_id".as("id_a"), $"w".as("wa"))
         val b = t.select($"doc_id".as("id_b"), $"w".as("wb"))
@@ -1345,8 +1362,8 @@ object TextPipeline extends QueryGroup {
           .filter($"id" % 2 === 0)
           .select($"bucket").distinct()
           .withColumn("hit", lit(1L))
-        val probe = Tables.documents(s, dir)
-          .filter($"doc_id" % 2 === 1)
+        val probe = Tables.parallelized(Tables.documents(s, dir)
+            .filter($"doc_id" % 2 === 1))
           .select($"doc_id", PortableLsh.wordBaseHashes($"text").as("x"))
           .select($"doc_id", PortableLsh.minhashArray($"x").as("m"))
           .select($"doc_id",
@@ -1377,7 +1394,8 @@ object TextPipeline extends QueryGroup {
     "dedup_simhash" -> QueryDef(
       (s, dir) => {
         import s.implicits._
-        val docs = Tables.documents(s, dir).filter($"doc_id" < 500)
+        val docs = Tables.parallelized(
+            Tables.documents(s, dir).filter($"doc_id" < 500))
           .select($"doc_id", hashedWordSet($"text").as("w"))
           .withColumn("hashes", $"w")
           .withColumn("simhash",
@@ -1440,7 +1458,7 @@ object TextPipeline extends QueryGroup {
           "fr" -> Seq("le", "la", "de", "vite", "requete"),
           "de" -> Seq("der", "und", "von", "schnell", "abfrage"),
           "zh" -> Seq("chaxun", "kuai", "shuju", "biao", "hang"))
-        val deduped = Tables.documents(s, dir)
+        val deduped = Tables.parallelized(Tables.documents(s, dir))
           .select($"doc_id", normText($"text").as("nt"))
           .groupBy($"nt").agg(min($"doc_id").as("doc_id"))
         val scores = seeds.toSeq.sortBy(_._1).map { case (lang, ws) =>
@@ -1515,7 +1533,7 @@ object TextPipeline extends QueryGroup {
     "text_repetition" -> QueryDef(
       (s, dir) => {
         import s.implicits._
-        Tables.documents(s, dir)
+        Tables.parallelized(Tables.documents(s, dir))
           .withColumn("toks", split(normText($"text"), " "))
           .filter(size($"toks") >= 3)
           .withColumn("ngrams", expr(
@@ -1554,7 +1572,7 @@ object TextPipeline extends QueryGroup {
     "pipeline_decontamination" -> QueryDef(
       (s, dir) => {
         import s.implicits._
-        val grams = Tables.documents(s, dir)
+        val grams = Tables.parallelized(Tables.documents(s, dir))
           .withColumn("toks", split(normText($"text"), " "))
           .filter(size($"toks") >= 5)
           .withColumn("ngram", explode(array_distinct(expr(
@@ -1607,7 +1625,7 @@ object TextPipeline extends QueryGroup {
         // one window shuffle on gram, one groupBy shuffle on doc, and
         // the explode subtree executes exactly once (no self-joins
         // that would recompute it)
-        val pairs = Tables.documents(s, dir)
+        val pairs = Tables.parallelized(Tables.documents(s, dir))
           .withColumn("toks", split(normText($"text"), " "))
           .filter(size($"toks") >= 5)
           .withColumn("gram", explode(array_distinct(expr(
@@ -1781,7 +1799,7 @@ object TextPipeline extends QueryGroup {
       (s, dir) => {
         import s.implicits._
         val k = 0.5
-        val toksDf = Tables.documents(s, dir)
+        val toksDf = Tables.parallelized(Tables.documents(s, dir))
           .select($"doc_id", split(normText($"text"), " ").as("toks"))
         val docBi = toksDf
           .select($"doc_id", explode(expr(
@@ -1844,7 +1862,7 @@ object TextPipeline extends QueryGroup {
     "lm_stupid_backoff" -> QueryDef(
       (s, dir) => {
         import s.implicits._
-        val toksDf = Tables.documents(s, dir)
+        val toksDf = Tables.parallelized(Tables.documents(s, dir))
           .select($"doc_id", split(normText($"text"), " ").as("toks"))
         def triOf(df: DataFrame): DataFrame = df
           .filter(size($"toks") >= 3)
@@ -1986,7 +2004,7 @@ object TextPipeline extends QueryGroup {
         val (_, finalVocab) = learnBpe(s, dir)
         val wc = finalVocab.select($"w",
           size(expr("split(trim(seq), '  ')")).cast("long").as("n_sym"))
-        Tables.documents(s, dir)
+        Tables.parallelized(Tables.documents(s, dir))
           .select($"doc_id", explode(split(normText($"text"), " ")).as("w"))
           .join(broadcast(wc), "w")
           .groupBy($"doc_id")
@@ -2033,7 +2051,7 @@ object TextPipeline extends QueryGroup {
         val (_, finalVocab) = learnBpe(s, dir)
         val syms = finalVocab.select($"w",
           expr("split(trim(seq), '  ')").as("syms"))
-        Tables.documents(s, dir)
+        Tables.parallelized(Tables.documents(s, dir))
           .select($"doc_id",
             posexplode(split(normText($"text"), " ")).as(Seq("i", "w")))
           .join(broadcast(syms), "w")
@@ -2123,7 +2141,7 @@ object TextPipeline extends QueryGroup {
         import s.implicits._
         val (_, best, _) = learnUnigram(s, dir)
         val segs = best.select($"w", split($"seg", " ").as("pieces"))
-        Tables.documents(s, dir)
+        Tables.parallelized(Tables.documents(s, dir))
           .select($"doc_id",
             posexplode(split(normText($"text"), " ")).as(Seq("i", "w")))
           .join(broadcast(segs), "w")
@@ -2224,7 +2242,7 @@ object TextPipeline extends QueryGroup {
         val L = 128
         val w = Window.partitionBy($"source", $"shard").orderBy($"doc_id")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        Tables.documents(s, dir)
+        Tables.parallelized(Tables.documents(s, dir))
           .select($"doc_id", $"source",
             floor($"doc_id" / 2000).cast("long").as("shard"),
             size(split(normText($"text"), " ")).cast("long").as("n_tok"))
@@ -2292,7 +2310,7 @@ object TextPipeline extends QueryGroup {
       (s, dir) => {
         import s.implicits._
         val k = 0.5
-        val toksDf = Tables.documents(s, dir)
+        val toksDf = Tables.parallelized(Tables.documents(s, dir))
           .select($"doc_id", split(normText($"text"), " ").as("toks"))
         val uni = toksDf.select(explode($"toks").as("w1"))
           .groupBy($"w1").agg(count(lit(1)).as("c1"))
@@ -2394,7 +2412,7 @@ object TextPipeline extends QueryGroup {
         import s.implicits._
         import org.apache.spark.sql.expressions.Window
         val L = 4
-        val toksDf = Tables.documents(s, dir)
+        val toksDf = Tables.parallelized(Tables.documents(s, dir))
           .select($"doc_id", split(normText($"text"), " ").as("toks"))
         val segs = toksDf
           .select($"doc_id", explode(expr(
@@ -2447,7 +2465,7 @@ object TextPipeline extends QueryGroup {
         import s.implicits._
         val terms = Seq("query", "join", "fast", "table", "data")
         val k1 = 1.2; val b = 0.75
-        val toksDf = Tables.documents(s, dir)
+        val toksDf = Tables.parallelized(Tables.documents(s, dir))
           .select($"doc_id", split(normText($"text"), " ").as("toks"))
         val statCols = Seq(
           count(lit(1)).as("n_docs"),
@@ -2516,7 +2534,7 @@ object TextPipeline extends QueryGroup {
         val gopherStops =
           array(Seq("the", "be", "to", "of", "and", "that", "have", "with")
             .map(lit): _*)
-        Tables.documents(s, dir)
+        Tables.parallelized(Tables.documents(s, dir))
           .withColumn("toks", split(normText($"text"), " "))
           .withColumn("n_words", size($"toks").cast("long"))
           .withColumn("mean_word_len",
@@ -2580,7 +2598,7 @@ object TextPipeline extends QueryGroup {
         val emailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
         val ipRe = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
         val phoneRe = "\\b\\d{3}-\\d{4}\\b"
-        Tables.documents(s, dir)
+        Tables.parallelized(Tables.documents(s, dir))
           .withColumn("text",
             concat($"text", lit(" contact user"), $"doc_id",
               lit("@example.com tel 555-"),
@@ -2638,7 +2656,7 @@ object TextPipeline extends QueryGroup {
       (s, dir) => {
         import s.implicits._
         import org.apache.spark.sql.expressions.Window
-        val grams = Tables.documents(s, dir)
+        val grams = Tables.parallelized(Tables.documents(s, dir))
           .select($"doc_id", split(normText($"text"), " ").as("toks"))
           .filter(size($"toks") >= 10)
           .select($"doc_id", size($"toks").as("n_toks"),
@@ -2742,7 +2760,7 @@ object TextPipeline extends QueryGroup {
     "pipeline_mixture_plan" -> QueryDef(
       (s, dir) => {
         import s.implicits._
-        val perLang = Tables.documents(s, dir)
+        val perLang = Tables.parallelized(Tables.documents(s, dir))
           .groupBy($"lang")
           .agg(count(lit(1)).as("n_docs"),
             sum(size(split(normText($"text"), " ")).cast("long"))
@@ -2821,7 +2839,7 @@ object TextPipeline extends QueryGroup {
     "pipeline_dsir_sample" -> QueryDef(
       (s, dir) => {
         import s.implicits._
-        val perDocBucket = Tables.documents(s, dir)
+        val perDocBucket = Tables.parallelized(Tables.documents(s, dir))
           .select($"doc_id", $"lang",
             explode(split(normText($"text"), " ")).as("rawtok"))
           .withColumn("tok", regexp_replace($"rawtok", "[^a-z0-9]", ""))
@@ -2887,7 +2905,8 @@ object TextPipeline extends QueryGroup {
   private def minhashLsh(s: SparkSession, dir: String, bound: Option[Int]): DataFrame = {
     import s.implicits._
     val base = Tables.documents(s, dir)
-    val docs = bound.fold(base)(b => base.filter($"doc_id" < b))
+    val docs = Tables.parallelized(
+        bound.fold(base)(b => base.filter($"doc_id" < b)))
       .select($"doc_id", hashedWordSet($"text").as("w"))
     lshPairs(docs)
   }
