@@ -133,6 +133,16 @@ object Tables {
     * TABLE_OR_VIEW_NOT_FOUND — scoped to that query alone.
     */
   def registerAll(spark: SparkSession, dir: String): Unit = {
+    // NOTE (optimization r19): wrapping these views in [[parallelized]]
+    // was MEASURED and REJECTED — twice (all tables, then fact-sized
+    // only). Isolated single-pipeline rows improved (tpcds_q67
+    // 1.93→1.27 s: the scan-fused ROLLUP ran 32-way), but the full
+    // suite regressed ~+20 s because every one of the 64 SQL rows pays
+    // one extra exchange + AQE stage per fact reference, and the
+    // multi-reference queries (q23/q14/q39) pay it per scan branch
+    // (branch-specific pushed filters defeat exchange reuse).
+    // Scan-stage parallelization stays a per-call-site decision where
+    // per-row compute dominates (see the [[parallelized]] call sites).
     Seq("region", "nation", "customer", "supplier", "part", "orders",
       "lineitem", "events", "documents", "embeddings").foreach { n =>
       try table(spark, dir, n).createOrReplaceTempView(n)

@@ -774,7 +774,13 @@ object Similarity extends QueryGroup {
         val pfx = s.conf.get("spark.sql.warehouse.dir") +
           "/graft_ivf_" + graft.PathKey(dir)
         val corpus = vecs(s, dir)
+        // cluster the write by its partition key (optimization r19,
+        // guide §6: "partitioning and sort order on write" / Iceberg's
+        // hash distribution-mode): one exchange puts each cell's rows
+        // in one task, so the asset is one file per cell instead of
+        // (input partitions x cells) shards
         corpus.select($"vec_id", $"v", $"nrm", $"label")
+          .repartition($"label")
           .write.mode("overwrite").partitionBy("label")
           .parquet(s"$pfx/assignments")
         centroidsOf(corpus)
@@ -1002,7 +1008,9 @@ object Similarity extends QueryGroup {
         val corpus = vecs(s, dir)
         val (a1, c1) = geoCellIndex(s, dir)
         val (codes, codebook, _) = pqCodesAdc(s, dir)
-        a1.select($"vec_id", $"cell").write.mode("overwrite")
+        // one file per cell, not (input partitions x cells) — guide §6
+        a1.select($"vec_id", $"cell").repartition($"cell")
+          .write.mode("overwrite")
           .partitionBy("cell").parquet(s"$pfx/cells")
         c1.write.mode("overwrite").parquet(s"$pfx/centroids")
         codes.write.mode("overwrite").parquet(s"$pfx/codes")
