@@ -24,7 +24,7 @@ object Multimodal extends QueryGroup {
     */
   private def media(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    Tables.parallelized(Tables.documents(s, dir)).select(
+    Tables.documents(s, dir).select(
       $"doc_id".as("media_id"),
       $"text".cast("binary").as("payload"),
       struct(

@@ -106,7 +106,7 @@ object TextPipeline extends QueryGroup {
   private def learnBpe(s: SparkSession, dir: String)
       : (Seq[(Long, String, String, Long)], DataFrame) = {
     import s.implicits._
-    var vocab = Tables.parallelized(Tables.documents(s, dir))
+    var vocab = Tables.documents(s, dir)
       .select(explode(split(normText($"text"), " ")).as("w"))
       .groupBy($"w").agg(count(lit(1)).as("freq"))
       .select($"w", $"freq",
@@ -243,7 +243,7 @@ object TextPipeline extends QueryGroup {
     * along at freq 1 (and in the oracle's v CTE verbatim). */
   private[graft] def unigramWords(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    Tables.parallelized(Tables.documents(s, dir))
+    Tables.documents(s, dir)
       .select(explode(split(normText($"text"), " ")).as("w"))
       .filter(length($"w") >= 1)
       .groupBy($"w").agg(count(lit(1)).as("freq"))
@@ -817,7 +817,7 @@ object TextPipeline extends QueryGroup {
       (s, dir) => {
         import s.implicits._
         val stop = array(Seq("the", "a", "of", "and", "to").map(lit): _*)
-        Tables.parallelized(Tables.documents(s, dir))
+        Tables.documents(s, dir)
           .withColumn("toks", split(normText($"text"), " "))
           .select($"doc_id",
             length($"text").as("n_chars_actual"),
@@ -896,7 +896,7 @@ object TextPipeline extends QueryGroup {
     "text_token_count" -> QueryDef(
       (s, dir) => {
         import s.implicits._
-        Tables.parallelized(Tables.documents(s, dir))
+        Tables.documents(s, dir)
           .select($"doc_id",
             size(split(normText($"text"), " ")).as("ws_tokens"),
             size(expr("regexp_extract_all(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9\\\\s]', 0)"))
@@ -926,7 +926,7 @@ object TextPipeline extends QueryGroup {
             size(array_intersect(toks, array(ws.map(lit): _*))).as("score"),
             lit(lang).as("lang"))
         }
-        Tables.parallelized(Tables.documents(s, dir))
+        Tables.documents(s, dir)
           .select($"doc_id", $"lang".as("labeled_lang"),
             greatest(scores: _*).getField("lang").as("predicted_lang"),
             greatest(scores: _*).getField("score").as("score"))
@@ -964,7 +964,7 @@ object TextPipeline extends QueryGroup {
     "text_fingerprint" -> QueryDef(
       (s, dir) => {
         import s.implicits._
-        Tables.parallelized(Tables.documents(s, dir))
+        Tables.documents(s, dir)
           .select(xxhash64(normText($"text")).as("fp"), normText($"text").as("nt"))
           .agg(countDistinct($"fp").as("n_fp"), countDistinct($"nt").as("n_text"))
           .select(($"n_fp" === $"n_text").as("collision_free"), $"n_fp", $"n_text")
@@ -1022,7 +1022,7 @@ object TextPipeline extends QueryGroup {
     "text_rolling_hash" -> QueryDef(
       (s, dir) => {
         import s.implicits._
-        Tables.parallelized(Tables.documents(s, dir))
+        Tables.documents(s, dir)
           .select($"doc_id",
             aggregate(split(normText($"text"), ""), lit(0L),
               (acc, ch) => (acc * 31 + ascii(ch)) % 2147483647L).as("rhash"))
@@ -1040,7 +1040,7 @@ object TextPipeline extends QueryGroup {
     "dedup_exact" -> QueryDef(
       (s, dir) => {
         import s.implicits._
-        val d = Tables.parallelized(Tables.documents(s, dir))
+        val d = Tables.documents(s, dir)
         val replayed = d.filter($"doc_id" < 50)
           .withColumn("doc_id", $"doc_id" + 1000000)
         d.unionAll(replayed)
@@ -1533,7 +1533,7 @@ object TextPipeline extends QueryGroup {
     "text_repetition" -> QueryDef(
       (s, dir) => {
         import s.implicits._
-        Tables.parallelized(Tables.documents(s, dir))
+        Tables.documents(s, dir)
           .withColumn("toks", split(normText($"text"), " "))
           .filter(size($"toks") >= 3)
           .withColumn("ngrams", expr(
@@ -2242,7 +2242,7 @@ object TextPipeline extends QueryGroup {
         val L = 128
         val w = Window.partitionBy($"source", $"shard").orderBy($"doc_id")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        Tables.parallelized(Tables.documents(s, dir))
+        Tables.documents(s, dir)
           .select($"doc_id", $"source",
             floor($"doc_id" / 2000).cast("long").as("shard"),
             size(split(normText($"text"), " ")).cast("long").as("n_tok"))
@@ -2465,7 +2465,7 @@ object TextPipeline extends QueryGroup {
         import s.implicits._
         val terms = Seq("query", "join", "fast", "table", "data")
         val k1 = 1.2; val b = 0.75
-        val toksDf = Tables.parallelized(Tables.documents(s, dir))
+        val toksDf = Tables.documents(s, dir)
           .select($"doc_id", split(normText($"text"), " ").as("toks"))
         val statCols = Seq(
           count(lit(1)).as("n_docs"),
@@ -2534,7 +2534,7 @@ object TextPipeline extends QueryGroup {
         val gopherStops =
           array(Seq("the", "be", "to", "of", "and", "that", "have", "with")
             .map(lit): _*)
-        Tables.parallelized(Tables.documents(s, dir))
+        Tables.documents(s, dir)
           .withColumn("toks", split(normText($"text"), " "))
           .withColumn("n_words", size($"toks").cast("long"))
           .withColumn("mean_word_len",
@@ -2598,7 +2598,7 @@ object TextPipeline extends QueryGroup {
         val emailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
         val ipRe = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
         val phoneRe = "\\b\\d{3}-\\d{4}\\b"
-        Tables.parallelized(Tables.documents(s, dir))
+        Tables.documents(s, dir)
           .withColumn("text",
             concat($"text", lit(" contact user"), $"doc_id",
               lit("@example.com tel 555-"),
@@ -2760,7 +2760,7 @@ object TextPipeline extends QueryGroup {
     "pipeline_mixture_plan" -> QueryDef(
       (s, dir) => {
         import s.implicits._
-        val perLang = Tables.parallelized(Tables.documents(s, dir))
+        val perLang = Tables.documents(s, dir)
           .groupBy($"lang")
           .agg(count(lit(1)).as("n_docs"),
             sum(size(split(normText($"text"), " ")).cast("long"))
