@@ -27,16 +27,17 @@ object GraftSession {
       // AQE: runtime shuffle-partition coalescing + skew-join splitting,
       // the scale path for 100 TB joins (SURVEY.md §4.1).
       .config("spark.sql.adaptive.enabled", "true")
-      // Optimization r19 (guide §3.1/§9): allow shuffled-hash join when
-      // its size conditions hold instead of always sort-merge — skips
-      // both sides' sorts on fact-to-derived-dim joins (e.g. tpcds_q72's
-      // store_sales ⋈ inv_monthly). Scale-safe: the planner still sizes
-      // the build side, AQE skew splitting stays on, and SMJ remains the
-      // fallback when no side can build a per-partition hash map.
-      .config("spark.sql.join.preferSortMergeJoin", "false")
-      // AQE's runtime SMJ→SHJ rewrite for small post-shuffle partitions
-      // (off by default, guide §3.1): bound by the advisory partition
-      // size, so a build side never exceeds one coalesced partition.
+      // r20 (VERDICT r19 next #5 + ADVICE r19 #2): the r19 session-wide
+      // preferSortMergeJoin=false is RETRACTED. AQE FINAL executed
+      // plans captured for tpch_q9 / tpcds_q72 / tpcds_q78
+      // (plans/r20/*_after_final.txt) show zero ShuffledHashJoin from
+      // the static flag — every SHJ on the query surface comes from an
+      // explicit SHUFFLE_HASH hint (the fixpoint joins), which works
+      // regardless of the preference. The flag's only remaining effect
+      // was risk: ShuffledHashJoinExec's build map cannot spill, and a
+      // global planner preference trusts size ESTIMATES that go wrong
+      // after filters/aggregates. The runtime rewrite below is kept —
+      // it is bounded by ACTUAL post-shuffle partition sizes.
       .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
         "64MB")
       // map_agg/map_union keep one value per duplicate key (Presto

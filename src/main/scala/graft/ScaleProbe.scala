@@ -143,7 +143,7 @@ object ScaleProbe {
         .write.mode("overwrite").parquet(s"$scaleDir/embeddings.parquet")
     }
 
-    def probeSet(names: Seq[String])(dir: String): Seq[(String, Double, Long, Option[(Int, Boolean)])] =
+    def probeSet(names: Seq[String])(dir: String): Seq[(String, Double, Long, Option[(Int, Boolean, Long, Long)])] =
       names.map { name =>
         // min of two samples: a single-sample probe is defenceless
         // against a multi-second machine stall (observed live in r13 —
@@ -185,10 +185,15 @@ object ScaleProbe {
         }
         val sec = secs.min
         val fix = if (FixpointQueries(name))
-          Some((graft.queries.Clustering.lastRounds, graft.queries.Clustering.lastConverged))
+          Some((graft.queries.Clustering.lastRounds,
+            graft.queries.Clustering.lastConverged,
+            graft.queries.Clustering.lastEdgeRows,
+            graft.queries.Clustering.lastContractedEdgeRows))
         else None
         System.err.println(f"[scale-probe] $dir $name: $sec%.2f s, $rows rows" +
-          fix.map { case (r, c) => s", fixpoint rounds=$r converged=$c" }.getOrElse(""))
+          fix.map { case (r, c, e, ce) =>
+            s", fixpoint rounds=$r converged=$c edges=$e contracted=$ce" }
+            .getOrElse(""))
         (name, sec, rows, fix)
       }
 
@@ -205,10 +210,13 @@ object ScaleProbe {
         Some((hb, hs))
       } else None
 
-    def fmt(rs: Seq[(String, Double, Long, Option[(Int, Boolean)])]): String =
+    def fmt(rs: Seq[(String, Double, Long, Option[(Int, Boolean, Long, Long)])]): String =
       rs.map { case (n, s, rows, fix) =>
-        val fixJson = fix.map { case (r, c) =>
-          s""","fixpoint_rounds":$r,"converged":$c""" }.getOrElse("")
+        // edge_rows vs contracted_edge_rows: the r20 label-graph
+        // contraction's scale evidence — tail rounds iterate on the
+        // contracted cluster graph, whose row count this records
+        val fixJson = fix.map { case (r, c, e, ce) =>
+          s""","fixpoint_rounds":$r,"converged":$c,"edge_rows":$e,"contracted_edge_rows":$ce""" }.getOrElse("")
         f""""$n":{"sec":$s%.3f,"rows":$rows$fixJson}"""
       }.mkString("{", ",", "}")
 

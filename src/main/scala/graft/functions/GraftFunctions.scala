@@ -49,6 +49,9 @@ object GraftFunctions {
     ("minhash_sigs",
       new ExpressionInfo(classOf[CwMinhashSigs].getName, "minhash_sigs"),
       (args: Seq[Expression]) => CwMinhashSigs(args(0))),
+    ("xx_minhash_sigs",
+      new ExpressionInfo(classOf[XxMinhashSigs].getName, "xx_minhash_sigs"),
+      (args: Seq[Expression]) => XxMinhashSigs(args(0))),
     ("arr_eq_count",
       new ExpressionInfo(classOf[ArrEqCount].getName, "arr_eq_count"),
       (args: Seq[Expression]) => ArrEqCount(args(0), args(1))),

@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpectsInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
@@ -47,9 +47,14 @@ object CwMinhash {
   * elements of the input are skipped (matching `array_min`); an input
   * with no non-null elements yields 64 null elements (as 64
   * `array_min(transform(empty))` calls would). */
-case class CwMinhashSigs(child: Expression) extends UnaryExpression {
+case class CwMinhashSigs(child: Expression) extends UnaryExpression
+  with ExpectsInputTypes {
   import CwMinhash._
 
+  // reject mistyped SQL at analysis time (ADVICE r19 #5): these are
+  // user-callable functions, and getLong over a mistyped ArrayData
+  // would silently misread or throw a runtime ClassCastException
+  override def inputTypes = Seq(ArrayType(LongType))
   override def dataType: DataType = ArrayType(LongType, containsNull = true)
   override def prettyName: String = "minhash_sigs"
 
@@ -123,6 +128,93 @@ case class CwMinhashSigs(child: Expression) extends UnaryExpression {
     copy(child = c)
 }
 
+/** The 64-row xxhash64-seeded minhash signature of an `array<long>`
+  * of word hashes — array<long> of per-seed minima (optimization r20;
+  * VERDICT r19 next #1: the `CwMinhashSigs` treatment applied to the
+  * xxhash64 family that dedup_minhash_lsh's banding ships).
+  *
+  * Bit-identical to 64 `array_min(transform(w, t => xxhash64(t,
+  * lit(k))))` calls for k = 0..63: Spark's `xxhash64(t, lit(k))`
+  * folds the children through XXH64 starting at the default seed 42 —
+  * `hashInt(k, hashLong(t, 42))` with k an IntegerType literal — and
+  * a null element leaves the running hash at 42 before the k-fold
+  * (`hashInt(k, 42)`), never yielding a null term, so `array_min`
+  * over a non-empty input is a min over all elements. An empty input
+  * yields 64 null elements (as 64 `array_min(transform(empty))` calls
+  * would). `hashLong(t, 42)` is shared across all 64 seeds — computed
+  * once per element here, where the HOF form recomputed it per
+  * permutation. */
+case class XxMinhashSigs(child: Expression) extends UnaryExpression
+  with ExpectsInputTypes {
+  import CwMinhash.NumPerms
+
+  override def inputTypes = Seq(ArrayType(LongType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+  override def prettyName: String = "xx_minhash_sigs"
+
+  override def nullSafeEval(a: Any): Any = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    val x = a.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n == 0) return new GenericArrayData(new Array[Any](NumPerms))
+    val mins = new Array[Long](NumPerms)
+    var i = 0
+    while (i < n) {
+      val base = if (x.isNullAt(i)) 42L else XXH64.hashLong(x.getLong(i), 42L)
+      if (i == 0) {
+        var j = 0
+        while (j < NumPerms) { mins(j) = XXH64.hashInt(j, base); j += 1 }
+      } else {
+        var j = 0
+        while (j < NumPerms) {
+          val h = XXH64.hashInt(j, base)
+          if (h < mins(j)) mins(j) = h
+          j += 1
+        }
+      }
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(mins)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x => {
+      val xxh = "org.apache.spark.sql.catalyst.expressions.XXH64"
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val n = ctx.freshName("n")
+      val base = ctx.freshName("base")
+      val h = ctx.freshName("h")
+      val mins = ctx.freshName("mins")
+      s"""
+         |int $n = $x.numElements();
+         |if ($n == 0) {
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |    new Object[$NumPerms]);
+         |} else {
+         |  long[] $mins = new long[$NumPerms];
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    long $base = $x.isNullAt($i) ? 42L : $xxh.hashLong($x.getLong($i), 42L);
+         |    if ($i == 0) {
+         |      for (int $j = 0; $j < $NumPerms; $j++)
+         |        $mins[$j] = $xxh.hashInt($j, $base);
+         |    } else {
+         |      for (int $j = 0; $j < $NumPerms; $j++) {
+         |        long $h = $xxh.hashInt($j, $base);
+         |        if ($h < $mins[$j]) $mins[$j] = $h;
+         |      }
+         |    }
+         |  }
+         |  ${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+         |    .fromPrimitiveArray($mins);
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): XxMinhashSigs =
+    copy(child = c)
+}
+
 /** Count of positions where two `array<long>` signatures hold equal
   * non-null values — the star-edge verification currency (agreement/64
   * is the unbiased Jaccard estimate). Bit-identical to
@@ -132,8 +224,10 @@ case class CwMinhashSigs(child: Expression) extends UnaryExpression {
   * branch), and length-mismatched tails contribute 0 (zip_with pads
   * with null → `===` null → otherwise 0). */
 case class ArrEqCount(left: Expression, right: Expression)
-  extends BinaryExpression {
+  extends BinaryExpression with ExpectsInputTypes {
 
+  override def inputTypes =
+    Seq(ArrayType(LongType), ArrayType(LongType))
   override def dataType: DataType = IntegerType
   override def prettyName: String = "arr_eq_count"
 
@@ -177,8 +271,10 @@ case class ArrEqCount(left: Expression, right: Expression)
   * Length-mismatched or null-element inputs return null, matching the
   * fold (zip_with pads with null → null term → null sum). */
 case class VecSqDist(left: Expression, right: Expression)
-  extends BinaryExpression {
+  extends BinaryExpression with ExpectsInputTypes {
 
+  override def inputTypes =
+    Seq(ArrayType(DoubleType), ArrayType(DoubleType))
   override def dataType: DataType = DoubleType
   override def prettyName: String = "vec_sqdist"
 

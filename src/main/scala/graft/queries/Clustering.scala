@@ -48,30 +48,42 @@ object Clustering {
   // downstream aggregates run (unpersisting immediately would replay
   // every round); releasing it on the NEXT fixpoint call bounds the
   // leak to one cached frame per session instead of one per query run
-  private var lastLabels: DataFrame = _
+  private var lastCaches: List[DataFrame] = Nil
 
   // observability for scale probes (VERDICT r3 #3): round count and
   // convergence of the most recent fixpoint, mirrored from the stderr
   // line so harness code can record them without log scraping
   @volatile var lastRounds: Int = 0
   @volatile var lastConverged: Boolean = false
+  // contraction observability (r20; VERDICT r19 next #4's "done"
+  // metric): edge rows entering the fixpoint vs rows of the contracted
+  // cluster graph the tail rounds actually iterate on
+  @volatile var lastEdgeRows: Long = 0L
+  @volatile var lastContractedEdgeRows: Long = 0L
 
-  /** Conf flag (r16; VERDICT r15 next #7 — makes the 100 TB lineage
-    * caveat code instead of a comment): when true, each fixpoint
-    * round's labels are localCheckpoint-ed (eager) instead of
-    * persisted, TRUNCATING lineage so round r's plan never chains
-    * back through rounds 1..r-1 — at cluster scale an un-truncated
-    * iterative lineage grows the plan (and any recomputation after
-    * cache eviction) linearly in the round count. Default off
-    * locally: persist() is cheaper for ≤maxIters rounds in one JVM.
+  /** Conf flag (r16; VERDICT r15 next #7): when true (the DEFAULT
+    * since r20), each fixpoint materialization localCheckpoints
+    * (eager, flat LogicalRDD leaf) instead of persisting, TRUNCATING
+    * lineage so round r's plan never chains back through rounds
+    * 1..r-1.
+    *
+    * r20 flipped the default after profiling (ProfileFixpoint,
+    * sf0.1): a persist() wraps the round in an InMemoryRelation whose
+    * plan EMBEDS the full child tree, so each later action re-plans
+    * an adaptive plan nested one level deeper per materialization —
+    * measured 1.5-4.6 s of pure driver planning per action by round
+    * 5+ (32 cores, ≤30k rows!), vs 0.04-0.16 s with flat checkpoint
+    * leaves. The r16 "persist is cheaper locally" measurement
+    * predates the r19 cached-edge layers that deepened the nesting.
     * localCheckpoint trades fault-tolerance for speed (blocks live on
     * executors); a deployment that must survive executor loss sets
-    * spark.checkpoint.dir and swaps in reliable checkpoint(). */
+    * the conf to false (persist path) or swaps in reliable
+    * checkpoint() via spark.checkpoint.dir. */
   val CheckpointConf = "spark.graft.clustering.checkpoint"
 
   private def roundMaterialize(df: DataFrame): DataFrame =
     if (df.sparkSession.conf.getOption(CheckpointConf)
-        .exists(_.toBoolean))
+        .forall(_.toBoolean))
       df.localCheckpoint(eager = true)
     else df.persist(StorageLevel.MEMORY_AND_DISK)
 
@@ -98,7 +110,8 @@ object Clustering {
       requireConverged: Boolean = false): DataFrame = synchronized {
     val spark = edges.sparkSession
     import spark.implicits._
-    if (lastLabels != null) { lastLabels.unpersist(); lastLabels = null }
+    lastCaches.foreach(_.unpersist())
+    lastCaches = Nil
     // Optimization r19 (guide §2.4 — two operations keyed the same way
     // share one exchange): the edge table is hash-partitioned ONCE on
     // each of its two join keys and cached, so no fixpoint round ever
@@ -109,11 +122,18 @@ object Clustering {
     // round — a per-round driver collect + broadcast build that is
     // pure latency here and a non-starter at cluster scale where
     // labels are corpus-sized (one row per doc).
+    // Edge caches and every round's labels go through roundMaterialize
+    // (r20): under the default checkpoint mode each is a FLAT
+    // LogicalRDD leaf that keeps its hash partitioning, so rounds stay
+    // exchange-free on the edge side without the nested-InMemoryRelation
+    // replanning cost persist() was paying per action (see
+    // CheckpointConf). unpersist() on a checkpointed frame is a no-op;
+    // blocks are bounded per invocation and released by the harnesses'
+    // dropStorage (persist mode keeps the explicit releases).
     val nParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
-    val eById = edges.select($"id", $"bucket")
-      .repartition(nParts, $"id").persist(StorageLevel.MEMORY_AND_DISK)
-    val eByBucket = eById.repartition(nParts, $"bucket")
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val eById = roundMaterialize(edges.select($"id", $"bucket")
+      .repartition(nParts, $"id"))
+    val eByBucket = roundMaterialize(eById.repartition(nParts, $"bucket"))
     def round(labels: DataFrame): DataFrame = {
       val bucketMin = eById.join(labels.hint("shuffle_hash"), "id")
         .groupBy("bucket").agg(min("cluster").as("bmin"))
@@ -138,10 +158,46 @@ object Clustering {
     // first plan saves one whole action — the per-action latency
     // (stage scheduling + cache materialization + convergence check)
     // is the fixpoint's floor, locally and on a cluster
-    var (labels, prevSum) = sumOnce(round(round(eByBucket.join(
+    val (labels, _) = sumOnce(round(round(eByBucket.join(
         eByBucket.groupBy($"bucket").agg(min($"id").as("bmin"))
           .hint("shuffle_hash"), "bucket")
       .groupBy($"id").agg(min($"bmin").as("cluster")))))
+    // --- label-graph contraction (optimization r20; VERDICT r19 next
+    // #4, guide §2.3 "shuffle keys and metadata instead of payloads"):
+    // the first action collapses every star, so the remaining rounds
+    // only need the CLUSTER graph — each edge projected to
+    // (cluster(id), bucket) and deduped. Components are preserved (two
+    // ids sharing a bucket implies their cluster labels share it), and
+    // every label value is itself an original id with cluster(M) = M
+    // for a component minimum M, so the contracted fixpoint's minima
+    // ARE the original components' minima. Per-round shuffle bytes
+    // drop from O(|edges|) to O(|cluster graph|), which shrinks as
+    // merging proceeds — at scale the tail rounds iterate on
+    // ~|components| rows instead of the corpus (lastContractedEdgeRows
+    // vs lastEdgeRows records the ratio for the scale probes).
+    val cEdges = eById.join(labels.hint("shuffle_hash"), "id")
+      .select($"cluster".as("id"), $"bucket").distinct()
+    val cById = roundMaterialize(cEdges.repartition(nParts, $"id"))
+    val cByBucket = roundMaterialize(cById.repartition(nParts, $"bucket"))
+    def cRound(ls: DataFrame): DataFrame = {
+      val bucketMin = cById.join(ls.hint("shuffle_hash"), "id")
+        .groupBy("bucket").agg(min("cluster").as("bmin"))
+      cByBucket.join(bucketMin.hint("shuffle_hash"), "bucket")
+        .groupBy("id").agg(min("bmin").as("cluster"))
+    }
+    // contracted folded init + double round, as above
+    var (cLabels, prevSum) = sumOnce(cRound(cRound(cByBucket.join(
+        cByBucket.groupBy($"bucket").agg(min($"id").as("bmin"))
+          .hint("shuffle_hash"), "bucket")
+      .groupBy($"id").agg(min($"bmin").as("cluster")))))
+    // contraction sizes for the scale probes (counts ride the frames
+    // already materialized by the actions above — cById is cached)
+    lastEdgeRows = eById.count()
+    lastContractedEdgeRows = cById.count()
+    // the full edge caches only feed the first action and the
+    // contraction projection, both done now
+    eById.unpersist()
+    eByBucket.unpersist()
     var it = 1
     var converged = false
     while (!converged && it < maxIters) {
@@ -150,31 +206,46 @@ object Clustering {
       // implies both sub-rounds were stationary — same fixpoint,
       // half the driver round-trips (each action is the latency
       // floor on an iterative job, locally and on a cluster)
-      val (next, nextSum) = sumOnce(round(round(labels)))
+      val (next, nextSum) = sumOnce(cRound(cRound(cLabels)))
       converged = nextSum == prevSum
       prevSum = nextSum
-      labels.unpersist()
-      labels = next
+      cLabels.unpersist()
+      cLabels = next
       it += 1
     }
-    eById.unpersist()
-    eByBucket.unpersist()
+    cById.unpersist()
+    cByBucket.unpersist()
     if (requireConverged && !converged) {
       labels.unpersist()
+      cLabels.unpersist()
       sys.error(s"label propagation still moving after maxIters=$maxIters " +
         "rounds — refusing to return a non-converged clustering " +
         "(requireConverged=true)")
     }
+    // re-attach the contracted assignment to the full id set: each id's
+    // post-star label maps to its component minimum. Materialized once
+    // (persist or, under CheckpointConf, localCheckpoint — keeping the
+    // returned frame a leaf, the old contract) so the two inputs can be
+    // released immediately; the result cache follows the
+    // release-on-next-call protocol as before.
+    val out = roundMaterialize(labels.join(
+      cLabels.select($"id".as("cluster"), $"cluster".as("cmin"))
+        .hint("shuffle_hash"), "cluster")
+      .select($"id", $"cmin".as("cluster")))
+    out.count()
+    labels.unpersist()
+    cLabels.unpersist()
     // observability for scale runs (VERDICT r3 #3): how close the
-    // corpus comes to the maxIters valve. The first action runs three
-    // rounds (folded init + one double round); each later loop
-    // iteration is a DOUBLE round.
-    lastRounds = 3 + 2 * (it - 1)
+    // corpus comes to the maxIters valve. The first TWO actions run
+    // three rounds each (folded init + one double round, full then
+    // contracted); each later loop iteration is a DOUBLE round.
+    lastRounds = 6 + 2 * (it - 1)
     lastConverged = converged
     System.err.println(
-      s"[clustering] fixpoint after ${3 + 2 * (it - 1)} rounds " +
-        s"($it actions, maxIters=$maxIters, converged=$converged)")
-    lastLabels = labels
-    labels
+      s"[clustering] fixpoint after ${6 + 2 * (it - 1)} rounds " +
+        s"(${2 + it} actions, maxIters=$maxIters, converged=$converged, " +
+        s"edges=$lastEdgeRows contracted=$lastContractedEdgeRows)")
+    lastCaches = List(out)
+    out
   }
 }

@@ -123,12 +123,29 @@ object TextPipeline extends QueryGroup {
     val merges =
       scala.collection.mutable.ListBuffer.empty[(Long, String, String, Long)]
     var exhausted = false
+    // Optimization r20 (VERDICT r19 next #8, adapted): the 8 merge
+    // decisions are inherently sequential (each argmax depends on the
+    // previous replace — top-k lookahead can't be validated without
+    // the updated counts), but the per-round COST had two removable
+    // parts: (a) the pair expression re-split `trim(seq)` three times
+    // per row (slice arg, size arg, and the lambda's indexed read) —
+    // a two-step projection computes the split once (CollapseProject
+    // keeps a non-cheap alias referenced 3× materialized); (b) every
+    // round paid a localCheckpoint write+read job just to keep plans
+    // flat — accumulating the (narrow, cheap) replace columns on top
+    // of the last checkpoint and cutting every 4th round keeps the
+    // plan ≤4 projections deep while halving the job count per round
+    // (1 argmax job instead of argmax + checkpoint). The r19 note
+    // about lazy persist being 2x slower was about UNBOUNDED chains
+    // re-planned per consumer; the bounded 4-round window keeps the
+    // flat-leaf property where it matters.
+    var sinceCkpt = 0
     for (r <- 1 to BpeRounds if !exhausted) {
       val pairs = vocab
+        .select($"freq", split(trim($"seq"), "  ").as("toks"))
         .select($"freq", explode(expr(
-          "transform(slice(split(trim(seq), '  '), 1, " +
-            "size(split(trim(seq), '  ')) - 1), " +
-            "(t, i) -> struct(t AS l, split(trim(seq), '  ')[i + 1] AS r))"))
+          "transform(slice(toks, 1, size(toks) - 1), " +
+            "(t, i) -> struct(t AS l, toks[i + 1] AS r))"))
           .as("p"))
         .groupBy($"p.l".as("l"), $"p.r".as("r"))
         .agg(sum($"freq").as("c"))
@@ -153,10 +170,14 @@ object TextPipeline extends QueryGroup {
       // '||' concatenation would not — lit() carries the bytes
       // verbatim, matching the oracle for any symbol content.
         vocab = vocab.withColumn("seq",
-            replace($"seq", lit(s" $l  $rr "), lit(s" $l$rr ")))
-          .localCheckpoint()
+          replace($"seq", lit(s" $l  $rr "), lit(s" $l$rr ")))
+        sinceCkpt += 1
+        if (sinceCkpt == 4) { vocab = vocab.localCheckpoint(); sinceCkpt = 0 }
       }
     }
+    // consumers (tokenize/encode/eval) fan out from the final vocab —
+    // always hand them a flat checkpointed leaf
+    if (sinceCkpt != 0) vocab = vocab.localCheckpoint()
     (merges.toSeq, vocab)
   }
 
@@ -1799,8 +1820,15 @@ object TextPipeline extends QueryGroup {
       (s, dir) => {
         import s.implicits._
         val k = 0.5
+        // one tokenize pass (optimization r20, guide §2.4): toksDf
+        // feeds docBi TWICE (bigram training + scoring) and uni — the
+        // r19 plan re-ran the regex tokenize per instantiation.
+        // localCheckpoint preserves the repartition(32) layout, so
+        // per-partition row order — and every downstream double sum —
+        // is bit-identical (the BPE/dsir checkpoint precedent).
         val toksDf = Tables.parallelized(Tables.documents(s, dir))
           .select($"doc_id", split(normText($"text"), " ").as("toks"))
+          .localCheckpoint()
         val docBi = toksDf
           .select($"doc_id", explode(expr(
             "transform(slice(toks, 1, size(toks) - 1), " +
@@ -1862,8 +1890,14 @@ object TextPipeline extends QueryGroup {
     "lm_stupid_backoff" -> QueryDef(
       (s, dir) => {
         import s.implicits._
+        // one tokenize pass for the 4 model/scoring streams, and the
+        // two vocab-bounded model tables each materialized once for
+        // their two broadcast consumers (optimization r20, guide
+        // §2.4; aliased broadcast copies defeat exchange reuse — the
+        // rename projection sits above the aggregate)
         val toksDf = Tables.parallelized(Tables.documents(s, dir))
           .select($"doc_id", split(normText($"text"), " ").as("toks"))
+          .localCheckpoint()
         def triOf(df: DataFrame): DataFrame = df
           .filter(size($"toks") >= 3)
           .select($"doc_id", explode(expr(
@@ -1881,8 +1915,10 @@ object TextPipeline extends QueryGroup {
               "(t, i) -> struct(t AS wa, toks[i + 1] AS wb))")).as("bg"))
           .select($"bg.wa", $"bg.wb")
           .groupBy($"wa", $"wb").agg(count(lit(1)).as("cb"))
+          .localCheckpoint()
         val uni = train.select(explode($"toks").as("w"))
           .groupBy($"w").agg(count(lit(1)).as("cu"))
+          .localCheckpoint()
         val tot = uni.agg(sum($"cu").as("n"), count(lit(1)).as("v"))
         val sCol =
           when($"ct".isNotNull, $"ct" / $"c12")
@@ -2927,17 +2963,24 @@ object TextPipeline extends QueryGroup {
     import s.implicits._
     val nBands = 16
     val rowsPerBand = 4
-    // all 64 minhashes are computed in ONE projection and only the 16
-    // band longs pass through the explode — the wide word-hash array
-    // never gets duplicated 16x into the generator output (same hash
-    // count, 1/16th the generated bytes)
+    // All 64 seed-salted minima come from ONE codegen pass over the
+    // word-hash buffer (XxMinhashSigs — optimization r20, VERDICT r19
+    // next #1: the CwMinhashSigs treatment for the xxhash64 family)
+    // instead of 64 interpreted array_min(transform(...)) folds that
+    // the optimizer re-expanded inside the Generate. Band signatures
+    // read 4 slots each via element_at; the two-step projection keeps
+    // the signature materialized once (CollapseProject refuses to
+    // inline a non-cheap alias referenced 64 times). Values are
+    // bit-identical: the expression reproduces xxhash64's
+    // hashInt(seed, hashLong(t, 42)) fold and min is
+    // order-insensitive; concat_ws sees the same longs.
     val sigs = (0 until nBands).map { b =>
       xxhash64(concat_ws(",",
         (0 until rowsPerBand).map(r =>
-          array_min(transform($"w",
-            t => xxhash64(t, lit(b * rowsPerBand + r))))): _*))
+          element_at($"m64", b * rowsPerBand + r + 1)): _*))
     }
     docs
+      .select($"doc_id", call_function("xx_minhash_sigs", $"w").as("m64"))
       .select($"doc_id", posexplode(array(sigs: _*)))
       .select($"doc_id", $"pos".as("band"), $"col".as("band_sig"))
   }
@@ -2945,6 +2988,16 @@ object TextPipeline extends QueryGroup {
   private def lshPairs(docs: DataFrame): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
+    // NOTE (optimization r20): localCheckpoint-ing `docs` and `banded`
+    // here was MEASURED and REJECTED (1.58 -> 2.20 s at comparable
+    // canary): the band self-join does instantiate the signature
+    // projection twice, but this pipeline's only gate consumer is
+    // doc_id-bounded (500 docs), so two eager checkpoint actions cost
+    // more than the duplicated 500-row tokenize+minhash they save. At
+    // an unbounded scale the 4x tokenize would dominate and the
+    // checkpoint (or a persisted signature asset, as the verified
+    // dedup path already ships) wins — a call-site decision, exactly
+    // like Tables.registerAll's rejected view-level repartition.
     val banded = bandSignatures(docs)
     val candidates = banded.as("x").join(banded.as("y"),
         $"x.band" === $"y.band" && $"x.band_sig" === $"y.band_sig" &&

@@ -42,8 +42,17 @@ object PlanBatch {
       Files.write(Paths.get(outDir, s"${name}_$suffix.txt"),
         plan.getBytes("UTF-8"))
       spark.sparkContext.setJobDescription(s"$name warm")
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
+      // the warm pass doubles as the AQE FINAL-plan capture (r20;
+      // VERDICT r19 next #5): after execution the same frame's
+      // executedPlan is the runtime-reoptimized plan (isFinalPlan=true
+      // — where SMJ→SHJ rewrites, coalesced reads etc. are visible,
+      // none of which static explain shows)
+      try {
+        val warm = fn(spark, sfDir)
+        warm.write.format("noop").mode("overwrite").save()
+        Files.write(Paths.get(outDir, s"${name}_${suffix}_final.txt"),
+          warm.queryExecution.executedPlan.toString.getBytes("UTF-8"))
+      } catch { case e: Throwable =>
         System.err.println(s"[planbatch] $name FAILED: ${e.getMessage}") }
       dropStorage()
       val ts = (1 to 3).map { i =>

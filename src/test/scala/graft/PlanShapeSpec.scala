@@ -807,14 +807,17 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture with Matchers {
   }
 
   test("ann recall harness adds no pairwise stage beyond the tiers' own") {
-    // the harness unions the tiers' own (already plan-pinned)
-    // shortlists; everything it ADDS — the overlap semi-join, the
-    // per-tier counts, the possible scalar — is id-sized. No
-    // CartesianProduct anywhere; every tier's top-k cut stays
-    // WindowGroupLimit-bounded
+    // r20: the tier shortlists materialize ONCE through an eager
+    // localCheckpoint (the 561-Exchange union was referenced twice —
+    // hits + retrieved; VERDICT r19 next #2), so the harness plan is
+    // now id-sized scans of the checkpointed rows (ExistingRDD
+    // leaves). Each tier's own WindowGroupLimit-bounded top-k cut is
+    // pinned by that tier's plan test above. Everything the harness
+    // ADDS — the overlap semi-join, the per-tier counts, the possible
+    // scalar — stays id-sized; no CartesianProduct anywhere.
     val plan = planOf("sim_ann_recall")
     plan should not include "CartesianProduct"
-    plan should include("WindowGroupLimit")
+    plan should include("ExistingRDD")
   }
 
   test("pq rescored: broadcast shortlist rescore, no pairwise stage") {
