@@ -227,28 +227,18 @@ object Similarity extends QueryGroup {
     val a0 = assignCells(corpus, c0)
     // c1 is consumed by BOTH the final assignment and every caller's
     // probe ranking (and, in the materialized row, two separate write
-    // actions) — persist the 20-row table so the two-pass Lloyd chain
-    // below it executes once per invocation, not once per consumer
-    // (optimization r19; bounded leak: released on the next call, the
-    // lastLabels discipline)
-    // release-old / persist-new / publish in ONE synchronized block
-    // (ADVICE r19 #4): split blocks let two concurrent invocations
-    // interleave so one persisted frame was never recorded (leaking
-    // past the release-on-next-call bound) or an unpersist raced a
-    // peer's in-flight jobs — the Clustering.lastLabels discipline,
-    // done atomically.
-    val c1 = synchronized {
-      if (lastGeoC1 != null) { lastGeoC1.unpersist(); lastGeoC1 = null }
-      val f = roundedCentroids(a0).persist(StorageLevel.MEMORY_AND_DISK)
-      lastGeoC1 = f
-      f
-    }
+    // actions). r20: materialized as an eager localCheckpoint instead
+    // of the r19 persist — the 20-row table is a flat leaf, so no
+    // consumer action re-plans the embedded two-pass Lloyd chain (the
+    // nested-InMemoryRelation replanning cost ProfileFixpoint
+    // measured), and the release-on-next-call swap protocol (ADVICE
+    // r19 #4's race) disappears with the cache entry itself: 20-row
+    // checkpoint blocks are per-invocation scaffolding the harnesses'
+    // dropStorage reclaims.
+    val c1 = roundedCentroids(a0).localCheckpoint()
     val a1 = assignCells(corpus, c1)
     (a1, c1)
   }
-
-  private var lastGeoC1: DataFrame = _
-  private var lastPqCb: DataFrame = _
 
   /** DuckDB twin of [[geoCellIndex]] over the corpus CTE `c` —
     * emits lm, sub, c0, a0, c1, a1 (a1 = (vec_id, v, cell)). */
@@ -659,19 +649,14 @@ object Similarity extends QueryGroup {
     val assign1 = sub.join(broadcast(seedsArr), Seq("m"))
       .select($"vec_id", $"m", nearest($"cands", $"sv").as("cid"), $"sv")
     // the M·K=32-row codebook feeds the encode pass, the ADC table,
-    // and (in the materialized row) its own write — persist so the
-    // seed-assignment chain executes once per invocation (bounded
-    // leak: released on the next call)
-    // atomic release/persist/publish (ADVICE r19 #4), as lastGeoC1
-    val codebook = synchronized {
-      if (lastPqCb != null) { lastPqCb.unpersist(); lastPqCb = null }
-      val f = assign1.groupBy($"m", $"cid")
-        .agg(array((0 until Sub).map(i =>
-          avg(element_at($"sv", i + 1))): _*).as("cw"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      lastPqCb = f
-      f
-    }
+    // and (in the materialized row) its own write — one eager
+    // localCheckpoint so the seed-assignment chain executes once and
+    // every consumer plans against a flat 32-row leaf (r20, the c1
+    // treatment; replaces the r19 persist + release-on-next-call swap)
+    val codebook = assign1.groupBy($"m", $"cid")
+      .agg(array((0 until Sub).map(i =>
+        avg(element_at($"sv", i + 1))): _*).as("cw"))
+      .localCheckpoint()
     val cbArr = codebook
       .groupBy($"m").agg(collect_list(struct($"cid", $"cw")).as("cands"))
     val codes = sub.join(broadcast(cbArr), Seq("m"))
@@ -1975,7 +1960,15 @@ object Similarity extends QueryGroup {
           .otherwise(col("cl")))
         .drop("cl_n", "apr", "mxr", "mnr")
     }
-    val cached = out.persist(StorageLevel.MEMORY_AND_DISK)
+    // r20: eager localCheckpoint instead of persist — sim_semdedup
+    // self-joins this frame, and with persist BOTH join branches
+    // re-planned the embedded 8-round window chain per action (the
+    // nested-InMemoryRelation cost ProfileFixpoint measured); the
+    // checkpoint is a flat leaf. lastSemCaches' release protocol is
+    // kept for the persist-era frames of older sessions (unpersist on
+    // a checkpointed frame is a harmless no-op; blocks are reclaimed
+    // by the harnesses' dropStorage).
+    val cached = out.localCheckpoint()
     lastSemCaches.put(session, List(cached))
     cached
   }

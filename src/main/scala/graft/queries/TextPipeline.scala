@@ -608,12 +608,6 @@ object TextPipeline extends QueryGroup {
         explode(PortableLsh.bucketArrayFromSigs($"m", 16)).as("bucket"))
   }
 
-  // the verified-dedup signature table must stay persisted while the
-  // caller's fixpoint and downstream aggregates run; releasing it on
-  // the NEXT call bounds the leak to one cached frame per session
-  // (the Clustering.lastLabels discipline)
-  private var lastVerifyMh: DataFrame = _
-
   /** Star-VERIFIED near-dup cluster assignment over a (doc_id, text)
     * corpus at the dedup (4-row) banding — r19, closing VERDICT r18
     * "What's wrong" #1: the repo's own dedup_lsh_recall row measured
@@ -650,7 +644,6 @@ object TextPipeline extends QueryGroup {
     synchronized {
       val s = docs.sparkSession
       import s.implicits._
-      if (lastVerifyMh != null) { lastVerifyMh.unpersist(); lastVerifyMh = null }
       // Optimization r19 (guide §2.4 — remove shuffles outright): the
       // star candidates and their verification are ONE window pass
       // over the exploded (id, m, bucket) rows instead of the r19
@@ -664,11 +657,15 @@ object TextPipeline extends QueryGroup {
       // codegen'd arr_eq_count. Selected pairs are identical: the
       // same (hub=min bucket id, member, agreement ≥ VerifyAgree)
       // predicate, deduped across buckets after the filter.
+      // r20: the persist here is GONE — in the window form the
+      // signature pass has exactly ONE consumer (the bucket explode
+      // below; hub id and hub signature both come from the window),
+      // and the whole edge pipeline materializes once anyway inside
+      // the fixpoint's eager edge checkpoint. The persist only added
+      // an InMemoryRelation layer to every downstream plan.
       val mh = Tables.parallelized(docs)
         .select($"doc_id", PortableLsh.wordBaseHashes($"text").as("x"))
         .select($"doc_id", PortableLsh.minhashArray($"x").as("m"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      lastVerifyMh = mh
       val cand = mh.select($"doc_id".as("id"), $"m",
         explode(PortableLsh.bucketArrayFromSigs($"m",
           PortableLsh.RowsPerBand)).as("bucket"))

@@ -78,6 +78,38 @@ object ProfileDedup {
         (size($"wa") + size($"wb") - $"ni"))
     time("G 500-doc all-pairs jaccard")(noop(pairs))
     mh.unpersist()
+
+    // --- r20: the CURRENT window-pass shape of
+    // verifiedClusterAssignment, stage by stage (the D/E join-back
+    // stages above are the r18 shapes, kept for comparison) ---
+    import org.apache.spark.sql.expressions.Window
+    val mh2 = graft.Tables.parallelized(docs)
+      .select($"doc_id", PortableLsh.wordBaseHashes($"text").as("x"))
+      .select($"doc_id", PortableLsh.minhashArray($"x").as("m"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    time("W0 mh2 persist+count")(mh2.count())
+    val cand2 = mh2.select($"doc_id".as("id"), $"m",
+      explode(PortableLsh.bucketArrayFromSigs($"m",
+        PortableLsh.RowsPerBand)).as("bucket"))
+    time("W1 bucket explode")(noop(cand2))
+    val wb2 = Window.partitionBy($"bucket").orderBy($"id")
+    val ver2 = cand2
+      .withColumn("hub", first($"id").over(wb2))
+      .withColumn("hm", first($"m").over(wb2))
+      .filter($"id" =!= $"hub")
+      .filter(org.apache.spark.sql.functions.call_function(
+        "arr_eq_count", $"hm", $"m") >= PortableLsh.VerifyAgree)
+      .select($"id", $"hub").distinct()
+    time("W2 window-verified edges")(noop(ver2))
+    val edges2 = ver2.select($"id", $"hub".cast("string").as("bucket"))
+      .unionByName(docs.select($"doc_id".as("id"),
+        $"doc_id".cast("string").as("bucket")))
+    val assign2 = time("W3 fixpoint (current)")(
+      graft.queries.Clustering.propagateToFixpoint(edges2, maxIters = 20,
+        requireConverged = true).select($"id", $"cluster"))
+    time("W4 assignment noop")(noop(assign2))
+    time("W5 assignment orderBy noop")(noop(assign2.orderBy($"id")))
+    mh2.unpersist()
     spark.stop()
   }
 }
