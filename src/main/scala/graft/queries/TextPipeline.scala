@@ -1906,16 +1906,21 @@ object TextPipeline extends QueryGroup {
         val train = toksDf.filter($"doc_id" % 2 === 0)
         val tri = triOf(train).groupBy($"w1", $"w2", $"w3")
           .agg(count(lit(1)).as("ct"))
+        // LAZY checkpoints (the sim_ann_recall note): each model table
+        // is still computed once for its two broadcast consumers, but
+        // an action that provably needs no model values (count()
+        // eliminates the left joins against these unique-keyed
+        // aggregates) still skips the model builds, as it did in r19.
         val bi = train.filter(size($"toks") >= 2)
           .select(explode(expr(
             "transform(slice(toks, 1, size(toks) - 1), " +
               "(t, i) -> struct(t AS wa, toks[i + 1] AS wb))")).as("bg"))
           .select($"bg.wa", $"bg.wb")
           .groupBy($"wa", $"wb").agg(count(lit(1)).as("cb"))
-          .localCheckpoint()
+          .localCheckpoint(eager = false)
         val uni = train.select(explode($"toks").as("w"))
           .groupBy($"w").agg(count(lit(1)).as("cu"))
-          .localCheckpoint()
+          .localCheckpoint(eager = false)
         val tot = uni.agg(sum($"cu").as("n"), count(lit(1)).as("v"))
         val sCol =
           when($"ct".isNotNull, $"ct" / $"c12")
